@@ -1,0 +1,31 @@
+"""Batch relational operators (SURVEY.md §2)."""
+
+from iotdatapipeline_spark.operators.counter_rollup import (
+    counter_deltas,
+    production_rollup,
+    with_shift,
+)
+from iotdatapipeline_spark.operators.dedup_combine import dedup_combine
+from iotdatapipeline_spark.operators.relational import (
+    config_regroup,
+    dedup_append_set,
+    enrich_multiplier,
+    guarded_insert_split,
+    latest_snapshot,
+    limpieza_update_set,
+    top1_per_group,
+)
+
+__all__ = [
+    "counter_deltas",
+    "production_rollup",
+    "with_shift",
+    "dedup_combine",
+    "config_regroup",
+    "dedup_append_set",
+    "enrich_multiplier",
+    "guarded_insert_split",
+    "latest_snapshot",
+    "limpieza_update_set",
+    "top1_per_group",
+]

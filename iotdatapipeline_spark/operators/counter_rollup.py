@@ -1,0 +1,118 @@
+"""W1/W2/A5 — counter-delta detection, shift sessions, quantity roll-up.
+
+The batch (window-function) formulation of the reference's keyed state
+machine (Prensas.py:744-815). This is the oracle against which the
+streaming stateful op is verified (SURVEY.md §5.3):
+
+  * W1: a reading EMITS when counter > previous counter for the same
+    (station, part), or counter >= previous at a shift boundary
+    (Prensas.py:756);
+  * W2: boundary test = previous time-of-day < {08:00,16:00} ≤ current
+    (Prensas.py:750-751);
+  * A5: emitted quantity derives from cumulative-counter deltas; the
+    per-session total is last(counter) − base(counter), rebased at
+    shift change.
+
+Scale note: one shuffle on (station, part) for the lag window, then a
+partial-aggregated shuffle on the session keys. Both key sets are
+high-cardinality (station × part), so the plan parallelizes evenly; no
+window over an unpartitioned frame anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.functions.temporal import (
+    is_shift_boundary_crossing,
+    plan_date,
+    shift_id,
+    tod_seconds,
+)
+
+
+def with_shift(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """C5 columns: shift_id, plan_date."""
+    return df.withColumn("shift_id", shift_id(F.col(ts_col))).withColumn("plan_date", plan_date(F.col(ts_col)))
+
+
+def counter_deltas(
+    df: DataFrame,
+    *,
+    station_col: str = "station",
+    part_col: str = "part",
+    counter_col: str = "counter",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per (station, part) ordered by ts: previous counter, shift-change
+    flag, emit flag, and the emitted delta (W1/W2).
+
+    ``order_cols`` breaks ts ties deterministically (e.g. event_id).
+    """
+    w = Window.partitionBy(station_col, part_col).orderBy(ts_col, *order_cols)
+    prev_counter = F.lag(F.col(counter_col)).over(w)
+    prev_tod = F.lag(tod_seconds(F.col(ts_col))).over(w)
+    cambio = is_shift_boundary_crossing(prev_tod, tod_seconds(F.col(ts_col)))
+    emits = (F.col(counter_col) > prev_counter) | (cambio & (F.col(counter_col) >= prev_counter))
+    # Per-emit quantity contribution. Within a session qty_upd =
+    # cnt − base (Prensas.py:792) and emits telescope: Σ(cnt_i −
+    # prev_i) = last_cnt − base. At a boundary the base is rebased to
+    # prev (Prensas.py:759) so the boundary emit contributes cnt − prev
+    # to the NEW shift — i.e. delta = cnt − prev uniformly; only the
+    # emit condition differs (> vs >= at the boundary).
+    return (
+        df.withColumn("prev_counter", prev_counter)
+        .withColumn("shift_change", F.coalesce(cambio, F.lit(False)))
+        .withColumn("emits", F.coalesce(emits, F.lit(False)))
+        .withColumn(
+            "delta",
+            F.when(F.coalesce(emits, F.lit(False)), F.col(counter_col) - prev_counter),
+        )
+    )
+
+
+def production_rollup(
+    events: DataFrame,
+    *,
+    station_col: str = "station",
+    part_col: str = "part",
+    counter_col: str = "counter",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+    multiplier: DataFrame | None = None,
+    multiplier_key: str = "part",
+    multiplier_col: str = "multiplier",
+) -> DataFrame:
+    """A5: per (station, part, plan_date, shift) production quantity =
+    sum of emitted positive counter deltas × multiplier (default 1 on a
+    missing dimension row — C8/J10, Prensas.py:727-728, 780).
+
+    The multiplier dim joins BROADCAST (it is small by construction in
+    the reference — AS400 pieces-per-cycle lookup)."""
+    d = counter_deltas(
+        events,
+        station_col=station_col,
+        part_col=part_col,
+        counter_col=counter_col,
+        ts_col=ts_col,
+        order_cols=order_cols,
+    )
+    d = with_shift(d, ts_col)
+    agg = d.filter(F.col("emits")).groupBy(station_col, part_col, "plan_date", "shift_id").agg(
+        F.sum("delta").alias("qty_raw"),
+        F.count(F.lit(1)).alias("emit_count"),
+        F.max(counter_col).alias("last_counter"),
+    )
+    if multiplier is None:
+        return agg.withColumn("qty", F.col("qty_raw").cast("double"))
+    joined = agg.join(
+        F.broadcast(multiplier),
+        agg[part_col] == multiplier[multiplier_key],
+        "left",
+    )
+    mult = F.coalesce(F.col(multiplier_col), F.lit(1))
+    return joined.withColumn("qty", (F.col("qty_raw") * mult).cast("double")).drop(
+        multiplier_key, multiplier_col
+    )

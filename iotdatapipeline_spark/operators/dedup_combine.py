@@ -1,0 +1,53 @@
+"""A1 dedup-combine (``combinar_listas``, Prensas.py:399-440).
+
+Semantics (execution-verified, SURVEY.md §2.5 A1):
+  * each slash-alternative of a reading receives the FULL counter value
+    (fan-out via explode, not a split);
+  * rows with NULL/empty cleaned part are dropped (F1);
+  * then per (grouping keys, part): counters SUM, original keeps the
+    FIRST-seen value, cycle time keeps the LAST-seen value, plus the
+    ordered list of contributing counters.
+
+The reference relies on Python iteration order for first/last; we make
+the order explicit with an ``order_col`` (reading sequence / ts) so the
+result is deterministic under distribution — ``min_by``/``max_by``
+replace order-dependent dict mutation. This is a single partial-agg →
+shuffle → final-agg hash aggregation; no UDAF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_combine(
+    readings: DataFrame,
+    *,
+    keys: Sequence[str],
+    part_alts_col: str,
+    original_col: str,
+    counter_col: str,
+    cycle_time_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Explode alternatives, filter empties, merge duplicates.
+
+    ``part_alts_col`` is array<string> (use
+    ``functions.expand_alternatives`` upstream). Output columns:
+    keys…, part, part_original, counter_total, counters, cycle_time.
+    """
+    exploded = readings.withColumn("part", F.explode(F.col(part_alts_col)))
+    filtered = exploded.filter(F.col("part").isNotNull() & (F.col("part") != ""))
+    return filtered.groupBy(*keys, "part").agg(
+        F.sum(counter_col).alias("counter_total"),
+        # struct-ordered collect keeps the per-part counter list in reading order
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(counter_col).alias("c")))),
+            lambda s: s["c"],
+        ).alias("counters"),
+        F.min_by(F.col(original_col), F.col(order_col)).alias("part_original"),
+        F.max_by(F.col(cycle_time_col), F.col(order_col)).alias("cycle_time"),
+    )

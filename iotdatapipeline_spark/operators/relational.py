@@ -1,0 +1,131 @@
+"""Relational operators: probes, guarded splits, dedup-append, regroup,
+latest-snapshot, limpieza (SURVEY.md §2.1-2.4, §2.7-2.8).
+
+All are pure DataFrame→DataFrame functions so they are oracle-testable
+(SURVEY.md §7 step 5); the side-effecting executors live in
+``streaming/sinks.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top1_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """W3/A4/S5 — the reference's ``ORDER BY status_id DESC, id DESC`` +
+    ``TOP(1)`` active-record probe (Prensas.py:300-302) generalized to
+    per-group argmax. Window rank keeps it a single shuffle on the keys
+    (and map-side partial via AQE); no global sort."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def guarded_insert_split(
+    candidates: DataFrame,
+    dim: DataFrame,
+    *,
+    on: Column,
+    guard: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """K2/J3 — guarded INSERT-from-SELECT (Prensas.py:315-365): rows
+    whose key exists in the (guard-filtered) dimension form the insert
+    set; the rest route to the unknown-parts sink (K4).
+
+    Returns (matched, rejected). The dimension is broadcast — in the
+    reference it is the tiny ``part_numbers ⋈ work_centers`` dim; the
+    anti join reuses the same broadcast, so the fact side is scanned
+    without any shuffle."""
+    guarded = dim.filter(guard)
+    matched = candidates.join(F.broadcast(guarded), on, "inner")
+    rejected = candidates.join(F.broadcast(guarded), on, "left_anti")
+    return matched, rejected
+
+
+def dedup_append_set(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """K4/J9/A3 — the parts-not-found CSV append (Prensas.py:227-279):
+    of today's candidate rows, keep one per key and drop keys already
+    present in the existing file. left_anti + dropDuplicates — both
+    hash-based, shuffle only on the (small) key columns."""
+    return new_rows.dropDuplicates(list(keys)).join(existing, list(keys), "left_anti")
+
+
+def config_regroup(
+    config: DataFrame,
+    *,
+    group_col: str,
+    member_col: str,
+    address_col: str,
+    length_col: str,
+) -> DataFrame:
+    """A2 — regroup flat config rows by IP (Prensas.py:172-210): the
+    distinct member stations, the UNION of expanded address blocks
+    (scan-sharing set, Prensas.py:201), and counts. Arrays are sorted
+    so the output is deterministic under distribution."""
+    from iotdatapipeline_spark.functions.decode import expand_block
+
+    exploded = config.withColumn("__addr", F.explode(expand_block(F.col(address_col), F.col(length_col))))
+    return exploded.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(member_col)).alias("members"),
+        F.array_sort(F.collect_set("__addr")).alias("all_addresses"),
+        F.count_distinct(F.col(member_col)).alias("n_members"),
+        F.count_distinct(F.col("__addr")).alias("n_addresses"),
+    )
+
+
+def latest_snapshot(df: DataFrame, keys: Sequence[str], order_col: str, value_cols: Sequence[str]) -> DataFrame:
+    """K8/T3 — last value per key (``plc_data_latest``, Prensas.py:76,
+    582). ``max_by`` keeps it a hash aggregate (partial + final), far
+    cheaper than a rank window at scale."""
+    aggs = [F.max_by(F.col(c), F.col(order_col)).alias(c) for c in value_cols]
+    aggs.append(F.max(order_col).alias(order_col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def limpieza_update_set(
+    records: DataFrame,
+    *,
+    station: Column,
+    planned_date: Column,
+    shift: Column,
+    station_col: str = "station",
+    planned_date_col: str = "planned_date",
+    shift_col: str = "shift_id",
+    status_col: str = "status_id",
+    open_status: int = 7,
+    reset_status: int = 8,
+) -> DataFrame:
+    """K5/F6 — the silence-cleanup UPDATE set (Prensas.py:663-677):
+    open records (status 7) for a (station, plan date, shift) flip to
+    status 8. Returned as the would-be-updated rows with the new
+    status, for MERGE execution downstream."""
+    cond = (
+        (F.col(station_col) == station)
+        & (F.col(planned_date_col) == planned_date)
+        & (F.col(shift_col) == shift)
+        & (F.col(status_col) == F.lit(open_status))
+    )
+    return records.filter(cond).withColumn(status_col, F.lit(reset_status))
+
+
+def enrich_multiplier(
+    facts: DataFrame,
+    multiplier_dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    multiplier_col: str = "multiplier",
+) -> DataFrame:
+    """J10/S3/C8 — AS400 pieces-per-cycle enrichment
+    (Prensas.py:117-149): broadcast LEFT join, missing → 1. The
+    reference opens a DB2 connection per lookup; here the dim loads
+    once and broadcasts."""
+    dim = multiplier_dim.select(F.col(dim_key).alias("__k"), F.col(multiplier_col))
+    out = facts.join(F.broadcast(dim), facts[fact_key] == F.col("__k"), "left").drop("__k")
+    return out.withColumn(multiplier_col, F.coalesce(F.col(multiplier_col), F.lit(1)))
