@@ -106,13 +106,8 @@ def production_rollup(
         F.max(counter_col).alias("last_counter"),
     )
     if multiplier is None:
-        return agg.withColumn("qty", F.col("qty_raw").cast("double"))
-    joined = agg.join(
-        F.broadcast(multiplier),
-        agg[part_col] == multiplier[multiplier_key],
-        "left",
-    )
-    mult = F.coalesce(F.col(multiplier_col), F.lit(1))
-    return joined.withColumn("qty", (F.col("qty_raw") * mult).cast("double")).drop(
-        multiplier_key, multiplier_col
-    )
+        return agg.withColumn("qty", F.col("qty_raw").cast("long"))
+    dim = multiplier.select(F.col(multiplier_key).alias("__mk"), F.col(multiplier_col).alias("__mv"))
+    joined = agg.join(F.broadcast(dim), agg[part_col] == dim["__mk"], "left")
+    mult = F.coalesce(F.col("__mv"), F.lit(1))
+    return joined.withColumn("qty", (F.col("qty_raw") * mult).cast("long")).drop("__mk", "__mv")

@@ -43,6 +43,7 @@ def dedup_combine(
     filtered = exploded.filter(F.col("part").isNotNull() & (F.col("part") != ""))
     return filtered.groupBy(*keys, "part").agg(
         F.sum(counter_col).alias("counter_total"),
+        F.count(F.lit(1)).alias("n_readings"),
         # struct-ordered collect keeps the per-part counter list in reading order
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(counter_col).alias("c")))),

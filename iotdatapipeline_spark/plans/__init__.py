@@ -1,0 +1,18 @@
+"""Named query registry wired to the driver contract."""
+
+from iotdatapipeline_spark.plans.core import ORACLE as _CORE_ORACLE
+from iotdatapipeline_spark.plans.core import QUERIES as _CORE_QUERIES
+
+QUERIES = dict(_CORE_QUERIES)
+ORACLE = dict(_CORE_ORACLE)
+
+try:
+    from iotdatapipeline_spark.plans.analytics import ORACLE as _AN_ORACLE
+    from iotdatapipeline_spark.plans.analytics import QUERIES as _AN_QUERIES
+
+    QUERIES.update(_AN_QUERIES)
+    ORACLE.update(_AN_ORACLE)
+except ImportError:  # analytics module lands in a later milestone
+    pass
+
+__all__ = ["QUERIES", "ORACLE"]
