@@ -1,0 +1,118 @@
+"""Deduplication families for training-data pipelines.
+
+  * exact: hash-groupBy on content digest — one shuffle, no pairs.
+  * MinHash + LSH: shingle → k-min-hash signature → banded bucket
+    join; candidate pairs only ever meet inside a band bucket, so the
+    pair space is bounded by bucket collisions, not n² — the only
+    strategy that survives 100 TB.
+  * n-gram Jaccard: exact verify step for candidate pairs (bounded by
+    a blocking key such as ``source`` or an LSH bucket).
+  * SimHash: see analytics.text.simhash16 (signature equality bucket).
+
+Hashes are md5 hex strings end-to-end: lexicographic min of fixed-
+width hex equals numeric min, and every engine agrees on md5 — no
+platform-dependent hash seeds anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.analytics.text import word_shingles
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(content) groups with canonical (min) id and
+    multiplicity. Output: text_hash, canonical_id, n_copies."""
+    return (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).cast("long").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-``n``-gram shingles per document (long format)."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFrame:
+    """k-permutation MinHash: h_i(s) = md5(i || '|' || s); signature
+    column ``h0..h{k-1}`` = per-doc minima. One hash aggregate."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature (b = k/rows_per_band bands), hash each band,
+    and self-join on (band_id, band_hash). Output: doc1 < doc2 distinct.
+
+    Scale note: the join key is (band, hash) — high cardinality, so
+    the shuffle is uniform; no n² pair enumeration happens anywhere.
+    """
+    n_bands = k // rows_per_band
+    bands = [
+        F.md5(
+            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).cast("binary")
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(F.col(id_col), *bands)
+    long = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
+    )
+    a, c = long.alias("a"), long.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc1"), F.col(f"c.{id_col}").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    block_col: str | None = None,
+    min_jaccard_x1000: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. Pairs are bounded by
+    ``block_col`` (same-block only) — at scale this must be an LSH
+    bucket or metadata key, never unblocked. Output: doc1, doc2,
+    inter, jaccard_x1000 (floor of 1000·|∩|/|∪| — exact integer)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    join_cond = [F.col(f"a.shingle") == F.col(f"b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col is not None:
+        join_cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        shingles.alias("a")
+        .join(shingles.alias("b"), join_cond)
+        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).cast(
+                "long"
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard_x1000") >= min_jaccard_x1000).select(
+        "doc1", "doc2", "inter", "jaccard_x1000"
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; IVF centroid
+bucketing is the scale path (assign once, then search only the probe's
+bucket). Dot products run as native ``zip_with``+``aggregate`` in
+double precision — no Python, no UDF; at 100 TB the scan + broadcast
+of the (small) query/centroid side is the whole cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double (sequential array order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sq_l2_distance(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query by (rounded cosine DESC, neighbor id).
+    Rounding makes the ranking stable across engines/summation orders.
+    Output: qid, nid, rk, cos_sim."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", "cos_sim")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF bucketing: assign every vector to its nearest centroid
+    (squared L2, rounded; centroid id breaks ties). The centroid set
+    broadcasts; output partitioned by centroid_id is the index.
+    Output: vec_id, centroid_id, dist_sq."""
+    c = centroids.select(F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    pairs = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c))
+    scored = pairs.select(
+        id_col,
+        F.col("__cid"),
+        F.round(sq_l2_distance(F.col(vec_col), F.col("__cvec")), round_digits).alias("dist_sq"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist_sq"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias(centroid_id_col), "dist_sq")
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    min_cos_x1e6: int = 350_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold,
+    optionally blocked (same ``block_col`` only — at scale use an LSH
+    or IVF bucket as the block). Threshold compares the ×1e6-floored
+    cosine so the cut is exact-integer. Output: id1, id2, cos_x1e6."""
+    left = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), *( [F.col(block_col).alias("blk1")] if block_col else [] ))
+    right = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), *( [F.col(block_col).alias("blk2")] if block_col else [] ))
+    cond = F.col("id1") < F.col("id2")
+    if block_col:
+        cond = cond & (F.col("blk1") == F.col("blk2"))
+    pairs = left.join(right, cond)
+    scored = pairs.select(
+        "id1", "id2", F.floor(cosine(F.col("v1"), F.col("v2")) * 1_000_000).cast("long").alias("cos_x1e6")
+    )
+    return scored.filter(F.col("cos_x1e6") >= min_cos_x1e6)

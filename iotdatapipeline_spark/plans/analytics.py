@@ -1,0 +1,366 @@
+"""Analytics query registry — training-data operators over the
+``documents`` and ``embeddings`` fixtures (north-star extensions,
+SURVEY.md §7 step 8).
+
+Oracle strategy: all hashing is md5 hex strings (engine-agnostic);
+cosine/L2 run in double with round/floor-to-integer cuts so the
+driver's value hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.analytics import (
+    LANG_STOPWORDS,
+    TOKEN_REGEX,
+    exact_dedup_groups,
+    fingerprint,
+    ivf_assign,
+    jaccard_pairs,
+    knn_bruteforce,
+    langid_pred,
+    langid_scores,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    n_tokens,
+    n_words,
+    neardup_pairs,
+    shingle_set,
+    simhash16,
+    stopword_hits,
+    words,
+)
+from iotdatapipeline_spark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _sql_stop_filter(col: str, stopwords: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return f"CAST(len(list_filter(string_split({col}, ' '), w -> w IN ({inlist}))) AS BIGINT)"
+
+
+# word-3-gram distinct shingles per doc (shared CTE text)
+_SHINGLES_SQL = """
+    ws AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, source, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+            FROM ws),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM pos)
+"""
+
+
+# ── Text analysis ───────────────────────────────────────────────────────────
+
+@register(
+    "docs_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("len_chars"),
+        n_words(t).alias("n_words"),
+        F.array_size(F.array_distinct(words(t))).cast("long").alias("n_distinct_words"),
+        n_tokens(t).alias("n_tokens"),
+    )
+
+
+@register(
+    "docs_quality_stats",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               {_sql_stop_filter('text', LANG_STOPWORDS['en'])} AS stop_hits,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars
+        FROM documents
+    )
+    SELECT doc_id, n_words, stop_hits,
+           CAST(floor(100.0 * n_letter_chars / n_words) AS BIGINT) AS mean_word_len_x100,
+           CASE WHEN n_words < 20 THEN 'short'
+                WHEN stop_hits * 5 >= n_words THEN 'fluent'
+                ELSE 'listy' END AS quality_label
+    FROM b
+    """,
+)
+def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-density heuristics with an
+    integer-threshold label (exact across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nw = n_words(t)
+    stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    letters = F.length(F.regexp_replace(t, " ", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        stop.alias("stop_hits"),
+        F.floor(F.lit(100.0) * letters / nw).cast("long").alias("mean_word_len_x100"),
+        F.when(nw < 20, "short").when(stop * 5 >= nw, "fluent").otherwise("listy").alias("quality_label"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = ",\n               ".join(
+        f"{_sql_stop_filter('lower(text)', sw)} AS {lang}_hits" for lang, sw in LANG_STOPWORDS.items()
+    )
+    cols = [f"{lang}_hits" for lang in LANG_STOPWORDS]
+    g = f"greatest({', '.join(cols)})"
+    case = " ".join(f"WHEN {c} = {g} THEN '{c[:2]}'" for c in cols)
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               {hits}
+        FROM documents
+    )
+    SELECT doc_id, {', '.join(cols)},
+           CASE WHEN {g} <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+    FROM s
+    """
+
+
+@register("docs_langid", _langid_sql())
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax
+    with deterministic tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = langid_scores(t)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_hits") for lang in LANG_STOPWORDS],
+        langid_pred(t).alias("pred_lang"),
+    )
+
+
+@register(
+    "docs_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    )
+    SELECT doc_id, min(h) AS fingerprint FROM g GROUP BY doc_id
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 5-word shingles (1-hash
+    MinHash / rolling-fingerprint family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text"), 5).alias("fingerprint"))
+
+
+def _simhash_sql() -> str:
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " || ".join(f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(16))
+    return f"""
+    WITH w AS (
+        SELECT doc_id, md5(w) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    b AS (SELECT doc_id, {sums} FROM w GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM b
+    """
+
+
+@register("docs_simhash", _simhash_sql())
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (near-dup bucket key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+# ── Dedup ───────────────────────────────────────────────────────────────────
+
+@register(
+    "docs_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with canonical id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    m AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               {", ".join(f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4))}
+        FROM m
+    ),
+    e AS (
+        SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+               unnest([b0, b1, b2, b3]) AS band_hash
+        FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+    FROM e a JOIN e c
+      ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+    """,
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH (4 bands × 2 rows) candidate duplicate
+    pairs over word-3-gram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_set(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", k=8)
+    return lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2)
+
+
+@register(
+    "docs_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+           CAST(floor(1000.0 * inter / (s1.n + s2.n - inter)) AS BIGINT) AS jaccard_x1000
+    FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+    WHERE CAST(floor(1000.0 * inter / (s1.n + s2.n - inter)) AS BIGINT) >= 10
+    """,
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for same-source candidate
+    pairs (the verify stage behind LSH candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.array_size(F.split(F.col("text"), " ")) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.split(F.col("text"), " "), i, 3), " "),
+        )).alias("shingle"),
+    ).distinct()
+    return jaccard_pairs(sh, "doc_id", block_col="source", min_jaccard_x1000=10)
+
+
+# ── Similarity search ───────────────────────────────────────────────────────
+
+@register(
+    "embeddings_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    p AS (
+        SELECT qid, e.vec_id AS nid,
+               unnest(qe)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    ),
+    d AS (
+        SELECT qid, nid,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
+        FROM p GROUP BY qid, nid
+    ),
+    r AS (
+        SELECT qid, nid, cos_sim,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        FROM d
+    )
+    SELECT qid, nid, rk, cos_sim FROM r WHERE rk <= 3
+    """,
+)
+def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for query vectors vec_id<5 (ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "embeddings_ivf_assign",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    p AS (
+        SELECT e.vec_id AS vec_id, cid,
+               unnest(e.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings e, c
+    ),
+    d AS (
+        SELECT vec_id, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq
+        FROM p GROUP BY vec_id, cid
+    ),
+    r AS (
+        SELECT vec_id, cid, dist_sq,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, cid) AS rn
+        FROM d
+    )
+    SELECT vec_id, cid AS centroid_id, dist_sq FROM r WHERE rn = 1
+    """,
+)
+def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucketing: nearest-centroid assignment (centroids =
+    vec_id<8) — the scale path for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    return ivf_assign(emb, cents)
+
+
+@register(
+    "embeddings_neardup_pairs",
+    """
+    WITH p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    d AS (
+        SELECT id1, id2,
+               CAST(floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1000000.0) AS BIGINT)
+                   AS cos_x1e6
+        FROM p GROUP BY id1, id2
+    )
+    SELECT id1, id2, cos_x1e6 FROM d WHERE cos_x1e6 >= 350000
+    """,
+)
+def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this
+    near-random fixture; production thresholds sit at 0.9+)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, min_cos_x1e6=350_000)
