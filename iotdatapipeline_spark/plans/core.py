@@ -134,6 +134,50 @@ def production_shift_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("station", "part", "plan_date", "shift_id", "emit_count", "last_counter", "qty")
 
 
+# ── W1 exact reference emit semantics (running max) ────────────────────────
+
+@register(
+    "counter_runmax_emits",
+    f"""
+    WITH readings AS ({_READINGS_SQL}),
+    d AS (
+        SELECT station, part, counter,
+               max(counter) OVER (PARTITION BY station, part ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS runmax_prev
+        FROM readings
+    )
+    SELECT station, part, count(*) AS n_emits,
+           CAST(sum(counter - runmax_prev) AS BIGINT) AS total_delta,
+           CAST(max(counter) AS BIGINT) AS max_counter
+    FROM d WHERE counter > runmax_prev GROUP BY station, part
+    """,
+)
+def counter_runmax_emits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with the reference's EXACT update rule: ``contador_registro``
+    advances only on emit (Prensas.py:812), so away from shift
+    boundaries prev ≡ running max and emit ⇔ counter > running max of
+    all prior counters. Total delta telescopes to max − first."""
+    from pyspark.sql import Window
+
+    r = _readings(spark, sf_dir)
+    w = (
+        Window.partitionBy("station", "part")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = r.withColumn("runmax_prev", F.max("counter").over(w))
+    return (
+        d.filter(F.col("counter") > F.col("runmax_prev"))
+        .groupBy("station", "part")
+        .agg(
+            F.count(F.lit(1)).alias("n_emits"),
+            F.sum(F.col("counter") - F.col("runmax_prev")).cast("long").alias("total_delta"),
+            F.max("counter").cast("long").alias("max_counter"),
+        )
+    )
+
+
 # ── C5 shift derivation ─────────────────────────────────────────────────────
 
 @register(

@@ -1,0 +1,66 @@
+"""End-to-end streaming pipeline (SURVEY.md §3.2-3.3 Spark shape):
+
+    file-replay source → stream-static config join (J7) →
+    T4 stateful counter machine → foreachBatch effect fan-out
+    (K1 record upsert + K3 history append + K5 limpieza route)
+
+One streaming query keyed by (station, part) gives the reference's
+scan-sharing for free (§4: one source read per trigger serves every
+station)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from iotdatapipeline_spark.streaming.sinks import fanout_foreach_batch
+from iotdatapipeline_spark.streaming.source import readings_stream
+from iotdatapipeline_spark.streaming.stateful import counter_state_machine
+
+
+def enrich_with_config(stream: DataFrame, config: DataFrame, on: str = "station") -> DataFrame:
+    """J7: stream-static join — each reading interpreted through its
+    station config. The static side is re-read per micro-batch by
+    Spark, which is exactly the reference's 3 s config refresh (T8)
+    collapsed into the engine."""
+    return stream.join(F.broadcast(config), on, "left")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    replay_dir: str,
+    *,
+    checkpoint_dir: str,
+    records_path: str,
+    history_path: str,
+    limpieza_path: str | None = None,
+    config: DataFrame | None = None,
+    emit_mode: str = "reference",
+    timeout_ms: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the pipeline. ``available_now=True`` drains the replay
+    and stops (test mode); otherwise it runs with a 1 s trigger
+    mirroring the reference's poll cadence (T1)."""
+    stream = readings_stream(spark, replay_dir)
+    if config is not None:
+        stream = enrich_with_config(stream, config)
+    updates = counter_state_machine(stream, emit_mode=emit_mode, timeout_ms=timeout_ms)
+    writer = (
+        updates.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            fanout_foreach_batch(
+                updates_path=records_path,
+                updates_keys=["station", "part", "plan_date", "shift_id"],
+                history_path=history_path,
+                limpieza_path=limpieza_path,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()

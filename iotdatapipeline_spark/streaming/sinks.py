@@ -1,0 +1,108 @@
+"""K1-K8 sinks as pure set computations + thin foreachBatch executors.
+
+The reference upserts row-at-a-time over pyodbc (Prensas.py:224, 334,
+392). Here each micro-batch computes its effect functionally
+(insert-set / update-set / reject-set — oracle-testable, SURVEY.md §7
+step 5) and a ``foreachBatch`` executor applies it. On plain parquet
+the upsert is anti-join + rewrite (atomic via temp-dir swap); on a
+transactional table format this maps 1:1 to ``MERGE WHEN MATCHED
+UPDATE / WHEN NOT MATCHED INSERT`` — the executor is the only piece
+that changes at production scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Deterministic last-write-wins: per key, keep the row with the
+    max ``order_col`` (hash aggregate, no window shuffle-sort)."""
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__s")
+    )
+    return agg.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """K1/K2 effect: rows keyed in ``updates`` replace matching rows in
+    ``existing``; unmatched update rows insert. Pure computation."""
+    kept = existing.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    return kept.unionByName(updates.select(*existing.columns))
+
+
+def read_or_empty(spark: SparkSession, path: str, schema_of: DataFrame) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema_of.schema)
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def upsert_foreach_batch(path: str, keys: Sequence[str]):
+    """K1/K2 executor: parquet upsert per micro-batch; within a batch
+    last-write-wins by ``order_col`` (the state op emits per-key
+    ordered rows, so the max-ts row is the final record state)."""
+
+    def apply(batch_df: DataFrame, batch_id: int, order_col: str = "ts") -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        latest = latest_per_key(batch_df, keys, order_col)
+        existing = read_or_empty(spark, path, batch_df)
+        _atomic_overwrite(merge_upsert(existing, latest, keys), path)
+
+    return apply
+
+
+def append_foreach_batch(path: str):
+    """K3 executor: immutable history append."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return apply
+
+
+def fanout_foreach_batch(
+    *,
+    updates_path: str,
+    updates_keys: Sequence[str],
+    history_path: str,
+    limpieza_path: str | None = None,
+):
+    """The reference's per-batch effect fan-out (Prensas.py:794-818):
+    history append (K3) for every update row, record upsert (K1) keyed
+    per (station, part, plan_date, shift), limpieza rows (K5) routed
+    to their own sink. One pass over a cached batch."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            updates = batch_df.filter(F.col("row_kind") == "update")
+            updates.write.mode("append").parquet(history_path)
+            latest = latest_per_key(updates, updates_keys, "ts")
+            spark = batch_df.sparkSession
+            existing = read_or_empty(spark, updates_path, updates)
+            _atomic_overwrite(merge_upsert(existing, latest, updates_keys), updates_path)
+            if limpieza_path is not None:
+                limp = batch_df.filter(F.col("row_kind") == "limpieza").select("station", "part")
+                if limp.take(1):
+                    limp.write.mode("append").parquet(limpieza_path)
+        finally:
+            batch_df.unpersist()
+
+    return apply

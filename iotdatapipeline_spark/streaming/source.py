@@ -1,0 +1,67 @@
+"""Streaming sources (T1/T9): replay the events fixture as a stream.
+
+The reference polls PLCs at ≥1 s (Prensas.py:602-604) and fans one
+reader out to N station processors (T9). In Spark the replay is a
+file-based ``readStream`` — one source query, N derived frames — with
+``maxFilesPerTrigger=1`` playing the poll cadence. At production scale
+this becomes a Kafka/Kinesis source with identical downstream code.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources.tables import load_table
+
+READINGS_SCHEMA = (
+    "station bigint, part string, ts timestamp, event_id bigint, value double, counter bigint"
+)
+
+
+def stage_replay_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 10
+) -> str:
+    """Materialize the events fixture as ``n_chunks`` time-ordered flat
+    parquet files so a file stream replays them in event-time order
+    (the reference's arrival order IS its processing order, T6).
+    Timestamps are written as microseconds — the engine's canonical
+    unit (see sources.tables on the nanos fixture quirk)."""
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    ).orderBy("ts", "event_id")
+    pdf = readings.toPandas()
+    chunk = max(1, (len(pdf) + n_chunks - 1) // n_chunks)
+    for i in range(0, len(pdf), chunk):
+        table = pa.Table.from_pandas(pdf.iloc[i : i + chunk], preserve_index=False)
+        pq.write_table(
+            table,
+            os.path.join(out_dir, f"chunk_{i // chunk:05d}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return out_dir
+
+
+def readings_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-replay stream of PLC-style readings (one chunk per
+    micro-batch ≈ one poll tick, T1)."""
+    return (
+        spark.readStream.schema(READINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )

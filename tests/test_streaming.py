@@ -1,0 +1,261 @@
+"""Streaming layer tests (SURVEY.md §5.3): the stateful op must agree
+with the batch window formulation ('row' mode) and with a direct
+transcription of the reference's state machine ('reference' mode)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.operators import production_rollup
+from iotdatapipeline_spark.sources import load_table
+from iotdatapipeline_spark.streaming import (
+    Supervisor,
+    config_fingerprints,
+    counter_state_machine,
+    latest_per_key,
+    make_state_fn,
+    merge_upsert,
+    run_pipeline,
+    stage_replay_chunks,
+)
+
+
+def _readings(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    )
+
+
+class FakeGroupState:
+    """Minimal stand-in for pyspark GroupState (unit tests only)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _mk_pdf(rows):
+    return pd.DataFrame(
+        rows, columns=["station", "part", "ts", "event_id", "value", "counter"]
+    )
+
+
+class TestStateFnUnit:
+    def test_monotone_counter_emits_deltas(self):
+        fn = make_state_fn("reference")
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [(1, "p", t0 + dt.timedelta(seconds=i), i, 0.0, c) for i, c in enumerate([10, 12, 15])]
+        out = list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        df = pd.concat(out)
+        assert list(df["delta"]) == [2, 3]  # first row is admission
+        assert list(df["qty_running"]) == [12, 15]
+
+    def test_prev_updates_only_on_emit(self):
+        # 10, 5, 8: reference never emits (8 < prev 10); lag-batch would emit 3
+        fn = make_state_fn("reference")
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [(1, "p", t0 + dt.timedelta(seconds=i), i, 0.0, c) for i, c in enumerate([10, 5, 8])]
+        out = list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        assert out == []
+
+    def test_row_mode_matches_lag_semantics(self):
+        fn = make_state_fn("row")
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [(1, "p", t0 + dt.timedelta(seconds=i), i, 0.0, c) for i, c in enumerate([10, 5, 8])]
+        out = list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        df = pd.concat(out)
+        assert list(df["delta"]) == [3]  # 8 > prev-row 5
+
+    def test_shift_boundary_equal_counter_emits(self):
+        fn = make_state_fn("reference")
+        st = FakeGroupState()
+        rows = [
+            (1, "p", dt.datetime(2024, 1, 1, 7, 50), 0, 0.0, 100),
+            (1, "p", dt.datetime(2024, 1, 1, 8, 5), 1, 0.0, 100),  # cambio, cnt == prev
+        ]
+        out = list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        df = pd.concat(out)
+        assert list(df["shift_change"]) == [True]
+        assert list(df["delta"]) == [0]
+        assert list(df["qty_running"]) == [0]  # rebased: cnt - base(=prev)
+        assert list(df["shift_id"]) == [1]
+
+    def test_state_persists_across_batches(self):
+        fn = make_state_fn("reference")
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        b1 = [(1, "p", t0, 0, 0.0, 10)]
+        b2 = [(1, "p", t0 + dt.timedelta(minutes=1), 1, 0.0, 14)]
+        assert list(fn((1, "p"), iter([_mk_pdf(b1)]), st)) == []
+        out = pd.concat(list(fn((1, "p"), iter([_mk_pdf(b2)]), st)))
+        assert list(out["delta"]) == [4]
+
+    def test_timeout_emits_limpieza(self):
+        fn = make_state_fn("reference", timeout_ms=1000)
+        st = FakeGroupState(value=(10, None, 0, 0, True), timed_out=True)
+        out = pd.concat(list(fn((1, "p"), iter([]), st)))
+        assert list(out["row_kind"]) == ["limpieza"]
+        assert st.removed
+
+
+class TestReferenceSimulatorParity:
+    """'reference' mode vs an independent pure-Python simulation of the
+    Prensas state machine over real fixture data."""
+
+    def _simulate(self, rows):
+        state = {}
+        out = []
+        for station, part, ts, event_id, counter in rows:
+            key = (station, part)
+            tod = ts.hour * 3600 + ts.minute * 60 + ts.second
+            if key not in state:
+                state[key] = {"prev": counter, "base": None, "tod": tod}
+                continue
+            s = state[key]
+            cambio = (s["tod"] < 28800 <= tod) or (s["tod"] < 57600 <= tod)
+            if counter > s["prev"] or (cambio and counter >= s["prev"]):
+                if cambio:
+                    s["base"] = s["prev"]
+                out.append((station, part, event_id, counter - s["prev"], counter - (s["base"] or 0)))
+                s["prev"], s["tod"] = counter, tod
+        return sorted(out)
+
+    def test_fixture_parity(self, spark, sf_small):
+        readings = _readings(spark, sf_small)
+        rows = [
+            (r["station"], r["part"], r["ts"], r["event_id"], r["counter"])
+            for r in readings.orderBy("ts", "event_id").collect()
+        ]
+        expected = self._simulate(rows)
+
+        fn = make_state_fn("reference")
+        states: dict = {}
+        got = []
+        by_key: dict = {}
+        for station, part, ts, event_id, counter in rows:
+            by_key.setdefault((station, part), []).append((station, part, ts, event_id, 0.0, counter))
+        for key, krows in by_key.items():
+            st = FakeGroupState()
+            outs = list(fn(key, iter([_mk_pdf(krows)]), st))
+            for df in outs:
+                for r in df.itertuples(index=False):
+                    got.append((r.station, r.part, None, r.delta, r.qty_running))
+        # compare multisets of (station, part, delta, qty_running)
+        a = sorted((s, p, d, q) for s, p, _, d, q in expected)
+        b = sorted((s, p, d, q) for s, p, _, d, q in got)
+        assert a == b
+        assert len(a) > 0
+
+
+@pytest.mark.slow
+class TestEndToEndStreaming:
+    def test_stream_matches_batch_rollup(self, spark, sf_small, tmp_path):
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=7)
+        q = run_pipeline(
+            spark,
+            replay,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            records_path=str(tmp_path / "records"),
+            history_path=str(tmp_path / "history"),
+            emit_mode="row",
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        history = spark.read.parquet(str(tmp_path / "history"))
+        got = (
+            history.filter(F.col("row_kind") == "update")
+            .groupBy("station", "part", "plan_date", "shift_id")
+            .agg(F.sum("delta").alias("qty_raw"), F.count(F.lit(1)).alias("emit_count"))
+        )
+        expected = production_rollup(_readings(spark, sf_small), order_cols=("event_id",)).select(
+            "station", "part", "plan_date", "shift_id", "qty_raw", "emit_count"
+        )
+        diff1 = got.exceptAll(expected).count()
+        diff2 = expected.exceptAll(got).count()
+        assert (diff1, diff2) == (0, 0)
+        assert expected.count() > 0
+
+        # K1 upsert result: one record per (station, part, plan_date, shift)
+        records = spark.read.parquet(str(tmp_path / "records"))
+        n_rec = records.count()
+        n_keys = records.select("station", "part", "plan_date", "shift_id").distinct().count()
+        assert n_rec == n_keys
+
+
+class TestSinks:
+    def test_merge_upsert(self, spark):
+        existing = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, k string, v int")
+        updates = spark.createDataFrame([(2, "b", 99), (3, "c", 30)], "id int, k string, v int")
+        out = merge_upsert(existing, updates, ["id"]).orderBy("id").collect()
+        assert [(r["id"], r["v"]) for r in out] == [(1, 10), (2, 99), (3, 30)]
+
+    def test_latest_per_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5, "old"), (1, 9, "new"), (2, 3, "only")], "k int, ts int, v string"
+        )
+        out = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "ts").collect()}
+        assert out == {1: "new", 2: "only"}
+
+
+class TestSupervisor:
+    def test_reconcile_start_restart_stop(self):
+        class FakeQuery:
+            def __init__(self):
+                self.stopped = False
+
+            def stop(self):
+                self.stopped = True
+
+        started = []
+
+        def start(group):
+            started.append(group)
+            return FakeQuery()
+
+        sup = Supervisor(start)
+        a1 = sup.reconcile({"g1": "h1", "g2": "h2"})
+        assert a1 == {"g1": "started", "g2": "started"}
+        a2 = sup.reconcile({"g1": "h1-changed", "g3": "h3"})
+        assert a2 == {"g1": "restarted", "g3": "started", "g2": "stopped"}
+        sup.stop_all()
+
+    def test_config_fingerprints_change_detection(self, spark):
+        cfg1 = spark.createDataFrame([("ip1", "a", 1), ("ip2", "b", 2)], "ip string, tag string, v int")
+        cfg2 = spark.createDataFrame([("ip1", "a", 1), ("ip2", "b", 99)], "ip string, tag string, v int")
+        f1 = config_fingerprints(cfg1, "ip")
+        f2 = config_fingerprints(cfg2, "ip")
+        assert f1["ip1"] == f2["ip1"]
+        assert f1["ip2"] != f2["ip2"]
