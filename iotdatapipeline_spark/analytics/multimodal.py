@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures,
+batch shapes — is real and tested. The actual codec calls (PIL/ffmpeg
+/torchaudio) are STUBBED behind ``_decode_image_bytes`` /
+``_decode_audio_bytes``: this container has no media libraries, so the
+stubs either raise ``NotImplementedError`` (strict mode) or produce a
+DETERMINISTIC fake decode derived from the bytes (test mode), keeping
+every downstream shape and test honest.
+
+Scale notes: media blobs dominate row size — ``mapInPandas`` with a
+bounded ``spark.sql.execution.arrow.maxRecordsPerBatch`` keeps Arrow
+batches memory-safe; metadata-only queries never touch the binary
+column (column pruning drops it at the parquet scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Canonical multimodal asset schema: one row per asset, media opaque.
+ASSET_SCHEMA = (
+    "asset_id bigint, kind string, media binary, width int, height int, "
+    "sample_rate int, n_frames int, meta string"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels bigint, "
+    "mean_luma double, content_hash string"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "rms_x1e6 bigint, content_hash string"
+)
+
+FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_index int, frame_hash string"
+
+
+def _decode_image_bytes(data: bytes, width: int, height: int, strict: bool) -> np.ndarray:
+    """STUB for the real image decoder (PIL/turbojpeg not available in
+    this container). Strict mode refuses; test mode derives a
+    deterministic fake grayscale image from the bytes."""
+    if strict:
+        raise NotImplementedError("image codec not available in this environment; use strict=False for the deterministic stub")
+    seed = hashlib.md5(data).digest()
+    n = max(width * height, 1)
+    reps = (n + len(seed) - 1) // len(seed)
+    arr = np.frombuffer(seed * reps, dtype=np.uint8)[:n]
+    return arr.reshape((max(height, 1), max(width, 1)))
+
+
+def _decode_audio_bytes(data: bytes, sample_rate: int, strict: bool) -> np.ndarray:
+    """STUB for the real audio decoder. Test mode treats the payload as
+    16-bit little-endian PCM (deterministic, no codec needed)."""
+    if strict:
+        raise NotImplementedError("audio codec not available in this environment; use strict=False for the deterministic stub")
+    usable = len(data) - (len(data) % 2)
+    if usable == 0:
+        return np.zeros(0, dtype=np.int16)
+    return np.frombuffer(data[:usable], dtype="<i2")
+
+
+def image_features(assets: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Decode → feature-extract for image assets. Output: per-asset
+    dimensions, mean luminance, content hash. The binary column is
+    consumed inside the Arrow batch and never shuffled onward."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = _decode_image_bytes(bytes(r.media), int(r.width), int(r.height), strict)
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "width": int(r.width),
+                        "height": int(r.height),
+                        "n_pixels": int(img.size),
+                        "mean_luma": float(img.mean()) if img.size else 0.0,
+                        "content_hash": hashlib.md5(bytes(r.media)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "n_pixels", "mean_luma", "content_hash"])
+
+    imgs = assets.filter(F.col("kind") == "image").select("asset_id", "media", "width", "height")
+    return imgs.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(assets: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Decode → feature-extract for audio assets (RMS energy kept as
+    an exact ×1e6 integer for oracle-stable comparisons)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = _decode_audio_bytes(bytes(r.media), int(r.sample_rate), strict)
+                n = int(pcm.size)
+                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if n else 0.0
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "sample_rate": int(r.sample_rate),
+                        "n_samples": n,
+                        "duration_ms": (n * 1000) // max(int(r.sample_rate), 1),
+                        "rms_x1e6": int(rms * 1_000_000),
+                        "content_hash": hashlib.md5(bytes(r.media)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "sample_rate", "n_samples", "duration_ms", "rms_x1e6", "content_hash"],
+            )
+
+    auds = assets.filter(F.col("kind") == "audio").select("asset_id", "media", "sample_rate")
+    return auds.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: 1-row-in → k-rows-out over mapInPandas
+    (the frame decode itself is represented by a per-frame slice hash
+    of the payload — the real decoder drops in at the marked line)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.media)
+                n_frames = int(r.n_frames)
+                for idx in range(0, n_frames, every_n):
+                    # real decoder: frame = codec.decode_frame(data, idx)
+                    lo = (idx * max(len(data) // max(n_frames, 1), 1)) % max(len(data), 1)
+                    frame_slice = data[lo : lo + 16]
+                    rows.append(
+                        {
+                            "asset_id": r.asset_id,
+                            "frame_index": idx,
+                            "frame_hash": hashlib.md5(struct.pack("<q", idx) + frame_slice).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame_hash"])
+
+    vids = assets.filter(F.col("kind") == "video").select("asset_id", "media", "n_frames")
+    return vids.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def synth_assets(spark, n: int = 30, seed: int = 7) -> DataFrame:
+    """Deterministic synthetic multimodal fixture (media = seeded
+    bytes), used by tests; schemas match ASSET_SCHEMA."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (8 + i % 4) if kind == "image" else 0,
+                (6 + i % 3) if kind == "image" else 0,
+                16000 if kind == "audio" else 0,
+                (25 + i % 10) if kind == "video" else 0,
+                f'{{"src": "synthetic", "i": {i}}}',
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

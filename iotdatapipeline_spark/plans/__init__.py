@@ -6,13 +6,14 @@ from iotdatapipeline_spark.plans.core import QUERIES as _CORE_QUERIES
 QUERIES = dict(_CORE_QUERIES)
 ORACLE = dict(_CORE_ORACLE)
 
-try:
-    from iotdatapipeline_spark.plans.analytics import ORACLE as _AN_ORACLE
-    from iotdatapipeline_spark.plans.analytics import QUERIES as _AN_QUERIES
+from iotdatapipeline_spark.plans.analytics import ORACLE as _AN_ORACLE
+from iotdatapipeline_spark.plans.analytics import QUERIES as _AN_QUERIES
+from iotdatapipeline_spark.plans.olap import ORACLE as _OL_ORACLE
+from iotdatapipeline_spark.plans.olap import QUERIES as _OL_QUERIES
 
-    QUERIES.update(_AN_QUERIES)
-    ORACLE.update(_AN_ORACLE)
-except ImportError:  # analytics module lands in a later milestone
-    pass
+QUERIES.update(_AN_QUERIES)
+ORACLE.update(_AN_ORACLE)
+QUERIES.update(_OL_QUERIES)
+ORACLE.update(_OL_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,245 @@
+"""OLAP / coverage query registry: grouping sets, frame-spec windows,
+multi-way join plans, positional zips, dispatch, fingerprints —
+the "free Spark built-ins" roadmap of SURVEY.md §2.5/§2.8 plus the
+remaining small operators (J6, F5, C7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.functions import expand_block
+from iotdatapipeline_spark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@register(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — multi-dimensional rollup
+    the reference's store cannot express; one pass, partial-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (priority → status)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "moving_window_counters",
+    """
+    SELECT station, event_id,
+           CAST(sum(counter) OVER (PARTITION BY station ORDER BY ts, event_id
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS moving_sum_7,
+           CAST(max(counter) OVER (PARTITION BY station ORDER BY ts, event_id
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS moving_max_7
+    FROM (SELECT user_id AS station, ts, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS counter
+          FROM events)
+    """,
+)
+def moving_window_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec moving aggregates (7-row window) — the analytic
+    extension beyond the reference's lag-only usage (SURVEY.md §2.6)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    )
+    w = Window.partitionBy("station").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return base.select(
+        "station",
+        "event_id",
+        F.sum("counter").over(w).cast("long").alias("moving_sum_7"),
+        F.max("counter").over(w).cast("long").alias("moving_max_7"),
+    )
+
+
+@register(
+    "address_value_zip",
+    """
+    SELECT p_partkey, address, word
+    FROM (
+        SELECT p_partkey,
+               unnest(['D' || CAST(p_partkey * 10 AS VARCHAR),
+                       'D' || CAST(p_partkey * 10 + 1 AS VARCHAR),
+                       'D' || CAST(p_partkey * 10 + 2 AS VARCHAR)]) AS address,
+               unnest([p_size, p_size + 1, p_size + 2]) AS word
+        FROM part
+    )
+    """,
+)
+def address_value_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (Prensas.py:512): positional zip of the request address list
+    with the response value list — arrays_zip + explode, the Spark
+    shape of ``dict(zip(addresses, values))``."""
+    p = load_table(spark, sf_dir, "part")
+    addrs = expand_block(F.concat(F.lit("D"), (F.col("p_partkey") * 10).cast("string")), F.lit(3))
+    vals = F.array(F.col("p_size"), F.col("p_size") + 1, F.col("p_size") + 2)
+    zipped = p.select("p_partkey", F.explode(F.arrays_zip(addrs.alias("address"), vals.alias("word"))).alias("z"))
+    return zipped.select("p_partkey", F.col("z.address").alias("address"), F.col("z.word").alias("word"))
+
+
+@register(
+    "tag_kind_dispatch",
+    """
+    SELECT s_nationkey AS ip, s_suppkey AS tag_id,
+           CASE WHEN s_suppkey % 5 = 0 THEN 'puerto'
+                WHEN s_suppkey % 5 = 1 THEN 'serie plc'
+                ELSE 'address' END AS kind_class,
+           CASE WHEN s_suppkey % 5 = 0 THEN CAST(5000 + s_suppkey AS VARCHAR)
+                WHEN s_suppkey % 5 = 1 THEN 'Q' || CAST(s_suppkey AS VARCHAR)
+                ELSE 'D' || CAST(s_suppkey * 10 AS VARCHAR) END AS payload
+    FROM supplier
+    """,
+)
+def tag_kind_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (Prensas.py:187-199): route config rows by tag kind —
+    'puerto' → port value, 'serie plc' → series, else address entry."""
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey") % 5
+    return s.select(
+        F.col("s_nationkey").alias("ip"),
+        F.col("s_suppkey").alias("tag_id"),
+        F.when(k == 0, "puerto").when(k == 1, "serie plc").otherwise("address").alias("kind_class"),
+        F.when(k == 0, (F.lit(5000) + F.col("s_suppkey")).cast("string"))
+        .when(k == 1, F.concat(F.lit("Q"), F.col("s_suppkey").cast("string")))
+        .otherwise(F.concat(F.lit("D"), (F.col("s_suppkey") * 10).cast("string")))
+        .alias("payload"),
+    )
+
+
+@register(
+    "config_fingerprint_by_ip",
+    """
+    WITH rowhash AS (
+        SELECT s_nationkey AS ip,
+               md5(s_name || '|' || CAST(s_suppkey AS VARCHAR)) AS h
+        FROM supplier
+    )
+    SELECT ip, md5(array_to_string(list_sort(list(h)), '|')) AS fingerprint,
+           count(*) AS n_rows
+    FROM rowhash GROUP BY ip
+    """,
+)
+def config_fingerprint_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/T8 (Prensas.py:849-909): order-insensitive config
+    fingerprint per IP — sorted member-row hashes re-hashed; the
+    supervisor's change-detection primitive."""
+    s = load_table(spark, sf_dir, "supplier")
+    rowhash = s.select(
+        F.col("s_nationkey").alias("ip"),
+        F.md5(F.concat_ws("|", F.col("s_name"), F.col("s_suppkey").cast("string")).cast("binary")).alias("h"),
+    )
+    return rowhash.groupBy("ip").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("h")), "|").cast("binary")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q5_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_items
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN supplier ON s_nationkey = n_nationkey
+      JOIN lineitem ON l_suppkey = s_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-table join: the dim chain
+    (region→nation→supplier) broadcasts; only lineitem⋈orders
+    shuffles, on the key both sides already share."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    dims = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_station",
+    """
+    SELECT user_id AS station,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events GROUP BY user_id
+    """,
+)
+def distinct_parts_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per station (the oracle-checkable twin of
+    approx_count_distinct — the approx variant is covered by a
+    tolerance unit test, since HLL sketches are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("station")).agg(
+        F.count_distinct(F.col("event_type")).cast("long").alias("n_parts"),
+        F.count_distinct(F.to_date("ts")).cast("long").alias("n_days"),
+    )

@@ -1,0 +1,131 @@
+"""Property-based tests (SURVEY.md §5.4) — hypothesis drives the pure
+Column functions and the state machine through randomized inputs.
+Spark round-trips are batched per test (one DataFrame per example set)
+to keep runtime sane."""
+
+from __future__ import annotations
+
+import datetime as dt
+from itertools import product
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.functions import decode_block, expand_alternatives
+from iotdatapipeline_spark.streaming import make_state_fn
+
+SET = settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def ref_limpiar(cadena: str):
+    """Independent transcription of the reference semantics
+    (Prensas.py:442-448) as the property oracle."""
+    s = cadena.replace("\x00", "")
+    if "/" in s:
+        partes = [p.split("/") for p in s.split(" ")]
+        return ["".join(c) for c in product(*partes)]
+    return [s.replace(" ", "")]
+
+
+def ref_decode(words):
+    chars = [chr(v & 0xFF) + chr((v >> 8) & 0xFF) for v in words]
+    return "".join(chars).replace("\x00", "")
+
+
+part_text = st.text(
+    alphabet=st.sampled_from(list("ABC12 /")), min_size=0, max_size=12
+).filter(lambda s: len(ref_limpiar(s)) <= 64)
+
+
+class TestExpandAlternativesProperty:
+    @SET
+    @given(st.lists(part_text, min_size=1, max_size=12))
+    def test_matches_reference(self, spark, cadenas):
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cadenas)], "i int, s string")
+        got = {
+            r["i"]: r["out"]
+            for r in df.select("i", expand_alternatives(F.col("s")).alias("out")).collect()
+        }
+        for i, c in enumerate(cadenas):
+            assert got[i] == ref_limpiar(c), repr(c)
+
+
+class TestDecodeProperty:
+    @SET
+    @given(st.lists(st.lists(st.integers(0, 0xFFFF), min_size=0, max_size=6), min_size=1, max_size=12))
+    def test_roundtrip_against_reference(self, spark, blocks):
+        df = spark.createDataFrame([(i, b) for i, b in enumerate(blocks)], "i int, b array<int>")
+        got = {r["i"]: r["out"] for r in df.select("i", decode_block(F.col("b")).alias("out")).collect()}
+        for i, b in enumerate(blocks):
+            assert got[i] == ref_decode(b), b
+
+    @SET
+    @given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=255), max_size=8))
+    def test_encode_decode_identity(self, spark, s):
+        # encode: pack chars little-endian into words (pad odd length with NUL)
+        padded = s + ("\x00" if len(s) % 2 else "")
+        words = [ord(padded[i]) | (ord(padded[i + 1]) << 8) for i in range(0, len(padded), 2)]
+        df = spark.createDataFrame([(words,)], "b array<int>")
+        out = df.select(decode_block(F.col("b")).alias("o")).first()["o"]
+        assert out == s.replace("\x00", "")
+
+
+class TestStateMachineInvariants:
+    class _St:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    @SET
+    @given(st.lists(st.integers(0, 1000), min_size=1, max_size=60))
+    def test_deltas_telescope_and_nonneg(self, counters):
+        """Away from shift boundaries: every delta > 0 and Σdeltas =
+        runmax(last) − first counter (the reference's A5 invariant)."""
+        fn = make_state_fn("reference")
+        st_ = self._St()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [(1, "p", t0 + dt.timedelta(seconds=i), i, 0.0, c) for i, c in enumerate(counters)]
+        pdf = pd.DataFrame(rows, columns=["station", "part", "ts", "event_id", "value", "counter"])
+        out = list(fn((1, "p"), iter([pdf]), st_))
+        deltas = [int(d) for df in out for d in df["delta"]]
+        assert all(d > 0 for d in deltas)
+        assert sum(deltas) == max(counters) - counters[0]
+
+    @SET
+    @given(st.lists(st.integers(0, 1000), min_size=2, max_size=60), st.integers(1, 5))
+    def test_batch_split_equals_single_batch(self, counters, n_splits):
+        """State continuity: any micro-batch partitioning of the same
+        ordered rows produces identical emits."""
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [(1, "p", t0 + dt.timedelta(seconds=i), i, 0.0, c) for i, c in enumerate(counters)]
+        cols = ["station", "part", "ts", "event_id", "value", "counter"]
+
+        def run(batches):
+            fn = make_state_fn("reference")
+            st_ = self._St()
+            out = []
+            for b in batches:
+                if b:
+                    for df in fn((1, "p"), iter([pd.DataFrame(b, columns=cols)]), st_):
+                        out.extend((int(r.counter), int(r.delta)) for r in df.itertuples(index=False))
+            return out
+
+        single = run([rows])
+        chunk = max(1, len(rows) // n_splits)
+        split = run([rows[i : i + chunk] for i in range(0, len(rows), chunk)])
+        assert single == split
