@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iotdatapipeline_spark.analytics.text import word_shingles
+from iotdatapipeline_spark.analytics.text import shingles_of_words
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -32,11 +32,20 @@ def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word-``n``-gram shingles per document (long format)."""
-    return docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word-``n``-gram shingles per document (long format).
+
+    ``distinct=True`` shuffles to the true shingle *set* — required when
+    downstream counts shingles (Jaccard). Pass ``distinct=False`` for
+    consumers insensitive to multiplicity (MinHash: min over a multiset
+    equals min over its set) — it removes a full shuffle of the widest
+    intermediate, the dominant cost at scale."""
+    # pre-split into a real column: an inline split inside the shingle
+    # lambda is re-evaluated per element (O(words²) per doc)
+    out = docs.withColumn("__ws", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), F.explode(shingles_of_words(F.col("__ws"), n)).alias("shingle")
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFrame:

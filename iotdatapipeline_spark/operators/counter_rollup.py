@@ -52,10 +52,18 @@ def counter_deltas(
     ``order_cols`` breaks ts ties deterministically (e.g. event_id).
     """
     w = Window.partitionBy(station_col, part_col).orderBy(ts_col, *order_cols)
-    prev_counter = F.lag(F.col(counter_col)).over(w)
-    prev_tod = F.lag(tod_seconds(F.col(ts_col))).over(w)
-    cambio = is_shift_boundary_crossing(prev_tod, tod_seconds(F.col(ts_col)))
-    emits = (F.col(counter_col) > prev_counter) | (cambio & (F.col(counter_col) >= prev_counter))
+    # Materialize the lag columns ONCE, then derive every flag from the
+    # materialized columns: re-invoking lag() inside the derived
+    # expressions makes Catalyst emit a second Window pass over the
+    # sorted partition (verified via explain) — same exchange, double
+    # the window compute.
+    lagged = df.withColumn("prev_counter", F.lag(F.col(counter_col)).over(w)).withColumn(
+        "prev_tod", F.lag(tod_seconds(F.col(ts_col))).over(w)
+    )
+    cambio = is_shift_boundary_crossing(F.col("prev_tod"), tod_seconds(F.col(ts_col)))
+    emits = (F.col(counter_col) > F.col("prev_counter")) | (
+        cambio & (F.col(counter_col) >= F.col("prev_counter"))
+    )
     # Per-emit quantity contribution. Within a session qty_upd =
     # cnt − base (Prensas.py:792) and emits telescope: Σ(cnt_i −
     # prev_i) = last_cnt − base. At a boundary the base is rebased to
@@ -63,13 +71,13 @@ def counter_deltas(
     # to the NEW shift — i.e. delta = cnt − prev uniformly; only the
     # emit condition differs (> vs >= at the boundary).
     return (
-        df.withColumn("prev_counter", prev_counter)
-        .withColumn("shift_change", F.coalesce(cambio, F.lit(False)))
+        lagged.withColumn("shift_change", F.coalesce(cambio, F.lit(False)))
         .withColumn("emits", F.coalesce(emits, F.lit(False)))
         .withColumn(
             "delta",
-            F.when(F.coalesce(emits, F.lit(False)), F.col(counter_col) - prev_counter),
+            F.when(F.coalesce(emits, F.lit(False)), F.col(counter_col) - F.col("prev_counter")),
         )
+        .drop("prev_tod")
     )
 
 

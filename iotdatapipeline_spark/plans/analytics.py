@@ -28,7 +28,9 @@ from iotdatapipeline_spark.analytics import (
     n_words,
     neardup_pairs,
     shingle_set,
-    simhash16,
+    shingles_of_words,
+    simhash16_of_hashes,
+    word_hashes,
     stopword_hits,
     words,
 )
@@ -174,8 +176,8 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-md5 over 5-word shingles (1-hash
     MinHash / rolling-fingerprint family)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text"), 5).alias("fingerprint"))
+    docs = load_table(spark, sf_dir, "documents").withColumn("__ws", words(F.col("text")))
+    return docs.select("doc_id", fingerprint(F.col("text"), 5, words_col=F.col("__ws")).alias("fingerprint"))
 
 
 def _simhash_sql() -> str:
@@ -198,7 +200,9 @@ def _simhash_sql() -> str:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (near-dup bucket key)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    # materialize per-word md5s once; the 16 bit-sum passes then share it
+    hashed = docs.withColumn("__hs", word_hashes(F.col("text")))
+    return hashed.select("doc_id", simhash16_of_hashes(F.col("__hs")).alias("simhash"))
 
 
 # ── Dedup ───────────────────────────────────────────────────────────────────
@@ -246,7 +250,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=8) + LSH (4 bands × 2 rows) candidate duplicate
     pairs over word-3-gram shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_set(docs, "doc_id", "text", n=3)
+    # distinct=False: MinHash's min-agg is multiplicity-insensitive, so
+    # the dedup shuffle of the exploded shingles would be pure overhead
+    sh = shingle_set(docs, "doc_id", "text", n=3, distinct=False)
     sigs = minhash_signatures(sh, "doc_id", k=8)
     return lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2)
 
@@ -272,12 +278,11 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for same-source candidate
     pairs (the verify stage behind LSH candidates)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.array_size(F.split(F.col("text"), " ")) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(F.split(F.col("text"), " "), i, 3), " "),
-        )).alias("shingle"),
-    ).distinct()
+    sh = (
+        docs.withColumn("__ws", words(F.col("text")))
+        .select("doc_id", "source", F.explode(shingles_of_words(F.col("__ws"), 3)).alias("shingle"))
+        .distinct()
+    )
     return jaccard_pairs(sh, "doc_id", block_col="source", min_jaccard_x1000=10)
 
 
