@@ -10,10 +10,14 @@ from iotdatapipeline_spark.plans.analytics import ORACLE as _AN_ORACLE
 from iotdatapipeline_spark.plans.analytics import QUERIES as _AN_QUERIES
 from iotdatapipeline_spark.plans.olap import ORACLE as _OL_ORACLE
 from iotdatapipeline_spark.plans.olap import QUERIES as _OL_QUERIES
+from iotdatapipeline_spark.plans.streams import ORACLE as _ST_ORACLE
+from iotdatapipeline_spark.plans.streams import QUERIES as _ST_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
 QUERIES.update(_OL_QUERIES)
 ORACLE.update(_OL_ORACLE)
+QUERIES.update(_ST_QUERIES)
+ORACLE.update(_ST_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

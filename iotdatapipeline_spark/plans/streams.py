@@ -1,0 +1,224 @@
+"""Streaming + multimodal gate queries.
+
+Streaming: the T4 state machine (streaming.stateful, the Spark shape
+of Prensas.py:616-831) driven end-to-end through a file-replay
+``readStream`` with ``availableNow`` — the DRIVER's correctness gate
+thereby hash-checks actual Structured Streaming output, not a batch
+stand-in. Row emit-mode has an exact lag-SQL twin (the batch analog,
+SURVEY.md §5.3); reference emit-mode (running-max state, boundary
+rebase) is not SQL-expressible across shift boundaries and registers
+rows-only.
+
+Multimodal: assets derived deterministically from ``documents``
+(media = UTF-8 bytes of text) flow through the real mapInPandas
+decode/feature/frame-sample plumbing (analytics.multimodal); the gate
+projects exactly the columns whose values an ANSI oracle can recompute
+(hashes, dimensions, counts) — stub-dependent values (mean_luma, rms)
+are covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.analytics.multimodal import (
+    audio_features,
+    image_features,
+    sample_frames,
+)
+from iotdatapipeline_spark.sources import load_table
+from iotdatapipeline_spark.streaming.source import readings_stream, stage_replay_chunks
+from iotdatapipeline_spark.streaming.stateful import counter_state_machine
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ── Streaming gate ──────────────────────────────────────────────────────────
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, emit_mode: str) -> DataFrame:
+    """Replay the events fixture through the stateful machine with
+    ``availableNow`` (4 chunks → multi-batch state carry-over) and
+    return the drained output as a batch DataFrame."""
+    work = tempfile.mkdtemp(prefix=f"iotdp_stream_{emit_mode}_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=4)
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    out = counter_state_machine(stream, emit_mode=emit_mode)
+    sink = f"stream_gate_{emit_mode}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "stream_counter_machine_rowmode",
+    """
+    WITH readings AS (
+        SELECT user_id AS station, event_type AS part, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS counter
+        FROM events
+    ),
+    d AS (
+        SELECT station, part, ts, counter,
+               lag(counter) OVER w AS prev_counter,
+               lag(hour(ts)*3600 + minute(ts)*60 + second(ts)) OVER w AS prev_tod,
+               hour(ts)*3600 + minute(ts)*60 + second(ts) AS tod
+        FROM readings
+        WINDOW w AS (PARTITION BY station, part ORDER BY ts, event_id)
+    ),
+    e AS (
+        SELECT *,
+               ((prev_tod < 28800 AND tod >= 28800) OR
+                (prev_tod < 57600 AND tod >= 57600)) AS cambio
+        FROM d WHERE prev_counter IS NOT NULL
+    )
+    SELECT station, part, CAST(counter AS BIGINT) AS counter,
+           CAST(prev_counter AS BIGINT) AS prev_counter,
+           CAST(counter - prev_counter AS BIGINT) AS delta,
+           cambio AS shift_change,
+           CASE WHEN hour(ts) BETWEEN 8 AND 15 THEN 1 ELSE 2 END AS shift_id,
+           CASE WHEN hour(ts) < 8 THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END AS plan_date
+    FROM e
+    WHERE counter > prev_counter OR (cambio AND counter >= prev_counter)
+    """,
+)
+def stream_counter_machine_rowmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 via actual Structured Streaming, row emit-mode: the drained
+    stream output must hash-match the lag-window batch formulation —
+    the strongest streaming↔batch equivalence statement the gate can
+    make."""
+    out = _run_stream(spark, sf_dir, "row")
+    return out.filter(F.col("row_kind") == "update").select(
+        "station",
+        "part",
+        F.col("counter").cast("long").alias("counter"),
+        F.col("prev_counter").cast("long").alias("prev_counter"),
+        F.col("delta").cast("long").alias("delta"),
+        "shift_change",
+        "shift_id",
+        "plan_date",
+    )
+
+
+@register("stream_counter_machine_reference")  # rows-only: not SQL-expressible
+def stream_counter_machine_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 with the reference's exact on-emit state advance
+    (Prensas.py:812-813: prev/hora_cambio move only when a row emits,
+    making prev a running max between boundaries and the boundary
+    test relative to the LAST EMIT, not the last row) — inherently
+    stateful across arbitrary gaps, hence no ANSI twin; unit +
+    simulator-parity tests cover the semantics."""
+    out = _run_stream(spark, sf_dir, "reference")
+    return out.filter(F.col("row_kind") == "update").select(
+        "station",
+        "part",
+        F.col("counter").cast("long").alias("counter"),
+        F.col("prev_counter").cast("long").alias("prev_counter"),
+        F.col("delta").cast("long").alias("delta"),
+        F.col("qty_running").cast("long").alias("qty_running"),
+        "shift_id",
+        "plan_date",
+    )
+
+
+# ── Multimodal gate ─────────────────────────────────────────────────────────
+
+
+def _assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal fixture derived from ``documents``:
+    media = UTF-8 bytes of text, kind round-robins by doc_id, typed
+    metadata arithmetic on doc_id (mirrored exactly in the oracles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.lit(20) + F.col("doc_id") % 15).cast("int").alias("n_frames"),
+        F.lit("{}").alias("meta"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT) AS n_pixels,
+           md5(text) AS content_hash
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → feature extraction over mapInPandas; the gate
+    checks the oracle-recomputable outputs (shape, content hash) —
+    i.e. that the Arrow batch plumbing moved every byte intact."""
+    feats = image_features(_assets_from_documents(spark, sf_dir))
+    return feats.select("asset_id", "width", "height", "n_pixels", "content_hash")
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           md5(text) AS content_hash
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode (16-bit PCM interpretation) → sample/duration
+    accounting, oracle-checked byte-for-byte."""
+    feats = audio_features(_assets_from_documents(spark, sf_dir))
+    return feats.select("asset_id", "sample_rate", "n_samples", "duration_ms", "content_hash")
+
+
+@register(
+    "multimodal_frame_stats",
+    """
+    SELECT doc_id AS asset_id,
+           CAST((20 + doc_id % 15 - 1) // 10 + 1 AS BIGINT) AS n_sampled,
+           CAST(10 * ((20 + doc_id % 15 - 1) // 10) AS BIGINT) AS max_frame_index
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 row → k rows over mapInPandas), every
+    10th frame; the gate checks the fan-out arithmetic per asset."""
+    frames = sample_frames(_assets_from_documents(spark, sf_dir), every_n=10)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_index").cast("long").alias("max_frame_index"),
+    )
