@@ -94,6 +94,66 @@ def ivf_assign(
     )
 
 
+def ivf_search(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k: assign the corpus to nearest-centroid buckets, probe
+    the ``n_probe`` nearest buckets per query, exact cosine top-k over
+    only the probed candidates.
+
+    The scale shape: the inverted-file assignment is computed once
+    (and at 100 TB would be a materialized, bucket-partitioned index);
+    a query then touches ~n_probe/n_centroids of the corpus instead of
+    all of it. Centroids and the (small) query set broadcast; the only
+    large-side work is one scan + one bucket-equi-join. Output: qid,
+    nid, rk, cos_sim — same schema as ``knn_bruteforce`` so recall can
+    be measured by direct comparison."""
+    index = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col, round_digits=round_digits,
+    ).select(F.col(id_col).alias("nid"), F.col(centroid_id_col))
+    bucketed = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).join(
+        index, "nid"
+    )
+
+    c = centroids.select(F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    qp = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).crossJoin(
+        F.broadcast(c)
+    )
+    qd = qp.select(
+        "qid",
+        "qvec",
+        F.col("__cid"),
+        F.round(sq_l2_distance(F.col("qvec"), F.col("__cvec")), round_digits).alias("__dist"),
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("__dist"), F.asc("__cid"))
+    probes = (
+        qd.withColumn("__pn", F.row_number().over(wprobe))
+        .filter(F.col("__pn") <= n_probe)
+        .select("qid", "qvec", F.col("__cid").alias(centroid_id_col))
+    )
+
+    cand = bucketed.join(F.broadcast(probes), centroid_id_col).filter(F.col("nid") != F.col("qid"))
+    scored = cand.select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", "cos_sim")
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     *,

@@ -18,6 +18,7 @@ from iotdatapipeline_spark.analytics import (
     exact_dedup_groups,
     fingerprint,
     ivf_assign,
+    ivf_search,
     jaccard_pairs,
     knn_bruteforce,
     langid_pred,
@@ -345,6 +346,77 @@ def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
     return ivf_assign(emb, cents)
+
+
+@register(
+    "embeddings_ivf_search",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    -- inverted file: every vector -> nearest centroid (same rule as ivf_assign)
+    ap AS (
+        SELECT e.vec_id AS nid, cid,
+               unnest(e.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings e, c
+    ),
+    ad AS (
+        SELECT nid, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq
+        FROM ap GROUP BY nid, cid
+    ),
+    assign AS (
+        SELECT nid, cid FROM (
+            SELECT nid, cid,
+                   row_number() OVER (PARTITION BY nid ORDER BY dist_sq ASC, cid) AS rn
+            FROM ad
+        ) WHERE rn = 1
+    ),
+    -- probes: 2 nearest centroids per query (vec_id < 5)
+    qp AS (
+        SELECT q.vec_id AS qid, cid,
+               unnest(q.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings q, c WHERE q.vec_id < 5
+    ),
+    qdist AS (
+        SELECT qid, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq
+        FROM qp GROUP BY qid, cid
+    ),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, cid) AS rn
+            FROM qdist
+        ) WHERE rn <= 2
+    ),
+    -- exact cosine over probed buckets only
+    cp AS (
+        SELECT p.qid, a.nid,
+               unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        FROM probes p
+          JOIN assign a ON a.cid = p.cid
+          JOIN embeddings q ON q.vec_id = p.qid
+          JOIN embeddings e ON e.vec_id = a.nid
+        WHERE a.nid <> p.qid
+    ),
+    cd AS (
+        SELECT qid, nid,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
+        FROM cp GROUP BY qid, nid
+    )
+    SELECT qid, nid, rk, cos_sim FROM (
+        SELECT qid, nid, cos_sim,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        FROM cd
+    ) WHERE rk <= 3
+    """,
+)
+def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search (centroids = vec_id<8, queries = vec_id<5,
+    n_probe=2, k=3): the bucketed scale path — a query touches only
+    its probed buckets, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    return ivf_search(emb, cents, emb.filter(F.col("vec_id") < 5), k=3, n_probe=2)
 
 
 @register(
