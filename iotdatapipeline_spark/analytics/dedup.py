@@ -58,12 +58,27 @@ def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFram
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Band the signature (b = k/rows_per_band bands), hash each band,
-    and self-join on (band_id, band_hash). Output: doc1 < doc2 distinct.
+    group ids per (band_id, band_hash) bucket, and expand pairs WITHIN
+    each bucket. Output: doc1 < doc2 distinct.
 
-    Scale note: the join key is (band, hash) — high cardinality, so
-    the shuffle is uniform; no n² pair enumeration happens anywhere.
+    Shape rationale: the naive formulation is a self-join on
+    (band_id, band_hash) — but Spark does not reuse the exchange across
+    the two sides (verified), so the entire upstream shingle→minhash
+    pipeline would execute twice. Grouping to ``collect_set`` + in-array
+    pair expansion computes signatures once, costs one extra (uniform,
+    high-cardinality-keyed) shuffle, and never enumerates pairs outside
+    a bucket. LSH buckets are small by construction; a pathological
+    bucket (mass-duplicated content) is quadratic in ITS size only —
+    cap it with ``max_bucket`` at scale (dropped buckets are guaranteed
+    over-threshold duplicates; route them to exact dedup instead).
     """
     n_bands = k // rows_per_band
     bands = [
@@ -77,17 +92,20 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, k: int = 8, rows_per
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
     )
-    a, c = long.alias("a"), long.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.band_hash") == F.col("c.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc1"), F.col(f"c.{id_col}").alias("doc2"))
-        .distinct()
+    buckets = (
+        long.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # all ordered pairs within the sorted ids array: (ids[i], ids[j]) for j>i
+    lefts = buckets.select(F.posexplode("ids").alias("i", "doc1"), F.col("ids"))
+    pairs = lefts.select(
+        "doc1",
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc2"),
+    )
+    return pairs.distinct()
 
 
 def jaccard_pairs(

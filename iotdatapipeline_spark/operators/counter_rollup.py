@@ -52,14 +52,18 @@ def counter_deltas(
     ``order_cols`` breaks ts ties deterministically (e.g. event_id).
     """
     w = Window.partitionBy(station_col, part_col).orderBy(ts_col, *order_cols)
-    # Materialize the lag columns ONCE, then derive every flag from the
-    # materialized columns: re-invoking lag() inside the derived
-    # expressions makes Catalyst emit a second Window pass over the
-    # sorted partition (verified via explain) — same exchange, double
-    # the window compute.
-    lagged = df.withColumn("prev_counter", F.lag(F.col(counter_col)).over(w)).withColumn(
-        "prev_tod", F.lag(tod_seconds(F.col(ts_col))).over(w)
-    )
+    # Materialize BOTH lag columns in ONE select over attribute inputs,
+    # then derive every flag from the materialized columns. Two things
+    # go wrong otherwise (both verified via explain, pinned by
+    # tests/test_plans.py): re-invoking lag() inside derived expressions
+    # duplicates the window functions, and chaining withColumn puts a
+    # Project between the two Window ops so CollapseWindow can't merge
+    # them — either way the sorted partition gets TWO window passes.
+    lagged = df.withColumn("__tod", tod_seconds(F.col(ts_col))).select(
+        "*",
+        F.lag(F.col(counter_col)).over(w).alias("prev_counter"),
+        F.lag(F.col("__tod")).over(w).alias("prev_tod"),
+    ).drop("__tod")
     cambio = is_shift_boundary_crossing(F.col("prev_tod"), tod_seconds(F.col(ts_col)))
     emits = (F.col(counter_col) > F.col("prev_counter")) | (
         cambio & (F.col(counter_col) >= F.col("prev_counter"))

@@ -1,0 +1,113 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB design depends on (SURVEY.md §4). These fail if a refactor
+silently reintroduces an extra shuffle, a second window pass, a
+dropped broadcast, or a scan that stops pruning — the regressions
+that are invisible at test scale and fatal at cluster scale.
+
+Also: the approx_count_distinct tolerance check promised by the
+``distinct_parts_per_station`` docstring (HLL sketches are
+engine-specific, so the oracle-checkable twin is exact-distinct and
+the approx variant is bounded here instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.operators.counter_rollup import counter_deltas
+from iotdatapipeline_spark.plans import ORACLE, QUERIES
+from iotdatapipeline_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_counter_deltas_single_exchange_single_window(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "events")
+        readings = ev.select(
+            F.col("user_id").alias("station"),
+            F.col("event_type").alias("part"),
+            F.col("ts"),
+            F.col("event_id"),
+            F.floor(F.col("value") * 100).cast("long").alias("counter"),
+        )
+        plan = _plan(counter_deltas(readings, order_cols=("event_id",)))
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Window") == 1, plan
+
+    def test_flagship_rollup_broadcasts_multiplier_dim(self, spark, sf_small):
+        plan = _plan(QUERIES["production_shift_rollup"](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_q5_dim_chain_broadcasts_only_fact_join_shuffles(self, spark, sf_small):
+        plan = _plan(QUERIES["q5_supplier_volume"](spark, sf_small))
+        # region/nation/supplier chain must broadcast; only li⋈orders may shuffle
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_scan_prunes_columns_and_pushes_filters(self, spark, sf_small):
+        li = load_table(spark, sf_small, "lineitem")
+        q = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_orderkey", "l_quantity")
+        plan = _plan(q)
+        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan, plan
+        # projected schema must not drag the 14 unused columns through the scan
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema, read_schema
+
+    def test_minhash_single_scan_no_shingle_distinct(self, spark, sf_small):
+        # exactly one parquet scan: the bucket-expansion formulation must
+        # not fall back to a self-join that re-executes the whole
+        # shingle→minhash pipeline per side (Spark does not reuse the
+        # exchange across self-join branches here — measured)
+        df = QUERIES["docs_minhash_lsh_pairs"](spark, sf_small)
+        plan = _plan(df)
+        assert plan.count("FileScan") == 1, plan
+        # exactly 3 aggregates in the optimized plan: signature agg,
+        # bucket collect_set, pair distinct — a 4th means the shingle
+        # distinct crept back in
+        assert _optimized(df).count("Aggregate") == 3, _optimized(df)
+
+    def test_exact_dedup_is_single_aggregate(self, spark, sf_small):
+        plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
+        assert plan.count("Exchange") == 1, plan
+
+
+class TestApproxDistinct:
+    def test_approx_count_distinct_within_5pct_of_exact(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "events")
+        row = ev.agg(
+            F.count_distinct("event_type").alias("exact"),
+            F.approx_count_distinct("event_type", 0.02).alias("approx"),
+        ).first()
+        assert abs(row.approx - row.exact) <= max(1, 0.05 * row.exact), row
+
+
+class TestRegistryContract:
+    def test_every_query_callable_and_oracle_paired(self):
+        assert len(QUERIES) >= 42
+        unpaired = [n for n in QUERIES if n not in ORACLE]
+        # only genuinely non-SQL-expressible ops may be rows-only
+        assert unpaired == ["stream_counter_machine_reference"], unpaired
+
+    def test_oracle_sql_references_only_fixture_tables(self):
+        import re
+
+        fixture = {
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        }
+        for name, sql in ORACLE.items():
+            tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
+            unknown = tables - fixture - {"e", "c", "q", "p", "d", "r", "m", "sh", "ws",
+                                          "pos", "bands", "b", "a", "s", "w", "sizes",
+                                          "inter", "s1", "s2", "rowhash", "agg", "mult",
+                                          "readings", "ex", "probes", "assign", "cp",
+                                          "cd", "qdist", "qp", "ad", "ap", "g", "e2"}
+            leftover = {t for t in unknown if not t.islower() or len(t) > 12}
+            assert not leftover, f"{name}: suspicious tables {leftover}"
