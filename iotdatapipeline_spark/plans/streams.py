@@ -144,6 +144,41 @@ def stream_counter_machine_reference(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "events_tumbling_window",
+    """
+    SELECT user_id AS station,
+           time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter_sum,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter_max
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL 5 MINUTE, ts)
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 extension (SURVEY.md §2.10): event-time tumbling windows over
+    the reading stream — the watermark-ready aggregation shape (the
+    streaming twin adds ``withWatermark``; tests verify stream==batch).
+    ``F.window`` keeps the group key a real time bucket, so at scale
+    the shuffle partitions by (station, window) — uniform and
+    prunable."""
+    ev = load_table(spark, sf_dir, "events")
+    counter = F.floor(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("station"),
+            F.window(F.col("ts"), "5 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(counter).cast("long").alias("counter_sum"),
+            F.max(counter).cast("long").alias("counter_max"),
+        )
+        .select("station", F.col("w.start").alias("window_start"), "n_events", "counter_sum", "counter_max")
+    )
+
+
 # ── Multimodal gate ─────────────────────────────────────────────────────────
 
 

@@ -20,6 +20,7 @@ from iotdatapipeline_spark.streaming import (
     latest_per_key,
     make_state_fn,
     merge_upsert,
+    readings_stream,
     run_pipeline,
     stage_replay_chunks,
 )
@@ -213,6 +214,79 @@ class TestEndToEndStreaming:
         n_rec = records.count()
         n_keys = records.select("station", "part", "plan_date", "shift_id").distinct().count()
         assert n_rec == n_keys
+
+
+@pytest.mark.slow
+class TestEventTimeWatermarks:
+    """T6/T7 extensions: event-time windows + watermark and
+    within-watermark dedup over the replay stream, verified
+    batch-as-oracle-for-streaming (SURVEY.md §5.3)."""
+
+    def test_windowed_agg_with_watermark_matches_batch(self, spark, sf_small, tmp_path):
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=5)
+        stream = readings_stream(spark, replay)
+        windowed = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("station", F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("counter").alias("counter_sum"))
+            .select("station", F.col("w.start").alias("window_start"), "n_events", "counter_sum")
+        )
+        name = "wm_windowed_agg"
+        q = (
+            windowed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table(name)
+        # append mode only emits windows the watermark has closed; every
+        # emitted window must match the batch computation exactly, and
+        # (replay is time-ordered) all but the last watermark-open
+        # windows must have been emitted
+        expected = (
+            _readings(spark, sf_small)
+            .groupBy("station", F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("counter").alias("counter_sum"))
+            .select("station", F.col("w.start").alias("window_start"), "n_events", "counter_sum")
+        )
+        assert got.count() > 0
+        assert got.exceptAll(expected).count() == 0
+        missing = expected.exceptAll(got)
+        max_emitted = got.agg(F.max("window_start")).first()[0]
+        assert missing.filter(F.col("window_start") <= max_emitted).count() == 0
+
+    def test_drop_duplicates_within_watermark(self, spark, sf_small, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=3)
+        # inject duplicates: re-write chunk 1's rows as an extra file
+        # (same station/event_id — T7's duplicate-delivery scenario)
+        dup = pq.read_table(f"{replay}/chunk_00001.parquet")
+        pq.write_table(dup, f"{replay}/chunk_00001_dup.parquet")
+        n_dups = dup.num_rows
+
+        stream = readings_stream(spark, replay)
+        deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["station", "event_id"]
+        )
+        name = "wm_dedup"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got_n = spark.table(name).count()
+        base_n = _readings(spark, sf_small).count()
+        assert n_dups > 0
+        assert got_n == base_n  # every injected duplicate dropped
 
 
 class TestSinks:
