@@ -6,6 +6,10 @@ from iotdatapipeline_spark.operators.counter_rollup import (
     with_shift,
 )
 from iotdatapipeline_spark.operators.dedup_combine import dedup_combine
+from iotdatapipeline_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_left,
+)
 from iotdatapipeline_spark.operators.relational import (
     config_regroup,
     dedup_append_set,
@@ -28,4 +32,6 @@ __all__ = [
     "latest_snapshot",
     "limpieza_update_set",
     "top1_per_group",
+    "salted_agg",
+    "salted_broadcast_left",
 ]

@@ -1,5 +1,9 @@
 """Table and stream readers over the parquet fixtures."""
 
-from iotdatapipeline_spark.sources.tables import TABLES, load_table
+from iotdatapipeline_spark.sources.csv_store import (
+    append_unknown_parts,
+    read_csv_store,
+)
+from iotdatapipeline_spark.sources.tables import TABLES, load_table, register_views
 
-__all__ = ["TABLES", "load_table"]
+__all__ = ["TABLES", "load_table", "register_views", "read_csv_store", "append_unknown_parts"]

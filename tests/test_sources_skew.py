@@ -1,0 +1,109 @@
+"""CSV side-channel store (S4/K4) and skew-salting operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.operators.skew import salted_agg, salted_broadcast_left
+from iotdatapipeline_spark.sources.csv_store import (
+    PARTS_NOT_FOUND_SCHEMA,
+    append_unknown_parts,
+    read_csv_store,
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, PARTS_NOT_FOUND_SCHEMA)
+
+
+class TestCsvStore:
+    def test_missing_file_reads_empty(self, spark, tmp_path):
+        df = read_csv_store(spark, str(tmp_path / "nope.csv"))
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["estacion", "numero_parte", "fecha", "registrado"]
+
+    def test_append_dedups_by_station_part_date(self, spark, tmp_path):
+        path = str(tmp_path / "parts_not_found.csv")
+        d = dt.date(2024, 1, 2)
+        t = dt.datetime(2024, 1, 2, 9, 0, 0)
+        n1 = append_unknown_parts(spark, path, _rows(spark, [("ST1", "P-9", d, t), ("ST2", "P-9", d, t)]))
+        assert n1 == 2
+        # duplicate key (same estacion/parte/fecha, later ts) must NOT append
+        n2 = append_unknown_parts(spark, path, _rows(spark, [("ST1", "P-9", d, t.replace(hour=12))]))
+        assert n2 == 0
+        # same part next day DOES append (day-scoped dedup, Prensas.py:252-257)
+        n3 = append_unknown_parts(
+            spark, path, _rows(spark, [("ST1", "P-9", dt.date(2024, 1, 3), t)])
+        )
+        assert n3 == 1
+        final = read_csv_store(spark, path)
+        assert final.count() == 3
+        # round-trip preserves schema and values
+        got = {(r.estacion, str(r.fecha)) for r in final.collect()}
+        assert got == {("ST1", "2024-01-02"), ("ST2", "2024-01-02"), ("ST1", "2024-01-03")}
+
+    def test_append_is_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "p.csv")
+        d = dt.date(2024, 5, 5)
+        t = dt.datetime(2024, 5, 5, 8)
+        batch = _rows(spark, [("S", "X", d, t)])
+        assert append_unknown_parts(spark, path, batch) == 1
+        assert append_unknown_parts(spark, path, batch) == 0
+        assert read_csv_store(spark, path).count() == 1
+
+
+class TestSaltedAgg:
+    def test_matches_plain_aggregation(self, spark, sf_small):
+        from iotdatapipeline_spark.sources import load_table
+
+        ev = load_table(spark, sf_small, "events").select(
+            F.col("event_type").alias("part"),
+            F.floor(F.col("value") * 100).cast("long").alias("counter"),
+        )
+        salted = salted_agg(
+            ev, ["part"], {"total": ("sum", "counter"), "n": ("count", "counter"),
+                           "hi": ("max", "counter"), "lo": ("min", "counter")}, n_salts=8
+        )
+        plain = ev.groupBy("part").agg(
+            F.sum("counter").alias("total"),
+            F.count("counter").alias("n"),
+            F.max("counter").alias("hi"),
+            F.min("counter").alias("lo"),
+        )
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+    def test_rejects_non_algebraic(self, spark):
+        df = spark.range(5)
+        try:
+            salted_agg(df, ["id"], {"bad": ("collect_list", "id")})
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "algebraic" in str(e)
+
+    def test_salt_spreads_hot_key(self, spark):
+        # one key with 10k rows: the salted first phase must produce
+        # multiple partial rows for it (i.e. the hot key really spreads)
+        hot = spark.range(10_000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+        salt = (F.rand(seed=42) * 8).cast("int").alias("__salt")
+        n_partials = hot.withColumn("__salt", salt).groupBy("k", "__salt").count().count()
+        assert n_partials == 8
+        out = salted_agg(hot, ["k"], {"s": ("sum", "v")}, n_salts=8).first()
+        assert out.s == sum(range(10_000))
+
+
+class TestSaltedBroadcast:
+    def test_broadcast_no_shuffle_of_big_side(self, spark, sf_small):
+        from iotdatapipeline_spark.sources import load_table
+
+        li = load_table(spark, sf_small, "lineitem").select("l_partkey", "l_quantity")
+        p = load_table(spark, sf_small, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_name"
+        )
+        joined = salted_broadcast_left(li, p, ["l_partkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert joined.count() == li.count()
