@@ -226,6 +226,33 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (SURVEY.md §2.7): orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+    never a full global sort; the only §2.7 shape the reference's
+    TOP(1) doesn't already cover."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )
+
+
+@register(
     "distinct_parts_per_station",
     """
     SELECT user_id AS station,

@@ -54,6 +54,33 @@ class TestCsvStore:
         assert read_csv_store(spark, path).count() == 1
 
 
+class TestPartitionedStorage:
+    def test_write_read_partition_pruning(self, spark, sf_small, tmp_path):
+        from iotdatapipeline_spark.plans import QUERIES
+        from iotdatapipeline_spark.sources.storage import read_partitioned, write_partitioned
+
+        rollup = QUERIES["production_shift_rollup"](spark, sf_small)
+        path = str(tmp_path / "records_store")
+        write_partitioned(rollup, path)
+
+        back = read_partitioned(spark, path)
+        # values survive the round trip (partition cols move position)
+        assert back.count() == rollup.count()
+        assert set(back.columns) == set(rollup.columns)
+
+        one_day = back.filter(
+            (F.col("plan_date") == back.agg(F.max("plan_date")).first()[0])
+            & (F.col("shift_id") == 2)
+        )
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        # the (date, shift) predicate must prune partitions at the
+        # source: PartitionFilters populated, no post-scan Filter on
+        # the partition keys
+        pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "plan_date" in pf and "shift_id" in pf, plan
+        assert one_day.count() > 0
+
+
 class TestSaltedAgg:
     def test_matches_plain_aggregation(self, spark, sf_small):
         from iotdatapipeline_spark.sources import load_table
