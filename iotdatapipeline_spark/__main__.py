@@ -1,0 +1,95 @@
+"""CLI entry point — the engine's analog of the reference's sole entry
+(`run_prensas.ps1:6` → ``poetry run python Prensas.py``):
+
+    python -m iotdatapipeline_spark run \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/iotdp_out \
+        [--emit-mode reference] [--follow]
+
+Replays the events fixture as the PLC reading stream, runs the T4
+stateful counter machine, and fans out to the K1/K3/K5 sinks under
+``--out`` (records/, history/, limpieza/). ``--follow`` keeps the
+query running with a 1 s trigger (the reference's poll cadence, T1)
+instead of draining once and exiting.
+
+    python -m iotdatapipeline_spark query <name> [--sf-dir DIR]
+
+Runs one registry query and prints it (the reference's console
+markdown dump, K6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from iotdatapipeline_spark.session import get_spark
+    from iotdatapipeline_spark.streaming.pipeline import run_pipeline
+    from iotdatapipeline_spark.streaming.source import stage_replay_chunks
+
+    spark = get_spark("iotdatapipeline-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = args.out
+    replay = stage_replay_chunks(spark, args.sf_dir, os.path.join(out, "replay"), n_chunks=args.chunks)
+    q = run_pipeline(
+        spark,
+        replay,
+        checkpoint_dir=os.path.join(out, "ckpt"),
+        records_path=os.path.join(out, "records"),
+        history_path=os.path.join(out, "history"),
+        limpieza_path=os.path.join(out, "limpieza"),
+        emit_mode=args.emit_mode,
+        available_now=not args.follow,
+    )
+    q.awaitTermination()
+    records = spark.read.parquet(os.path.join(out, "records"))
+    history = spark.read.parquet(os.path.join(out, "history"))
+    print(f"records: {records.count()} rows -> {out}/records")
+    print(f"history: {history.count()} rows -> {out}/history")
+    records.orderBy("station", "part", "plan_date", "shift_id").show(20, truncate=False)
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from iotdatapipeline_spark.plans import QUERIES
+    from iotdatapipeline_spark.session import get_spark
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; available:\n  " + "\n  ".join(sorted(QUERIES)), file=sys.stderr)
+        return 2
+    spark = get_spark("iotdatapipeline-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.show(args.rows, truncate=False)
+    if args.explain:
+        df.explain("formatted")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m iotdatapipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the streaming production pipeline")
+    run.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    run.add_argument("--out", required=True)
+    run.add_argument("--emit-mode", choices=["reference", "row"], default="reference")
+    run.add_argument("--chunks", type=int, default=10)
+    run.add_argument("--follow", action="store_true", help="keep running at a 1 s trigger")
+    run.set_defaults(fn=_cmd_run)
+
+    q = sub.add_parser("query", help="run one registry query and print it")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    q.add_argument("--rows", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=_cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
