@@ -123,14 +123,65 @@ def stream_counter_machine_rowmode(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("stream_counter_machine_reference")  # rows-only: not SQL-expressible
+def _reference_machine_sql() -> str:
+    """The reference state machine as a DuckDB RECURSIVE CTE: state
+    (prev, base, last_tod) advances row-at-a-time per (station, part)
+    exactly as Prensas.py:744-815 — prev/last_tod move only on emit,
+    base rebases to prev at a boundary emit. Window functions can't
+    express this (each emit depends on the full prefix of emits), but
+    linear recursion can; iterations = max rows per key."""
+    cambio = (
+        "((rec.last_tod < 28800 AND s.tod >= 28800) OR"
+        " (rec.last_tod < 57600 AND s.tod >= 57600))"
+    )
+    emits = f"(s.counter > rec.prev OR ({cambio} AND s.counter >= rec.prev))"
+    new_base = f"CASE WHEN {cambio} THEN rec.prev ELSE rec.base END"
+    return f"""
+    WITH RECURSIVE readings AS (
+        SELECT user_id AS station, event_type AS part, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS counter,
+               hour(ts)*3600 + minute(ts)*60 + second(ts) AS tod
+        FROM events
+    ),
+    seq AS (
+        SELECT *, row_number() OVER (PARTITION BY station, part ORDER BY ts, event_id) AS rn
+        FROM readings
+    ),
+    rec AS (
+        SELECT station, part, rn, ts, counter, tod,
+               counter AS prev, CAST(NULL AS BIGINT) AS base, tod AS last_tod,
+               CAST(NULL AS BIGINT) AS prev_counter,
+               CAST(NULL AS BIGINT) AS delta, CAST(NULL AS BIGINT) AS qty_running,
+               FALSE AS emitted
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.station, s.part, s.rn, s.ts, s.counter, s.tod,
+               CASE WHEN {emits} THEN s.counter ELSE rec.prev END,
+               CASE WHEN {emits} THEN {new_base} ELSE rec.base END,
+               CASE WHEN {emits} THEN s.tod ELSE rec.last_tod END,
+               rec.prev,
+               CASE WHEN {emits} THEN s.counter - rec.prev END,
+               CASE WHEN {emits} THEN s.counter - coalesce({new_base}, 0) END,
+               {emits}
+        FROM rec JOIN seq s
+          ON s.station = rec.station AND s.part = rec.part AND s.rn = rec.rn + 1
+    )
+    SELECT station, part, counter, prev_counter, delta, qty_running,
+           CASE WHEN hour(ts) BETWEEN 8 AND 15 THEN 1 ELSE 2 END AS shift_id,
+           CASE WHEN hour(ts) < 8 THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END AS plan_date
+    FROM rec WHERE emitted
+    """
+
+
+@register("stream_counter_machine_reference", _reference_machine_sql())
 def stream_counter_machine_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 with the reference's exact on-emit state advance
     (Prensas.py:812-813: prev/hora_cambio move only when a row emits,
     making prev a running max between boundaries and the boundary
-    test relative to the LAST EMIT, not the last row) — inherently
-    stateful across arbitrary gaps, hence no ANSI twin; unit +
-    simulator-parity tests cover the semantics."""
+    test relative to the LAST EMIT, not the last row). Window
+    functions can't express the emit-prefix recursion, but a DuckDB
+    RECURSIVE CTE can — so even the exact reference semantics get a
+    full value-hash oracle, streamed output vs recursive SQL."""
     out = _run_stream(spark, sf_dir, "reference")
     return out.filter(F.col("row_kind") == "update").select(
         "station",

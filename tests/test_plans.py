@@ -90,10 +90,11 @@ class TestApproxDistinct:
 
 class TestRegistryContract:
     def test_every_query_callable_and_oracle_paired(self):
-        assert len(QUERIES) >= 42
+        assert len(QUERIES) >= 44
+        # every registered query has a DuckDB oracle — including the
+        # reference-mode state machine (recursive CTE)
         unpaired = [n for n in QUERIES if n not in ORACLE]
-        # only genuinely non-SQL-expressible ops may be rows-only
-        assert unpaired == ["stream_counter_machine_reference"], unpaired
+        assert unpaired == [], unpaired
 
     def test_oracle_sql_references_only_fixture_tables(self):
         import re
