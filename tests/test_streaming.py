@@ -304,6 +304,74 @@ class TestSinks:
         assert out == {1: "new", 2: "only"}
 
 
+@pytest.mark.slow
+class TestLatestSnapshotStreaming:
+    def test_complete_mode_latest_equals_batch(self, spark, sf_small, tmp_path):
+        """T3/K8: latest value per station as a complete-mode streaming
+        aggregate (max_by over event order) — must equal the batch
+        latest_per_key over the same data after the drain."""
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=4)
+        stream = readings_stream(spark, replay)
+        latest = stream.groupBy("station").agg(
+            F.max_by(F.struct("part", "counter", "ts"), F.struct("ts", "event_id")).alias("v")
+        ).select("station", "v.part", "v.counter")
+        name = "latest_snap"
+        q = (
+            latest.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table(name)
+        batch = _readings(spark, sf_small).groupBy("station").agg(
+            F.max_by(F.struct("part", "counter", "ts"), F.struct("ts", "event_id")).alias("v")
+        ).select("station", "v.part", "v.counter")
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+        assert got.count() > 0
+
+
+@pytest.mark.slow
+class TestSupervisorLiveQueries:
+    def test_reconcile_with_real_streams(self, spark, tmp_path):
+        """T8 end-to-end with REAL streaming queries: start per-group
+        rate streams, flip one group's fingerprint (restart), drop a
+        group (stop), verify query lifecycle and liveness."""
+        from iotdatapipeline_spark.streaming import Supervisor
+
+        def start_query(group):
+            return (
+                spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+                .withColumn("grp", F.lit(group))
+                .writeStream.format("memory")
+                .queryName(f"sup_{group}_{abs(hash(group)) % 10_000}")
+                .outputMode("append")
+                .start()
+            )
+
+        sup = Supervisor(start_query)
+        try:
+            a1 = sup.reconcile({"g1": "fp-a", "g2": "fp-b"})
+            assert a1 == {"g1": "started", "g2": "started"}
+            q_g1_first = sup._queries["g1"]
+            assert all(q.isActive for q in sup._queries.values())
+
+            a2 = sup.reconcile({"g1": "fp-CHANGED", "g2": "fp-b"})
+            assert a2 == {"g1": "restarted"}
+            assert not q_g1_first.isActive
+            assert sup._queries["g1"].isActive
+            assert sup._queries["g2"].isActive
+
+            a3 = sup.reconcile({"g1": "fp-CHANGED"})
+            assert a3 == {"g2": "stopped"}
+            assert set(sup._queries) == {"g1"}
+        finally:
+            sup.stop_all()
+        assert sup._queries == {}
+
+
 class TestSupervisor:
     def test_reconcile_start_restart_stop(self):
         class FakeQuery:
