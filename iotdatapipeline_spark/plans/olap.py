@@ -253,6 +253,58 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cycle_time_percentiles",
+    """
+    SELECT user_id AS station,
+           CAST(floor(quantile_cont(value, 0.50) * 1000) AS BIGINT) AS p50_x1000,
+           CAST(floor(quantile_cont(value, 0.95) * 1000) AS BIGINT) AS p95_x1000,
+           CAST(floor(quantile_cont(value, 0.99) * 1000) AS BIGINT) AS p99_x1000
+    FROM events GROUP BY user_id
+    """,
+)
+def cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per station (the
+    oracle-checkable twin of approx_percentile — the sketch variant is
+    tolerance-tested in unit tests, same policy as count_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return ev.groupBy(F.col("user_id").alias("station")).agg(pct.alias("__p")).select(
+        "station",
+        F.floor(F.col("__p")[0] * 1000).cast("long").alias("p50_x1000"),
+        F.floor(F.col("__p")[1] * 1000).cast("long").alias("p95_x1000"),
+        F.floor(F.col("__p")[2] * 1000).cast("long").alias("p99_x1000"),
+    )
+
+
+@register(
+    "big_customers_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey
+        HAVING sum(o_totalprice) > 1500000
+    )
+    """,
+)
+def big_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + IN-subquery as an aggregate→left_semi join: the guard
+    side reduces before the join (partial agg), the probe side never
+    duplicates rows — the relational shape behind the reference's
+    existence guards (J3) at analytical volume."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("tp"))
+        .filter(F.col("tp") > 1_500_000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@register(
     "distinct_parts_per_station",
     """
     SELECT user_id AS station,

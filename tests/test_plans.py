@@ -87,6 +87,15 @@ class TestApproxDistinct:
         ).first()
         assert abs(row.approx - row.exact) <= max(1, 0.05 * row.exact), row
 
+    def test_approx_percentile_within_tolerance_of_exact(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "events")
+        row = ev.agg(
+            F.percentile("value", 0.95).alias("exact"),
+            F.percentile_approx("value", 0.95, 1000).alias("approx"),
+        ).first()
+        spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+        assert abs(row.approx - row.exact) <= 0.02 * spread, row
+
 
 class TestRegistryContract:
     def test_every_query_callable_and_oracle_paired(self):
