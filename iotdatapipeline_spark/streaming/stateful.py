@@ -62,6 +62,76 @@ def _crossed(prev_tod: int, tod: int) -> bool:
     return (prev_tod < _B1 <= tod) or (prev_tod < _B2 <= tod)
 
 
+_FRESH_STATE = (0, None, 0, 0, False)
+
+
+def _limpieza_row(station, part) -> dict[str, Any]:
+    return {
+        "station": station,
+        "part": part,
+        "ts": None,
+        "counter": None,
+        "prev_counter": None,
+        "delta": None,
+        "qty_running": None,
+        "shift_change": None,
+        "shift_id": None,
+        "plan_date": None,
+        "row_kind": "limpieza",
+    }
+
+
+def _advance(
+    station,
+    part,
+    pdf: pd.DataFrame,
+    state_tuple: tuple,
+    emit_mode: str,
+) -> tuple[list[dict[str, Any]], tuple]:
+    """The T4 transition function, shared by BOTH stateful backends
+    (single source of truth for the semantics): apply one sorted batch
+    of readings to (prev, base_ct, corrida, last_tod, initialized),
+    returning (emitted rows, new state)."""
+    prev, base_ct, corrida, last_tod, initialized = state_tuple
+    out: list[dict[str, Any]] = []
+    for row in pdf.itertuples(index=False):
+        ts: dt.datetime = row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts
+        counter = int(row.counter)
+        tod = _tod_sec(ts)
+        if not initialized:
+            # admission (Prensas.py:702-741): baseline only, no emit
+            prev, last_tod, initialized = counter, tod, True
+            continue
+        cambio = _crossed(last_tod, tod)
+        emits = counter > prev or (cambio and counter >= prev)
+        if emits:
+            if cambio:
+                base_ct = prev  # rebase (Prensas.py:759)
+            delta = counter - prev
+            qty_running = counter - (base_ct or 0) + (corrida or 0)
+            shift, pdate = _shift(ts)
+            out.append(
+                {
+                    "station": station,
+                    "part": part,
+                    "ts": ts,
+                    "counter": counter,
+                    "prev_counter": prev,
+                    "delta": delta,
+                    "qty_running": qty_running,
+                    "shift_change": cambio,
+                    "shift_id": shift,
+                    "plan_date": pdate,
+                    "row_kind": "update",
+                }
+            )
+            prev, last_tod = counter, tod  # on-emit update (Prensas.py:812-813)
+        if emit_mode == "row":
+            prev, last_tod = counter, tod  # lag semantics: every row advances
+    new_state = (int(prev), None if base_ct is None else int(base_ct), int(corrida), int(last_tod), True)
+    return out, new_state
+
+
 def make_state_fn(emit_mode: str = "reference", timeout_ms: int | None = None):
     """Build the applyInPandasWithState function. Separated for unit
     testing: the returned fn is pure given (key, batches, state)."""
@@ -73,70 +143,14 @@ def make_state_fn(emit_mode: str = "reference", timeout_ms: int | None = None):
         if state.hasTimedOut:
             # T5: silence → one limpieza marker for the key (K5 executes it)
             state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "station": station,
-                        "part": part,
-                        "ts": None,
-                        "counter": None,
-                        "prev_counter": None,
-                        "delta": None,
-                        "qty_running": None,
-                        "shift_change": None,
-                        "shift_id": None,
-                        "plan_date": None,
-                        "row_kind": "limpieza",
-                    }
-                ]
-            )
+            yield pd.DataFrame([_limpieza_row(station, part)])
             return
 
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-
-        if state.exists:
-            prev, base_ct, corrida, last_tod, initialized = state.get
-        else:
-            prev, base_ct, corrida, last_tod, initialized = 0, None, 0, 0, False
-
-        out: list[dict[str, Any]] = []
-        for row in pdf.itertuples(index=False):
-            ts: dt.datetime = row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts
-            counter = int(row.counter)
-            tod = _tod_sec(ts)
-            if not initialized:
-                # admission (Prensas.py:702-741): baseline only, no emit
-                prev, last_tod, initialized = counter, tod, True
-                continue
-            cambio = _crossed(last_tod, tod)
-            emits = counter > prev or (cambio and counter >= prev)
-            if emits:
-                if cambio:
-                    base_ct = prev  # rebase (Prensas.py:759)
-                delta = counter - prev
-                qty_running = counter - (base_ct or 0) + (corrida or 0)
-                shift, pdate = _shift(ts)
-                out.append(
-                    {
-                        "station": station,
-                        "part": part,
-                        "ts": ts,
-                        "counter": counter,
-                        "prev_counter": prev,
-                        "delta": delta,
-                        "qty_running": qty_running,
-                        "shift_change": cambio,
-                        "shift_id": shift,
-                        "plan_date": pdate,
-                        "row_kind": "update",
-                    }
-                )
-                prev, last_tod = counter, tod  # on-emit update (Prensas.py:812-813)
-            if emit_mode == "row":
-                prev, last_tod = counter, tod  # lag semantics: every row advances
-
-        state.update((int(prev), None if base_ct is None else int(base_ct), int(corrida), int(last_tod), True))
+        current = state.get if state.exists else _FRESH_STATE
+        out, new_state = _advance(station, part, pdf, current, emit_mode)
+        state.update(new_state)
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         if out:
@@ -145,14 +159,92 @@ def make_state_fn(emit_mode: str = "reference", timeout_ms: int | None = None):
     return fn
 
 
+def transform_with_state_available() -> bool:
+    """The transformWithState runtime needs a working google.protobuf
+    (Spark's streaming Python runner speaks protobuf to the JVM). Gate
+    the backend on it instead of failing mid-query — some environments
+    (including this build container) ship pyspark without a usable
+    protobuf."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class CounterStateProcessor:
+    """T4 on the ``transformWithState`` API (Spark 4's successor to
+    ``applyInPandasWithState``: typed per-key state handles, explicit
+    timers). Same ``_advance`` transition, so the two backends cannot
+    drift. Instantiated lazily per executor by Spark."""
+
+    def __init__(self, emit_mode: str = "reference", timeout_ms: int | None = None):
+        if emit_mode not in ("reference", "row"):
+            raise ValueError(f"emit_mode must be 'reference' or 'row', got {emit_mode!r}")
+        self._emit_mode = emit_mode
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("counter_state", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        station, part = key
+        pdf = pd.concat(list(rows), ignore_index=True).sort_values(["ts", "event_id"], kind="mergesort")
+        current = tuple(self._state.get()) if self._state.exists() else _FRESH_STATE
+        out, new_state = _advance(station, part, pdf, current, self._emit_mode)
+        self._state.update(new_state)
+        if self._timeout_ms is not None:
+            self._handle.registerTimer(timer_values.getCurrentProcessingTimeInMs() + self._timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info) -> Iterator[pd.DataFrame]:
+        station, part = key
+        self._state.clear()
+        yield pd.DataFrame([_limpieza_row(station, part)])
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:  # pragma: no cover
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def counter_state_machine(
     readings: DataFrame,
     *,
     emit_mode: str = "reference",
     timeout_ms: int | None = None,
+    backend: str = "applyInPandas",
 ) -> DataFrame:
     """Group by (station, part) and run the T4 state machine. Input
-    needs columns: station, part, ts, event_id, counter."""
+    needs columns: station, part, ts, event_id, counter.
+
+    ``backend``: ``"applyInPandas"`` (applyInPandasWithState, default)
+    or ``"transformWithState"`` (the Spark 4 typed-state API). Both run
+    the same ``_advance`` transition; the equivalence test holds their
+    outputs identical."""
+    if backend == "transformWithState":
+        if not transform_with_state_available():
+            raise RuntimeError(
+                "transformWithState backend needs a working google.protobuf; "
+                "use backend='applyInPandas' in this environment"
+            )
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Proc(CounterStateProcessor, StatefulProcessor):
+            pass
+
+        return readings.groupBy("station", "part").transformWithStateInPandas(
+            statefulProcessor=_Proc(emit_mode, timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="processingTime" if timeout_ms is not None else "none",
+        )
+    if backend != "applyInPandas":
+        raise ValueError(f"unknown backend {backend!r}")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None else GroupStateTimeout.NoTimeout
     )

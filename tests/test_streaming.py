@@ -305,6 +305,54 @@ class TestSinks:
 
 
 @pytest.mark.slow
+class TestTransformWithStateBackend:
+    def test_backends_produce_identical_output(self, spark, sf_small, tmp_path):
+        """Both stateful backends share the _advance transition; when
+        the transformWithState runtime is available their streamed
+        outputs must be identical."""
+        from iotdatapipeline_spark.streaming.stateful import (
+            counter_state_machine,
+            transform_with_state_available,
+        )
+
+        if not transform_with_state_available():
+            pytest.skip("google.protobuf unavailable: transformWithState runtime cannot start")
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=4)
+        outs = {}
+        for backend in ("applyInPandas", "transformWithState"):
+            stream = readings_stream(spark, replay)
+            out = counter_state_machine(stream, emit_mode="reference", backend=backend)
+            name = f"be_{backend}"
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{backend}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            outs[backend] = spark.table(name).select(
+                "station", "part", "counter", "prev_counter", "delta", "qty_running"
+            )
+        a, b = outs["applyInPandas"], outs["transformWithState"]
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_unavailable_backend_raises_cleanly(self, spark):
+        from iotdatapipeline_spark.streaming.stateful import (
+            counter_state_machine,
+            transform_with_state_available,
+        )
+
+        if transform_with_state_available():
+            pytest.skip("runtime available; the guard path is not reachable")
+        df = spark.createDataFrame([], "station bigint, part string, ts timestamp, event_id bigint, counter bigint")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            counter_state_machine(df, backend="transformWithState")
+
+
+@pytest.mark.slow
 class TestLatestSnapshotStreaming:
     def test_complete_mode_latest_equals_batch(self, spark, sf_small, tmp_path):
         """T3/K8: latest value per station as a complete-mode streaming
