@@ -34,6 +34,12 @@ def get_spark(app_name: str = "iotdatapipeline-spark", shuffle_partitions: int |
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed writes) land in a scratch warehouse;
+        # static conf, so it must be set at session build time
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/iotdp_warehouse"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # fixture events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long, sources.tables converts

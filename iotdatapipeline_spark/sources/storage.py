@@ -44,3 +44,30 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned table; predicates on the partition keys
     become PartitionFilters (whole directories skipped, no I/O)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and optionally sort-within-bucket) catalog
+    table. Two tables bucketed the same way join WITHOUT any exchange —
+    the co-located join that makes repeated fact⋈fact joins (history ⋈
+    records on (station, part), lineitem ⋈ orders on orderkey) free
+    after one write. At 100 TB this is the difference between
+    re-shuffling the fact table per query and never shuffling it."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table written by ``write_bucketed`` (bucket
+    metadata comes from the catalog, enabling exchange-free joins)."""
+    return spark.table(table)

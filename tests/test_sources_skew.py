@@ -81,6 +81,37 @@ class TestPartitionedStorage:
         assert one_day.count() > 0
 
 
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, sf_small, tmp_path):
+        from iotdatapipeline_spark.sources import load_table
+        from iotdatapipeline_spark.sources.storage import read_table, write_bucketed
+
+        li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "li_b", bucket_cols=("l_orderkey",), n_buckets=8, sort_cols=("l_orderkey",))
+        write_bucketed(o, "o_b", bucket_cols=("o_orderkey",), n_buckets=8, sort_cols=("o_orderkey",))
+
+        a, b = read_table(spark, "li_b"), read_table(spark, "o_b")
+        # broadcast would hide the point at this size — force SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a["l_orderkey"] == b["o_orderkey"]).groupBy().count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located: the join itself needs NO exchange (only the
+            # final single-row aggregate may exchange)
+            join_part = plan.split("HashAggregate")[-1]
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+            n = joined.first()[0]
+            assert n == li.count()
+            _ = join_part
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS o_b")
+
+
 class TestSaltedAgg:
     def test_matches_plain_aggregation(self, spark, sf_small):
         from iotdatapipeline_spark.sources import load_table
