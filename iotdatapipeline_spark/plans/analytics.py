@@ -287,6 +287,72 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", block_col="source", min_jaccard_x1000=10)
 
 
+def _training_corpus_sql() -> str:
+    hits = ",\n                   ".join(
+        f"{_sql_stop_filter('lower(text)', sw)} AS {lang}_hits" for lang, sw in LANG_STOPWORDS.items()
+    )
+    cols = [f"{lang}_hits" for lang in LANG_STOPWORDS]
+    g = f"greatest({', '.join(cols)})"
+    case = " ".join(f"WHEN {c} = {g} THEN '{c[:2]}'" for c in cols)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               {_sql_stop_filter('text', LANG_STOPWORDS['en'])} AS stop_hits,
+               {hits}
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text, source, n_words,
+               CASE WHEN {g} <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+        FROM scored
+        WHERE n_words >= 20 AND stop_hits * 20 >= n_words
+    ),
+    canon AS (
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM kept GROUP BY md5(text)
+    )
+    SELECT k.doc_id, k.source, k.pred_lang, CAST(k.n_words AS BIGINT) AS n_words,
+           c.n_copies,
+           CAST(len(regexp_extract_all(k.text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+    FROM kept k JOIN canon c ON k.doc_id = c.keep_id
+    """
+
+
+@register("docs_training_corpus", _training_corpus_sql())
+def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data preparation flagship: quality gate
+    (length + stopword fluency) → language scoring → exact dedup
+    keeping the canonical (min-id) copy → token accounting. One
+    declarative plan: every stage is a narrow projection/filter until
+    the single dedup shuffle; at 100 TB the filters run inside the
+    scan and only survivors reach the hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nw = n_words(t)
+    scores = langid_scores(t)
+    kept = docs.select(
+        "doc_id", "text", "source", nw.alias("n_words"),
+        stopword_hits(t, LANG_STOPWORDS["en"]).alias("stop_hits"),
+        langid_pred(t).alias("pred_lang"),
+    ).filter((F.col("n_words") >= 20) & (F.col("stop_hits") * 20 >= F.col("n_words")))
+    canon = kept.groupBy(F.md5(t.cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    _ = scores
+    return (
+        kept.join(canon, kept["doc_id"] == canon["keep_id"])
+        .select(
+            "doc_id",
+            "source",
+            "pred_lang",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_copies",
+            n_tokens(t).alias("n_tokens"),
+        )
+    )
+
+
 # ── Similarity search ───────────────────────────────────────────────────────
 
 @register(
