@@ -106,6 +106,46 @@ class TestStateMachineInvariants:
         assert all(d > 0 for d in deltas)
         assert sum(deltas) == max(counters) - counters[0]
 
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 24 * 3600 * 3 - 1), st.integers(0, 10_000)),
+            min_size=2,
+            max_size=80,
+        )
+    )
+    def test_boundary_invariants_pure_advance(self, ticks):
+        """Random timestamps ACROSS shift boundaries, directly on the
+        pure transition fn (no Spark): (1) every delta ≥ 0, zero only
+        at a boundary emit; (2) emitted counters never decrease;
+        (3) qty_running = counter − base is never negative; (4) the
+        final state's prev equals the last emitted (or admitted)
+        counter."""
+        from iotdatapipeline_spark.streaming.stateful import _FRESH_STATE, _advance
+
+        base_day = dt.datetime(2024, 1, 1)
+        rows = sorted(
+            ((base_day + dt.timedelta(seconds=s)), c) for s, c in ticks
+        )
+        pdf = pd.DataFrame(
+            [(1, "p", ts, i, 0.0, c) for i, (ts, c) in enumerate(rows)],
+            columns=["station", "part", "ts", "event_id", "value", "counter"],
+        )
+        out, state = _advance(1, "p", pdf, _FRESH_STATE, "reference")
+        prev_emitted = None
+        for r in out:
+            assert r["delta"] >= 0
+            if r["delta"] == 0:
+                assert r["shift_change"]
+            assert r["qty_running"] >= 0
+            if prev_emitted is not None:
+                assert r["counter"] >= prev_emitted
+            prev_emitted = r["counter"]
+        if out:
+            assert state[0] == out[-1]["counter"]
+        else:
+            assert state[0] == pdf["counter"].iloc[0]
+
     @SET
     @given(st.lists(st.integers(0, 1000), min_size=2, max_size=60), st.integers(1, 5))
     def test_batch_split_equals_single_batch(self, counters, n_splits):
@@ -129,3 +169,44 @@ class TestStateMachineInvariants:
         chunk = max(1, len(rows) // n_splits)
         split = run([rows[i : i + chunk] for i in range(0, len(rows), chunk)])
         assert single == split
+
+
+class TestLshGuarantees:
+    def test_identical_docs_always_candidates_and_pairs_share_band(self, spark):
+        """LSH soundness on a randomized corpus: (a) exact duplicates
+        land in the same bucket of EVERY band, so they are always
+        candidate pairs; (b) every emitted pair genuinely shares at
+        least one band hash (no spurious pairs)."""
+        import random
+
+        from iotdatapipeline_spark.analytics.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_set,
+        )
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choices(vocab, k=rng.randint(6, 30))) for _ in range(40)]
+        # plant exact duplicate groups
+        texts += [texts[0], texts[1], texts[1]]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        sh = shingle_set(docs, "doc_id", "text", n=3, distinct=False)
+        sigs = minhash_signatures(sh, "doc_id", k=8)
+        pairs = {
+            (r["doc1"], r["doc2"])
+            for r in lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2).collect()
+        }
+        n = len(texts)
+        assert (0, n - 3) in pairs  # duplicate of texts[0]
+        assert (1, n - 2) in pairs and (1, n - 1) in pairs and (n - 2, n - 1) in pairs
+
+        sig_rows = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in sigs.collect()}
+        for d1, d2 in pairs:
+            s1, s2 = sig_rows[d1], sig_rows[d2]
+            shares_band = any(
+                s1[2 * b] == s2[2 * b] and s1[2 * b + 1] == s2[2 * b + 1] for b in range(4)
+            )
+            assert shares_band, (d1, d2)
