@@ -47,6 +47,17 @@ def run_pipeline(
     if config is not None:
         stream = enrich_with_config(stream, config)
     updates = counter_state_machine(stream, emit_mode=emit_mode, timeout_ms=timeout_ms)
+    # K6/K7 observability as observed metrics: per-micro-batch emit /
+    # limpieza / quantity counters surfaced through StreamingQuery
+    # progress (the Spark-native replacement for the reference's
+    # console dumps and per-station log files, Prensas.py:34-66,
+    # 689-700) — zero extra passes, computed inside the running plan.
+    updates = updates.observe(
+        "pipeline_metrics",
+        F.count(F.when(F.col("row_kind") == "update", 1)).alias("n_updates"),
+        F.count(F.when(F.col("row_kind") == "limpieza", 1)).alias("n_limpiezas"),
+        F.sum(F.when(F.col("row_kind") == "update", F.col("delta"))).alias("delta_total"),
+    )
     writer = (
         updates.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -97,6 +97,29 @@ class TestApproxDistinct:
         assert abs(row.approx - row.exact) <= 0.02 * spread, row
 
 
+class TestSessionWindowEquivalence:
+    def test_native_session_window_matches_gap_formulation(self, spark, sf_small):
+        """The registered sessionization counts sessions via lag-gap;
+        Spark's native session_window must agree on session counts per
+        station (same 1 h inactivity gap) — pinning the two
+        formulations to each other."""
+        from iotdatapipeline_spark.plans import QUERIES
+
+        gap_based = (
+            QUERIES["events_sessionization"](spark, sf_small)
+            .select("station", "n_sessions")
+        )
+        ev = load_table(spark, sf_small, "events")
+        native = (
+            ev.groupBy(F.col("user_id").alias("station"), F.session_window("ts", "1 hour"))
+            .count()
+            .groupBy("station")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        )
+        assert gap_based.exceptAll(native).count() == 0
+        assert native.exceptAll(gap_based).count() == 0
+
+
 class TestRegistryContract:
     def test_every_query_callable_and_oracle_paired(self):
         assert len(QUERIES) >= 44

@@ -215,6 +215,16 @@ class TestEndToEndStreaming:
         n_keys = records.select("station", "part", "plan_date", "shift_id").distinct().count()
         assert n_rec == n_keys
 
+        # K6/K7 observability: observed metrics over all progress
+        # events must account for every emitted update row
+        total_observed = sum(
+            p.observedMetrics["pipeline_metrics"]["n_updates"]
+            for p in q.recentProgress
+            if "pipeline_metrics" in p.observedMetrics
+        )
+        n_updates_written = history.filter(F.col("row_kind") == "update").count()
+        assert total_observed == n_updates_written
+
 
 @pytest.mark.slow
 class TestEventTimeWatermarks:
