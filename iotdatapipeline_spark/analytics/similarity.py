@@ -154,6 +154,71 @@ def ivf_search(
     )
 
 
+def kmeans_assignments(
+    corpus: DataFrame,
+    *,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means as driver-side iteration over DataFrame ops —
+    the representative iterative workload (SURVEY.md extension).
+
+    Exact-integer formulation so every engine agrees bit-for-bit:
+    components are scaled to ``floor(x*scale)`` longs, distances are
+    exact integer squared-L2, and each new centroid component is the
+    FLOOR of the mean (integer division) — no floating-point summation
+    order anywhere, so the trajectory is fully deterministic and even
+    the iteration itself is oracle-checkable. Init: centroids = the k
+    lowest ids. Ties in assignment break toward the lower centroid id.
+
+    Scale shape per iteration: one broadcast of k centroids + one
+    argmin per vector (W3 top-1), one posexplode + (cluster, dim)
+    aggregation for the recompute — all shuffles keyed by high-
+    cardinality or tiny keys; the corpus is scanned, never self-joined.
+    Output: vec_id, cluster, dist_sq (after ``iters`` assignments).
+    """
+    ints = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)).alias("__v"),
+    )
+    centroids = (
+        ints.orderBy(id_col).limit(k).select(F.col(id_col).alias("__cid"), F.col("__v").alias("__c"))
+    )
+    # relabel centroid ids to 0..k-1 by ascending source id
+    w0 = Window.orderBy("__cid")
+    centroids = centroids.select((F.row_number().over(w0) - 1).alias("__cid"), "__c")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        pairs = ints.crossJoin(F.broadcast(cent))
+        d = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = pairs.select(F.col(id_col), F.col("__cid"), d.alias("dist_sq"))
+        w = Window.partitionBy(id_col).orderBy(F.asc("dist_sq"), F.asc("__cid"))
+        return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    for _ in range(iters - 1):
+        a = assign(centroids)
+        member = ints.join(a.select(id_col, "__cid"), id_col)
+        dims = member.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+        agg = dims.groupBy("__cid", "__pos").agg(
+            F.floor(F.sum("__val") / F.count(F.lit(1))).alias("__m")
+        )
+        centroids = agg.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
+    final = assign(centroids)
+    return final.select(F.col(id_col), F.col("__cid").alias("cluster"), "dist_sq")
+
+
 def neardup_pairs(
     corpus: DataFrame,
     *,

@@ -20,6 +20,7 @@ from iotdatapipeline_spark.analytics import (
     ivf_assign,
     ivf_search,
     jaccard_pairs,
+    kmeans_assignments,
     knn_bruteforce,
     langid_pred,
     langid_scores,
@@ -483,6 +484,52 @@ def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
     return ivf_search(emb, cents, emb.filter(F.col("vec_id") < 5), k=3, n_probe=2)
+
+
+@register(
+    "embeddings_kmeans",
+    """
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    init AS (SELECT vec_id, v FROM iv ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM init),
+    p0 AS (SELECT iv.vec_id, c0.cid, unnest(iv.v) AS a, unnest(c0.c) AS b FROM iv, c0),
+    d0 AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS dist_sq FROM p0 GROUP BY vec_id, cid),
+    a0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cid) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT cid, i AS pos, CAST(floor(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        FROM (SELECT a0.cid, iv.v, unnest(generate_series(1, len(iv.v))) AS i
+              FROM a0 JOIN iv USING (vec_id))
+        GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m0 GROUP BY cid),
+    p1 AS (SELECT iv.vec_id, c1.cid, unnest(iv.v) AS a, unnest(c1.c) AS b FROM iv, c1),
+    d1 AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS dist_sq FROM p1 GROUP BY vec_id, cid)
+    SELECT vec_id, cid AS cluster, CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM (
+        SELECT vec_id, cid, dist_sq,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+    """,
+)
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 assignment rounds) — the iterative-
+    algorithm representative. Exact-integer arithmetic (scaled
+    components, floor-mean centroids) makes the whole trajectory
+    deterministic, so even the iteration is value-hash oracled
+    (the unrolled recursive SQL above)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=4, iters=2)
 
 
 @register(
