@@ -113,6 +113,28 @@ def simhash16(text: Column) -> Column:
     return simhash16_of_hashes(word_hashes(text))
 
 
+#: Simple, portable redaction patterns (kept to regex constructs with
+#: identical semantics across engines: classes, +, {m,n}, anchors-free).
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+LONG_NUMBER_REGEX = "[0-9]{7,}"
+
+
+def redact(text: Column) -> Column:
+    """Mask emails then long digit runs (id/phone/card-shaped) — the
+    standard pre-training scrub step. Order matters: emails first so
+    their digits aren't half-masked by the number pass."""
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(no_email, LONG_NUMBER_REGEX, "<NUM>")
+
+
+def redaction_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_long_numbers) found in ``text``."""
+    n_email = F.array_size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0))).cast("long")
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    n_num = F.array_size(F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_REGEX), F.lit(0))).cast("long")
+    return n_email, n_num
+
+
 def langid_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword hit counts (lowercased match)."""
     lowered = F.lower(text)

@@ -288,6 +288,60 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", block_col="source", min_jaccard_x1000=10)
 
 
+@register(
+    "docs_redaction",
+    """
+    WITH enriched AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or call 555' || CAST(1000000 + doc_id AS VARCHAR)
+                    ELSE text END AS t
+        FROM documents
+    ),
+    masked AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM enriched
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '[0-9]{7,}')) AS BIGINT) AS n_long_numbers,
+           md5(regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g')) AS redacted_hash
+    FROM masked
+    """,
+)
+def docs_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub (emails, long digit runs) — the standard
+    pre-training redaction pass. Synthetic PII is injected
+    deterministically into a third of the docs so the gate checks
+    real matches; the md5 of the redacted text proves the masking
+    transform is byte-identical across engines."""
+    from iotdatapipeline_spark.analytics.text import redact, redaction_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555"),
+                (F.col("doc_id") + 1_000_000).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    n_email, n_num = redaction_counts(F.col("t"))
+    return enriched.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_num.alias("n_long_numbers"),
+        F.md5(redact(F.col("t")).cast("binary")).alias("redacted_hash"),
+    )
+
+
 def _training_corpus_sql() -> str:
     hits = ",\n                   ".join(
         f"{_sql_stop_filter('lower(text)', sw)} AS {lang}_hits" for lang, sw in LANG_STOPWORDS.items()
