@@ -385,7 +385,6 @@ def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     nw = n_words(t)
-    scores = langid_scores(t)
     kept = docs.select(
         "doc_id", "text", "source", nw.alias("n_words"),
         stopword_hits(t, LANG_STOPWORDS["en"]).alias("stop_hits"),
@@ -394,7 +393,6 @@ def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = kept.groupBy(F.md5(t.cast("binary")).alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
-    _ = scores
     return (
         kept.join(canon, kept["doc_id"] == canon["keep_id"])
         .select(
