@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iotdatapipeline_spark.analytics.dedup import MINHASH_COEFFS
 from iotdatapipeline_spark.analytics import (
     LANG_STOPWORDS,
     TOKEN_REGEX,
@@ -228,14 +229,19 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_minhash_lsh_pairs",
     f"""
     WITH {_SHINGLES_SQL},
+    ab AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
+        FROM sh
+    ),
     m AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
-        FROM sh GROUP BY doc_id
+               {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+        FROM ab GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id,
-               {", ".join(f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4))}
+               {", ".join(f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS b{b}" for b in range(4))}
         FROM m
     ),
     e AS (
