@@ -32,23 +32,38 @@ def dedup_combine(
     counter_col: str,
     cycle_time_col: str,
     order_col: str,
+    collect_counters: bool = True,
 ) -> DataFrame:
     """Explode alternatives, filter empties, merge duplicates.
 
     ``part_alts_col`` is array<string> (use
     ``functions.expand_alternatives`` upstream). Output columns:
-    keys…, part, part_original, counter_total, counters, cycle_time.
+    keys…, part, part_original, counter_total, [counters,] cycle_time.
+
+    ``collect_counters=False`` drops the ordered per-part counter list
+    (the reference keeps it at :420-421, but most consumers only need
+    the merged scalars) — a collect_list over the widest column is the
+    single biggest cost of this aggregate, so skip it when the list
+    isn't consumed.
     """
     exploded = readings.withColumn("part", F.explode(F.col(part_alts_col)))
     filtered = exploded.filter(F.col("part").isNotNull() & (F.col("part") != ""))
-    return filtered.groupBy(*keys, "part").agg(
+    aggs = [
         F.sum(counter_col).alias("counter_total"),
         F.count(F.lit(1)).alias("n_readings"),
+    ]
+    if collect_counters:
         # struct-ordered collect keeps the per-part counter list in reading order
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(counter_col).alias("c")))),
-            lambda s: s["c"],
-        ).alias("counters"),
+        aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(counter_col).alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("counters")
+        )
+    aggs += [
         F.min_by(F.col(original_col), F.col(order_col)).alias("part_original"),
         F.max_by(F.col(cycle_time_col), F.col(order_col)).alias("cycle_time"),
-    )
+    ]
+    return filtered.groupBy(*keys, "part").agg(*aggs)

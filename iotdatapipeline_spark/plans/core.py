@@ -245,6 +245,7 @@ def dedup_combine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counter_col="counter",
         cycle_time_col="value",
         order_col="event_id",
+        collect_counters=False,  # this query projects only the merged scalars
     )
     return out.select("station", "part", "counter_total", "n_readings", "part_original", "cycle_time")
 
