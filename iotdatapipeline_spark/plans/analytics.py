@@ -295,6 +295,114 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_neardup_resolved",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ab AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
+        FROM sh
+    ),
+    m AS (
+        SELECT doc_id,
+               {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+        FROM ab GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               {", ".join(f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS b{b}" for b in range(4))}
+        FROM m
+    ),
+    e AS (
+        SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+               unnest([b0, b1, b2, b3]) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM e a JOIN e c
+          ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT doc1, doc2
+        FROM (
+            SELECT cand.doc1, cand.doc2, count(*) AS inter
+            FROM cand
+              JOIN sh a ON a.doc_id = cand.doc1
+              JOIN sh b ON b.doc_id = cand.doc2 AND b.shingle = a.shingle
+            GROUP BY cand.doc1, cand.doc2
+        ) iv
+        JOIN sizes s1 ON iv.doc1 = s1.doc_id
+        JOIN sizes s2 ON iv.doc2 = s2.doc_id
+        WHERE 1000.0 * iv.inter / (s1.n + s2.n - iv.inter) >= 800
+    ),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM verified
+        UNION ALL SELECT doc2, doc1 FROM verified
+        UNION ALL SELECT doc1, doc1 FROM verified
+        UNION ALL SELECT doc2, doc2 FROM verified
+    ),
+    l1 AS (SELECT src AS doc_id, min(dst) AS lbl FROM edges GROUP BY src),
+    l2 AS (
+        SELECT e.src AS doc_id, min(l1.lbl) AS lbl
+        FROM edges e JOIN l1 ON l1.doc_id = e.dst GROUP BY e.src
+    )
+    SELECT doc_id, CAST(lbl AS BIGINT) AS canonical_id,
+           CAST(doc_id <> lbl AS BOOLEAN) AS is_duplicate
+    FROM l2
+    """,
+)
+def docs_neardup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dedup composition: MinHash+LSH candidate pairs →
+    exact-Jaccard verification (≥ 0.8 on word-3-gram sets) → two
+    rounds of min-label propagation over the verified-duplicate graph
+    → (doc, canonical) assignment. Candidates bound the quadratic
+    stage, verification bounds false positives, label propagation
+    resolves duplicate CLUSTERS (not just pairs) — each stage is the
+    scale-safe version of its naive counterpart. (Two propagation
+    rounds resolve chains up to diameter 4 — beyond that, iterate the
+    same step; the fixture's planted near-dup groups are pairs.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_nd = shingle_set(docs, "doc_id", "text", n=3, distinct=False)
+    cands = lsh_candidate_pairs(minhash_signatures(sh_nd, "doc_id", k=8), "doc_id", k=8, rows_per_band=2)
+
+    sh = shingle_set(docs, "doc_id", "text", n=3, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc1"))
+        .join(sh.alias("b"), (F.col("b.doc_id") == F.col("doc2")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    verified = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")) >= 800)
+        .select("doc1", "doc2")
+    )
+    edges = (
+        verified.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionAll(verified.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .unionAll(verified.select(F.col("doc1").alias("src"), F.col("doc1").alias("dst")))
+        .unionAll(verified.select(F.col("doc2").alias("src"), F.col("doc2").alias("dst")))
+    )
+    l1 = edges.groupBy(F.col("src").alias("doc_id")).agg(F.min("dst").alias("lbl"))
+    l2 = (
+        edges.join(l1.select(F.col("doc_id").alias("dst"), "lbl"), "dst")
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    return l2.select(
+        "doc_id",
+        F.col("lbl").cast("long").alias("canonical_id"),
+        (F.col("doc_id") != F.col("lbl")).alias("is_duplicate"),
+    )
+
+
+@register(
     "docs_redaction",
     """
     WITH enriched AS (
