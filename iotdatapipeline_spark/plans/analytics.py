@@ -698,6 +698,44 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb, k=4, iters=2)
 
 
+def _ivf_recall_sql() -> str:
+    """Compose the two already-registered oracles as subqueries —
+    recall@3 of IVF(n_probe=2) against exact brute force."""
+    bf, ivf = ORACLE["embeddings_knn_bruteforce"], ORACLE["embeddings_ivf_search"]
+    return f"""
+    SELECT b.qid,
+           CAST(count(i.nid) AS BIGINT) AS n_hit,
+           CAST(floor(100.0 * count(i.nid) / 3) AS BIGINT) AS recall_x100
+    FROM ({bf}) b
+    LEFT JOIN ({ivf}) i ON i.qid = b.qid AND i.nid = b.nid
+    GROUP BY b.qid
+    """
+
+
+@register("embeddings_ivf_recall", None)
+def embeddings_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF scale path against the exact baseline —
+    the quality metric that decides n_probe/n_centroids at deploy
+    time, computed as a plain join of the two search results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    bf = knn_bruteforce(emb, queries_df, k=3).select("qid", "nid")
+    iv = ivf_search(emb, cents, queries_df, k=3, n_probe=2).select(
+        F.col("qid").alias("iqid"), F.col("nid").alias("inid")
+    )
+    hit = bf.join(iv, (F.col("iqid") == F.col("qid")) & (F.col("inid") == F.col("nid")), "left")
+    return hit.groupBy("qid").agg(
+        F.count("inid").alias("n_hit"),
+        F.floor(F.lit(100.0) * F.count("inid") / 3).cast("long").alias("recall_x100"),
+    )
+
+
+ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
+
+
 @register(
     "embeddings_neardup_pairs",
     """
