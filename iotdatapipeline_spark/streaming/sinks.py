@@ -68,11 +68,36 @@ def upsert_foreach_batch(path: str, keys: Sequence[str]):
     return apply
 
 
+def _idempotent_append(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """Exactly-once append under micro-batch RETRY: rows land in a
+    ``__batch_id=N`` partition via dynamic partition overwrite, so a
+    replayed batch overwrites its own partition instead of duplicating
+    it. Readers see plain rows (the partition column is engine
+    metadata, pruned on read)."""
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_history(spark: SparkSession, path: str) -> DataFrame:
+    """Read an idempotent-append table without the batch bookkeeping."""
+    return spark.read.parquet(path).drop("__batch_id")
+
+
 def append_foreach_batch(path: str):
-    """K3 executor: immutable history append."""
+    """K3 executor: immutable history append, idempotent per batch."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        _idempotent_append(batch_df, batch_id, path)
 
     return apply
 
@@ -93,7 +118,7 @@ def fanout_foreach_batch(
         batch_df.persist()
         try:
             updates = batch_df.filter(F.col("row_kind") == "update")
-            updates.write.mode("append").parquet(history_path)
+            _idempotent_append(updates, batch_id, history_path)
             latest = latest_per_key(updates, updates_keys, "ts")
             spark = batch_df.sparkSession
             existing = read_or_empty(spark, updates_path, updates)
@@ -101,7 +126,7 @@ def fanout_foreach_batch(
             if limpieza_path is not None:
                 limp = batch_df.filter(F.col("row_kind") == "limpieza").select("station", "part")
                 if limp.take(1):
-                    limp.write.mode("append").parquet(limpieza_path)
+                    _idempotent_append(limp, batch_id, limpieza_path)
         finally:
             batch_df.unpersist()
 

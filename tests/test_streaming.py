@@ -300,6 +300,24 @@ class TestEventTimeWatermarks:
 
 
 class TestSinks:
+    def test_append_is_idempotent_under_batch_retry(self, spark, tmp_path):
+        """K3 exactly-once: replaying a micro-batch (same batch_id, as
+        Spark does after a failure between sink write and offset
+        commit) must NOT duplicate history rows; a new batch_id
+        appends."""
+        from iotdatapipeline_spark.streaming.sinks import append_foreach_batch, read_history
+
+        path = str(tmp_path / "hist")
+        sink = append_foreach_batch(path)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        sink(b0, 0)
+        sink(b0, 0)  # retry of the same batch
+        assert read_history(spark, path).count() == 2
+        sink(spark.createDataFrame([(3, "c")], "id int, v string"), 1)
+        got = read_history(spark, path)
+        assert got.count() == 3
+        assert "__batch_id" not in got.columns
+
     def test_merge_upsert(self, spark):
         existing = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, k string, v int")
         updates = spark.createDataFrame([(2, "b", 99), (3, "c", 30)], "id int, k string, v int")
