@@ -44,8 +44,10 @@ def _cmd_run(args: argparse.Namespace) -> int:
         available_now=not args.follow,
     )
     q.awaitTermination()
+    from iotdatapipeline_spark.streaming.sinks import read_history
+
     records = spark.read.parquet(os.path.join(out, "records"))
-    history = spark.read.parquet(os.path.join(out, "history"))
+    history = read_history(spark, os.path.join(out, "history"))
     print(f"records: {records.count()} rows -> {out}/records")
     print(f"history: {history.count()} rows -> {out}/history")
     records.orderBy("station", "part", "plan_date", "shift_id").show(20, truncate=False)
