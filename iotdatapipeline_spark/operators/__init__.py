@@ -5,6 +5,7 @@ from iotdatapipeline_spark.operators.counter_rollup import (
     production_rollup,
     with_shift,
 )
+from iotdatapipeline_spark.operators.asof import asof_join
 from iotdatapipeline_spark.operators.dedup_combine import dedup_combine
 from iotdatapipeline_spark.operators.skew import (
     salted_agg,
@@ -21,6 +22,7 @@ from iotdatapipeline_spark.operators.relational import (
 )
 
 __all__ = [
+    "asof_join",
     "counter_deltas",
     "production_rollup",
     "with_shift",

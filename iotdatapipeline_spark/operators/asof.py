@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join — an operator class the reference does
+not have (SURVEY.md §2.4: "No theta, range, as-of … joins exist"), but
+the natural extension of its latest-snapshot probe (K8/S5): attach to
+each fact row the most recent dimension/state row at or before the
+fact's timestamp.
+
+Spark has no built-in as-of join, and the naive formulation
+(``probe.join(build, keys + (probe.ts >= build.ts))`` + top-1) is a
+range join that degenerates to a per-key cartesian product — quadratic
+in build rows per key, hopeless at 100 TB.  The scalable formulation
+used here is the union-merge: tag both sides, union them, and
+forward-fill the build columns over a single (keys)-partitioned
+(ts)-ordered window.  One shuffle + one sort, linear in rows, no
+cartesian blow-up, and the partition key is the join key so skew
+handling (AQE / salting) composes normally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every ``probe`` row gains ``value_cols`` from
+    the latest ``build`` row with ``build[ts_col] <= probe[ts_col]``
+    and equal ``on`` keys; no prior build row → null.
+
+    ``build`` must be unique per (on, ts_col) — with duplicates the
+    "latest" row at a tied timestamp is distribution-dependent.
+    Pre-aggregate (e.g. ``latest_snapshot`` or max_by) before calling.
+    ``value_cols`` must not collide with ``probe`` columns.
+    """
+    on = list(on)
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with probe columns: {sorted(clash)}")
+
+    build_types = {f.name: f.dataType for f in build.schema.fields}
+    probe_types = {f.name: f.dataType for f in probe.schema.fields}
+    probe_only = [c for c in probe.columns if c not in on and c != ts_col]
+
+    # Build rows sort BEFORE probe rows at an equal timestamp (side 0 < 1)
+    # so a build row taking effect exactly at the probe's ts is included.
+    probe_side = probe.withColumns(
+        {c: F.lit(None).cast(build_types[c]) for c in value_cols} | {_SIDE: F.lit(1)}
+    )
+    build_side = build.select(*on, ts_col, *value_cols).withColumns(
+        {c: F.lit(None).cast(probe_types[c]) for c in probe_only} | {_SIDE: F.lit(0)}
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = probe_side.unionByName(build_side).withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.functions import expand_block
+from iotdatapipeline_spark.operators import asof_join, salted_agg
 from iotdatapipeline_spark.sources import load_table
 
 QUERIES: dict = {}
@@ -321,4 +322,113 @@ def distinct_parts_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.col("user_id").alias("station")).agg(
         F.count_distinct(F.col("event_type")).cast("long").alias("n_parts"),
         F.count_distinct(F.to_date("ts")).cast("long").alias("n_days"),
+    )
+
+
+@register(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus, l_linenumber,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linenumber))
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup):
+    three aggregation grains in one pass — Spark expands the sets into
+    a single Expand + hash-aggregate, one shuffle total instead of a
+    union of three separate groupBys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linenumber"]],
+        "l_returnflag", "l_linestatus", "l_linenumber",
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "salted_station_part_totals",
+    """
+    SELECT user_id AS station, event_type AS part,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_counter,
+           CAST(count(value) AS BIGINT) AS n_ticks,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_counter
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def salted_station_part_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path under the correctness gate: salted two-phase
+    aggregation (operators/skew.py) must equal a plain GROUP BY — the
+    oracle IS the unsalted query, so any semantics drift in the
+    partial/merge composition hash-fails here."""
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.col("value"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    )
+    out = salted_agg(
+        readings,
+        ["station", "part"],
+        {
+            "total_counter": ("sum", "counter"),
+            "n_ticks": ("count", "value"),
+            "max_counter": ("max", "counter"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "station", "part",
+        F.col("total_counter").cast("long").alias("total_counter"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.col("max_counter").cast("long").alias("max_counter"),
+    )
+
+
+@register(
+    "events_asof_config",
+    """
+    WITH readings AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS counter
+        FROM events
+    ),
+    cfg AS (
+        SELECT station, ts, max(counter) AS version
+        FROM readings WHERE event_id % 17 = 0
+        GROUP BY station, ts
+    )
+    SELECT r.station, r.event_id, r.counter,
+           CAST(COALESCE(c.version, -1) AS BIGINT) AS cfg_version
+    FROM readings r ASOF LEFT JOIN cfg c
+      ON r.station = c.station AND r.ts >= c.ts
+    """,
+)
+def events_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every reading annotated with the
+    config version in force at its timestamp (every 17th event plays a
+    config push). Union-merge + forward-fill window — one shuffle on
+    the key, no range-join cartesian blow-up; the DuckDB oracle uses
+    its native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    )
+    cfg = (
+        readings.filter(F.col("event_id") % 17 == 0)
+        .groupBy("station", "ts")
+        .agg(F.max("counter").alias("version"))
+    )
+    joined = asof_join(readings, cfg, on=["station"], ts_col="ts", value_cols=["version"])
+    return joined.select(
+        "station", "event_id", "counter",
+        F.coalesce(F.col("version"), F.lit(-1)).cast("long").alias("cfg_version"),
     )

@@ -1,0 +1,62 @@
+"""Partitioning-independence: a distributed engine's results must not
+depend on the physical shuffle layout. Rerun order-sensitive queries
+under a different spark.sql.shuffle.partitions and repartitioned
+inputs; any divergence means an implicit ordering assumption
+(first/last/collect without explicit order) leaked into results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.plans import QUERIES
+
+ORDER_SENSITIVE = [
+    "production_shift_rollup",   # lag windows + first/last merge
+    "dedup_combine_parts",       # min_by/max_by merge rules
+    "docs_minhash_lsh_pairs",    # min over shuffled shingles
+    "config_regroup",            # collect_set/collect_list regroup
+    "latest_snapshot",           # max_by last-write-wins
+    "embeddings_kmeans",         # iterative argmin
+]
+
+
+@pytest.mark.slow
+class TestPartitioningIndependence:
+    @pytest.mark.parametrize("name", ORDER_SENSITIVE)
+    def test_results_stable_across_shuffle_layouts(self, spark, sf_small, name):
+        base = QUERIES[name](spark, sf_small)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            alt = QUERIES[name](spark, sf_small)
+            # different shuffle fan-in AND a skewed repartition of the
+            # plan's own output must agree exactly
+            assert base.exceptAll(alt).count() == 0, name
+            assert alt.exceptAll(base).count() == 0, name
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def test_repartitioned_input_same_aggregate(self, spark, sf_small):
+        from iotdatapipeline_spark.operators import dedup_combine
+        from iotdatapipeline_spark.functions import expand_alternatives
+        from iotdatapipeline_spark.sources import load_table
+
+        ev = load_table(spark, sf_small, "events").select(
+            F.col("user_id").alias("station"),
+            F.col("event_id"),
+            F.col("value"),
+            F.floor(F.col("value") * 100).cast("long").alias("counter"),
+            F.concat(F.col("event_type"), F.lit("/"), (F.col("user_id") % 3).cast("string")).alias("cadena"),
+        ).withColumn("part_alts", expand_alternatives(F.col("cadena")))
+
+        def run(df):
+            return dedup_combine(
+                df, keys=["station"], part_alts_col="part_alts", original_col="cadena",
+                counter_col="counter", cycle_time_col="value", order_col="event_id",
+            )
+
+        a = run(ev)
+        b = run(ev.repartition(7, "event_id"))  # scatter rows away from group keys
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
