@@ -758,3 +758,82 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random fixture; production thresholds sit at 0.9+)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, min_cos_x1e6=350_000)
+
+
+@register(
+    "docs_split_assign",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM b GROUP BY lang, split
+    """,
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    STABLE document key — the split survives reshuffles, re-partitions
+    and re-runs, unlike randomSplit, and needs no coordination: any
+    executor computes any document's split locally. md5 is bit-identical
+    across engines, so the oracle checks the exact assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "docs_length_deciles",
+    """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT lang, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM d GROUP BY lang, decile
+    """,
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (ntile) — the ranked-bucket shape
+    behind curriculum sampling and quality-threshold selection. The
+    tie-break on doc_id makes ntile deterministic under distribution;
+    one shuffle on lang, one window pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

@@ -432,3 +432,62 @@ def events_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station", "event_id", "counter",
         F.coalesce(F.col("version"), F.lit(-1)).cast("long").alias("cfg_version"),
     )
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT user_id AS station, event_type AS part,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing — the training-pipeline staple
+    the reference never needed (its payloads are fixed register slots).
+    ``from_json`` with an explicit schema stays JVM-side and codegen'd;
+    schema-on-read without a Python UDF in sight."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.col("user_id").alias("station"), F.col("event_type").alias("part"))
+        .agg(
+            F.sum("k").cast("long").alias("k_total"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id AS station,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS n_click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS n_error,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS n_signup,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an EXPLICIT value list — the implicit
+    form costs a full extra pass just to discover the columns, and its
+    output schema is data-dependent (a non-starter for a stable
+    contract at 100 TB). Compiles to one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.col("user_id").alias("station"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "station",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
