@@ -476,18 +476,58 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long → wide) with an EXPLICIT value list — the implicit
-    form costs a full extra pass just to discover the columns, and its
-    output schema is data-dependent (a non-starter for a stable
-    contract at 100 TB). Compiles to one hash aggregate."""
+    """Pivot (long → wide) with an EXPLICIT value list, expressed as
+    conditional aggregation rather than ``DataFrame.pivot``: the same
+    result in ONE hash aggregate / one shuffle, where pivot() plans a
+    pre-aggregation on (station, type) plus a second pivotfirst pass —
+    two shuffles (measured; plan-shape test pins the difference). An
+    implicit value list would be worse still: a full discovery pass and
+    a data-dependent output schema."""
     ev = load_table(spark, sf_dir, "events")
     kinds = ["click", "error", "purchase", "signup", "view"]
-    wide = (
-        ev.groupBy(F.col("user_id").alias("station"))
-        .pivot("event_type", kinds)
-        .agg(F.count(F.lit(1)))
+    return ev.groupBy(F.col("user_id").alias("station")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == k, F.lit(1))).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ]
     )
-    return wide.select(
-        "station",
-        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
-    )
+
+
+@register(
+    "stations_error_and_purchase",
+    """
+    SELECT user_id AS station FROM events WHERE event_type = 'error'
+    INTERSECT
+    SELECT user_id AS station FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stations_error_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY.md §2.8 notes the reference has none — added
+    as the free-built-in extension). Spark plans it as a distinct +
+    left-semi hash join; both branches prune to the single key column
+    at the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(F.col("user_id").alias("station"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(F.col("user_id").alias("station"))
+    return err.intersect(pur)
+
+
+@register(
+    "station_days_error_no_purchase",
+    """
+    SELECT user_id AS station, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id AS station, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def station_days_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — distinct + left-anti hash join.
+    Keyed per (station, day) so the result is non-empty at every SF
+    (station-level EXCEPT is vacuous once every station has seen every
+    event type)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("station"), F.to_date("ts").alias("day"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("station"), F.to_date("ts").alias("day"))
+    return err.subtract(pur)

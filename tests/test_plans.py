@@ -77,6 +77,28 @@ class TestPlanShapes:
         plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
         assert plan.count("Exchange") == 1, plan
 
+    def test_grouping_sets_single_expand_single_shuffle(self, spark, sf_small):
+        # three grains in ONE pass: Expand + hash-aggregate, not a
+        # union of three separate groupBys (which would triple-scan)
+        df = QUERIES["grouping_sets_pricing"](spark, sf_small)
+        plan = _plan(df)
+        assert plan.count("Expand") == 1, plan
+        assert plan.count("FileScan") == 1, plan
+
+    def test_pivot_is_one_aggregate_pass(self, spark, sf_small):
+        # explicit value list → no discovery pass: exactly one scan,
+        # one exchange (on station) in the whole plan
+        df = QUERIES["events_type_pivot"](spark, sf_small)
+        plan = _plan(df)
+        assert plan.count("FileScan") == 1, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_setops_compile_to_semi_anti_joins(self, spark, sf_small):
+        inter = _plan(QUERIES["stations_error_and_purchase"](spark, sf_small))
+        assert "LeftSemi" in inter, inter
+        exc = _plan(QUERIES["station_days_error_no_purchase"](spark, sf_small))
+        assert "LeftAnti" in exc, exc
+
 
 class TestApproxDistinct:
     def test_approx_count_distinct_within_5pct_of_exact(self, spark, sf_small):
