@@ -7,6 +7,7 @@ from iotdatapipeline_spark.operators.counter_rollup import (
 )
 from iotdatapipeline_spark.operators.asof import asof_join
 from iotdatapipeline_spark.operators.dedup_combine import dedup_combine
+from iotdatapipeline_spark.operators.rangejoin import band_range_join
 from iotdatapipeline_spark.operators.skew import (
     salted_agg,
     salted_broadcast_left,
@@ -23,6 +24,7 @@ from iotdatapipeline_spark.operators.relational import (
 
 __all__ = [
     "asof_join",
+    "band_range_join",
     "counter_deltas",
     "production_rollup",
     "with_shift",

@@ -531,3 +531,42 @@ def station_days_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     pur = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("station"), F.to_date("ts").alias("day"))
     return err.subtract(pur)
+
+
+@register(
+    "orders_price_bands",
+    """
+    WITH bands AS (
+        SELECT r_regionkey AS band_id,
+               CAST(r_regionkey * r_regionkey * 30000 AS DOUBLE) AS lo,
+               CAST((r_regionkey + 1) * (r_regionkey + 1) * 30000 AS DOUBLE) AS hi
+        FROM region
+    )
+    SELECT band_id, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): orders bucketed into
+    irregular price intervals via the banded equi-join formulation —
+    hash join on a computed band id + residual filter, never a
+    nested-loop range join. Bands derive from region keys (quadratic
+    edges) so interval widths genuinely vary."""
+    from iotdatapipeline_spark.operators import band_range_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    region = load_table(spark, sf_dir, "region")
+    bands = region.select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * F.col("r_regionkey") * 30000).cast("double").alias("lo"),
+        ((F.col("r_regionkey") + 1) * (F.col("r_regionkey") + 1) * 30000).cast("double").alias("hi"),
+    )
+    joined = band_range_join(
+        orders, bands, point_col="o_totalprice", lo_col="lo", hi_col="hi", granularity=30000
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("sum_cents"),
+    )
