@@ -837,3 +837,65 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn,
+               CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000) AS BIGINT)
+                   AS score_x1000
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rn AS BIGINT) AS rank, score_x1000
+    FROM scored WHERE rn <= 3
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the keyword-extraction /
+    relevance-weighting primitive of corpus pipelines. Ranking uses the
+    integer tuple (tf DESC, df ASC, term) so order is bit-stable across
+    engines; the smoothed log-idf score is emitted (floored at 1e-3)
+    rather than ranked on, keeping float math out of the decision path.
+    Two shuffles (doc-term tf, term df) + a broadcast of the 1-row
+    corpus count; df re-joins tf on term — all hash joins on
+    high-cardinality keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "score_x1000",
+            F.floor(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1000
+            ).cast("long"),
+        )
+    )
+    return scored.filter(F.col("rank") <= 3).select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "rank", "score_x1000",
+    )

@@ -570,3 +570,37 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "events_type_unpivot",
+    """
+    WITH wide AS (
+        SELECT user_id AS station,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS n_click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS n_error,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT station, kind, n FROM (
+        SELECT station, 'click' AS kind, n_click AS n FROM wide
+        UNION ALL SELECT station, 'error', n_error FROM wide
+        UNION ALL SELECT station, 'purchase', n_purchase FROM wide
+    )
+    """,
+)
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long), the inverse of events_type_pivot:
+    ``DataFrame.unpivot`` compiles to a single Expand over the wide
+    rows — one pass, no union-of-selects re-scan (the oracle's UNION
+    ALL shape would scan the input once per column)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase"]
+    wide = ev.groupBy(F.col("user_id").alias("station")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == k, F.lit(1))).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ]
+    )
+    long = wide.unpivot("station", [f"n_{k}" for k in kinds], "kind", "n")
+    return long.withColumn("kind", F.expr("substring(kind, 3)"))
