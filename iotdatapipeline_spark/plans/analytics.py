@@ -899,3 +899,38 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("df"),
         "rank", "score_x1000",
     )
+
+
+@register(
+    "parts_fuzzy_pairs",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def parts_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: edit-distance pairs computed only
+    WITHIN (brand, size) blocks — the blocking key turns an O(n²)
+    all-pairs comparison into a hash self-join with bounded block
+    sizes, the same candidate-pruning idea as LSH banding but for
+    structured attributes. Native ``levenshtein`` stays JVM-side."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("edit_dist") <= 6)
+        .select("a_key", "b_key", "edit_dist")
+    )
