@@ -298,6 +298,56 @@ class TestEventTimeWatermarks:
         assert n_dups > 0
         assert got_n == base_n  # every injected duplicate dropped
 
+    def test_stream_stream_interval_join_matches_batch(self, spark, sf_small, tmp_path):
+        """Stream-stream inner join with an event-time interval
+        condition: readings ⋈ config-push marks within the preceding
+        10 minutes. Watermarks on BOTH sides bound the join state (the
+        100 TB requirement — unbounded stream-stream state is a leak);
+        with availableNow replay the result must equal the batch join
+        exactly."""
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=5)
+        r = readings_stream(spark, replay).withWatermark("ts", "30 minutes")
+        m = (
+            readings_stream(spark, replay)
+            .filter(F.col("event_id") % 17 == 0)
+            .select(
+                F.col("station").alias("m_station"),
+                F.col("ts").alias("m_ts"),
+                F.col("counter").alias("m_counter"),
+            )
+            .withWatermark("m_ts", "30 minutes")
+        )
+        cond = (
+            (F.col("station") == F.col("m_station"))
+            & (F.col("m_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("m_ts") <= F.col("ts"))
+        )
+        out = str(tmp_path / "ssj_out")
+        q = (
+            r.join(m, cond, "inner")
+            .select("station", "event_id", "counter", "m_ts", "m_counter")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out)
+
+        readings = _readings(spark, sf_small)
+        marks = readings.filter(F.col("event_id") % 17 == 0).select(
+            F.col("station").alias("m_station"),
+            F.col("ts").alias("m_ts"),
+            F.col("counter").alias("m_counter"),
+        )
+        expected = readings.join(marks, cond, "inner").select(
+            "station", "event_id", "counter", "m_ts", "m_counter"
+        )
+        assert expected.count() > 0
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
 
 class TestSinks:
     def test_append_is_idempotent_under_batch_retry(self, spark, tmp_path):
