@@ -210,3 +210,74 @@ class TestLshGuarantees:
                 s1[2 * b] == s2[2 * b] and s1[2 * b + 1] == s2[2 * b + 1] for b in range(4)
             )
             assert shares_band, (d1, d2)
+
+
+class TestJoinOperatorProperties:
+    """asof_join / band_range_join vs pure-Python oracles on random
+    inputs — one Spark round-trip per example, tiny frames."""
+
+    @SET
+    @given(
+        st.lists(  # probe: (key, ts)
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=1, max_size=15,
+        ),
+        st.lists(  # build: (key, ts, val) — ts deduped per key below
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+            min_size=0, max_size=10,
+        ),
+    )
+    def test_asof_matches_python_reference(self, spark, probe, build):
+        from iotdatapipeline_spark.operators import asof_join
+
+        # enforce the documented build-uniqueness contract: max val per (k, ts)
+        uniq: dict = {}
+        for k, ts, v in build:
+            uniq[(k, ts)] = max(v, uniq.get((k, ts), -1))
+        build_rows = [(k, ts, v) for (k, ts), v in uniq.items()]
+
+        pdf = spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(probe)], "k int, ts int, pid int"
+        )
+        bdf = spark.createDataFrame(build_rows or [(99, 0, 0)], "k int, ts int, val int")
+        if not build_rows:
+            bdf = bdf.filter("k < 99")
+        out = asof_join(pdf, bdf, on=["k"], ts_col="ts", value_cols=["val"])
+        got = {r.pid: r.val for r in out.collect()}
+
+        expected = {}
+        for i, (k, ts) in enumerate(probe):
+            cands = [(bts, v) for (bk, bts), v in uniq.items() if bk == k and bts <= ts]
+            expected[i] = max(cands)[1] if cands else None
+        assert got == expected
+
+    @SET
+    @given(
+        st.lists(st.integers(-5, 60), min_size=1, max_size=15),          # points
+        st.lists(st.tuples(st.integers(0, 50), st.integers(1, 20)),      # (lo, width)
+                 min_size=0, max_size=6),
+        st.sampled_from([1.0, 3.0, 7.5, 32.0]),                          # granularity
+    )
+    def test_band_range_join_matches_python_reference(self, spark, points, ranges, gran):
+        from iotdatapipeline_spark.operators import band_range_join
+
+        pdf = spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(points)], "pid int, p double"
+        )
+        rdf = spark.createDataFrame(
+            [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ranges)] or [(0, 0.0, 0.0)],
+            "rid int, lo double, hi double",
+        )
+        if not ranges:
+            rdf = rdf.filter("hi > lo")
+        out = band_range_join(
+            pdf, rdf, point_col="p", lo_col="lo", hi_col="hi", granularity=gran
+        )
+        got = {(r.pid, r.rid) for r in out.collect()}
+        expected = {
+            (i, j)
+            for i, p in enumerate(points)
+            for j, (lo, w) in enumerate(ranges)
+            if lo <= p < lo + w
+        }
+        assert got == expected
