@@ -604,3 +604,61 @@ def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     long = wide.unpivot("station", [f"n_{k}" for k in kinds], "kind", "n")
     return long.withColumn("kind", F.expr("substring(kind, 3)"))
+
+
+@register(
+    "station_value_outliers",
+    """
+    WITH stats AS (
+        SELECT user_id AS station,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS med,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id AS station,
+           CAST(floor(s.med * 1000) AS BIGINT) AS median_x1000,
+           CAST(floor((s.q3 - s.q1) * 1000) AS BIGINT) AS iqr_x1000,
+           CAST(sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                           OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_rows
+    FROM events e JOIN stats s ON e.user_id = s.station
+    GROUP BY e.user_id, s.med, s.q1, s.q3
+    """,
+)
+def station_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening (Tukey fences): per-station exact
+    median/IQR, then count readings beyond 1.5×IQR — the
+    quality-filtering shape used to drop corrupt sensors or garbage
+    documents before training. Two passes over events (stats, then
+    re-scan + broadcast the per-key fences); at 100 TB the stats side
+    is tiny (one row per station) so the fact scan never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    stats = ev.groupBy(F.col("user_id").alias("station")).agg(pct.alias("__p")).select(
+        "station",
+        F.col("__p")[0].alias("q1"),
+        F.col("__p")[1].alias("med"),
+        F.col("__p")[2].alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out_pred = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.select(F.col("user_id").alias("station"), "value")
+        .join(F.broadcast(stats), "station")
+        .groupBy("station", "med", "q1", "q3")
+        .agg(
+            F.sum(F.when(out_pred, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "station",
+            F.floor(F.col("med") * 1000).cast("long").alias("median_x1000"),
+            F.floor((F.col("q3") - F.col("q1")) * 1000).cast("long").alias("iqr_x1000"),
+            "n_outliers",
+            "n_rows",
+        )
+    )

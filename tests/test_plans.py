@@ -99,6 +99,19 @@ class TestPlanShapes:
         exc = _plan(QUERIES["station_days_error_no_purchase"](spark, sf_small))
         assert "LeftAnti" in exc, exc
 
+    def test_tfidf_broadcasts_corpus_count_no_cartesian(self, spark, sf_small):
+        plan = _plan(QUERIES["docs_tfidf_top_terms"](spark, sf_small))
+        # the 1-row corpus count joins via broadcast, not a real cross
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_fuzzy_pairs_block_join_not_cartesian(self, spark, sf_small):
+        plan = _plan(QUERIES["parts_fuzzy_pairs"](spark, sf_small))
+        # the blocking keys make it an equi self-join; levenshtein is a
+        # post-join filter, never a join strategy fallback
+        assert "CartesianProduct" not in plan, plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
 
 class TestApproxDistinct:
     def test_approx_count_distinct_within_5pct_of_exact(self, spark, sf_small):
