@@ -13,16 +13,27 @@ forward-fill the build columns over a single (keys)-partitioned
 (ts)-ordered window.  One shuffle + one sort, linear in rows, no
 cartesian blow-up, and the partition key is the join key so skew
 handling (AQE / salting) composes normally.
+
+Parallelism caveat: the plain path sorts one partition per key, so a
+LOW-cardinality key set (e.g. 150 stations against 1000 executors)
+under-parallelizes. Pass ``bucket`` (a monotone function of the
+timestamp, e.g. ``F.to_date("ts")``) to switch to the bucketed
+formulation: the big window partitions by (key, bucket) — parallelism
+∝ keys × buckets — and a second, tiny window over one row per
+(key, bucket) forward-fills the carry across bucket boundaries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
+_BKT = "__asof_bucket"
+_VALS = "__asof_vals"
+_CARRY = "__asof_carry"
 
 
 def asof_join(
@@ -32,6 +43,7 @@ def asof_join(
     on: Sequence[str],
     ts_col: str,
     value_cols: Sequence[str],
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``probe`` row gains ``value_cols`` from
     the latest ``build`` row with ``build[ts_col] <= probe[ts_col]``
@@ -40,7 +52,12 @@ def asof_join(
     ``build`` must be unique per (on, ts_col) — with duplicates the
     "latest" row at a tied timestamp is distribution-dependent.
     Pre-aggregate (e.g. ``latest_snapshot`` or max_by) before calling.
-    ``value_cols`` must not collide with ``probe`` columns.
+    ``value_cols`` must not collide with ``probe`` columns; ``ts_col``
+    must be non-null on both sides.
+
+    ``bucket``, if given, must be a non-decreasing function of
+    ``ts_col`` (same expression evaluates on both sides); results are
+    identical to the plain path, only the partitioning changes.
     """
     on = list(on)
     clash = set(value_cols) & set(probe.columns)
@@ -59,13 +76,57 @@ def asof_join(
     build_side = build.select(*on, ts_col, *value_cols).withColumns(
         {c: F.lit(None).cast(probe_types[c]) for c in probe_only} | {_SIDE: F.lit(0)}
     )
+    unified = probe_side.unionByName(build_side.select(*probe_side.columns))
 
-    w = (
+    if bucket is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_col, _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unified.withColumns(
+            {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+        )
+        return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+    unified = unified.withColumn(_BKT, bucket)
+
+    # Latest build values per (key, bucket) — one row per group, tiny.
+    per_bucket = (
+        unified.filter(F.col(_SIDE) == 0)
+        .groupBy(*on, _BKT)
+        .agg(F.max_by(F.struct(*value_cols), F.col(ts_col)).alias(_VALS))
+    )
+    # Spine of every (key, bucket) either side touches; forward-fill the
+    # carry over STRICTLY PRIOR buckets (current bucket's own build rows
+    # are already in its partition).
+    spine = unified.select(*on, _BKT).distinct()
+    wb = (
         Window.partitionBy(*on)
-        .orderBy(ts_col, _SIDE)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(per_bucket, on + [_BKT], "left")
+        .withColumn(_CARRY, F.last(_VALS, ignorenulls=True).over(wb))
+        .filter(F.col(_CARRY).isNotNull())
+    )
+    # Synthetic bucket-opening build rows: null ts sorts first (asc
+    # nulls-first), so the carry is in force before any real row.
+    carry_rows = carry.select(
+        *on,
+        F.lit(None).cast(probe_types[ts_col]).alias(ts_col),
+        *[F.col(_CARRY)[c].alias(c) for c in value_cols],
+        *[F.lit(None).cast(probe_types[c]).alias(c) for c in probe_only],
+        F.lit(-1).alias(_SIDE),
+        F.col(_BKT),
+    )
+    w2 = (
+        Window.partitionBy(*on, _BKT)
+        .orderBy(F.asc_nulls_first(ts_col), _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = probe_side.unionByName(build_side).withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    filled = unified.unionByName(carry_rows.select(*unified.columns)).withColumns(
+        {c: F.last(c, ignorenulls=True).over(w2) for c in value_cols}
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _BKT)

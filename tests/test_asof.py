@@ -92,3 +92,38 @@ def test_asof_matches_naive_range_join_on_fixture(spark, sf_small):
     )
     assert fast.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast).count() == 0
+
+
+@pytest.mark.parametrize("width", [1, 4, 7, 100])
+def test_bucketed_path_equals_plain_path(spark, frames, width):
+    """The (key, bucket)-partitioned formulation (the 100 TB path for
+    low-cardinality keys) must be value-identical to the plain
+    per-key window at every bucket width."""
+    probe, build = frames
+    plain = asof_join(probe, build, on=["k"], ts_col="ts", value_cols=["val"])
+    bucketed = asof_join(
+        probe, build, on=["k"], ts_col="ts", value_cols=["val"],
+        bucket=F.floor(F.col("ts") / width),
+    )
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+
+def test_bucketed_path_on_fixture(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").limit(3000)
+    readings = ev.select(
+        F.col("user_id").alias("station"), "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    ).withColumn("ts", (F.col("ts") / 1000).cast("long"))  # nanos fixture → µs long
+    cfg = (
+        readings.filter(F.col("event_id") % 17 == 0)
+        .groupBy("station", "ts")
+        .agg(F.max("counter").alias("version"))
+    )
+    plain = asof_join(readings, cfg, on=["station"], ts_col="ts", value_cols=["version"])
+    bucketed = asof_join(
+        readings, cfg, on=["station"], ts_col="ts", value_cols=["version"],
+        bucket=F.floor(F.col("ts") / 3_600_000_000),  # hourly buckets
+    )
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0

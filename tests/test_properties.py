@@ -242,14 +242,18 @@ class TestJoinOperatorProperties:
         bdf = spark.createDataFrame(build_rows or [(99, 0, 0)], "k int, ts int, val int")
         if not build_rows:
             bdf = bdf.filter("k < 99")
-        out = asof_join(pdf, bdf, on=["k"], ts_col="ts", value_cols=["val"])
-        got = {r.pid: r.val for r in out.collect()}
-
         expected = {}
         for i, (k, ts) in enumerate(probe):
             cands = [(bts, v) for (bk, bts), v in uniq.items() if bk == k and bts <= ts]
             expected[i] = max(cands)[1] if cands else None
-        assert got == expected
+
+        out = asof_join(pdf, bdf, on=["k"], ts_col="ts", value_cols=["val"])
+        assert {r.pid: r.val for r in out.collect()} == expected
+        bucketed = asof_join(
+            pdf, bdf, on=["k"], ts_col="ts", value_cols=["val"],
+            bucket=F.floor(F.col("ts") / 7),
+        )
+        assert {r.pid: r.val for r in bucketed.collect()} == expected
 
     @SET
     @given(
