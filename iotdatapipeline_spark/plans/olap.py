@@ -414,7 +414,10 @@ def events_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     config version in force at its timestamp (every 17th event plays a
     config push). Union-merge + forward-fill window — one shuffle on
     the key, no range-join cartesian blow-up; the DuckDB oracle uses
-    its native ASOF LEFT JOIN."""
+    its native ASOF LEFT JOIN. Stations are low-cardinality (hundreds
+    at most), so the window partitions by (station, hour) via the
+    bucketed path: parallelism grows with the time span instead of
+    capping at the station count."""
     ev = load_table(spark, sf_dir, "events")
     readings = ev.select(
         F.col("user_id").alias("station"),
@@ -427,7 +430,10 @@ def events_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("station", "ts")
         .agg(F.max("counter").alias("version"))
     )
-    joined = asof_join(readings, cfg, on=["station"], ts_col="ts", value_cols=["version"])
+    joined = asof_join(
+        readings, cfg, on=["station"], ts_col="ts", value_cols=["version"],
+        bucket=F.date_trunc("hour", F.col("ts")),
+    )
     return joined.select(
         "station", "event_id", "counter",
         F.coalesce(F.col("version"), F.lit(-1)).cast("long").alias("cfg_version"),
