@@ -227,6 +227,78 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-filter-aggregate: no joins, no grouping —
+    the whole query is a single codegen'd stage whose predicates reach
+    the parquet reader as PushedFilters and whose ReadSchema is 4 of
+    the 11 lineitem columns. At 100 TB this is the shape that proves
+    scan efficiency: row-group skipping does the work, the agg is a
+    per-partition partial plus one 1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: fact⋈dim with the part side
+    broadcast (no shuffle of lineitem), then a conditional aggregate —
+    the same when/otherwise-inside-sum idiom as the pivot queries, so
+    one pass computes both numerator and denominator."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part_dim = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(F.broadcast(part_dim), li["l_partkey"] == part_dim["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_cents"),
+            F.sum(disc_cents).cast("long").alias("total_cents"),
+        )
+    )
+
+
+@register(
     "topk_orders",
     """
     SELECT o_orderkey, o_custkey,

@@ -27,6 +27,13 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _formatted(df, spark) -> str:
+    # toString() truncates long fields (PushedFilters ellipsized at ~100
+    # chars); formatted explain prints them in full
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 class TestPlanShapes:
     def test_counter_deltas_single_exchange_single_window(self, spark, sf_small):
         ev = load_table(spark, sf_small, "events")
@@ -59,6 +66,21 @@ class TestPlanShapes:
         # projected schema must not drag the 14 unused columns through the scan
         read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema, read_schema
+
+    def test_q6_all_predicates_pushed_four_column_scan(self, spark, sf_small):
+        plan = _formatted(QUERIES["q6_forecast_revenue"](spark, sf_small), spark)
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                     "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                     "LessThan(l_quantity"):
+            assert frag in pushed, pushed
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema, read_schema
+
+    def test_q14_part_dim_broadcasts_no_fact_shuffle_join(self, spark, sf_small):
+        plan = _plan(QUERIES["q14_promo_revenue"](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
 
     def test_minhash_single_scan_no_shingle_distinct(self, spark, sf_small):
         # exactly one parquet scan: the bucket-expansion formulation must
