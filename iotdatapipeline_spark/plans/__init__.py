@@ -12,6 +12,8 @@ from iotdatapipeline_spark.plans.olap import ORACLE as _OL_ORACLE
 from iotdatapipeline_spark.plans.olap import QUERIES as _OL_QUERIES
 from iotdatapipeline_spark.plans.streams import ORACLE as _ST_ORACLE
 from iotdatapipeline_spark.plans.streams import QUERIES as _ST_QUERIES
+from iotdatapipeline_spark.plans.subqueries import ORACLE as _SQ_ORACLE
+from iotdatapipeline_spark.plans.subqueries import QUERIES as _SQ_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -19,5 +21,7 @@ QUERIES.update(_OL_QUERIES)
 ORACLE.update(_OL_ORACLE)
 QUERIES.update(_ST_QUERIES)
 ORACLE.update(_ST_ORACLE)
+QUERIES.update(_SQ_QUERIES)
+ORACLE.update(_SQ_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]
