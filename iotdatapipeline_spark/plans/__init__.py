@@ -14,6 +14,8 @@ from iotdatapipeline_spark.plans.streams import ORACLE as _ST_ORACLE
 from iotdatapipeline_spark.plans.streams import QUERIES as _ST_QUERIES
 from iotdatapipeline_spark.plans.subqueries import ORACLE as _SQ_ORACLE
 from iotdatapipeline_spark.plans.subqueries import QUERIES as _SQ_QUERIES
+from iotdatapipeline_spark.plans.timeseries import ORACLE as _TS_ORACLE
+from iotdatapipeline_spark.plans.timeseries import QUERIES as _TS_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -23,5 +25,7 @@ QUERIES.update(_ST_QUERIES)
 ORACLE.update(_ST_ORACLE)
 QUERIES.update(_SQ_QUERIES)
 ORACLE.update(_SQ_ORACLE)
+QUERIES.update(_TS_QUERIES)
+ORACLE.update(_TS_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,190 @@
+"""Time-series query registry: regular-grid resampling (gap-fill with
+forward-fill), gaps-and-islands run collapsing (the SCD2 /
+validity-interval build), and time-RANGE window frames.
+
+These are the batch duals of the reference's streaming habits: the
+latest-snapshot cache (Prensas.py :76, :582 — K8/T3 in SURVEY.md §2)
+IS a forward-fill ("value now = last value seen"), and the per-key
+state machine's run tracking (:616-831, T4) IS gaps-and-islands.  The
+reference can only answer them for *now*; these plans answer them for
+every grid point / every run in history, distributively.
+
+All value aggregates are integer cents; tie-breaks are pinned on
+(ts, event_id) so the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("station"),
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+        SELECT user_id AS station, date_trunc('hour', ts) AS h,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    obs AS (SELECT station, h, v_cents FROM hourly WHERE rn = 1),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    spine AS (SELECT s.station, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+              FROM (SELECT DISTINCT user_id AS station FROM events) s, bounds b)
+    SELECT spine.station, spine.h AS hour_ts,
+           last_value(obs.v_cents IGNORE NULLS) OVER (
+               PARTITION BY spine.station ORDER BY spine.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents
+    FROM spine LEFT JOIN obs ON spine.station = obs.station AND spine.h = obs.h
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each station to a regular hourly grid, carrying the
+    last observed reading forward into silent hours (NULL before the
+    first observation — no fabrication).  Batch dual of the
+    reference's latest-snapshot cache (K8/T3): one row per (station,
+    hour) instead of one mutable cell per station.
+
+    Scale shape: spine = stations × sequence(bounds) — generated, not
+    shuffled (the 1-row bounds broadcast-nest-loops onto the distinct
+    stations); the hourly top-1 and the forward-fill are two window
+    passes over the same station partitioning; the spine⋈obs join is
+    station-keyed so it co-partitions with the fill.  Nothing funnels
+    through the driver, and each station's timeline fills
+    independently — 1000 executors fill 1000 stations at once."""
+    ev = _readings(spark, sf_dir)
+    ev = ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
+    w_rn = Window.partitionBy("station", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(F.col("station").alias("obs_station"), F.col("h"), "v_cents")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("station")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("station", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"))
+    )
+    joined = spine.join(
+        obs,
+        (spine["station"] == obs["obs_station"]) & (spine["hour_ts"] == obs["h"]),
+        "left",
+    ).select("station", "hour_ts", "v_cents")
+    w_fill = (
+        Window.partitionBy("station")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn("v_cents", F.last("v_cents", ignorenulls=True).over(w_fill))
+
+
+@register(
+    "events_status_islands",
+    """
+    WITH seq AS (
+        SELECT user_id AS station, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM events),
+    runs AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY station ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM seq)
+    SELECT station, event_type, run_id,
+           min(ts) AS valid_from, max(ts) AS valid_to, count(*) AS n_obs
+    FROM runs GROUP BY station, event_type, run_id
+    """,
+)
+def events_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each station's consecutive
+    same-event_type observations into validity intervals — the SCD2
+    dimension build (change capture → [valid_from, valid_to] runs).
+    The reference's state machine tracks exactly one current run per
+    key (T4, Prensas.py :616-831); this recovers ALL runs from the
+    log in one pass.
+
+    Decorrelation: change flag = lag over (station, ts, event_id),
+    run id = running sum of flags over the SAME ordering — both
+    window passes share one station-hash shuffle; the final groupBy
+    re-keys on (station, type, run) which is a strict refinement, so
+    AQE coalesces it locally at scale."""
+    ev = _readings(spark, sf_dir)
+    w = Window.partitionBy("station").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return runs.groupBy("station", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "events_trailing_hour_range",
+    """
+    SELECT user_id AS station, event_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trailing_sum_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_n
+    FROM events
+    """,
+)
+def events_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the sum/count of readings
+    in the trailing hour — a VALUE-based frame (peers at equal ts
+    included), not a row count, so it is NOT expressible as a ROWS
+    frame.  Spark's rangeBetween is numeric-only: ordering by
+    unix_micros(ts) with a ±3.6e9 µs frame is the exact equivalent of
+    DuckDB's RANGE INTERVAL 1 HOUR (µs timestamps both engines).
+    Complements the ROWS-frame `moving_window_counters`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        F.col("user_id").alias("station"),
+        "event_id",
+        F.sum(cents).over(w).cast("long").alias("trailing_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )

@@ -1,0 +1,100 @@
+"""Gate tests for the time-series registry (plans/timeseries.py):
+plan-shape pins plus the grid/partition invariants the value-hash
+oracle can't state directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.plans import ORACLE, QUERIES
+from iotdatapipeline_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRegistry:
+    def test_all_registered_with_oracles(self):
+        for name in (
+            "events_hourly_gapfill",
+            "events_status_islands",
+            "events_trailing_hour_range",
+        ):
+            assert name in QUERIES and name in ORACLE, name
+
+
+class TestPlanShapes:
+    def test_gapfill_top1_pushes_partial_limit_before_shuffle(self, spark, sf_small):
+        # the hourly "last reading" row_number()=1 must trigger
+        # WindowGroupLimit: each map task keeps one row per (station,
+        # hour) BEFORE the exchange — at 100 TB that's the difference
+        # between shuffling every event and shuffling one row per cell
+        plan = _plan(QUERIES["events_hourly_gapfill"](spark, sf_small))
+        assert "WindowGroupLimit" in plan, plan
+        # the 1-row bounds frame rides a broadcast nested-loop cross,
+        # never a real cartesian
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_islands_single_shuffle(self, spark, sf_small):
+        # lag + running-sum share one station-hash exchange and the
+        # final (station, type, run) groupBy rides it as a partial agg
+        plan = _plan(QUERIES["events_status_islands"](spark, sf_small))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_trailing_range_single_window_single_shuffle(self, spark, sf_small):
+        plan = _plan(QUERIES["events_trailing_hour_range"](spark, sf_small))
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("windowspecdefinition") >= 1, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestInvariants:
+    def test_gapfill_grid_is_complete(self, spark, sf_small):
+        # exactly |stations| × |hours in global span| rows — a regular
+        # grid, no dropped silent hours, no duplicated cells
+        df = QUERIES["events_hourly_gapfill"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events")
+        n_stations = ev.select("user_id").distinct().count()
+        b = ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        ).collect()[0]
+        n_hours = int((b["h1"] - b["h0"]).total_seconds() // 3600) + 1
+        assert df.count() == n_stations * n_hours
+        assert df.select("station", "hour_ts").distinct().count() == n_stations * n_hours
+
+    def test_gapfill_fill_never_invents_values(self, spark, sf_small):
+        # every non-null filled value must be a value that station
+        # actually observed (forward-fill carries, never fabricates)
+        df = QUERIES["events_hourly_gapfill"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events").select(
+            F.col("user_id").alias("station"),
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        extra = (
+            df.filter(F.col("v_cents").isNotNull())
+            .select("station", "v_cents")
+            .join(ev, ["station", "v_cents"], "left_anti")
+        )
+        assert extra.count() == 0
+
+    def test_islands_partition_all_events(self, spark, sf_small):
+        # runs partition the event log: Σ n_obs == |events|
+        df = QUERIES["events_status_islands"](spark, sf_small)
+        total = df.agg(F.sum("n_obs")).collect()[0][0]
+        assert total == load_table(spark, sf_small, "events").count()
+
+    def test_islands_runs_do_not_overlap_in_time(self, spark, sf_small):
+        # within a station, ordering runs by valid_from must give
+        # non-overlapping intervals (valid_to < next valid_from)
+        df = QUERIES["events_status_islands"](spark, sf_small)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("station").orderBy("valid_from")
+        bad = df.withColumn("nxt", F.lead("valid_from").over(w)).filter(
+            F.col("nxt").isNotNull() & (F.col("valid_to") >= F.col("nxt"))
+        )
+        assert bad.count() == 0
