@@ -16,6 +16,8 @@ from iotdatapipeline_spark.plans.subqueries import ORACLE as _SQ_ORACLE
 from iotdatapipeline_spark.plans.subqueries import QUERIES as _SQ_QUERIES
 from iotdatapipeline_spark.plans.timeseries import ORACLE as _TS_ORACLE
 from iotdatapipeline_spark.plans.timeseries import QUERIES as _TS_QUERIES
+from iotdatapipeline_spark.plans.behavioral import ORACLE as _BH_ORACLE
+from iotdatapipeline_spark.plans.behavioral import QUERIES as _BH_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -27,5 +29,7 @@ QUERIES.update(_SQ_QUERIES)
 ORACLE.update(_SQ_ORACLE)
 QUERIES.update(_TS_QUERIES)
 ORACLE.update(_TS_ORACLE)
+QUERIES.update(_BH_QUERIES)
+ORACLE.update(_BH_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

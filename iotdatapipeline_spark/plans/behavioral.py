@@ -1,0 +1,163 @@
+"""Behavioral-analytics query registry: ordered-funnel attainment,
+cohort retention, and deterministic stratified sampling.
+
+The reference pipeline (Prensas.py) observes machines, not users, but
+the shapes are the same state-progression questions its stream
+answers one key at a time (T4 run tracking, W1 ordered-event
+detection): "did stage B happen after stage A, within the window",
+"when did this key first appear and how long does it stay active".
+Here they are answered for the whole log at once, distributively.
+
+Determinism: funnel stage times are min-reductions (order-free);
+cohort math is date arithmetic; the sampler ranks by md5 so the
+"random" 10% is a pure function of the key — re-running on the same
+data yields the same sample (the property a training pipeline needs
+for reproducible corpus draws).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@register(
+    "events_funnel_stages",
+    """
+    WITH a AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    b AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN a USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts >= a.t1 AND e.ts < a.t1 + INTERVAL 48 HOUR
+          GROUP BY e.user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN b USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= b.t2 AND e.ts < b.t2 + INTERVAL 48 HOUR
+          GROUP BY e.user_id)
+    SELECT a.user_id, a.t1, b.t2, c.t3
+    FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with a 48 h conversion
+    window per hop: t2 = first click in [t1, t1+48h), t3 = first
+    purchase in [t2, t2+48h); NULL where the hop never converts.
+
+    Each hop is the SAME shape: fact ⋈ prior-stage frame on the user
+    key with a half-open time predicate, then a min-reduction — an
+    as-of-style probe expressed as join + groupBy, so every hop is
+    one user-keyed shuffle and all hops chain on that one
+    partitioning (no re-key between stages).  Per-user output rows
+    make the oracle hash sensitive to every stage timestamp, not just
+    the three funnel counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(stage: str, prior: DataFrame, tcol: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == stage).select("user_id", "ts")
+        return (
+            e.join(prior, "user_id")
+            .filter(
+                (F.col("ts") >= F.col(tcol))
+                & (F.col("ts") < F.col(tcol) + F.expr("INTERVAL 48 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    b = first_after("click", a, "t1", "t2")
+    c = first_after("purchase", b, "t2", "t3")
+    return (
+        a.join(b, "user_id", "left")
+        .join(c, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                   FROM events GROUP BY user_id)
+    SELECT d0 AS cohort_day,
+           CAST(datediff('day', d0, CAST(ts AS DATE)) AS BIGINT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first USING (user_id)
+    GROUP BY d0, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted distinct on each day-offset they come back.  The
+    first-seen frame is a user-keyed aggregate joined back to the
+    fact on the same key — one partitioning serves both the cohort
+    assignment and the join; the distinct-count re-keys to (cohort,
+    offset), whose cardinality is offsets² — tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+    SELECT lang, doc_id FROM ranked
+    WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10 % stratified sample per language: rank docs
+    within each stratum by md5(doc_id) — a fixed pseudo-random
+    order — and keep the top ⌈10 %⌉.  Unlike sampleBy() this is
+    exact-count per stratum AND reproducible across runs/partitions,
+    which is what corpus draws need for auditability.  One shuffle on
+    lang; both window functions (rank + stratum size) share it.
+    Skew note: strata are few and large, so the per-stratum window
+    sort is the cost — for heavy strata switch the rank to a
+    threshold on the hash value itself (approximate count, no sort),
+    the same trade sampleBy makes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    w_n = Window.partitionBy("lang")
+    ranked = d.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(0.1 * F.col("n")).cast("long")
+    ).select("lang", "doc_id")

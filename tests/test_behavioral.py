@@ -1,0 +1,111 @@
+"""Gate tests for the behavioral registry (plans/behavioral.py):
+funnel ordering/window invariants, cohort identities, and the
+determinism + exact-count properties of the stratified sampler.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.plans import ORACLE, QUERIES
+from iotdatapipeline_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRegistry:
+    def test_all_registered_with_oracles(self):
+        for name in (
+            "events_funnel_stages",
+            "events_cohort_retention",
+            "docs_stratified_sample",
+        ):
+            assert name in QUERIES and name in ORACLE, name
+
+
+class TestFunnel:
+    def test_stage_times_ordered_and_windowed(self, spark, sf_small):
+        rows = QUERIES["events_funnel_stages"](spark, sf_small).collect()
+        assert rows
+        H48 = 48 * 3600
+        for r in rows:
+            if r["t2"] is not None:
+                assert r["t1"] is not None
+                assert 0 <= (r["t2"] - r["t1"]).total_seconds() < H48
+            if r["t3"] is not None:
+                assert r["t2"] is not None
+                assert 0 <= (r["t3"] - r["t2"]).total_seconds() < H48
+
+    def test_one_row_per_viewing_user(self, spark, sf_small):
+        df = QUERIES["events_funnel_stages"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events")
+        n_viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+        assert df.count() == n_viewers
+        assert df.select("user_id").distinct().count() == n_viewers
+
+    def test_no_cartesian(self, spark, sf_small):
+        plan = _plan(QUERIES["events_funnel_stages"](spark, sf_small))
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestCohort:
+    def test_day_zero_counts_every_user_once(self, spark, sf_small):
+        # every user is active on their own cohort day, so the
+        # day_offset=0 diagonal sums to |users|
+        df = QUERIES["events_cohort_retention"](spark, sf_small)
+        diag = (
+            df.filter(F.col("day_offset") == 0).agg(F.sum("n_active")).collect()[0][0]
+        )
+        n_users = load_table(spark, sf_small, "events").select("user_id").distinct().count()
+        assert diag == n_users
+
+    def test_offsets_non_negative(self, spark, sf_small):
+        df = QUERIES["events_cohort_retention"](spark, sf_small)
+        assert df.filter(F.col("day_offset") < 0).count() == 0
+
+
+class TestStratifiedSample:
+    def test_exact_ceil_count_per_stratum(self, spark, sf_small):
+        sample = QUERIES["docs_stratified_sample"](spark, sf_small)
+        got = {r["lang"]: r["cnt"] for r in sample.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        pop = {
+            r["lang"]: r["cnt"]
+            for r in load_table(spark, sf_small, "documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert set(got) == set(pop)
+        for lang, n in pop.items():
+            assert got[lang] == math.ceil(0.1 * n), (lang, n, got[lang])
+
+    def test_deterministic_across_runs_and_partitionings(self, spark, sf_small):
+        a = {
+            (r["lang"], r["doc_id"])
+            for r in QUERIES["docs_stratified_sample"](spark, sf_small).collect()
+        }
+        # second run over a repartitioned source must draw the SAME docs
+        d = (
+            load_table(spark, sf_small, "documents")
+            .repartition(7, "doc_id")
+            .select("doc_id", "lang")
+        )
+        from pyspark.sql import Window
+
+        w_rank = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+        )
+        w_n = Window.partitionBy("lang")
+        b = {
+            (r["lang"], r["doc_id"])
+            for r in d.withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("n", F.count(F.lit(1)).over(w_n))
+            .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")).cast("long"))
+            .select("lang", "doc_id")
+            .collect()
+        }
+        assert a == b
