@@ -18,6 +18,8 @@ from iotdatapipeline_spark.plans.timeseries import ORACLE as _TS_ORACLE
 from iotdatapipeline_spark.plans.timeseries import QUERIES as _TS_QUERIES
 from iotdatapipeline_spark.plans.behavioral import ORACLE as _BH_ORACLE
 from iotdatapipeline_spark.plans.behavioral import QUERIES as _BH_QUERIES
+from iotdatapipeline_spark.plans.sketches import ORACLE as _SK_ORACLE
+from iotdatapipeline_spark.plans.sketches import QUERIES as _SK_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -31,5 +33,7 @@ QUERIES.update(_TS_QUERIES)
 ORACLE.update(_TS_ORACLE)
 QUERIES.update(_BH_QUERIES)
 ORACLE.update(_BH_ORACLE)
+QUERIES.update(_SK_QUERIES)
+ORACLE.update(_SK_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]
