@@ -12,6 +12,11 @@ from iotdatapipeline_spark.operators.skew import (
     salted_agg,
     salted_broadcast_left,
 )
+from iotdatapipeline_spark.operators.timeseries import (
+    collapse_islands,
+    ordered_funnel,
+    resample_ffill,
+)
 from iotdatapipeline_spark.operators.relational import (
     config_regroup,
     dedup_append_set,
@@ -38,4 +43,7 @@ __all__ = [
     "top1_per_group",
     "salted_agg",
     "salted_broadcast_left",
+    "collapse_islands",
+    "ordered_funnel",
+    "resample_ffill",
 ]

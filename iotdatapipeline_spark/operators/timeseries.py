@@ -1,0 +1,158 @@
+"""Reusable time-series operators: gaps-and-islands run collapsing,
+regular-grid resampling with forward-fill, and ordered-funnel stage
+attainment.  The registered queries in ``plans/timeseries.py`` and
+``plans/behavioral.py`` are thin bindings of these onto the fixture
+tables; the operators themselves take any DataFrame.
+
+Design: every operator is a pure DataFrame → DataFrame function whose
+only shuffles are on the entity key — each key's timeline is processed
+independently, so the operators scale horizontally with executors.
+Orderings are explicit (caller-supplied tie-break columns) so results
+are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse_islands(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("station",),
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse consecutive equal-``state_col`` observations per key
+    into runs (gaps-and-islands; the SCD2 validity-interval build).
+
+    Returns one row per run: ``keys…, state_col, run_id, valid_from,
+    valid_to, n_obs`` where ``run_id`` numbers runs 1.. per key in
+    ``order_cols`` order.
+
+    Shape: the change flag (lag) and the running run-id sum share one
+    window partitioning on ``keys``; the closing groupBy refines that
+    partitioning, so the whole operator is one shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    chg = F.when(
+        F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.withColumn("_chg", chg).withColumn(
+        "run_id",
+        F.sum("_chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return runs.groupBy(*keys, state_col, "run_id").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key: str = "station",
+    ts_col: str = "ts",
+    value_col: str = "v_cents",
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    tiebreak_cols: Sequence[str] = ("ts", "event_id"),
+    out_ts: str = "bucket_ts",
+) -> DataFrame:
+    """Resample each key's readings onto a regular grid (global
+    min..max of ``ts_col`` truncated to ``trunc_unit``, stepping by
+    ``step``), carrying the last observed ``value_col`` forward into
+    empty buckets.  Buckets before a key's first observation stay
+    NULL — forward-fill never fabricates.
+
+    Returns ``key, out_ts, value_col``.
+
+    Shape: per-bucket "last reading" is a row_number()=1 window that
+    Spark executes with WindowGroupLimit (one surviving row per cell
+    per map task BEFORE the shuffle); the spine is generated from a
+    1-row bounds broadcast crossed with the distinct keys; fill is a
+    second window on the same key partitioning.
+    """
+    ev = df.withColumn("_b", F.date_trunc(trunc_unit, F.col(ts_col)))
+    order = [F.desc(c) for c in tiebreak_cols]
+    w_rn = Window.partitionBy(key, "_b").orderBy(*order)
+    obs = (
+        ev.withColumn("_rn", F.row_number().over(w_rn))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(key).alias("_obs_key"), F.col("_b"), value_col)
+    )
+    bounds = ev.agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_h0"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_h1"),
+    )
+    spine = (
+        ev.select(key)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(F.expr(f"sequence(_h0, _h1, interval {step})")).alias(out_ts),
+        )
+    )
+    joined = spine.join(
+        obs,
+        (spine[key] == obs["_obs_key"]) & (spine[out_ts] == obs["_b"]),
+        "left",
+    ).select(key, out_ts, value_col)
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy(out_ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w_fill))
+
+
+def ordered_funnel(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    window_expr: str = "INTERVAL 48 HOURS",
+) -> DataFrame:
+    """Ordered funnel over ``stages``: per user, ``t1`` is the first
+    stage-1 event; ``t{i}`` is the first stage-``i`` event in
+    ``[t{i-1}, t{i-1} + window)``.  Users who never reach stage 1 are
+    absent; unreached later stages are NULL.
+
+    Returns ``user_col, t1..t{len(stages)}``.
+
+    Shape: each hop is fact ⋈ prior-stage frame on the user key plus
+    a half-open time predicate, then a min-reduction — every hop
+    shuffles only on the user key, and all hops reuse that one
+    partitioning.
+    """
+    ev = df.select(user_col, type_col, ts_col)
+    prior = (
+        ev.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    result = prior
+    for i, stage in enumerate(stages[1:], start=2):
+        tcol, out = f"t{i - 1}", f"t{i}"
+        e = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
+        nxt = (
+            e.join(result.select(user_col, tcol), user_col)
+            .filter(
+                (F.col(ts_col) >= F.col(tcol))
+                & (F.col(ts_col) < F.col(tcol) + F.expr(window_expr))
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(out))
+        )
+        result = result.join(nxt, user_col, "left")
+    return result.select(user_col, *[f"t{i}" for i in range(1, len(stages) + 1)])

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iotdatapipeline_spark.operators.timeseries import ordered_funnel
 from iotdatapipeline_spark.sources import load_table
 
 QUERIES: dict = {}
@@ -64,32 +65,18 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-keyed shuffle and all hops chain on that one
     partitioning (no re-key between stages).  Per-user output rows
     make the oracle hash sensitive to every stage timestamp, not just
-    the three funnel counts."""
+    the three funnel counts.
+
+    Thin binding of ``operators.timeseries.ordered_funnel`` onto the
+    events fixture."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def first_after(stage: str, prior: DataFrame, tcol: str, out: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == stage).select("user_id", "ts")
-        return (
-            e.join(prior, "user_id")
-            .filter(
-                (F.col("ts") >= F.col(tcol))
-                & (F.col("ts") < F.col(tcol) + F.expr("INTERVAL 48 HOURS"))
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    a = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    b = first_after("click", a, "t1", "t2")
-    c = first_after("purchase", b, "t2", "t3")
-    return (
-        a.join(b, "user_id", "left")
-        .join(c, "user_id", "left")
-        .select("user_id", "t1", "t2", "t3")
+    return ordered_funnel(
+        ev,
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        stages=("view", "click", "purchase"),
+        window_expr="INTERVAL 48 HOURS",
     )
 
 

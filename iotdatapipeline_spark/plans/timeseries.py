@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iotdatapipeline_spark.operators.timeseries import collapse_islands, resample_ffill
 from iotdatapipeline_spark.sources import load_table
 
 QUERIES: dict = {}
@@ -78,36 +79,21 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the same station partitioning; the spine⋈obs join is
     station-keyed so it co-partitions with the fill.  Nothing funnels
     through the driver, and each station's timeline fills
-    independently — 1000 executors fill 1000 stations at once."""
-    ev = _readings(spark, sf_dir)
-    ev = ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
-    w_rn = Window.partitionBy("station", "h").orderBy(F.desc("ts"), F.desc("event_id"))
-    obs = (
-        ev.withColumn("rn", F.row_number().over(w_rn))
-        .filter(F.col("rn") == 1)
-        .select(F.col("station").alias("obs_station"), F.col("h"), "v_cents")
+    independently — 1000 executors fill 1000 stations at once.
+
+    Thin binding of ``operators.timeseries.resample_ffill`` onto the
+    events fixture."""
+    ev = _readings(spark, sf_dir).select("station", "ts", "event_id", "v_cents")
+    return resample_ffill(
+        ev,
+        key="station",
+        ts_col="ts",
+        value_col="v_cents",
+        step="1 hour",
+        trunc_unit="hour",
+        tiebreak_cols=("ts", "event_id"),
+        out_ts="hour_ts",
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = (
-        ev.select("station")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("station", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"))
-    )
-    joined = spine.join(
-        obs,
-        (spine["station"] == obs["obs_station"]) & (spine["hour_ts"] == obs["h"]),
-        "left",
-    ).select("station", "hour_ts", "v_cents")
-    w_fill = (
-        Window.partitionBy("station")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.withColumn("v_cents", F.last("v_cents", ignorenulls=True).over(w_fill))
 
 
 @register(
@@ -137,20 +123,17 @@ def events_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     run id = running sum of flags over the SAME ordering — both
     window passes share one station-hash shuffle; the final groupBy
     re-keys on (station, type, run) which is a strict refinement, so
-    AQE coalesces it locally at scale."""
-    ev = _readings(spark, sf_dir)
-    w = Window.partitionBy("station").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
-    ).otherwise(F.lit(1))
-    runs = ev.withColumn("chg", chg).withColumn(
-        "run_id",
-        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
-    )
-    return runs.groupBy("station", "event_type", "run_id").agg(
-        F.min("ts").alias("valid_from"),
-        F.max("ts").alias("valid_to"),
-        F.count(F.lit(1)).alias("n_obs"),
+    AQE coalesces it locally at scale.
+
+    Thin binding of ``operators.timeseries.collapse_islands`` onto
+    the events fixture."""
+    ev = _readings(spark, sf_dir).select("station", "ts", "event_id", "event_type")
+    return collapse_islands(
+        ev,
+        keys=("station",),
+        state_col="event_type",
+        order_cols=("ts", "event_id"),
+        ts_col="ts",
     )
 
 

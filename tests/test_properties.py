@@ -285,3 +285,130 @@ class TestJoinOperatorProperties:
             if lo <= p < lo + w
         }
         assert got == expected
+
+
+class TestTimeseriesOperatorProperties:
+    """collapse_islands / resample_ffill / ordered_funnel vs
+    pure-Python oracles on random inputs (same pattern as the join
+    operators above: one Spark round-trip per example, tiny frames)."""
+
+    BASE = dt.datetime(2024, 1, 1)
+
+    @SET
+    @given(
+        st.lists(  # (key, minute, state)
+            st.tuples(st.integers(0, 2), st.integers(0, 30), st.sampled_from("abc")),
+            min_size=1, max_size=20,
+        )
+    )
+    def test_islands_match_python_reference(self, spark, events):
+        from iotdatapipeline_spark.operators import collapse_islands
+
+        rows = [
+            (k, self.BASE + dt.timedelta(minutes=m), i, s)
+            for i, (k, m, s) in enumerate(events)
+        ]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid bigint, state string")
+        out = collapse_islands(
+            df, keys=("k",), state_col="state", order_cols=("ts", "eid"), ts_col="ts"
+        )
+        got = {
+            (r["k"], r["state"], r["run_id"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in out.collect()
+        }
+        expected = set()
+        for key in {r[0] for r in rows}:
+            seq = sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[2]))
+            run_id, prev_state, run = 0, object(), []
+            runs = []
+            for r in seq:
+                if r[3] != prev_state:
+                    if run:
+                        runs.append((run_id, prev_state, run))
+                    run_id, prev_state, run = run_id + 1, r[3], []
+                run.append(r)
+            if run:
+                runs.append((run_id, prev_state, run))
+            for rid, state, members in runs:
+                ts_list = [m[1] for m in members]
+                expected.add((key, state, rid, min(ts_list), max(ts_list), len(members)))
+        assert got == expected
+
+    @SET
+    @given(
+        st.lists(  # (key, second-offset, value)
+            st.tuples(st.integers(0, 2), st.integers(0, 600), st.integers(0, 99)),
+            min_size=1, max_size=15,
+        )
+    )
+    def test_resample_ffill_matches_python_reference(self, spark, readings):
+        from iotdatapipeline_spark.operators import resample_ffill
+
+        rows = [
+            (k, self.BASE + dt.timedelta(seconds=sec), i, v)
+            for i, (k, sec, v) in enumerate(readings)
+        ]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid bigint, v bigint")
+        out = resample_ffill(
+            df, key="k", ts_col="ts", value_col="v", step="1 minute",
+            trunc_unit="minute", tiebreak_cols=("ts", "eid"), out_ts="bucket_ts",
+        )
+        got = {(r["k"], r["bucket_ts"]): r["v"] for r in out.collect()}
+
+        def minute(t):
+            return t.replace(second=0, microsecond=0)
+
+        m0 = minute(min(r[1] for r in rows))
+        m1 = minute(max(r[1] for r in rows))
+        grid = []
+        cur = m0
+        while cur <= m1:
+            grid.append(cur)
+            cur += dt.timedelta(minutes=1)
+        expected = {}
+        for key in {r[0] for r in rows}:
+            last = None
+            per_bucket = {}
+            for r in sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[2])):
+                per_bucket[minute(r[1])] = r[3]  # later (ts, eid) wins
+            for b in grid:
+                if b in per_bucket:
+                    last = per_bucket[b]
+                expected[(key, b)] = last
+        assert got == expected
+
+    @SET
+    @given(
+        st.lists(  # (user, minute, stage-letter)
+            st.tuples(st.integers(0, 2), st.integers(0, 100), st.sampled_from("ABC")),
+            min_size=1, max_size=25,
+        )
+    )
+    def test_funnel_matches_python_reference(self, spark, events):
+        from iotdatapipeline_spark.operators import ordered_funnel
+
+        rows = [
+            (u, self.BASE + dt.timedelta(minutes=m), s) for u, m, s in events
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+        out = ordered_funnel(
+            df, user_col="user_id", type_col="event_type", ts_col="ts",
+            stages=("A", "B", "C"), window_expr="INTERVAL 10 MINUTES",
+        )
+        got = {r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in out.collect()}
+        W = dt.timedelta(minutes=10)
+        expected = {}
+        for u in {r[0] for r in rows}:
+            mine = [r for r in rows if r[0] == u]
+            a = [r[1] for r in mine if r[2] == "A"]
+            if not a:
+                continue
+            t1 = min(a)
+            b = [r[1] for r in mine if r[2] == "B" and t1 <= r[1] < t1 + W]
+            t2 = min(b) if b else None
+            t3 = None
+            if t2 is not None:
+                c = [r[1] for r in mine if r[2] == "C" and t2 <= r[1] < t2 + W]
+                t3 = min(c) if c else None
+            expected[u] = (t1, t2, t3)
+        assert got == expected
