@@ -201,3 +201,22 @@ class TestRegistryContract:
                                           "cd", "qdist", "qp", "ad", "ap", "g", "e2"}
             leftover = {t for t in unknown if not t.islower() or len(t) > 12}
             assert not leftover, f"{name}: suspicious tables {leftover}"
+
+
+class TestGlobalPlanAudit:
+    def test_no_query_uses_cartesian_or_rowwise_python(self, spark, sf_small):
+        """Registry-wide scale gate: no registered query may plan a
+        CartesianProduct (unbounded n×m blowup) or BatchEvalPython
+        (row-at-a-time Python UDF — the 10-100× slow path vs Arrow).
+        Pandas/Arrow UDFs (ArrowEvalPython, MapInPandas, FlatMap*)
+        and 1-row BroadcastNestedLoopJoin scalars remain allowed.
+        Catches a regression in ANY query, including future ones."""
+        bad = {}
+        for name, fn in sorted(QUERIES.items()):
+            plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+            flags = [
+                f for f in ("CartesianProduct", "BatchEvalPython") if f in plan
+            ]
+            if flags:
+                bad[name] = flags
+        assert not bad, bad
