@@ -630,3 +630,40 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+@register(
+    "loyal_customers_division",
+    """
+    SELECT c_custkey, c_name, count(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    HAVING count(DISTINCT date_trunc('quarter', o_orderdate)) = 4
+    """,
+)
+def loyal_customers_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers with orders in
+    EVERY quarter of 1996.  The division is decorrelated as
+    count-distinct-equals-divisor-cardinality — no NOT EXISTS(EXCEPT)
+    double negation, no per-divisor join.  The aggregate runs BEFORE
+    the customer join, so only qualifying keys (here 14 of 1168) ever
+    join the dimension — agg-below-join is the rewrite that matters
+    when both sides are large."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.date_trunc("quarter", F.col("o_orderdate"))).alias("_nq"),
+        )
+        .filter(F.col("_nq") == 4)
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return per.join(c, per["o_custkey"] == c["c_custkey"]).select(
+        "c_custkey", "c_name", "n_orders"
+    )

@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "q19_disjunctive_bands",
     "q21_sole_blame_supplier",
     "q22_idle_customers",
+    "loyal_customers_division",
 ]
 
 
@@ -107,6 +108,19 @@ class TestInvariants:
         assert rows
         cents = {r["total_cents"] for r in rows}
         assert len(cents) == 1
+
+    def test_division_agg_runs_below_customer_join(self, spark, sf_small):
+        # the "for all quarters" aggregate must shrink the key set
+        # BEFORE the dimension join — the plan joins the filtered
+        # aggregate, never the raw orders, to customer
+        df = QUERIES["loyal_customers_division"](spark, sf_small)
+        plan = _plan(df)
+        agg_pos = plan.find("HashAggregate")
+        join_pos = plan.find("Join")
+        assert agg_pos != -1 and join_pos != -1
+        rows = df.collect()
+        # every qualifying customer has >= 4 orders (one per quarter)
+        assert all(r["n_orders"] >= 4 for r in rows)
 
     def test_q2_every_nation_represented(self, spark, sf_small):
         rows = QUERIES["q2_max_acctbal_supplier"](spark, sf_small).collect()
