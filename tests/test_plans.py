@@ -181,8 +181,12 @@ class TestRegistryContract:
     def test_every_query_callable_and_oracle_paired(self):
         assert len(QUERIES) >= 44
         # every registered query has a DuckDB oracle — including the
-        # reference-mode state machine (recursive CTE)
-        unpaired = [n for n in QUERIES if n not in ORACLE]
+        # reference-mode state machine (recursive CTE).  Sole allowed
+        # exception: sketch-valued output (engine-specific estimates,
+        # no SQL twin); those are error-bounded in tests instead and
+        # the driver records the weaker rows-only check.
+        sketch_output = {"station_distinct_users_hll"}
+        unpaired = [n for n in QUERIES if n not in ORACLE and n not in sketch_output]
         assert unpaired == [], unpaired
 
     def test_oracle_sql_references_only_fixture_tables(self):
