@@ -20,6 +20,8 @@ from iotdatapipeline_spark.plans.behavioral import ORACLE as _BH_ORACLE
 from iotdatapipeline_spark.plans.behavioral import QUERIES as _BH_QUERIES
 from iotdatapipeline_spark.plans.sketches import ORACLE as _SK_ORACLE
 from iotdatapipeline_spark.plans.sketches import QUERIES as _SK_QUERIES
+from iotdatapipeline_spark.plans.quality import ORACLE as _DQ_ORACLE
+from iotdatapipeline_spark.plans.quality import QUERIES as _DQ_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -35,5 +37,7 @@ QUERIES.update(_BH_QUERIES)
 ORACLE.update(_BH_ORACLE)
 QUERIES.update(_SK_QUERIES)
 ORACLE.update(_SK_ORACLE)
+QUERIES.update(_DQ_QUERIES)
+ORACLE.update(_DQ_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,121 @@
+"""Data-quality query registry: one-pass constraint profiling and
+referential-integrity orphan detection — the validation layer a
+training-data pipeline runs before anything else consumes a drop.
+
+The reference validates row-at-a-time and routes failures to a CSV
+side channel (K4, Prensas.py :227-279 — "part not found" is exactly
+an FK-orphan check against part_numbers⋈work_centers, :319-331).
+These plans are the set-oriented form: one aggregate pass emits every
+constraint's violation count; orphans fall out of anti joins.
+
+Everything is conditional aggregation over a single scan (profile) or
+key-wise anti joins (orphans) — no Python, no second pass per rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@register(
+    "dq_events_profile",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+           sum(CASE WHEN props IS NULL OR props NOT LIKE '{%' THEN 1 ELSE 0 END)
+               AS bad_props,
+           sum(CASE WHEN value IS NULL OR value < 0 OR value > 500 THEN 1 ELSE 0 END)
+               AS value_out_of_range,
+           sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                    THEN 1 ELSE 0 END) AS unknown_type,
+           count(DISTINCT event_type) AS n_types,
+           CAST(min(floor(value * 100)) AS BIGINT) AS min_cents,
+           CAST(max(floor(value * 100)) AS BIGINT) AS max_cents
+    FROM events
+    """,
+)
+def dq_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint profile in ONE scan: every rule is a sum(CASE)
+    running inside the same partial aggregate, so adding a rule costs
+    an expression, not a pass — at 100 TB the difference between one
+    fact read and one per rule.  Rules: key non-null, payload
+    shape, value domain [0, 500], enum membership, plus min/max
+    telemetry for drift monitoring."""
+    ev = load_table(spark, sf_dir, "events")
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        one(F.col("user_id").isNull()).alias("null_user"),
+        one(F.col("props").isNull() | ~F.col("props").startswith("{")).alias("bad_props"),
+        one(
+            F.col("value").isNull() | (F.col("value") < 0) | (F.col("value") > 500)
+        ).alias("value_out_of_range"),
+        one(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+        ).alias("unknown_type"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min(F.floor(F.col("value") * 100)).cast("long").alias("min_cents"),
+        F.max(F.floor(F.col("value") * 100)).cast("long").alias("max_cents"),
+    )
+
+
+@register(
+    "dq_referential_orphans",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'supplier->nation', count(*)
+    FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    ORDER BY fk
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts as left-anti joins (keys are
+    non-null, so NOT IN ≡ anti join).  Only the genuinely-small
+    parent (nation) gets a broadcast hint; fact-sized parents
+    (orders, customer) anti-join key-to-key and AQE picks broadcast
+    when the pruned parent fits.  The reference's 'part not found'
+    CSV routing (K4/J9) is this exact check with n=1."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphan_count(
+        child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str
+    ) -> DataFrame:
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphan_count(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(orphan_count(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(
+            orphan_count(s, F.broadcast(n), "s_nationkey", "n_nationkey", "supplier->nation")
+        )
+        .orderBy("fk")
+    )
