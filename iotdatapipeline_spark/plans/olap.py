@@ -740,3 +740,38 @@ def station_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register(
+    "station_value_rank_profile",
+    """
+    SELECT user_id AS station, event_id,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def station_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window trio (percent_rank / cume_dist / ntile)
+    per station — completes the window-function surface alongside the
+    ROWS frame (moving_window_counters), RANGE frame
+    (events_trailing_hour_range), lag/lead, row_number and
+    last-ignore-nulls queries.  All three functions share ONE window
+    spec (tie-broken on the unique event_id), so Spark evaluates them
+    in a single Window node over a single station shuffle.
+    percent_rank = (rank-1)/(n-1) is an exact IEEE division of two
+    small integers — identical in DuckDB, hash-safe without cents
+    tricks."""
+    from iotdatapipeline_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        F.col("user_id").alias("station"),
+        "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

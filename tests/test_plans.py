@@ -224,3 +224,11 @@ class TestGlobalPlanAudit:
             if flags:
                 bad[name] = flags
         assert not bad, bad
+
+
+class TestRankProfile:
+    def test_three_rank_functions_share_one_window_pass(self, spark, sf_small):
+        df = QUERIES["station_value_rank_profile"](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Window") == 1, plan
