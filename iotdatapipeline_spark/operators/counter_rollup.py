@@ -45,13 +45,55 @@ def counter_deltas(
     counter_col: str = "counter",
     ts_col: str = "ts",
     order_cols: tuple[str, ...] = (),
+    prev_mode: str = "lag",
 ) -> DataFrame:
     """Per (station, part) ordered by ts: previous counter, shift-change
     flag, emit flag, and the emitted delta (W1/W2).
 
     ``order_cols`` breaks ts ties deterministically (e.g. event_id).
+
+    ``prev_mode`` picks the batch analog of the reference's
+    ``contador_registro`` state (Prensas.py:812 updates it only ON
+    EMIT):
+
+    * ``"lag"`` — prev = previous ROW's counter. Diverges from the
+      reference on non-monotone counters (10, 5, 7 emits +2 here,
+      nothing there). Kept as the analog of the streaming machine's
+      ``emit_mode="row"`` for the batch↔streaming equivalence test.
+    * ``"runmax"`` — prev = running max of all prior counters, which
+      is EXACTLY the reference's prev (emits happen iff the counter
+      sets a new running max, so last-emitted ≡ running max). Emit is
+      ``counter > prev`` only: the reference's extra boundary-equality
+      emit (``>=`` at a shift change) has delta 0 and never moves the
+      quantity, so every delta/qty in this mode matches Prensas.py
+      bit-for-bit; only ``emit_count`` can differ by those zero-delta
+      rows. The streaming machine + its recursive-CTE oracle
+      (plans/streams.py) pin the full semantics including those.
     """
+    if prev_mode not in ("lag", "runmax"):
+        raise ValueError(f"prev_mode must be 'lag' or 'runmax', got {prev_mode!r}")
     w = Window.partitionBy(station_col, part_col).orderBy(ts_col, *order_cols)
+    if prev_mode == "runmax":
+        wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+        lagged = df.withColumn("__tod", tod_seconds(F.col(ts_col))).select(
+            "*",
+            F.max(F.col(counter_col)).over(wprev).alias("prev_counter"),
+            F.lag(F.col("__tod")).over(w).alias("prev_tod"),
+        ).drop("__tod")
+        cambio = is_shift_boundary_crossing(F.col("prev_tod"), tod_seconds(F.col(ts_col)))
+        emits = F.col(counter_col) > F.col("prev_counter")
+        return (
+            lagged.withColumn("shift_change", F.coalesce(cambio, F.lit(False)))
+            .withColumn("emits", F.coalesce(emits, F.lit(False)))
+            .withColumn(
+                "delta",
+                F.when(
+                    F.coalesce(emits, F.lit(False)),
+                    F.col(counter_col) - F.col("prev_counter"),
+                ),
+            )
+            .drop("prev_tod")
+        )
     # Materialize BOTH lag columns in ONE select over attribute inputs,
     # then derive every flag from the materialized columns. Two things
     # go wrong otherwise (both verified via explain, pinned by
@@ -96,13 +138,17 @@ def production_rollup(
     multiplier: DataFrame | None = None,
     multiplier_key: str = "part",
     multiplier_col: str = "multiplier",
+    prev_mode: str = "lag",
 ) -> DataFrame:
     """A5: per (station, part, plan_date, shift) production quantity =
     sum of emitted positive counter deltas × multiplier (default 1 on a
     missing dimension row — C8/J10, Prensas.py:727-728, 780).
 
     The multiplier dim joins BROADCAST (it is small by construction in
-    the reference — AS400 pieces-per-cycle lookup)."""
+    the reference — AS400 pieces-per-cycle lookup).
+
+    ``prev_mode="runmax"`` gives the reference's exact on-emit prev
+    semantics (see counter_deltas)."""
     d = counter_deltas(
         events,
         station_col=station_col,
@@ -110,6 +156,7 @@ def production_rollup(
         counter_col=counter_col,
         ts_col=ts_col,
         order_cols=order_cols,
+        prev_mode=prev_mode,
     )
     d = with_shift(d, ts_col)
     agg = d.filter(F.col("emits")).groupBy(station_col, part_col, "plan_date", "shift_id").agg(

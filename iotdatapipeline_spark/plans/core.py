@@ -113,7 +113,15 @@ def _readings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def production_shift_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY.md §7 step 2): counter-delta emits (W1), shift
     boundaries (W2/C5), per-shift quantity (A5), broadcast multiplier
-    enrichment with default-1 (J10/C8)."""
+    enrichment with default-1 (J10/C8).
+
+    NOTE: uses ``prev_mode="lag"`` — prev = previous ROW, the batch
+    analog of the streaming machine's ``emit_mode="row"`` (their
+    equivalence test pairs them). The reference itself advances prev
+    only on emit; ``production_shift_rollup_runmax`` is that exact
+    formulation, and ``stream_counter_machine_reference`` pins the
+    full state machine (incl. zero-delta boundary emits) against a
+    recursive-CTE oracle."""
     readings = _readings(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     mult = (
@@ -130,6 +138,71 @@ def production_shift_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         order_cols=("event_id",),
         multiplier=mult,
+    )
+    return out.select("station", "part", "plan_date", "shift_id", "emit_count", "last_counter", "qty")
+
+
+# ── Flagship, exact reference prev semantics (running max) ─────────────────
+
+@register(
+    "production_shift_rollup_runmax",
+    f"""
+    WITH readings AS ({_READINGS_SQL}),
+    d AS (
+        SELECT station, part, ts, counter,
+               max(counter) OVER (PARTITION BY station, part ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_counter
+        FROM readings
+    ),
+    e AS (
+        SELECT *,
+               CASE WHEN hour(ts) BETWEEN 8 AND 15 THEN 1 ELSE 2 END AS shift_id,
+               CASE WHEN hour(ts) < 8 THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END AS plan_date
+        FROM d WHERE counter > prev_counter
+    ),
+    agg AS (
+        SELECT station, part, plan_date, shift_id,
+               CAST(sum(counter - prev_counter) AS BIGINT) AS qty_raw,
+               count(*) AS emit_count,
+               CAST(max(counter) AS BIGINT) AS last_counter
+        FROM e GROUP BY station, part, plan_date, shift_id
+    ),
+    mult AS (
+        SELECT DISTINCT event_type AS part,
+               CAST(length(event_type) % 3 + 1 AS INTEGER) AS multiplier
+        FROM events WHERE length(event_type) <> 5
+    )
+    SELECT a.station, a.part, a.plan_date, a.shift_id, a.emit_count, a.last_counter,
+           CAST(a.qty_raw * COALESCE(m.multiplier, 1) AS BIGINT) AS qty
+    FROM agg a LEFT JOIN mult m ON a.part = m.part
+    """,
+)
+def production_shift_rollup_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the reference's EXACT prev rule
+    (Prensas.py:812: ``contador_registro`` advances only on emit ⇒
+    prev ≡ running max of prior counters). Quantities match Prensas.py
+    bit-for-bit on any counter sequence, monotone or not; the only
+    reference behavior not in this batch form is the zero-delta
+    boundary-equality emit (delta 0 — never moves qty), pinned instead
+    by ``stream_counter_machine_reference``."""
+    readings = _readings(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    mult = (
+        ev.select(F.col("event_type").alias("part"))
+        .distinct()
+        .filter(F.length("part") != 5)
+        .withColumn("multiplier", (F.length("part") % 3 + 1).cast("int"))
+    )
+    out = production_rollup(
+        readings,
+        station_col="station",
+        part_col="part",
+        counter_col="counter",
+        ts_col="ts",
+        order_cols=("event_id",),
+        multiplier=mult,
+        prev_mode="runmax",
     )
     return out.select("station", "part", "plan_date", "shift_id", "emit_count", "last_counter", "qty")
 

@@ -21,12 +21,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str | Sequence[str]
+) -> DataFrame:
     """Deterministic last-write-wins: per key, keep the row with the
-    max ``order_col`` (hash aggregate, no window shuffle-sort)."""
+    max ``order_col`` (hash aggregate, no window shuffle-sort).
+
+    ``order_col`` may be a tuple of columns; ties on the first are
+    broken by the next, so two emits sharing a timestamp still resolve
+    the same way on every run/distribution (struct comparison is
+    lexicographic).
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     others = [c for c in df.columns if c not in keys]
     agg = df.groupBy(*keys).agg(
-        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__s")
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__s")
     )
     return agg.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
 
@@ -73,19 +85,19 @@ def _idempotent_append(batch_df: DataFrame, batch_id: int, path: str) -> None:
     ``__batch_id=N`` partition via dynamic partition overwrite, so a
     replayed batch overwrites its own partition instead of duplicating
     it. Readers see plain rows (the partition column is engine
-    metadata, pruned on read)."""
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch_df.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("__batch_id")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    metadata, pruned on read).
+
+    The overwrite mode is set per-write (``.option``) rather than on
+    the shared session conf: two streaming queries in one session must
+    not race a session-global toggle, or a concurrent write could run
+    in static mode and wipe other batches' partitions."""
+    (
+        batch_df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
 
 
 def read_history(spark: SparkSession, path: str) -> DataFrame:
@@ -119,7 +131,7 @@ def fanout_foreach_batch(
         try:
             updates = batch_df.filter(F.col("row_kind") == "update")
             _idempotent_append(updates, batch_id, history_path)
-            latest = latest_per_key(updates, updates_keys, "ts")
+            latest = latest_per_key(updates, updates_keys, ("ts", "counter"))
             spark = batch_df.sparkSession
             existing = read_or_empty(spark, updates_path, updates)
             _atomic_overwrite(merge_upsert(existing, latest, updates_keys), updates_path)

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
