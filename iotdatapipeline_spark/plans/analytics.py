@@ -739,10 +739,30 @@ ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
 @register(
     "embeddings_neardup_pairs",
     """
-    WITH p AS (
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    ap AS (
+        SELECT e.vec_id, cid,
+               unnest(e.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings e, c
+    ),
+    ad AS (
+        SELECT vec_id, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq
+        FROM ap GROUP BY vec_id, cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, cid) AS rn
+            FROM ad
+        ) WHERE rn = 1
+    ),
+    p AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2,
-               unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+        FROM assign a
+          JOIN assign b ON a.vec_id < b.vec_id AND a.cid = b.cid
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
     ),
     d AS (
         SELECT id1, id2,
@@ -755,9 +775,22 @@ ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
 )
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this
-    near-random fixture; production thresholds sit at 0.9+)."""
+    near-random fixture; production thresholds sit at 0.9+), BLOCKED
+    on the vector's IVF bucket (nearest centroid, same rule as
+    ``embeddings_ivf_assign``): pairs only meet inside a bucket, so
+    the pair space is Σ_b n_b² over bucket sizes — never the corpus
+    n². This is the 100 TB shape: the join is a hash join on
+    centroid_id, not an all-pairs nested loop. Recall trade-off: a
+    near-dup pair split across two buckets is missed; union the
+    n_probe nearest buckets per vector (as ``ivf_search`` does for
+    queries) when that matters."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, min_cos_x1e6=350_000)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    blocked = emb.join(assigned, "vec_id")
+    return neardup_pairs(blocked, block_col="centroid_id", min_cos_x1e6=350_000)
 
 
 @register(

@@ -134,6 +134,21 @@ class TestPlanShapes:
         assert "CartesianProduct" not in plan, plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
+    def test_neardup_pairs_ivf_blocked_not_all_pairs(self, spark, sf_small):
+        # the PAIR join must be an equi join on centroid_id (pair space
+        # Σ_b n_b², never corpus n²). The centroid-assignment crossJoin
+        # (corpus × 8 broadcast centroids) is the only nested-loop
+        # allowed, so count: exactly the two assignment expansions, and
+        # at least one hash join carrying the centroid_id equi-key.
+        df = QUERIES["embeddings_neardup_pairs"](spark, sf_small)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        opt = _optimized(df)
+        import re
+
+        pair_joins = [l for l in opt.splitlines() if re.search(r"Join Inner.*id1.*id2", l)]
+        assert pair_joins and all("centroid" in l or "blk" in l for l in pair_joins), opt
+
 
 class TestApproxDistinct:
     def test_approx_count_distinct_within_5pct_of_exact(self, spark, sf_small):
