@@ -52,11 +52,24 @@ def knn_bruteforce(
     corpus, rank per query by (rounded cosine DESC, neighbor id).
     Rounding makes the ranking stable across engines/summation orders.
     Output: qid, nid, rk, cos_sim."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    # Norms are computed per ROW before the pair join (one interpreted
+    # HOF pass each), not per PAIR inside it (which would re-aggregate
+    # each side's norm once per partner — 3 array folds per pair
+    # instead of 1). Same float result: cosine = dot/(|a|·|b|) either
+    # way, and rounding happens after the division as before.
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).withColumn(
+        "__qn", l2_norm(F.col("qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
+        "__nn", l2_norm(F.col("nvec"))
+    )
     pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
     scored = pairs.select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim")
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("__qn") * F.col("__nn")), round_digits
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
@@ -121,8 +134,10 @@ def ivf_search(
         corpus, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id_col=centroid_id_col, round_digits=round_digits,
     ).select(F.col(id_col).alias("nid"), F.col(centroid_id_col))
-    bucketed = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).join(
-        index, "nid"
+    bucketed = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+        .withColumn("__nn", l2_norm(F.col("nvec")))
+        .join(index, "nid")
     )
 
     c = centroids.select(F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
@@ -140,11 +155,16 @@ def ivf_search(
         qd.withColumn("__pn", F.row_number().over(wprobe))
         .filter(F.col("__pn") <= n_probe)
         .select("qid", "qvec", F.col("__cid").alias(centroid_id_col))
+        .withColumn("__qn", l2_norm(F.col("qvec")))
     )
 
     cand = bucketed.join(F.broadcast(probes), centroid_id_col).filter(F.col("nid") != F.col("qid"))
     scored = cand.select(
-        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim")
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("__qn") * F.col("__nn")), round_digits
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
@@ -231,13 +251,25 @@ def neardup_pairs(
     optionally blocked (same ``block_col`` only — at scale use an LSH
     or IVF bucket as the block). Threshold compares the ×1e6-floored
     cosine so the cut is exact-integer. Output: id1, id2, cos_x1e6."""
-    left = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), *( [F.col(block_col).alias("blk1")] if block_col else [] ))
-    right = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), *( [F.col(block_col).alias("blk2")] if block_col else [] ))
+    left = corpus.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        *([F.col(block_col).alias("blk1")] if block_col else []),
+    ).withColumn("__n1", l2_norm(F.col("v1")))
+    right = corpus.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        *([F.col(block_col).alias("blk2")] if block_col else []),
+    ).withColumn("__n2", l2_norm(F.col("v2")))
     cond = F.col("id1") < F.col("id2")
     if block_col:
         cond = cond & (F.col("blk1") == F.col("blk2"))
     pairs = left.join(right, cond)
     scored = pairs.select(
-        "id1", "id2", F.floor(cosine(F.col("v1"), F.col("v2")) * 1_000_000).cast("long").alias("cos_x1e6")
+        "id1",
+        "id2",
+        F.floor(
+            dot(F.col("v1"), F.col("v2")) / (F.col("__n1") * F.col("__n2")) * 1_000_000
+        ).cast("long").alias("cos_x1e6"),
     )
     return scored.filter(F.col("cos_x1e6") >= min_cos_x1e6)

@@ -36,13 +36,19 @@ def expand_alternatives(col: Column) -> Column:
     """
     cleaned = strip_nuls(col)
     tokens = F.split(cleaned, " ")  # like str.split(' '): keeps empty tokens
-    expanded = F.aggregate(
+    general = F.aggregate(
         tokens,
         F.array(F.lit("")),
         lambda acc, tok: F.flatten(
             F.transform(acc, lambda prefix: F.transform(F.split(tok, "/"), lambda alt: F.concat(prefix, alt)))
         ),
     )
+    # Single-token fast path: with no spaces the fold degenerates to
+    # split(cleaned, "/") exactly (acc=[""] × one token's alternatives).
+    # split is codegen'd; the nested-HOF fold is interpreted per row
+    # (~8 µs/row measured) — and spaceless part numbers are the
+    # overwhelmingly common shape, so dispatch on it.
+    expanded = F.when(~cleaned.contains(" "), F.split(cleaned, "/")).otherwise(general)
     no_slash = F.array(strip_spaces(cleaned))
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
         F.when(cleaned.contains("/"), expanded).otherwise(no_slash)

@@ -24,6 +24,7 @@ from iotdatapipeline_spark.operators.relational import (
     guarded_insert_split,
     latest_snapshot,
     limpieza_update_set,
+    argmax_per_group,
     top1_per_group,
 )
 
@@ -40,6 +41,7 @@ __all__ = [
     "guarded_insert_split",
     "latest_snapshot",
     "limpieza_update_set",
+    "argmax_per_group",
     "top1_per_group",
     "salted_agg",
     "salted_broadcast_left",

@@ -23,6 +23,27 @@ def top1_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    """W3 as a HASH AGGREGATE: per key, the row with the lexicographic
+    max of ``order_cols`` (all ascending — express DESC-on-all orders
+    by maxing the same columns the window version sorts DESC).
+
+    Same result as ``top1_per_group(df, keys, [desc(c) for c in
+    order_cols])`` whenever ``order_cols`` totally orders rows within a
+    key (e.g. ends in a unique id). Preferable at every scale: max_by
+    is a partial-aggregating hash agg — no per-partition sort, and the
+    map side shrinks each group to one row before the shuffle, where
+    the window formulation ships EVERY row to the reducer and sorts."""
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__s")
+    )
+    return agg.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
+
+
 def guarded_insert_split(
     candidates: DataFrame,
     dim: DataFrame,

@@ -22,6 +22,7 @@ from iotdatapipeline_spark.functions import (
     shift_id,
 )
 from iotdatapipeline_spark.operators import (
+    argmax_per_group,
     config_regroup,
     dedup_append_set,
     dedup_combine,
@@ -339,9 +340,13 @@ def dedup_combine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top1_active_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 (Prensas.py:300-302): per-group argmax by (status DESC, id
-    DESC) — the TOP(1) open-record probe, orders as the stand-in."""
+    DESC) — the TOP(1) open-record probe, orders as the stand-in.
+
+    Runs as the hash-agg formulation (``argmax_per_group``): o_orderkey
+    is unique, so max_by over (status, orderkey) picks exactly the
+    window version's rn=1 row with no sort and map-side reduction."""
     orders = load_table(spark, sf_dir, "orders")
-    out = top1_per_group(orders, ["o_custkey"], [F.desc("o_orderstatus"), F.desc("o_orderkey")])
+    out = argmax_per_group(orders, ["o_custkey"], ["o_orderstatus", "o_orderkey"])
     return out.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
 
 
