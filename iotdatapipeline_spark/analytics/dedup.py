@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.analytics.text import shingles_of_words
+from iotdatapipeline_spark.operators.skew import fanout_repartition
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -44,8 +45,11 @@ def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinc
     equals min over its set) — it removes a full shuffle of the widest
     intermediate, the dominant cost at scale."""
     # pre-split into a real column: an inline split inside the shingle
-    # lambda is re-evaluated per element (O(words²) per doc)
-    out = docs.withColumn("__ws", F.split(F.col(text_col), " ")).select(
+    # lambda is re-evaluated per element (O(words²) per doc).
+    # fanout_repartition: the explode+md5 fan-out below is the widest
+    # compute in the pipeline — parallelize it even when the doc scan
+    # is a single task (no-op at cluster scale, see skew.py).
+    out = fanout_repartition(docs).withColumn("__ws", F.split(F.col(text_col), " ")).select(
         F.col(id_col), F.explode(shingles_of_words(F.col("__ws"), n)).alias("shingle")
     )
     return out.distinct() if distinct else out

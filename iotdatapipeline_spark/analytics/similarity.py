@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from iotdatapipeline_spark.operators.skew import fanout_repartition
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double (sequential array order — deterministic)."""
@@ -60,9 +62,12 @@ def knn_bruteforce(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).withColumn(
         "__qn", l2_norm(F.col("qvec"))
     )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
-        "__nn", l2_norm(F.col("nvec"))
-    )
+    # The per-pair HOF dot product is the whole cost; if the corpus
+    # scan yields fewer partitions than cores (single-row-group file),
+    # fan it out so scoring parallelizes. No-op at cluster scale.
+    c = fanout_repartition(corpus).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("__nn", l2_norm(F.col("nvec")))
     pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
     scored = pairs.select(
         "qid",

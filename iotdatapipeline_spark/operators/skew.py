@@ -76,6 +76,29 @@ def salted_broadcast_left(
     return big.join(F.broadcast(small), list(on), how)
 
 
+def fanout_repartition(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``target`` (default: the session's
+    default parallelism) — but ONLY if its current physical plan
+    produces fewer partitions than that.
+
+    This is the inverse of AQE partition coalescing: a stats-based
+    physical decision for compute-heavy fan-out stages (shingle
+    explode, per-pair HOF folds, array arithmetic) fed by a small scan.
+    A single-row-group parquet file scans as ONE task no matter what
+    ``maxPartitionBytes`` says, so everything downstream until the
+    first shuffle runs single-threaded; one cheap round-robin exchange
+    of the *narrow* input buys full-core parallelism for the wide
+    compute that follows. At cluster scale scans already yield ≥
+    parallelism partitions and this is a no-op — the partition-count
+    gate, not the caller, decides.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def explain_has_single_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains at most one Exchange — a
     cheap assertion hook for plan-shape tests."""

@@ -33,7 +33,7 @@ from iotdatapipeline_spark.operators import (
     production_rollup,
     top1_per_group,
 )
-from iotdatapipeline_spark.sources import load_table
+from iotdatapipeline_spark.sources import load_table, table_bytes
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -658,9 +658,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-shaped 3-way join + agg + top-k (J2 at volume). The
-    customer dim side broadcasts; the orders⋈lineitem join shuffles on
-    the key both sides are already grouped by."""
+    """TPC-H-Q3-shaped 3-way join + agg + top-k (J2 at volume).
+
+    Dim-first join order: customer (broadcast) reduces orders FIRST, so
+    the expensive lineitem join sees only the surviving ~¼ of orders —
+    the order a cost-based optimizer would pick. Whether the reduced
+    (orders⋈customer) side then BROADCASTS into lineitem is size-gated
+    on the orders table's on-disk bytes: small scans take the
+    single-exchange broadcast plan; at cluster scale the gate declines
+    the hint and AQE picks shuffle-vs-broadcast from runtime stats.
+    """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -668,9 +675,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    if table_bytes(sf_dir, "orders") <= 64 << 20:
+        dim = F.broadcast(dim)
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))

@@ -4,6 +4,6 @@ from iotdatapipeline_spark.sources.csv_store import (
     append_unknown_parts,
     read_csv_store,
 )
-from iotdatapipeline_spark.sources.tables import TABLES, load_table, register_views
+from iotdatapipeline_spark.sources.tables import TABLES, load_table, register_views, table_bytes
 
-__all__ = ["TABLES", "load_table", "register_views", "read_csv_store", "append_unknown_parts"]
+__all__ = ["TABLES", "load_table", "register_views", "table_bytes", "read_csv_store", "append_unknown_parts"]

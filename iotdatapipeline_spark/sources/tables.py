@@ -46,6 +46,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of one fixture table (file or partitioned dir).
+
+    Used for CBO-style physical decisions (e.g. "is this side small
+    enough to broadcast-hint?") where Spark's own statistics are not
+    yet in scope because the decision happens at plan-construction
+    time. Returns 0 when the path is missing so callers degrade to the
+    conservative (no-hint) branch.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return 0
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql use."""
     for name in TABLES:
