@@ -57,6 +57,71 @@ def stage_replay_chunks(
     return out_dir
 
 
+def stage_ooo_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 6,
+    jitter_us: int = 7_200_000_000,
+    dup_mod: int = 17,
+) -> str:
+    """Adversarial replay for the T7 late/duplicate gate: readings
+    arrive OUT OF ORDER (arrival = ts + md5-derived jitter in
+    [0, jitter_us)) and ~1/``dup_mod`` of them arrive TWICE (the
+    second copy with its own jitter). Chunked by ARRIVAL order into
+    ``n_chunks`` files, so a ``maxFilesPerTrigger=1`` stream sees one
+    arrival window per micro-batch and the watermark advances between
+    chunks. All randomness is md5-of-key — deterministic, so a SQL
+    oracle can replay the exact same chunk assignment."""
+    from pyspark.sql import Window
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+    )
+    dups = readings.filter(F.col("event_id") % dup_mod == 0).withColumn("copy", F.lit(1))
+    copies = readings.withColumn("copy", F.lit(0)).unionByName(dups)
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.when(F.col("copy") == 1, F.lit("dup")).otherwise(F.lit("")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % jitter_us
+    )
+    arr = copies.withColumn("arrival_ts", F.timestamp_micros(F.unix_micros(F.col("ts")) + jitter))
+    arr = arr.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("arrival_ts", "event_id", "copy"))
+    )
+    pdf = arr.orderBy("arrival_ts", "event_id", "copy").toPandas()
+    for c in sorted(pdf["chunk"].unique()):
+        sub = pdf[pdf["chunk"] == c][["station", "part", "ts", "event_id", "value", "counter"]]
+        pq.write_table(
+            pa.Table.from_pandas(sub, preserve_index=False),
+            os.path.join(out_dir, f"chunk_{c:05d}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return out_dir
+
+
 def readings_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-replay stream of PLC-style readings (one chunk per
     micro-batch ≈ one poll tick, T1)."""
