@@ -32,7 +32,11 @@ from iotdatapipeline_spark.analytics.multimodal import (
     sample_frames,
 )
 from iotdatapipeline_spark.sources import load_table
-from iotdatapipeline_spark.streaming.source import readings_stream, stage_replay_chunks
+from iotdatapipeline_spark.streaming.source import (
+    readings_stream,
+    stage_ooo_replay_chunks,
+    stage_replay_chunks,
+)
 from iotdatapipeline_spark.streaming.stateful import counter_state_machine
 
 QUERIES: dict = {}
@@ -193,6 +197,174 @@ def stream_counter_machine_reference(spark: SparkSession, sf_dir: str) -> DataFr
         "shift_id",
         "plan_date",
     )
+
+
+#: T7 gate parameters — shared by the streamed queries and their SQL twins.
+_T7_N_CHUNKS = 6
+_T7_JITTER_US = 7_200_000_000  # arrival = ts + md5-jitter in [0, 2h)
+_T7_DEDUP_DELAY_US = 10_800_000_000  # dedup watermark delay: 3h > jitter span
+_T7_DUP_MOD = 17  # ~6% of readings arrive twice
+
+
+@register(
+    "events_late_dedup",
+    """
+    SELECT user_id AS station, event_type AS part, ts, event_id, value,
+           CAST(floor(value * 100) AS BIGINT) AS counter
+    FROM events
+    """,
+)
+def events_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7-duplicates (SURVEY.md §2.10): an out-of-order replay (arrival
+    = event time + bounded md5 jitter in [0, 2h), ~6% of readings
+    arriving TWICE with independent jitter) flows through
+    ``withWatermark(3h) → dropDuplicatesWithinWatermark(event_id)``,
+    one arrival chunk per micro-batch, and the drained append output is
+    hash-checked against the clean readings relation.
+
+    Why the twin is exact and not approximate: the operator guarantees
+    dedup for duplicates arriving within the watermark delay of each
+    other. Both copies share one event time and their arrivals differ
+    by < the 2h jitter span; the watermark can never exceed the max
+    event time seen, so when the second copy arrives the first copy's
+    state (expiry = ts + 3h) is still ≥ any reachable watermark —
+    state provably cannot expire between the two copies, hence exactly
+    one row per event_id survives, with canonical payload (copies are
+    identical). A dedup that loses state across micro-batches, dedups
+    on the wrong key, or emits both copies hash-mismatches. Note the
+    operator does NOT drop late rows (verified empirically — the
+    watermark only bounds state); the late-data half of T7 is pinned
+    by ``events_late_window``. The reference itself has no late/dup
+    story (arrival IS processing order, Prensas.py:602-604)."""
+    work = tempfile.mkdtemp(prefix="iotdp_t7_")
+    replay = stage_ooo_replay_chunks(
+        spark,
+        sf_dir,
+        os.path.join(work, "replay"),
+        n_chunks=_T7_N_CHUNKS,
+        jitter_us=_T7_JITTER_US,
+        dup_mod=_T7_DUP_MOD,
+    )
+    stream = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", f"{_T7_DEDUP_DELAY_US} microseconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"t7_late_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("station", "part", "ts", "event_id", "value", "counter")
+
+
+#: late-window gate: watermark delay 30 min + 500 µs. Event times are
+#: µs-clean while window ends are second-aligned, so the sub-ms offset
+#: makes watermark-vs-window-end boundary ties impossible — the oracle
+#: never depends on the engine's <-vs-≤ choice at the boundary.
+_T7_WIN_DELAY_US = 1_800_000_500
+_T7_WIN_US = 300_000_000  # 5-minute tumbling windows
+
+
+@register(
+    "events_late_window",
+    f"""
+    WITH readings AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS counter
+        FROM events
+    ),
+    arr AS (
+        SELECT *, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_T7_JITTER_US} AS arrival_us
+        FROM readings
+    ),
+    chunked AS (
+        SELECT *, ntile({_T7_N_CHUNKS}) OVER (ORDER BY arrival_us, event_id) AS chunk FROM arr
+    ),
+    frontier AS (SELECT chunk, max(ts_us) AS mx FROM chunked GROUP BY chunk),
+    wm AS (
+        SELECT chunk,
+               max(mx) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                   - {_T7_WIN_DELAY_US} AS wm_late
+        FROM frontier
+    ),
+    final_wm AS (SELECT max(ts_us) - {_T7_WIN_DELAY_US} AS fw FROM chunked),
+    included AS (
+        SELECT c.station, c.counter,
+               CAST(floor(c.ts_us / {_T7_WIN_US}) AS BIGINT) * {_T7_WIN_US} AS wstart_us
+        FROM chunked c JOIN wm USING (chunk)
+        WHERE wm.wm_late IS NULL
+           OR (CAST(floor(c.ts_us / {_T7_WIN_US}) AS BIGINT) + 1) * {_T7_WIN_US} > wm.wm_late
+    )
+    SELECT station,
+           make_timestamp(wstart_us) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(counter) AS BIGINT) AS counter_sum
+    FROM included, final_wm
+    GROUP BY station, wstart_us, fw
+    HAVING wstart_us + {_T7_WIN_US} <= fw
+    """,
+)
+def events_late_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7-late-data (SURVEY.md §2.10): the same out-of-order replay
+    (no duplicates) through a WATERMARKED tumbling-window aggregation
+    in APPEND mode — the operator family where Spark actually drops
+    late rows and only emits finalized windows. The SQL twin replays
+    the micro-batch watermark trajectory chunk by chunk:
+
+      * late filter — Spark keeps a row iff its window end is newer
+        than the LATE-EVENTS watermark, which lags one batch behind
+        (max event time over chunks ≤ k−2, minus delay). Verified
+        empirically: a row arriving in the same batch that finalizes
+        its window is still included (filter uses the previous
+        watermark, eviction the advanced one) — the naive same-batch
+        model is off by exactly those rows.
+      * emission — append mode flushes a window once the EVICTION
+        watermark (max event time over all chunks − delay at the
+        availableNow flush batch) passes its end; later-arriving rows
+        for that window are gone from state and filtered on arrival.
+
+    Boundary strictness never matters: the delay carries a 500 µs
+    offset no second-aligned window end can tie with (all four
+    <-vs-≤ variants produce identical output on the fixture — the
+    twin is exact, not approximate)."""
+    work = tempfile.mkdtemp(prefix="iotdp_t7w_")
+    replay = stage_ooo_replay_chunks(
+        spark,
+        sf_dir,
+        os.path.join(work, "replay"),
+        n_chunks=_T7_N_CHUNKS,
+        jitter_us=_T7_JITTER_US,
+        dup_mod=0,
+    )
+    stream = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", f"{_T7_WIN_DELAY_US} microseconds")
+        .groupBy("station", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("counter").cast("long").alias("counter_sum"),
+        )
+        .select("station", F.col("w.start").alias("window_start"), "n_events", "counter_sum")
+    )
+    sink = f"t7_late_window_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("station", "window_start", "n_events", "counter_sum")
 
 
 @register(

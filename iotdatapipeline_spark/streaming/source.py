@@ -87,8 +87,10 @@ def stage_ooo_replay_chunks(
         F.col("value"),
         F.floor(F.col("value") * 100).cast("long").alias("counter"),
     )
-    dups = readings.filter(F.col("event_id") % dup_mod == 0).withColumn("copy", F.lit(1))
-    copies = readings.withColumn("copy", F.lit(0)).unionByName(dups)
+    copies = readings.withColumn("copy", F.lit(0))
+    if dup_mod:
+        dups = readings.filter(F.col("event_id") % dup_mod == 0).withColumn("copy", F.lit(1))
+        copies = copies.unionByName(dups)
     jitter = (
         F.conv(
             F.substring(

@@ -298,6 +298,32 @@ class TestEventTimeWatermarks:
         assert n_dups > 0
         assert got_n == base_n  # every injected duplicate dropped
 
+    def test_t7_gate_queries_nonvacuous(self, spark, sf_small):
+        """The registered T7 gate queries must actually exercise their
+        semantics on the fixture: the dedup gate sees MORE arrivals
+        than it emits (duplicates dropped across micro-batches), and
+        the late-window gate accounts for FEWER events than exist
+        (late rows dropped + trailing windows never finalized). Their
+        value-level correctness is oracle-checked by the driver gate /
+        parity sweep; this pins that those checks aren't vacuous."""
+        from iotdatapipeline_spark.plans.streams import (
+            _T7_DUP_MOD,
+            events_late_dedup,
+            events_late_window,
+        )
+
+        base = _readings(spark, sf_small)
+        n_base = base.count()
+        n_dups = base.filter(F.col("event_id") % _T7_DUP_MOD == 0).count()
+        assert n_dups > 0
+
+        deduped = events_late_dedup(spark, sf_small)
+        assert deduped.count() == n_base  # 1 row per event_id, dups gone
+
+        windowed = events_late_window(spark, sf_small)
+        accounted = windowed.agg(F.sum("n_events")).first()[0]
+        assert 0 < accounted < n_base
+
     def test_stream_stream_interval_join_matches_batch(self, spark, sf_small, tmp_path):
         """Stream-stream inner join with an event-time interval
         condition: readings ⋈ config-push marks within the preceding
