@@ -9,7 +9,12 @@ from iotdatapipeline_spark.streaming.sinks import (
     merge_upsert,
     upsert_foreach_batch,
 )
-from iotdatapipeline_spark.streaming.source import readings_stream, stage_replay_chunks
+from iotdatapipeline_spark.streaming.source import (
+    drop_oldest_schedule,
+    readings_stream,
+    stage_bounded_replay,
+    stage_replay_chunks,
+)
 from iotdatapipeline_spark.streaming.stateful import counter_state_machine, make_state_fn
 from iotdatapipeline_spark.streaming.supervisor import Supervisor, config_fingerprints
 
@@ -21,7 +26,9 @@ __all__ = [
     "latest_per_key",
     "merge_upsert",
     "upsert_foreach_batch",
+    "drop_oldest_schedule",
     "readings_stream",
+    "stage_bounded_replay",
     "stage_replay_chunks",
     "counter_state_machine",
     "make_state_fn",

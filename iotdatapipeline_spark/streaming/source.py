@@ -124,6 +124,61 @@ def stage_ooo_replay_chunks(
     return out_dir
 
 
+def drop_oldest_schedule(
+    n_chunks: int, capacity: int, consumer_period: int
+) -> tuple[list[int], list[int]]:
+    """T2 queue dynamics (SURVEY.md §2.10; reference Prensas.py:584-593):
+    a producer pushes chunk ``k`` at tick ``k`` into a queue bounded at
+    ``capacity``; on QueueFull it pops the OLDEST item and pushes the
+    fresh one. A slow consumer takes one item (FIFO) every
+    ``consumer_period`` ticks and drains the remainder once the
+    producer stops. Returns ``(consumed, dropped)`` chunk ids — a pure
+    deterministic model of the reference's drop-oldest backpressure,
+    so a test can assert exactly which chunks a lossy replay keeps."""
+    from collections import deque
+
+    queue: deque[int] = deque()
+    consumed: list[int] = []
+    dropped: list[int] = []
+    for k in range(n_chunks):
+        if len(queue) == capacity:
+            dropped.append(queue.popleft())
+        queue.append(k)
+        if (k + 1) % consumer_period == 0 and queue:
+            consumed.append(queue.popleft())
+    consumed.extend(queue)
+    return consumed, dropped
+
+
+def stage_bounded_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 10,
+    capacity: int = 2,
+    consumer_period: int = 3,
+) -> tuple[str, list[int], list[int]]:
+    """T2: stage the time-ordered replay THROUGH the bounded
+    drop-oldest queue. Only chunks the slow consumer actually receives
+    are written (in consumption order), so the downstream stream sees
+    exactly what the reference's station processor would see when it
+    falls behind: stale snapshots lost, freshest always delivered.
+    Returns ``(replay_dir, consumed_chunk_ids, dropped_chunk_ids)``."""
+    staging = out_dir.rstrip("/") + "__all"
+    stage_replay_chunks(spark, sf_dir, staging, n_chunks=n_chunks)
+    produced = sorted(os.listdir(staging))
+    consumed, dropped = drop_oldest_schedule(len(produced), capacity, consumer_period)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for seq, chunk_id in enumerate(consumed):
+        shutil.copy(
+            os.path.join(staging, produced[chunk_id]),
+            os.path.join(out_dir, f"recv_{seq:05d}_chunk_{chunk_id:05d}.parquet"),
+        )
+    return out_dir, consumed, dropped
+
+
 def readings_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-replay stream of PLC-style readings (one chunk per
     micro-batch ≈ one poll tick, T1)."""

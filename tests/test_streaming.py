@@ -486,6 +486,73 @@ class TestLatestSnapshotStreaming:
 
 
 @pytest.mark.slow
+class TestDropOldestBackpressure:
+    """T2 (SURVEY.md §2.10): the reference's bounded queue pops the
+    OLDEST snapshot when full (Prensas.py:584-593) — intentional loss
+    tolerance for latest-value data. These tests pin (a) the queue
+    dynamics and (b) that a latest-snapshot consumer downstream of the
+    lossy replay still converges to the newest values."""
+
+    def test_t2_schedule_drop_oldest_semantics(self):
+        from iotdatapipeline_spark.streaming import drop_oldest_schedule
+
+        consumed, dropped = drop_oldest_schedule(10, 2, 3)
+        assert sorted(consumed + dropped) == list(range(10))  # full accounting
+        assert dropped  # backpressure actually engaged at this rate
+        assert consumed == sorted(consumed)  # FIFO: delivery preserves arrival order
+        assert 9 in consumed  # the freshest item is always delivered
+        # drop-oldest, not drop-newest: anything dropped is staler than
+        # something delivered later
+        assert all(any(c > d for c in consumed) for d in dropped)
+        # a fast-enough consumer (or big-enough queue) loses nothing
+        consumed2, dropped2 = drop_oldest_schedule(10, 10, 3)
+        assert not dropped2 and consumed2 == list(range(10))
+        consumed3, dropped3 = drop_oldest_schedule(10, 2, 1)
+        assert not dropped3 and consumed3 == list(range(10))
+
+    def test_t2_latest_snapshot_newest_wins(self, spark, sf_small, tmp_path):
+        from iotdatapipeline_spark.streaming import stage_bounded_replay
+
+        replay, consumed, dropped = stage_bounded_replay(
+            spark, sf_small, str(tmp_path / "bq"), n_chunks=10, capacity=2, consumer_period=3
+        )
+        assert dropped  # the replay is genuinely lossy
+        snap_agg = lambda df: (  # noqa: E731
+            df.groupBy("station")
+            .agg(F.max_by(F.struct("part", "counter", "ts"), F.struct("ts", "event_id")).alias("v"))
+            .select("station", "v.part", "v.counter", "v.ts")
+        )
+        name = "t2_latest_snap"
+        q = (
+            snap_agg(readings_stream(spark, replay))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table(name)
+        # the stream saw exactly the surviving chunks
+        survived = spark.read.parquet(replay)
+        expect = snap_agg(survived)
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        # newest-wins: chunks are time-ordered and the final chunk is
+        # never dropped, so every station present in it must resolve to
+        # its GLOBAL latest value — the losses were stale-only.
+        full = _readings(spark, sf_small)
+        glob = snap_agg(full)
+        last_file = sorted(os.listdir(replay))[-1]
+        last_stations = spark.read.parquet(os.path.join(replay, last_file)).select("station").distinct()
+        got_last = got.join(last_stations, "station")
+        glob_last = glob.join(last_stations, "station")
+        assert got_last.count() > 0
+        assert got_last.exceptAll(glob_last).count() == 0
+        assert glob_last.exceptAll(got_last).count() == 0
+
+
+@pytest.mark.slow
 class TestSupervisorLiveQueries:
     def test_reconcile_with_real_streams(self, spark, tmp_path):
         """T8 end-to-end with REAL streaming queries: start per-group
