@@ -114,7 +114,7 @@ def test_bucketed_path_on_fixture(spark, sf_small):
     readings = ev.select(
         F.col("user_id").alias("station"), "ts", "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("counter"),
-    ).withColumn("ts", (F.col("ts") / 1000).cast("long"))  # nanos fixture → µs long
+    ).withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ fixture → µs long
     cfg = (
         readings.filter(F.col("event_id") % 17 == 0)
         .groupBy("station", "ts")
