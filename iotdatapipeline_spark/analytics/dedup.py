@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iotdatapipeline_spark.analytics.text import shingles_of_words
 from iotdatapipeline_spark.operators.skew import fanout_repartition
 
 
@@ -36,6 +35,30 @@ def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def exploded_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per word-``n``-gram shingle: (id, *extra_cols, shingle).
+
+    Explode-first formulation: explode the shingle INDEX sequence, then
+    build each shingle with plain ``slice``+``array_join`` projections.
+    The alternative — building the full shingle array with a
+    ``transform`` lambda and exploding it — keeps the per-shingle work
+    inside a higher-order-function closure, which Spark evaluates
+    outside whole-stage codegen; measured 2.8× slower on the same data.
+    Explode + project pipeline in one codegen stage, so the words array
+    is never materialized per shingle row."""
+    # pre-split into a real column: an inline split inside a downstream
+    # expression would be re-evaluated per shingle (O(words²) per doc).
+    ws = F.col("__ws")
+    cnt = F.greatest(F.array_size(ws) - F.lit(n - 1), F.lit(1))
+    return (
+        docs.withColumn("__ws", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), *extra_cols, "__ws", F.explode(F.sequence(F.lit(1), cnt)).alias("__i"))
+        .select(F.col(id_col), *extra_cols, F.array_join(F.slice(ws, F.col("__i"), n), " ").alias("shingle"))
+    )
+
+
 def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True) -> DataFrame:
     """Word-``n``-gram shingles per document (long format).
 
@@ -44,14 +67,10 @@ def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinc
     consumers insensitive to multiplicity (MinHash: min over a multiset
     equals min over its set) — it removes a full shuffle of the widest
     intermediate, the dominant cost at scale."""
-    # pre-split into a real column: an inline split inside the shingle
-    # lambda is re-evaluated per element (O(words²) per doc).
     # fanout_repartition: the explode+md5 fan-out below is the widest
     # compute in the pipeline — parallelize it even when the doc scan
     # is a single task (no-op at cluster scale, see skew.py).
-    out = fanout_repartition(docs).withColumn("__ws", F.split(F.col(text_col), " ")).select(
-        F.col(id_col), F.explode(shingles_of_words(F.col("__ws"), n)).alias("shingle")
-    )
+    out = exploded_shingles(fanout_repartition(docs), id_col, text_col, n)
     return out.distinct() if distinct else out
 
 

@@ -30,8 +30,8 @@ from iotdatapipeline_spark.analytics import (
     n_tokens,
     n_words,
     neardup_pairs,
+    exploded_shingles,
     shingle_set,
-    shingles_of_words,
     simhash16_of_hashes,
     word_hashes,
     stopword_hits,
@@ -286,11 +286,7 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for same-source candidate
     pairs (the verify stage behind LSH candidates)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("__ws", words(F.col("text")))
-        .select("doc_id", "source", F.explode(shingles_of_words(F.col("__ws"), 3)).alias("shingle"))
-        .distinct()
-    )
+    sh = exploded_shingles(docs, "doc_id", "text", 3, extra_cols=("source",)).distinct()
     return jaccard_pairs(sh, "doc_id", block_col="source", min_jaccard_x1000=10)
 
 
