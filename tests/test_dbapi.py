@@ -1,0 +1,135 @@
+"""Relational sink path (sources/dbapi.py): distributed DBAPI upsert
+against a real SQL target (sqlite3 — the sandbox has no DB server),
+mirroring the reference's UPDATE-or-INSERT pair (Prensas.py:216-223,
+:319-331) as one idempotent ON CONFLICT merge."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import Row
+
+from iotdatapipeline_spark.sources.dbapi import (
+    dbapi_upsert,
+    dbapi_upsert_foreach_batch,
+    upsert_sql,
+)
+
+
+def _connect_factory(path: str):
+    def connect():
+        con = sqlite3.connect(path, timeout=30)
+        con.execute("PRAGMA busy_timeout = 30000")
+        return con
+
+    return connect
+
+
+@pytest.fixture()
+def db(tmp_path):
+    path = os.path.join(str(tmp_path), "records.db")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE production_records ("
+        "station TEXT, part TEXT, produced_quantity INTEGER, status_id INTEGER, "
+        "ts INTEGER DEFAULT 0, PRIMARY KEY (station, part))"
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def _state(path: str) -> dict:
+    con = sqlite3.connect(path)
+    rows = con.execute(
+        "SELECT station, part, produced_quantity, status_id FROM production_records"
+    ).fetchall()
+    con.close()
+    return {(r[0], r[1]): (r[2], r[3]) for r in rows}
+
+
+class TestUpsertSql:
+    def test_sqlite_dialect(self):
+        sql = upsert_sql("t", ["k", "a", "b"], ["k"])
+        assert sql == (
+            "INSERT INTO t (k, a, b) VALUES (?, ?, ?) "
+            "ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b"
+        )
+
+    def test_all_key_columns(self):
+        assert upsert_sql("t", ["k1", "k2"], ["k1", "k2"]).endswith("DO NOTHING")
+
+    def test_format_paramstyle(self):
+        assert "VALUES (%s, %s)" in upsert_sql("t", ["k", "a"], ["k"], paramstyle="format")
+
+    def test_key_not_in_columns_rejected(self):
+        with pytest.raises(ValueError):
+            upsert_sql("t", ["a"], ["k"])
+
+
+class TestDbapiUpsert:
+    def test_insert_then_update(self, spark, db):
+        df1 = spark.createDataFrame(
+            [
+                Row(station="P1", part="A", produced_quantity=10, status_id=3),
+                Row(station="P1", part="B", produced_quantity=5, status_id=3),
+            ]
+        )
+        dbapi_upsert(df1, _connect_factory(db), "production_records", ["station", "part"])
+        assert _state(db) == {("P1", "A"): (10, 3), ("P1", "B"): (5, 3)}
+
+        # K1 record UPDATE: same keys, new quantity/status
+        df2 = spark.createDataFrame(
+            [
+                Row(station="P1", part="A", produced_quantity=25, status_id=8),
+                Row(station="P1", part="C", produced_quantity=1, status_id=3),
+            ]
+        )
+        dbapi_upsert(df2, _connect_factory(db), "production_records", ["station", "part"])
+        assert _state(db) == {
+            ("P1", "A"): (25, 8),
+            ("P1", "B"): (5, 3),
+            ("P1", "C"): (1, 3),
+        }
+
+    def test_idempotent_replay(self, spark, db):
+        df = spark.createDataFrame([Row(station="P1", part="A", produced_quantity=10, status_id=3)])
+        for _ in range(2):  # retried batch must converge, not duplicate
+            dbapi_upsert(df, _connect_factory(db), "production_records", ["station", "part"])
+        assert _state(db) == {("P1", "A"): (10, 3)}
+
+    def test_many_partitions_contended_writes(self, spark, db):
+        # 200 keys across 8 concurrent local partitions: exercises the
+        # per-partition transaction + lock-retry path end-to-end
+        rows = [
+            Row(station=f"P{i % 4}", part=f"p{i}", produced_quantity=i, status_id=3)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows).repartition(8)
+        dbapi_upsert(df, _connect_factory(db), "production_records", ["station", "part"])
+        st = _state(db)
+        assert len(st) == 200
+        assert st[("P1", "p1")] == (1, 3)
+        assert st[("P3", "p199")] == (199, 3)
+
+
+class TestForeachBatchExecutor:
+    def test_latest_per_key_lands_and_retry_converges(self, spark, db):
+        apply = dbapi_upsert_foreach_batch(
+            _connect_factory(db), "production_records", ["station", "part"], order_col="ts"
+        )
+        batch = spark.createDataFrame(
+            [
+                Row(station="P1", part="A", produced_quantity=10, status_id=3, ts=1),
+                Row(station="P1", part="A", produced_quantity=20, status_id=3, ts=2),
+                Row(station="P2", part="B", produced_quantity=7, status_id=8, ts=1),
+            ]
+        )
+        apply(batch, 0)
+        apply(batch, 0)  # driver retry of the same batch
+        st = _state(db)
+        # within-batch last-write-wins by ts; retry idempotent
+        assert st[("P1", "A")] == (20, 3)
+        assert st[("P2", "B")] == (7, 8)
