@@ -2,12 +2,13 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures,
-batch shapes — is real and tested. The actual codec calls (PIL/ffmpeg
-/torchaudio) are STUBBED behind ``_decode_image_bytes`` /
-``_decode_audio_bytes``: this container has no media libraries, so the
-stubs either raise ``NotImplementedError`` (strict mode) or produce a
-DETERMINISTIC fake decode derived from the bytes (test mode), keeping
-every downstream shape and test honest.
+batch shapes — is real and tested. Decoding is format-sniffed:
+BMP/PNG images and WAV PCM audio decode for REAL via the pure-stdlib
+codecs in analytics/codecs.py; formats that need external media
+libraries (JPEG, MP3, video codecs — not in this container) raise
+``NotImplementedError`` in strict mode or produce a DETERMINISTIC
+fake decode derived from the bytes (test mode), keeping every
+downstream shape and test honest.
 
 Scale notes: media blobs dominate row size — ``mapInPandas`` with a
 bounded ``spark.sql.execution.arrow.maxRecordsPerBatch`` keeps Arrow
@@ -25,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.analytics import codecs
 
 #: Canonical multimodal asset schema: one row per asset, media opaque.
 ASSET_SCHEMA = (
@@ -46,11 +49,21 @@ FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_index int, frame_hash string"
 
 
 def _decode_image_bytes(data: bytes, width: int, height: int, strict: bool) -> np.ndarray:
-    """STUB for the real image decoder (PIL/turbojpeg not available in
-    this container). Strict mode refuses; test mode derives a
-    deterministic fake grayscale image from the bytes."""
+    """Image decode: BMP and PNG payloads decode for real (pure-stdlib
+    codecs, see analytics/codecs.py) in both modes; other formats
+    (JPEG etc. — no media libs in this container) raise in strict mode
+    or fall back to a deterministic fake greyscale derived from the
+    bytes, keeping every downstream shape honest."""
+    fmt = codecs.sniff(data)
+    if fmt == "bmp":
+        return codecs.luma(codecs.decode_bmp(data))
+    if fmt == "png":
+        return codecs.luma(codecs.decode_png(data))
     if strict:
-        raise NotImplementedError("image codec not available in this environment; use strict=False for the deterministic stub")
+        raise NotImplementedError(
+            "no codec for this image format in this environment (BMP/PNG decode natively); "
+            "use strict=False for the deterministic stub"
+        )
     seed = hashlib.md5(data).digest()
     n = max(width * height, 1)
     reps = (n + len(seed) - 1) // len(seed)
@@ -59,10 +72,17 @@ def _decode_image_bytes(data: bytes, width: int, height: int, strict: bool) -> n
 
 
 def _decode_audio_bytes(data: bytes, sample_rate: int, strict: bool) -> np.ndarray:
-    """STUB for the real audio decoder. Test mode treats the payload as
-    16-bit little-endian PCM (deterministic, no codec needed)."""
+    """Audio decode: RIFF/WAV PCM-16 decodes for real (see
+    analytics/codecs.py); other formats raise in strict mode or fall
+    back to interpreting the payload as raw 16-bit LE PCM
+    (deterministic, no codec needed)."""
+    if codecs.sniff(data) == "wav":
+        return codecs.decode_wav(data)[0]
     if strict:
-        raise NotImplementedError("audio codec not available in this environment; use strict=False for the deterministic stub")
+        raise NotImplementedError(
+            "no codec for this audio format in this environment (WAV PCM-16 decodes natively); "
+            "use strict=False for the raw-PCM interpretation"
+        )
     usable = len(data) - (len(data) % 2)
     if usable == 0:
         return np.zeros(0, dtype=np.int16)
@@ -79,11 +99,14 @@ def image_features(assets: DataFrame, *, strict: bool = False) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = _decode_image_bytes(bytes(r.media), int(r.width), int(r.height), strict)
+                # decoded dims are authoritative (for real BMP/PNG they
+                # come from the file header; the fake decode reshapes to
+                # the metadata dims, so values are identical there)
                 rows.append(
                     {
                         "asset_id": r.asset_id,
-                        "width": int(r.width),
-                        "height": int(r.height),
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
                         "n_pixels": int(img.size),
                         "mean_luma": float(img.mean()) if img.size else 0.0,
                         "content_hash": hashlib.md5(bytes(r.media)).hexdigest(),
