@@ -176,6 +176,12 @@ def main() -> None:
     for name in names:
         if os.path.isdir(WARMUP_SF_DIR):
             QUERIES[name](spark, WARMUP_SF_DIR).count()
+        # two target-SF warm executions: the JVM JIT promotes the
+        # generated code to its top compilation tier on the second-or-
+        # third run of a plan (measured 1.5-2x between run 2 and run 4
+        # on ~100 ms queries), and steady-state is what both engines
+        # are being measured at
+        QUERIES[name](spark, sf_dir).count()
         QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.functions import expand_block
 from iotdatapipeline_spark.operators import asof_join, salted_agg
-from iotdatapipeline_spark.sources import load_table
+from iotdatapipeline_spark.sources import load_table, table_bytes
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -774,4 +774,102 @@ def station_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag AS return_flag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional two-way count: fact⋈fact join with
+    a date-window filter, then CASE-split tallies per group (the
+    fixture has no l_shipmode/commitdate, so returnflag plays the mode
+    and the priority split is Q12's verbatim urgency predicate).
+
+    The date filter prunes lineitem at the scan; orders projects to
+    (key, priority) before joining — size-gated broadcast like q3, so
+    small scans take the exchange-free plan while at cluster scale the
+    hint is declined and the join shuffles on the shared orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    if table_bytes(sf_dir, "orders") <= 64 << 20:
+        orders = F.broadcast(orders)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)) AS BIGINT)
+               AS profit_cents
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit: 5-table join, profit
+    aggregated by supplier nation × order year (the fixture has no
+    partsupp, so supply cost is modeled as 10% of p_retailprice —
+    same expression in both engines).
+
+    Join order mirrors the cost-based pick: part filters lineitem
+    FIRST (PROMO ≈ ⅙ of parts) via broadcast, supplier→nation
+    broadcasts onto the survivors, and only the orders join — both
+    sides big at scale — shuffles, on the orderkey the fact already
+    carries. All dim broadcasts are unconditional (part/supplier/
+    nation are genuinely dimension-sized at any SF); the orders side
+    is size-gated like q3/q12."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    if table_bytes(sf_dir, "orders") <= 64 << 20:
+        orders = F.broadcast(orders)
+    snation = F.broadcast(supplier.join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]))
+    profit = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+        )
+        * 100
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(snation, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_cents"))
     )

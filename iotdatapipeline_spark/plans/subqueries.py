@@ -667,3 +667,44 @@ def loyal_customers_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(c, per["o_custkey"] == c["c_custkey"]).select(
         "c_custkey", "c_name", "n_orders"
     )
+
+
+@register(
+    "q11_important_nation_balance",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    HAVING sum(CAST(floor(s_acctbal * 100) AS BIGINT)) * 25
+           > (SELECT sum(CAST(floor(s_acctbal * 100) AS BIGINT)) FROM supplier)
+    """,
+)
+def q11_important_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped group-vs-global-scalar threshold: per-nation
+    supplier balance kept only where it exceeds a fraction of the
+    GLOBAL total (the fixture has no partsupp, so account balance
+    stands in for stock value; the uncorrelated-scalar-HAVING shape is
+    Q11's verbatim).
+
+    Decorrelation: the global total is its own single-row aggregate,
+    cross-joined (1-row broadcast — constant-folded, never a real
+    cartesian) onto the per-nation aggregate; both aggregates read the
+    SAME supplier scan but each is partial-agg'd before its exchange,
+    and the scalar side reduces to one row on the map side. Integer
+    cents × 4/100 comparison stays exact (no float threshold)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("s_acctbal") * 100).cast("long")
+    per_nation = (
+        supplier.join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("balance_cents"))
+    )
+    total = supplier.agg(F.sum(cents).alias("__total"))
+    # threshold: balance > total * 0.04  ⇔  balance * 25 > total (exact ints)
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("balance_cents") * 25 > F.col("__total"))
+        .select("n_name", "balance_cents")
+    )
