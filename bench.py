@@ -44,8 +44,11 @@ CROSSOVER_QUERIES = [
     "q3_shipping_priority",
     "production_shift_rollup",
     "events_sessionization",
+    "dedup_combine_parts",
+    "top1_active_record",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
+    "docs_token_stats",
     "embeddings_knn_bruteforce",
 ]
 

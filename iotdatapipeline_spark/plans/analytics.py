@@ -208,6 +208,83 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", simhash16_of_hashes(F.col("__hs")).alias("simhash"))
 
 
+def _hamming16_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN substr({a}, {j + 1}, 1) <> substr({b}, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+
+
+@register(
+    "docs_simhash_neardup_pairs",
+    f"""
+    WITH sig AS (SELECT * FROM ({_simhash_sql()})),
+    p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.simhash AS s1, b.simhash AS s2
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE substr(a.simhash, 1, 4) = substr(b.simhash, 1, 4)
+           OR substr(a.simhash, 5, 4) = substr(b.simhash, 5, 4)
+           OR substr(a.simhash, 9, 4) = substr(b.simhash, 9, 4)
+           OR substr(a.simhash, 13, 4) = substr(b.simhash, 13, 4)
+    )
+    SELECT id1, id2, CAST({_hamming16_sql('s1', 's2')} AS BIGINT) AS hamming
+    FROM p
+    WHERE {_hamming16_sql('s1', 's2')} <= 3
+    """,
+)
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(sig) ≤ 3, candidates met
+    ONLY inside a band bucket (pigeonhole: any pair within Hamming 3
+    of a 16-bit signature shares at least one of its four 4-bit
+    bands), so the pair space is Σ_bucket n_b², never corpus n² —
+    the same banded shape as ``lsh_candidate_pairs``, on SimHash
+    signatures instead of MinHash ints.
+
+    Bucket expansion is collect_set + in-array pairing (one shuffle on
+    the high-cardinality (band_id, band_val) key; a self-join would
+    re-execute the whole signature pipeline per side). A pair sharing
+    several bands is deduplicated AFTER the cheap Hamming filter, on
+    the (id1, id2) pair — never before the bucket stage. At corpus
+    scale the signature widens (64-bit sig, 4×16-bit bands) so bucket
+    cardinality grows with the corpus; the 16-bit form here keeps the
+    DuckDB oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("__hs", word_hashes(F.col("text")))
+    sig = hashed.select("doc_id", simhash16_of_hashes(F.col("__hs")).alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + 4 * b, 4) for b in range(4)])
+        ).alias("band_id", "band_val"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    lefts = buckets.select(F.posexplode("ms").alias("i", "m1"), F.col("ms"))
+    pairs = lefts.select(
+        F.col("m1"), F.explode(F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))).alias("m2")
+    )
+    hamming = sum(
+        F.when(
+            F.substring(F.col("m1.simhash"), j + 1, 1) != F.substring(F.col("m2.simhash"), j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(16)
+    )
+    return (
+        pairs.select(
+            F.col("m1.doc_id").alias("id1"),
+            F.col("m2.doc_id").alias("id2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
 # ── Dedup ───────────────────────────────────────────────────────────────────
 
 @register(
