@@ -95,6 +95,14 @@ class TestPlanShapes:
         # distinct crept back in
         assert _optimized(df).count("Aggregate") == 3, _optimized(df)
 
+    def test_simhash_pairs_single_scan(self, spark, sf_small):
+        # same shape bar as the MinHash pins: bucket expansion, not a
+        # self-join re-executing the signature pipeline per side
+        df = QUERIES["docs_simhash_neardup_pairs"](spark, sf_small)
+        plan = _plan(df)
+        assert plan.count("FileScan") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+
     def test_exact_dedup_is_single_aggregate(self, spark, sf_small):
         plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
         assert plan.count("Exchange") == 1, plan
