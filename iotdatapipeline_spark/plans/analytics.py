@@ -809,9 +809,7 @@ def embeddings_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
 
 
-@register(
-    "embeddings_neardup_pairs",
-    """
+_NEARDUP_BLOCKED_SQL = """
     WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
     ap AS (
         SELECT e.vec_id, cid,
@@ -844,8 +842,10 @@ ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
         FROM p GROUP BY id1, id2
     )
     SELECT id1, id2, cos_x1e6 FROM d WHERE cos_x1e6 >= 350000
-    """,
-)
+    """
+
+
+@register("embeddings_neardup_pairs", _NEARDUP_BLOCKED_SQL)
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this
     near-random fixture; production thresholds sit at 0.9+), BLOCKED
@@ -864,6 +864,67 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
     blocked = emb.join(assigned, "vec_id")
     return neardup_pairs(blocked, block_col="centroid_id", min_cos_x1e6=350_000)
+
+
+@register(
+    "embeddings_neardup_recall",
+    f"""
+    WITH bl AS (SELECT id1, id2 FROM ({_NEARDUP_BLOCKED_SQL})),
+    tp AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    t AS (
+        SELECT id1, id2 FROM (
+            SELECT id1, id2,
+                   CAST(floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1000000.0) AS BIGINT)
+                       AS cos_x1e6
+            FROM tp GROUP BY id1, id2
+        ) WHERE cos_x1e6 >= 350000
+    ),
+    h AS (SELECT count(*) AS n_hit FROM t JOIN bl ON t.id1 = bl.id1 AND t.id2 = bl.id2)
+    SELECT (SELECT count(*) FROM t) AS n_true,
+           (SELECT count(*) FROM bl) AS n_blocked,
+           (SELECT n_hit FROM h) AS n_hit,
+           CAST(floor(100.0 * (SELECT n_hit FROM h)
+                      / greatest((SELECT count(*) FROM t), 1)) AS BIGINT) AS recall_x100
+    """,
+)
+def embeddings_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the IVF-blocked near-dup pair space against the
+    exhaustive ground truth — the quality metric that decides bucket
+    count / probe width for blocked dedup, mirroring
+    ``embeddings_ivf_recall`` for search.
+
+    The TRUTH side is the unblocked all-pairs scoring: O(n²) BY
+    DESIGN, run only at evaluation sample scale (at 100 TB you
+    evaluate recall on a sampled slice; the production pair-generation
+    path is the blocked query above). Output is one row:
+    n_true / n_blocked / n_hit / recall_x100."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = neardup_pairs(emb, min_cos_x1e6=350_000).select("id1", "id2")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    blocked = neardup_pairs(
+        emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000
+    ).select("id1", "id2")
+    hits = truth.join(blocked, ["id1", "id2"], "left_semi")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(blocked.agg(F.count(F.lit(1)).alias("n_blocked")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return row.select(
+        "n_true",
+        "n_blocked",
+        "n_hit",
+        F.floor(100.0 * F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)))
+        .cast("long")
+        .alias("recall_x100"),
+    )
 
 
 @register(
