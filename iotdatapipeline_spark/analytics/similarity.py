@@ -92,11 +92,15 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     round_digits: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF bucketing: assign every vector to its nearest centroid
     (squared L2, rounded; centroid id breaks ties). The centroid set
     broadcasts; output partitioned by centroid_id is the index.
-    Output: vec_id, centroid_id, dist_sq."""
+    ``n_probe > 1`` returns the n nearest buckets per vector (the
+    union-bucket mitigation for blocked dedup recall — a vector then
+    meets candidates in every probed bucket). Output: vec_id,
+    centroid_id, dist_sq (one row per probed bucket)."""
     c = centroids.select(F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
     pairs = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c))
     scored = pairs.select(
@@ -107,7 +111,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.asc("dist_sq"), F.asc("__cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_probe)
         .select(F.col(id_col), F.col("__cid").alias(centroid_id_col), "dist_sq")
     )
 

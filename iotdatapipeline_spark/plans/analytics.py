@@ -809,7 +809,13 @@ def embeddings_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
 
 
-_NEARDUP_BLOCKED_SQL = """
+def _neardup_blocked_sql(n_probe: int = 1) -> str:
+    """Blocked near-dup pair SQL, parameterized by probe width: each
+    vector joins its ``n_probe`` nearest IVF buckets; candidate pairs
+    are DISTINCT (id1, id2) BEFORE scoring so a pair sharing several
+    probed buckets is scored once (identical cosine either way, but
+    dedup-first keeps the float summation identical across engines)."""
+    return f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
     ap AS (
         SELECT e.vec_id, cid,
@@ -825,15 +831,18 @@ _NEARDUP_BLOCKED_SQL = """
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, cid) AS rn
             FROM ad
-        ) WHERE rn = 1
+        ) WHERE rn <= {n_probe}
+    ),
+    prs AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM assign a JOIN assign b ON a.vec_id < b.vec_id AND a.cid = b.cid
     ),
     p AS (
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
+        SELECT id1, id2,
                unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
-        FROM assign a
-          JOIN assign b ON a.vec_id < b.vec_id AND a.cid = b.cid
-          JOIN embeddings ea ON ea.vec_id = a.vec_id
-          JOIN embeddings eb ON eb.vec_id = b.vec_id
+        FROM prs
+          JOIN embeddings ea ON ea.vec_id = id1
+          JOIN embeddings eb ON eb.vec_id = id2
     ),
     d AS (
         SELECT id1, id2,
@@ -845,7 +854,7 @@ _NEARDUP_BLOCKED_SQL = """
     """
 
 
-@register("embeddings_neardup_pairs", _NEARDUP_BLOCKED_SQL)
+@register("embeddings_neardup_pairs", _neardup_blocked_sql(1))
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this
     near-random fixture; production thresholds sit at 0.9+), BLOCKED
@@ -866,10 +875,22 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(blocked, block_col="centroid_id", min_cos_x1e6=350_000)
 
 
+def _neardup_recall_probe_sql(n_probe: int) -> str:
+    return f"""
+        SELECT {n_probe} AS n_probe,
+               (SELECT count(*) FROM t) AS n_true,
+               (SELECT count(*) FROM bl{n_probe}) AS n_blocked,
+               (SELECT count(*) FROM t JOIN bl{n_probe} b ON t.id1 = b.id1 AND t.id2 = b.id2) AS n_hit,
+               CAST(floor(100.0 * (SELECT count(*) FROM t JOIN bl{n_probe} b ON t.id1 = b.id1 AND t.id2 = b.id2)
+                          / greatest((SELECT count(*) FROM t), 1)) AS BIGINT) AS recall_x100
+    """
+
+
 @register(
     "embeddings_neardup_recall",
     f"""
-    WITH bl AS (SELECT id1, id2 FROM ({_NEARDUP_BLOCKED_SQL})),
+    WITH bl1 AS (SELECT id1, id2 FROM ({_neardup_blocked_sql(1)})),
+    bl2 AS (SELECT id1, id2 FROM ({_neardup_blocked_sql(2)})),
     tp AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2,
                unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
@@ -882,49 +903,59 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS cos_x1e6
             FROM tp GROUP BY id1, id2
         ) WHERE cos_x1e6 >= 350000
-    ),
-    h AS (SELECT count(*) AS n_hit FROM t JOIN bl ON t.id1 = bl.id1 AND t.id2 = bl.id2)
-    SELECT (SELECT count(*) FROM t) AS n_true,
-           (SELECT count(*) FROM bl) AS n_blocked,
-           (SELECT n_hit FROM h) AS n_hit,
-           CAST(floor(100.0 * (SELECT n_hit FROM h)
-                      / greatest((SELECT count(*) FROM t), 1)) AS BIGINT) AS recall_x100
+    )
+    {_neardup_recall_probe_sql(1)}
+    UNION ALL
+    {_neardup_recall_probe_sql(2)}
     """,
 )
 def embeddings_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the IVF-blocked near-dup pair space against the
-    exhaustive ground truth — the quality metric that decides bucket
-    count / probe width for blocked dedup, mirroring
-    ``embeddings_ivf_recall`` for search.
+    exhaustive ground truth, at probe widths 1 and 2 — the measured
+    answer to "how many buckets must each vector join before blocked
+    dedup stops missing pairs", mirroring ``embeddings_ivf_recall``
+    for search. On this near-random fixture 1-probe recall is low
+    (pairs scatter across buckets); widening to 2 probes shows the
+    recall/cost curve — real embedding corpora cluster, so production
+    recall at the same probe width is far higher.
 
     The TRUTH side is the unblocked all-pairs scoring: O(n²) BY
     DESIGN, run only at evaluation sample scale (at 100 TB you
     evaluate recall on a sampled slice; the production pair-generation
-    path is the blocked query above). Output is one row:
-    n_true / n_blocked / n_hit / recall_x100."""
+    path is the blocked query above). Output: one row per probe
+    width — n_probe / n_true / n_blocked / n_hit / recall_x100."""
     emb = load_table(spark, sf_dir, "embeddings")
     truth = neardup_pairs(emb, min_cos_x1e6=350_000).select("id1", "id2")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
-    blocked = neardup_pairs(
-        emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000
-    ).select("id1", "id2")
-    hits = truth.join(blocked, ["id1", "id2"], "left_semi")
-    row = (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(blocked.agg(F.count(F.lit(1)).alias("n_blocked")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-    )
-    return row.select(
-        "n_true",
-        "n_blocked",
-        "n_hit",
-        F.floor(100.0 * F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)))
-        .cast("long")
-        .alias("recall_x100"),
-    )
+    rows = []
+    for n_probe in (1, 2):
+        assigned = ivf_assign(emb, cents, n_probe=n_probe).select("vec_id", "centroid_id")
+        blocked = (
+            neardup_pairs(emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000)
+            .select("id1", "id2")
+            .distinct()  # a pair sharing several probed buckets scores identically in each
+        )
+        hits = truth.join(blocked, ["id1", "id2"], "left_semi")
+        rows.append(
+            truth.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(blocked.agg(F.count(F.lit(1)).alias("n_blocked")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(n_probe).cast("int").alias("n_probe"),
+                "n_true",
+                "n_blocked",
+                "n_hit",
+                F.floor(100.0 * F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)))
+                .cast("long")
+                .alias("recall_x100"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @register(
