@@ -10,6 +10,7 @@ import sqlite3
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.sources.dbapi import (
     dbapi_upsert,
@@ -113,6 +114,53 @@ class TestDbapiUpsert:
         assert len(st) == 200
         assert st[("P1", "p1")] == (1, 3)
         assert st[("P3", "p199")] == (199, 3)
+
+
+class TestStreamingEndToEnd:
+    def test_replay_stream_upserts_latest_state_into_db(self, spark, db, tmp_path):
+        """K1/K8 against a relational target: the replay stream's
+        latest counter per (station, part) must land in the DB via the
+        foreachBatch DBAPI executor and equal the batch latest-snapshot
+        of the same data."""
+        from iotdatapipeline_spark.streaming.source import readings_stream, stage_replay_chunks
+
+        replay = stage_replay_chunks(spark, "/root/testdata/sf0.001", str(tmp_path / "replay"), n_chunks=4)
+        stream = readings_stream(spark, replay, max_files_per_trigger=2).select(
+            F.col("station").cast("string").alias("station"),
+            F.col("part"),
+            F.col("counter").alias("produced_quantity"),
+            F.lit(3).alias("status_id"),
+            F.col("event_id").alias("ts"),
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                dbapi_upsert_foreach_batch(
+                    _connect_factory(db), "production_records", ["station", "part"], order_col="ts"
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        from iotdatapipeline_spark.sources import load_table
+        from iotdatapipeline_spark.streaming.sinks import latest_per_key
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        batch = ev.select(
+            F.col("user_id").cast("string").alias("station"),
+            F.col("event_type").alias("part"),
+            F.floor(F.col("value") * 100).cast("long").alias("produced_quantity"),
+            F.col("event_id").alias("ts"),
+        )
+        expected = {
+            (r["station"], r["part"]): r["produced_quantity"]
+            for r in latest_per_key(batch, ["station", "part"], "ts").collect()
+        }
+        got = {k: v[0] for k, v in _state(db).items()}
+        assert got == expected
+        assert len(got) > 0
 
 
 class TestForeachBatchExecutor:

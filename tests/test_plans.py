@@ -95,6 +95,21 @@ class TestPlanShapes:
         # distinct crept back in
         assert _optimized(df).count("Aggregate") == 3, _optimized(df)
 
+    def test_q9_dims_broadcast_no_sort_merge(self, spark, sf_small):
+        # part/supplier/nation must broadcast onto lineitem; at fixture
+        # scale the size-gated orders side broadcasts too, so no
+        # sort-merge join (at cluster scale the gate declines and the
+        # orders join shuffles on the shared orderkey)
+        plan = _plan(QUERIES["q9_profit_by_nation_year"](spark, sf_small))
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_q12_single_shuffle_at_gate_scale(self, spark, sf_small):
+        plan = _plan(QUERIES["q12_priority_by_returnflag"](spark, sf_small))
+        assert "SortMergeJoin" not in plan, plan
+        # one shuffle: the final aggregate exchange (orders broadcast)
+        assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+
     def test_simhash_pairs_single_scan(self, spark, sf_small):
         # same shape bar as the MinHash pins: bucket expansion, not a
         # self-join re-executing the signature pipeline per side
