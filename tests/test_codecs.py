@@ -196,3 +196,40 @@ class TestStrictModeEndToEnd:
         df = spark.createDataFrame(rows, ASSET_SCHEMA)
         with pytest.raises(Exception, match="NotImplementedError|PythonException"):
             image_features(df, strict=True).collect()
+
+
+# ── property tests: any image/audio roundtrips bit-exact ─────────────────────
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_prop = settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+
+
+class TestCodecProperties:
+    @_prop
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+    def test_bmp_roundtrip_any_dims(self, h, w, seed):
+        img = _rng_img(h, w, 3, seed)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @_prop
+    @given(
+        st.integers(1, 10),
+        st.integers(1, 10),
+        st.sampled_from([None, 3, 4]),
+        st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_png_roundtrip_any_filters(self, h, w, ch, filters, seed):
+        img = _rng_img(h, w, ch, seed)
+        np.testing.assert_array_equal(decode_png(encode_png(img, filters)), img)
+
+    @_prop
+    @given(st.integers(1, 2), st.integers(0, 500), st.integers(0, 2**32 - 1))
+    def test_wav_roundtrip_any_payload(self, channels, n, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n * channels, dtype=np.int64).astype(np.int16)
+        out, rate = decode_wav(encode_wav(samples, 22050, channels))
+        assert rate == 22050
+        np.testing.assert_array_equal(out, samples)
