@@ -402,6 +402,59 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_session_window",
+    """
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 3600000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    )
+    SELECT user_id AS station,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` (one
+    merging aggregation, no window-function sort pass): a session
+    extends while the next event arrives within 1 h of the last; the
+    emitted window end is last_event + gap. The streaming twin is the
+    same expression plus ``withWatermark`` (session windows are the
+    canonical stateful-merge aggregation). The oracle derives the same
+    sessions relationally: break where the lag gap >= 1 h, island-id by
+    running sum, session_end = max(ts) + gap.
+
+    Scale shape: shuffle keys are (station, merged-session) — the
+    merge happens inside the aggregation, so no per-event window sort
+    precedes it (contrast ``events_sessionization``, which counts
+    sessions from a lag pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("station"),
+            F.session_window(F.col("ts"), "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "station",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ── Multimodal gate ─────────────────────────────────────────────────────────
 
 

@@ -268,6 +268,41 @@ class TestEventTimeWatermarks:
         max_emitted = got.agg(F.max("window_start")).first()[0]
         assert missing.filter(F.col("window_start") <= max_emitted).count() == 0
 
+    def test_session_window_stream_matches_batch(self, spark, sf_small, tmp_path):
+        """Streaming twin of events_session_window: the stateful
+        session-merge aggregation over the replay stream must emit
+        exactly the batch sessions for every watermark-closed session."""
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=5)
+        stream = readings_stream(spark, replay)
+
+        def sessions(df):
+            return (
+                df.groupBy("station", F.session_window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select("station", F.col("w.start").alias("session_start"), "n_events")
+            )
+
+        name = "wm_session_window"
+        q = (
+            sessions(stream.withWatermark("ts", "10 minutes"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table(name)
+        expected = sessions(_readings(spark, sf_small))
+        assert got.count() > 0
+        # every emitted session is a batch session; only sessions the
+        # watermark had not yet closed at end-of-replay may be missing
+        assert got.exceptAll(expected).count() == 0
+        missing = expected.exceptAll(got)
+        max_emitted = got.agg(F.max("session_start")).first()[0]
+        assert missing.filter(F.col("session_start") <= max_emitted).count() == 0
+
     def test_drop_duplicates_within_watermark(self, spark, sf_small, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
