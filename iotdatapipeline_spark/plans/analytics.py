@@ -959,6 +959,77 @@ def embeddings_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embeddings_srp_signature",
+    """
+    WITH x AS (
+        SELECT vec_id, s.i,
+               CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) s
+        WHERE s.i < len(embedding)
+    ),
+    a AS (
+        SELECT i.i, j.j,
+               CASE WHEN ((i.i * 2654435761 + j.j * 40503) % 97) % 2 = 0 THEN 1 ELSE -1 END AS aij
+        FROM (SELECT unnest(generate_series(0, 63)) AS i) i,
+             (SELECT unnest(generate_series(0, 15)) AS j) j
+    ),
+    pr AS (
+        SELECT vec_id, j, sum(xi * aij) AS proj
+        FROM x JOIN a ON x.i = a.i
+        GROUP BY vec_id, j
+    )
+    SELECT vec_id,
+           string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS srp_sig
+    FROM pr GROUP BY vec_id
+    """,
+)
+def embeddings_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH signature (cosine LSH): bit j is
+    the side of vector x w.r.t. the j-th random hyperplane — the
+    embedding-space analogue of SimHash, and the third near-dup
+    family next to MinHash-LSH (Jaccard) and SimHash (token cosine).
+    Collision probability per bit is 1 − θ/π, so Hamming distance on
+    the signature estimates the cosine angle; banded bucketing (as in
+    ``docs_simhash_neardup_pairs``) turns it into candidate
+    generation.
+
+    Exactness: components quantize to integer ×1e6 and hyperplane
+    entries are ±1 from an integer congruence, so every projection is
+    an exact int64 sum — sign decisions match across engines and
+    summation orders (a double dot product near zero would not).
+
+    Scale shape: matmul-by-join — posexplode the vector, broadcast the
+    64×16 ±1 coefficient table, partial-sum per (vec_id, bit). One
+    shuffle on vec_id; no per-row Python, no HOF fold (interpreted
+    outside codegen)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.floor(F.element_at("embedding", F.col("i") + 1).cast("double") * 1_000_000).cast("long")
+    x = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.array_size("embedding") - 1)).alias("i"),
+        F.col("embedding"),
+    ).select("vec_id", "i", xi.alias("xi"))
+    spark_range = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    aij = F.when(((F.col("i") * 2654435761 + F.col("j") * 40503) % 97) % 2 == 0, 1).otherwise(-1)
+    coeff = spark_range.crossJoin(bits).select("i", "j", aij.alias("aij"))
+    proj = (
+        x.join(F.broadcast(coeff), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xi") * F.col("aij")).alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "proj"))),
+                lambda s: F.when(s["proj"] >= 0, "1").otherwise("0"),
+            ),
+        ).alias("srp_sig")
+    )
+
+
+@register(
     "docs_split_assign",
     """
     WITH b AS (
