@@ -1030,6 +1030,59 @@ def embeddings_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 32 AS shard,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 4096 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are
+    concatenated in deterministic order and chunked into 4096-token
+    sequences; each doc gets its (seq_id, seq_offset) within its
+    shard. This is the packing step of an LLM data pipeline — the
+    running token offset decides which sequence a document starts in.
+
+    Scale shape: a GLOBAL running sum would serialize into one
+    partition, so packing is SHARDED (doc_id % 32; at cluster scale a
+    few thousand shards): each shard packs independently inside one
+    window partition, shards pack in parallel, and sequence identity
+    is (shard, seq_id). Cross-shard waste is bounded by one partial
+    sequence per shard — the standard distributed-packing tradeoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / 4096).cast("long").alias("seq_id"),
+        (start % 4096).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
     "docs_split_assign",
     """
     WITH b AS (
