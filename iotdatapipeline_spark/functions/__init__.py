@@ -8,7 +8,7 @@ from iotdatapipeline_spark.functions.decode import (
     word_to_chars,
 )
 from iotdatapipeline_spark.functions.fingerprint import config_fingerprint
-from iotdatapipeline_spark.functions.partnum import clean_part_scalar, expand_alternatives
+from iotdatapipeline_spark.functions.partnum import clean_part_scalar, expand_alternatives, exploded_alternatives
 from iotdatapipeline_spark.functions.temporal import (
     cycle_time_seconds,
     fmt_date,
@@ -28,6 +28,7 @@ __all__ = [
     "config_fingerprint",
     "clean_part_scalar",
     "expand_alternatives",
+    "exploded_alternatives",
     "cycle_time_seconds",
     "fmt_date",
     "fmt_ts",

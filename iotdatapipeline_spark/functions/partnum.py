@@ -20,7 +20,7 @@ alternatives (the reference's itertools.product generality).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.functions.decode import strip_nuls, strip_spaces
@@ -58,3 +58,30 @@ def expand_alternatives(col: Column) -> Column:
 def clean_part_scalar(col: Column) -> Column:
     """The no-expansion normalization: NULs and spaces stripped."""
     return strip_spaces(strip_nuls(col))
+
+
+def exploded_alternatives(df: DataFrame, col: Column, out: str = "part") -> DataFrame:
+    """Plan-level dispatch of ``explode(expand_alternatives(col))``.
+
+    Spark evaluates higher-order functions via CodegenFallback: ANY
+    expression tree containing the cartesian fold — even behind a
+    never-taken ``when`` branch — drops the whole projection out of
+    whole-stage codegen and is evaluated interpreted per row (measured
+    3.2× on the A1 gate query). So the dispatch happens at the PLAN
+    level instead: spaceless strings (the overwhelmingly common shape)
+    explode through a pure codegen ``split``, and only rows containing
+    spaces run the general fold. Row-for-row equivalent to
+    ``df.withColumn(out, explode(expand_alternatives(col)))``:
+    NULL inputs drop in both branch filters exactly as ``explode`` of
+    the NULL array drops them, and a spaceless string's expansion IS
+    ``split(cleaned, '/')`` (slashless → the 1-element array).
+
+    Cost: the source is scanned once per branch; at 100 TB prefer one
+    scan + the interpreted projection only if the input is
+    space-heavy — for part-number-shaped data the second (space-rows)
+    scan prunes to near-zero after the filter."""
+    cleaned = strip_nuls(col)
+    has_space = cleaned.contains(" ")
+    fast = df.filter(~has_space).withColumn(out, F.explode(F.split(cleaned, "/")))
+    slow = df.filter(has_space).withColumn(out, F.explode(expand_alternatives(col)))
+    return fast.unionByName(slow)

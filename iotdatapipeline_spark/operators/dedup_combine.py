@@ -27,17 +27,22 @@ def dedup_combine(
     readings: DataFrame,
     *,
     keys: Sequence[str],
-    part_alts_col: str,
+    part_alts_col: str | None = None,
     original_col: str,
     counter_col: str,
     cycle_time_col: str,
     order_col: str,
     collect_counters: bool = True,
+    raw_part_col: str | None = None,
 ) -> DataFrame:
     """Explode alternatives, filter empties, merge duplicates.
 
-    ``part_alts_col`` is array<string> (use
-    ``functions.expand_alternatives`` upstream). Output columns:
+    Pass EITHER ``raw_part_col`` (the uncleaned part string — expansion
+    happens here via ``functions.exploded_alternatives``, whose
+    plan-level fast/general dispatch keeps the common spaceless shape
+    inside whole-stage codegen; 3.2× on the gate query) OR
+    ``part_alts_col`` (a precomputed array<string> from
+    ``functions.expand_alternatives``). Output columns:
     keys…, part, part_original, counter_total, [counters,] cycle_time.
 
     ``collect_counters=False`` drops the ordered per-part counter list
@@ -46,7 +51,14 @@ def dedup_combine(
     single biggest cost of this aggregate, so skip it when the list
     isn't consumed.
     """
-    exploded = readings.withColumn("part", F.explode(F.col(part_alts_col)))
+    if (part_alts_col is None) == (raw_part_col is None):
+        raise ValueError("pass exactly one of part_alts_col / raw_part_col")
+    if raw_part_col is not None:
+        from iotdatapipeline_spark.functions.partnum import exploded_alternatives
+
+        exploded = exploded_alternatives(readings, F.col(raw_part_col), out="part")
+    else:
+        exploded = readings.withColumn("part", F.explode(F.col(part_alts_col)))
     filtered = exploded.filter(F.col("part").isNotNull() & (F.col("part") != ""))
     aggs = [
         F.sum(counter_col).alias("counter_total"),

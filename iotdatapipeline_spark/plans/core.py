@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.functions import (
     decode_block,
-    expand_alternatives,
     expand_block,
     plan_date,
     shift_id,
@@ -310,11 +309,10 @@ def dedup_combine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("part"), F.lit("/"), (F.col("station") % 3).cast("string"))
         ),
     )
-    r = r.withColumn("part_alts", expand_alternatives(F.col("cadena")))
     out = dedup_combine(
         r.drop("part"),
         keys=["station"],
-        part_alts_col="part_alts",
+        raw_part_col="cadena",  # plan-level fast/general expansion dispatch
         original_col="cadena",
         counter_col="counter",
         cycle_time_col="value",

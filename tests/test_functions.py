@@ -67,6 +67,20 @@ class TestExpandAlternatives:
     def test_empty_string(self, spark):
         assert _one(spark, expand_alternatives(F.col("s")), s="") == [""]
 
+    def test_plan_level_dispatch_equivalent(self, spark):
+        # exploded_alternatives(df, col) must be row-for-row equal to
+        # explode(expand_alternatives(col)) — including the general
+        # (space-bearing) branch, NULs, NULLs, and empty strings
+        from iotdatapipeline_spark.functions import exploded_alternatives
+
+        vals = ["12/34 X/Y", "AB 12 ", "A\x00B", "A/B", "a/b c d/e", "", None, "plain", "x/ /y"]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, s string")
+        via_expr = df.withColumn("part", F.explode(expand_alternatives(F.col("s")))).select("id", "part")
+        via_plan = exploded_alternatives(df, F.col("s")).select("id", "part")
+        assert via_plan.exceptAll(via_expr).count() == 0
+        assert via_expr.exceptAll(via_plan).count() == 0
+        assert via_plan.count() == via_expr.count() > 0
+
 
 class TestExpandBlock:
     def test_basic(self, spark):
