@@ -343,6 +343,109 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ab AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
+        FROM sh
+    ),
+    m AS (
+        SELECT doc_id,
+               {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+        FROM ab GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               {", ".join(f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS b{b}" for b in range(4))}
+        FROM m
+    ),
+    e AS (
+        SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+               unnest([b0, b1, b2, b3]) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM e a JOIN e c
+          ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT cand.doc1, cand.doc2, count(*) AS inter
+        FROM cand
+          JOIN sh s1 ON s1.doc_id = cand.doc1
+          JOIN sh s2 ON s2.doc_id = cand.doc2 AND s2.shingle = s1.shingle
+        GROUP BY cand.doc1, cand.doc2
+    )
+    SELECT cand.doc1, cand.doc2,
+           CAST(floor(1000.0 * ((CASE WHEN m1.h0 = m2.h0 THEN 1 ELSE 0 END) + (CASE WHEN m1.h1 = m2.h1 THEN 1 ELSE 0 END) + (CASE WHEN m1.h2 = m2.h2 THEN 1 ELSE 0 END) + (CASE WHEN m1.h3 = m2.h3 THEN 1 ELSE 0 END) + (CASE WHEN m1.h4 = m2.h4 THEN 1 ELSE 0 END) + (CASE WHEN m1.h5 = m2.h5 THEN 1 ELSE 0 END) + (CASE WHEN m1.h6 = m2.h6 THEN 1 ELSE 0 END) + (CASE WHEN m1.h7 = m2.h7 THEN 1 ELSE 0 END)) / 8) AS BIGINT) AS est_x1000,
+           CAST(floor(1000.0 * COALESCE(inter.inter, 0)
+                      / (z1.n + z2.n - COALESCE(inter.inter, 0))) AS BIGINT) AS jaccard_x1000
+    FROM cand
+      JOIN m m1 ON m1.doc_id = cand.doc1
+      JOIN m m2 ON m2.doc_id = cand.doc2
+      JOIN sizes z1 ON z1.doc_id = cand.doc1
+      JOIN sizes z2 ON z2.doc_id = cand.doc2
+      LEFT JOIN inter ON inter.doc1 = cand.doc1 AND inter.doc2 = cand.doc2
+    """,
+)
+def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality metric for MinHash: for every LSH candidate
+    pair, the signature-agreement estimate (matching components / k)
+    next to the EXACT shingle-set Jaccard — the number that validates
+    k and the banding scheme, completing the approximation-audit trio
+    with ``embeddings_ivf_recall`` and ``embeddings_neardup_recall``.
+
+    Scale shape: signatures and sizes join candidate PAIRS (LSH-bounded,
+    never n²); the exact intersection re-joins shingles only for those
+    pairs (doc1's shingles ⋈ doc2's on the shingle key, a sort-merge
+    join on the high-cardinality shingle — correct at volume). Spark
+    re-executes the shingle pipeline for each consuming branch (no
+    cross-branch exchange reuse — visible as multiple scans in the
+    plan); as an offline estimator audit that is acceptable at sample
+    scale, and at 100 TB you materialize the shingle set and the
+    signature table once and point every branch at the parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_set(docs, "doc_id", "text", n=3, distinct=True)
+    sigs = minhash_signatures(sh, "doc_id", k=8)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2)
+    m1 = sigs.select(F.col("doc_id").alias("doc1"), *[F.col(f"h{i}").alias(f"h{i}_1") for i in range(8)])
+    m2 = sigs.select(F.col("doc_id").alias("doc2"), *[F.col(f"h{i}").alias(f"h{i}_2") for i in range(8)])
+    matches = sum(
+        F.when(F.col(f"h{i}_1") == F.col(f"h{i}_2"), 1).otherwise(0) for i in range(8)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    out = (
+        cand.join(m1, "doc1")
+        .join(m2, "doc2")
+        .join(z1, "doc1")
+        .join(z2, "doc2")
+        .join(inter, ["doc1", "doc2"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+    )
+    return out.select(
+        "doc1",
+        "doc2",
+        F.floor(1000.0 * matches / 8).cast("long").alias("est_x1000"),
+        F.floor(1000.0 * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .cast("long")
+        .alias("jaccard_x1000"),
+    )
+
+
+@register(
     "docs_jaccard_pairs",
     f"""
     WITH {_SHINGLES_SQL},
