@@ -103,3 +103,23 @@ def station_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.sum("day_n").alias("n_events"),
     )
+
+
+@register("cycle_time_approx_percentiles", None)
+def cycle_time_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station percentiles via the KLL-style approx sketch
+    (``percentile_approx``, accuracy 1000) — the 100 TB path for
+    ``cycle_time_percentiles``: exact percentiles need every group's
+    values sorted together, while the sketch is mergeable map-side
+    partial state like any other aggregate. No SQL oracle — sketch
+    outputs are algorithm-specific; the approximation error against
+    the exact percentile is bounded in tests/test_plans.py
+    (TestApproxDistinct), the same policy as the HLL entry above."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx(F.col("value"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(1000))
+    return ev.groupBy(F.col("user_id").alias("station")).agg(pct.alias("__p")).select(
+        "station",
+        F.floor(F.col("__p")[0] * 1000).cast("long").alias("p50_x1000"),
+        F.floor(F.col("__p")[1] * 1000).cast("long").alias("p95_x1000"),
+        F.floor(F.col("__p")[2] * 1000).cast("long").alias("p99_x1000"),
+    )

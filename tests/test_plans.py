@@ -182,6 +182,34 @@ class TestApproxDistinct:
         ).first()
         assert abs(row.approx - row.exact) <= max(1, 0.05 * row.exact), row
 
+    def test_registered_approx_percentiles_track_exact_per_station(self, spark, sf_small):
+        exact = {r["station"]: r for r in QUERIES["cycle_time_percentiles"](spark, sf_small).collect()}
+        approx = {r["station"]: r for r in QUERIES["cycle_time_approx_percentiles"](spark, sf_small).collect()}
+        assert set(exact) == set(approx) and len(exact) > 0
+        # rank-band check: the sketch returns a real order statistic,
+        # exact interpolates — on ~40-row fixture groups a ±1-rank gap
+        # can be a large VALUE gap in the tail, so assert the approx
+        # quantile lands within a ±0.1 rank band of the exact CDF
+        bands = {
+            r["station"]: r
+            for r in load_table(spark, sf_small, "events")
+            .groupBy(F.col("user_id").alias("station"))
+            .agg(
+                *[
+                    F.floor(F.percentile("value", q) * 1000).cast("long").alias(name)
+                    for name, q in (
+                        ("p40", 0.40), ("p60", 0.60), ("p85", 0.85), ("p89", 0.89), ("pmax", 1.0),
+                    )
+                ]
+            )
+            .collect()
+        }
+        for st, a in approx.items():
+            b = bands[st]
+            assert b["p40"] <= a["p50_x1000"] <= b["p60"], (st, "p50", a["p50_x1000"], dict(b.asDict()))
+            assert b["p85"] <= a["p95_x1000"] <= b["pmax"], (st, "p95", a["p95_x1000"], dict(b.asDict()))
+            assert b["p89"] <= a["p99_x1000"] <= b["pmax"], (st, "p99", a["p99_x1000"], dict(b.asDict()))
+
     def test_approx_percentile_within_tolerance_of_exact(self, spark, sf_small):
         ev = load_table(spark, sf_small, "events")
         row = ev.agg(
@@ -223,7 +251,7 @@ class TestRegistryContract:
         # exception: sketch-valued output (engine-specific estimates,
         # no SQL twin); those are error-bounded in tests instead and
         # the driver records the weaker rows-only check.
-        sketch_output = {"station_distinct_users_hll"}
+        sketch_output = {"station_distinct_users_hll", "cycle_time_approx_percentiles"}
         unpaired = [n for n in QUERIES if n not in ORACLE and n not in sketch_output]
         assert unpaired == [], unpaired
 
