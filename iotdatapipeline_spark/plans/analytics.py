@@ -1133,6 +1133,48 @@ def embeddings_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_word_rarity",
+    """
+    WITH dw AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    df AS (SELECT w, count(*) AS doc_freq FROM dw GROUP BY w)
+    SELECT dw.doc_id,
+           count(*) AS n_distinct_words,
+           CAST(floor(1000.0 * sum(df.doc_freq) / count(*)) AS BIGINT) AS mean_df_x1000,
+           CAST(min(df.doc_freq) AS BIGINT) AS rarest_df
+    FROM dw JOIN df ON dw.w = df.w
+    GROUP BY dw.doc_id
+    """,
+)
+def docs_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: per document, the mean and
+    minimum document-frequency of its distinct words — the
+    integer-exact cousin of a unigram log-probability score (low mean
+    DF = rare vocabulary; DF=1 words are candidate noise/garble). The
+    same corpus-join shape CCNet-style LM filters use, with counts
+    instead of log-probs so the DuckDB oracle hash-matches exactly
+    (libm log rounding differs across engines; integer DF does not).
+
+    Scale shape: distinct (doc, word) → word-keyed DF aggregate →
+    hash join back on the high-cardinality word key → per-doc
+    aggregate. Same two-shuffle profile as TF-IDF; no n², no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).distinct()
+    df_tbl = dw.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        dw.join(df_tbl, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.floor(1000.0 * F.sum("doc_freq") / F.count(F.lit(1))).cast("long").alias("mean_df_x1000"),
+            F.min("doc_freq").cast("long").alias("rarest_df"),
+        )
+    )
+
+
+@register(
     "docs_pack_sequences",
     f"""
     WITH t AS (
