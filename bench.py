@@ -56,7 +56,9 @@ CROSSOVER_QUERIES = [
 #: (join fanout and group sizes preserved — more groups, not bigger
 #: ones, matching how TPC-H scales) and document text is tile-salted so
 #: the LSH dedup workload scales linearly instead of quadratically.
-CROSSOVER_TILES = 10
+#: Override with SPARK_GRAFT_CROSSOVER_TILES for scaling-curve runs
+#: (each tile count caches its own /tmp dataset).
+CROSSOVER_TILES = int(os.environ.get("SPARK_GRAFT_CROSSOVER_TILES", "10"))
 
 
 def ensure_crossover_dir(src_dir: str, tiles: int = CROSSOVER_TILES) -> str:
