@@ -118,6 +118,35 @@ class TestPlanShapes:
         assert plan.count("FileScan") == 1, plan
         assert "CartesianProduct" not in plan, plan
 
+    def test_session_window_no_window_sort_pass(self, spark, sf_small):
+        # native session_window merges inside the aggregation — there
+        # must be no window-function (per-event sort) operator at all
+        plan = _plan(QUERIES["events_session_window"](spark, sf_small))
+        assert "Window" not in plan or "SessionWindow" in plan, plan
+        assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+
+    def test_srp_signature_broadcast_matmul(self, spark, sf_small):
+        # coefficient table must broadcast onto the exploded vector —
+        # a shuffle join on the 64-row key would be a regression
+        plan = _plan(QUERIES["embeddings_srp_signature"](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pack_sequences_single_sharded_window(self, spark, sf_small):
+        # one exchange on shard, one window pass — a global (unsharded)
+        # cumsum would show a single-partition sort
+        plan = _plan(QUERIES["docs_pack_sequences"](spark, sf_small))
+        assert plan.count("Window") == 1, plan
+        assert "SinglePartition" not in plan, plan
+
+    def test_word_rarity_no_cartesian_two_aggregates(self, spark, sf_small):
+        df = QUERIES["docs_word_rarity"](spark, sf_small)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        # DF aggregate + per-doc aggregate (plus the distinct) — the
+        # corpus join must be a hash join on the word key
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
     def test_exact_dedup_is_single_aggregate(self, spark, sf_small):
         plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
         assert plan.count("Exchange") == 1, plan
