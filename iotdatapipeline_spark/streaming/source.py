@@ -30,6 +30,11 @@ def stage_replay_chunks(
     """Materialize the events fixture as ``n_chunks`` time-ordered flat
     parquet files so a file stream replays them in event-time order
     (the reference's arrival order IS its processing order, T6).
+    Replay order is by file MODIFICATION time (FileStreamSource sorts
+    new files by mtime, not name); sequential writes here make mtimes
+    strictly increase. Anything else that delivers files into a replay
+    dir must set increasing mtimes explicitly (see the checkpoint-
+    recovery test) or chunks can interleave out of time order.
     Timestamps are written as microseconds — the engine's canonical
     unit (see sources.tables on the nanos fixture quirk)."""
     if os.path.exists(out_dir):

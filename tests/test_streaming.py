@@ -225,6 +225,58 @@ class TestEndToEndStreaming:
         n_updates_written = history.filter(F.col("row_kind") == "update").count()
         assert total_observed == n_updates_written
 
+    def test_checkpoint_recovery_resumes_state_exactly(self, spark, sf_small, tmp_path):
+        """Stop/restart correctness: drain HALF the replay, let the
+        query terminate, then deliver the rest against the SAME
+        checkpoint. The restored run must resume the per-key counter
+        state (not re-emit, not re-base), so the union of both runs'
+        history equals the single-pass batch roll-up exactly."""
+        import shutil
+
+        staged = stage_replay_chunks(spark, sf_small, str(tmp_path / "staged"), n_chunks=6)
+        live = str(tmp_path / "replay")
+        os.makedirs(live)
+        chunks = sorted(os.listdir(staged))
+
+        def deliver(name: str, order: int) -> None:
+            # FileStreamSource orders new files by MODIFICATION TIME;
+            # sub-millisecond copies tie nondeterministically, so give
+            # each chunk an explicit, strictly increasing mtime
+            dst = os.path.join(live, name)
+            shutil.copy(os.path.join(staged, name), dst)
+            os.utime(dst, (1_700_000_000 + order, 1_700_000_000 + order))
+
+        for i, c in enumerate(chunks[:3]):
+            deliver(c, i)
+        kwargs = dict(
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            records_path=str(tmp_path / "records"),
+            history_path=str(tmp_path / "history"),
+            emit_mode="row",
+            available_now=True,
+        )
+        q1 = run_pipeline(spark, live, **kwargs)
+        q1.awaitTermination(300)
+        mid_emits = spark.read.parquet(str(tmp_path / "history")).count()
+        assert mid_emits > 0
+        for i, c in enumerate(chunks[3:]):
+            deliver(c, 3 + i)
+        q2 = run_pipeline(spark, live, **kwargs)  # same checkpoint → resume
+        q2.awaitTermination(300)
+
+        history = spark.read.parquet(str(tmp_path / "history"))
+        assert history.count() > mid_emits  # second run added, not rewrote
+        got = (
+            history.filter(F.col("row_kind") == "update")
+            .groupBy("station", "part", "plan_date", "shift_id")
+            .agg(F.sum("delta").alias("qty_raw"), F.count(F.lit(1)).alias("emit_count"))
+        )
+        expected = production_rollup(_readings(spark, sf_small), order_cols=("event_id",)).select(
+            "station", "part", "plan_date", "shift_id", "qty_raw", "emit_count"
+        )
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
 
 @pytest.mark.slow
 class TestEventTimeWatermarks:
