@@ -70,6 +70,14 @@ class TestUpsertSql:
             upsert_sql("t", ["a"], ["k"])
 
 
+class TestReadJdbcValidation:
+    def test_partition_col_requires_bounds(self, spark):
+        from iotdatapipeline_spark.sources.dbapi import read_jdbc
+
+        with pytest.raises(ValueError, match="partition_col requires"):
+            read_jdbc(spark, "jdbc:sqlite:/tmp/x.db", "t", partition_col="id")
+
+
 class TestDbapiUpsert:
     def test_insert_then_update(self, spark, db):
         df1 = spark.createDataFrame(
