@@ -114,6 +114,93 @@ def resample_ffill(
     return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w_fill))
 
 
+def resample_interpolate(
+    df: DataFrame,
+    *,
+    key: str = "station",
+    ts_col: str = "ts",
+    value_col: str = "v_cents",
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    tiebreak_cols: Sequence[str] = ("ts", "event_id"),
+    out_ts: str = "bucket_ts",
+) -> DataFrame:
+    """Resample each key's readings onto a regular grid, LINEARLY
+    interpolating empty buckets between the surrounding observations
+    (time-weighted between the last observed bucket at-or-before and
+    the first at-or-after).  Buckets outside a key's observed span
+    stay NULL — interior interpolation only, no extrapolation.
+
+    ``value_col`` must be integral (e.g. cents); the interpolated
+    value is ``prev + floor((next−prev)·Δt/Δspan)`` with the division
+    in double — every term is exact in IEEE double far below 2^53, so
+    the result is bit-identical across engines.
+
+    Returns ``key, out_ts, value_col``.
+
+    Shape: identical to ``resample_ffill`` plus one extra window pass
+    — the backward (prev) and forward (next) scans share the same
+    per-key partitioning, so the whole operator is still: one
+    grid-cell top-1 (WindowGroupLimit before the shuffle), one
+    generated spine, one key-equi join, two window passes over one
+    exchange.  Nothing is quadratic in gap length: a k-bucket gap is
+    k rows filled by the same two window columns.
+    """
+    ev = df.withColumn("_b", F.date_trunc(trunc_unit, F.col(ts_col)))
+    order = [F.desc(c) for c in tiebreak_cols]
+    w_rn = Window.partitionBy(key, "_b").orderBy(*order)
+    obs = (
+        ev.withColumn("_rn", F.row_number().over(w_rn))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(key).alias("_obs_key"), F.col("_b"), value_col)
+    )
+    bounds = ev.agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_h0"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_h1"),
+    )
+    spine = (
+        ev.select(key)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(F.expr(f"sequence(_h0, _h1, interval {step})")).alias(out_ts),
+        )
+    )
+    joined = spine.join(
+        obs,
+        (spine[key] == obs["_obs_key"]) & (spine[out_ts] == obs["_b"]),
+        "left",
+    ).select(key, out_ts, value_col)
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(out_ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(out_ts)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    e = F.unix_timestamp(F.col(out_ts))
+    obs_ts = F.when(F.col(value_col).isNotNull(), e)
+    filled = (
+        joined.withColumn("_pv", F.last(value_col, ignorenulls=True).over(w_back))
+        .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(w_back))
+        .withColumn("_nv", F.first(value_col, ignorenulls=True).over(w_fwd))
+        .withColumn("_nt", F.first(obs_ts, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("_pv") + F.floor(
+        (F.col("_nv") - F.col("_pv")).cast("double")
+        * (e - F.col("_pt")).cast("double")
+        / (F.col("_nt") - F.col("_pt")).cast("double")
+    ).cast("long")
+    out_val = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), interp)
+    )
+    return filled.select(key, out_ts, out_val.cast("long").alias(value_col))
+
+
 def ordered_funnel(
     df: DataFrame,
     *,

@@ -670,6 +670,68 @@ def loyal_customers_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_concentrated_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_nationkey < 5
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                            THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END) AS q96,
+                   sum(CAST(floor(l_quantity) AS BIGINT)) AS qtot
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            GROUP BY l_suppkey, l_partkey
+        ) WHERE q96 * 2 > qtot
+      )
+    """,
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped doubly-nested IN with a correlated aggregate
+    threshold: suppliers (in a nation subset) who shipped MORE THAN
+    HALF of their all-time volume of some 'red%' part during 1996.
+    The fixture has no partsupp, so the per-(supplier, part) lineitem
+    aggregate stands in for availqty, and "1996 share > 1/2" replaces
+    "availqty > half the year's shipments" — the plan shape (inner IN
+    on a name-filtered part set, correlated per-(ps) aggregate, outer
+    semi into supplier⋈nation) is Q20's verbatim.
+
+    Decorrelation: the part-name IN is a broadcast semi join BELOW the
+    aggregation (only 'red%' lineitems are ever grouped); both the
+    conditional 1996 sum and the total are one partial-agg'd shuffle
+    on (l_suppkey, l_partkey); the outer IN is distinct-then-semi into
+    the supplier side. Integer quantities make the ×2 threshold exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    s = load_table(spark, sf_dir, "supplier")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    per = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("q96"),
+            F.sum(qty).alias("qtot"),
+        )
+        .filter(F.col("q96") * 2 > F.col("qtot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(per, s["s_suppkey"] == per["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
     "q11_important_nation_balance",
     """
     SELECT n_name,

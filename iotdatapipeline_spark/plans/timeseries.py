@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iotdatapipeline_spark.operators.timeseries import collapse_islands, resample_ffill
+from iotdatapipeline_spark.operators.timeseries import (
+    collapse_islands,
+    resample_ffill,
+    resample_interpolate,
+)
 from iotdatapipeline_spark.sources import load_table
 
 QUERIES: dict = {}
@@ -170,4 +174,72 @@ def events_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(cents).over(w).cast("long").alias("trailing_sum_cents"),
         F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+@register(
+    "events_hourly_interpolate",
+    """
+    WITH hourly AS (
+        SELECT user_id AS station, date_trunc('hour', ts) AS h,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    obs AS (SELECT station, h, v_cents FROM hourly WHERE rn = 1),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    spine AS (SELECT s.station, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+              FROM (SELECT DISTINCT user_id AS station FROM events) s, bounds b),
+    j AS (SELECT spine.station, spine.h, obs.v_cents
+          FROM spine LEFT JOIN obs ON spine.station = obs.station AND spine.h = obs.h),
+    f AS (
+        SELECT station, h, v_cents,
+               last_value(v_cents IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN v_cents IS NOT NULL
+                               THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS) OVER wb AS pt,
+               first_value(v_cents IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v_cents IS NOT NULL
+                                THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS) OVER wf AS nt
+        FROM j
+        WINDOW wb AS (PARTITION BY station ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY station ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT station, h AS hour_ts,
+           CAST(CASE WHEN v_cents IS NOT NULL THEN v_cents
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + CAST(floor(CAST(nv - pv AS DOUBLE)
+                                          * (CAST(epoch(h) AS BIGINT) - pt)
+                                          / (nt - pt)) AS BIGINT)
+                END AS BIGINT) AS v_cents
+    FROM f
+    """,
+)
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation: empty grid cells take
+    the time-weighted value between the surrounding observations
+    (forward-fill's smooth sibling — the standard sensor-data
+    resample).  Outside a station's observed span the grid stays NULL:
+    interpolation, never extrapolation.
+
+    Scale shape: identical to ``events_hourly_gapfill`` plus one more
+    window pass — the backward and forward ignore-nulls scans share
+    the single per-station exchange, so a 1000-executor cluster
+    interpolates 1000 stations' timelines independently.  The
+    integer-exact formula (floor of a double division of exact-in-
+    double integers) makes the DuckDB oracle hash-match bit-for-bit.
+
+    Thin binding of ``operators.timeseries.resample_interpolate`` onto
+    the events fixture."""
+    ev = _readings(spark, sf_dir).select("station", "ts", "event_id", "v_cents")
+    return resample_interpolate(
+        ev,
+        key="station",
+        ts_col="ts",
+        value_col="v_cents",
+        step="1 hour",
+        trunc_unit="hour",
+        tiebreak_cols=("ts", "event_id"),
+        out_ts="hour_ts",
     )

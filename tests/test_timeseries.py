@@ -98,3 +98,78 @@ class TestInvariants:
             F.col("nxt").isNotNull() & (F.col("valid_to") >= F.col("nxt"))
         )
         assert bad.count() == 0
+
+
+class TestInterpolate:
+    def test_registered_with_oracle(self):
+        assert "events_hourly_interpolate" in QUERIES
+        assert "events_hourly_interpolate" in ORACLE
+
+    def test_plan_shape(self, spark, sf_small):
+        # same scale shape as gapfill: grid-cell top-1 limited before
+        # the shuffle, 1-row bounds on a broadcast nested loop, and the
+        # two ignore-nulls fill passes must NOT add an extra exchange
+        plan = _plan(QUERIES["events_hourly_interpolate"](spark, sf_small))
+        assert "WindowGroupLimit" in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_observed_cells_keep_observed_value(self, spark, sf_small):
+        # every grid cell with a real observation must carry it verbatim
+        interp = QUERIES["events_hourly_interpolate"](spark, sf_small)
+        ffill = QUERIES["events_hourly_gapfill"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("station", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+        obs = (
+            ev.select(
+                F.col("user_id").alias("station"),
+                F.date_trunc("hour", F.col("ts")).alias("h"),
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("obs_cents"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        bad = (
+            interp.join(obs, (interp["station"] == obs["station"]) & (interp["hour_ts"] == obs["h"]))
+            .filter(F.col("v_cents") != F.col("obs_cents"))
+        )
+        assert bad.count() == 0
+        # and the grids agree cell-for-cell on which rows exist
+        assert interp.count() == ffill.count()
+
+    def test_interpolated_values_bounded_by_neighbors(self, spark, sf_small):
+        # linear interpolation can never overshoot: every filled value
+        # lies within [min(prev, next), max(prev, next)] — checked
+        # globally via per-station observed min/max
+        df = QUERIES["events_hourly_interpolate"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events").select(
+            F.col("user_id").alias("station"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        rng = ev.groupBy("station").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        bad = (
+            df.filter(F.col("v_cents").isNotNull())
+            .join(rng, "station")
+            .filter((F.col("v_cents") < F.col("lo")) | (F.col("v_cents") > F.col("hi")))
+        )
+        assert bad.count() == 0
+
+    def test_null_only_outside_observed_span(self, spark, sf_small):
+        # interior cells are always filled: a NULL may appear only
+        # before a station's first observation or after its last
+        df = QUERIES["events_hourly_interpolate"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events").select(
+            F.col("user_id").alias("station"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        span = ev.groupBy("station").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        bad = (
+            df.filter(F.col("v_cents").isNull())
+            .join(span, "station")
+            .filter((F.col("hour_ts") >= F.col("h0")) & (F.col("hour_ts") <= F.col("h1")))
+        )
+        assert bad.count() == 0
