@@ -1401,3 +1401,124 @@ def parts_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 6)
         .select("a_key", "b_key", "edit_dist")
     )
+
+
+@register(
+    "docs_repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id, ws,
+               list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                              i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+               list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                              i -> array_to_string(ws[i:i+2], ' ')) AS g3
+        FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+           CAST(floor(1000.0 * (len(ws) - len(list_distinct(ws))) / len(ws)) AS BIGINT)
+               AS dup_word_x1000,
+           CAST(floor(1000.0 * list_max(list_transform(list_distinct(ws),
+                    x -> len(list_filter(ws, y -> y = x)))) / len(ws)) AS BIGINT)
+               AS top_word_x1000,
+           CAST(floor(1000.0 * (len(g2) - len(list_distinct(g2))) / len(g2)) AS BIGINT)
+               AS dup_2gram_x1000,
+           CAST(floor(1000.0 * (len(g3) - len(list_distinct(g3))) / len(g3)) AS BIGINT)
+               AS dup_3gram_x1000
+    FROM g
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 rule family):
+    per document, the duplicate-word ratio, the most-common-word mass,
+    and the duplicate 2-/3-gram ratios — the standard "is this doc
+    degenerate boilerplate/spam" filters of an LLM training pipeline.
+
+    Scale shape: a PURE PROJECTION — every statistic is an array
+    expression over the per-row words array (distinct, filter,
+    n-gram construction), so the query is one scan with ZERO
+    exchanges: 1000 executors score 1000 partitions with no shuffle
+    at all. The O(distinct·words) top-word fold is bounded by document
+    length, not corpus size (and the HOF lambdas run interpreted —
+    acceptable here because the whole query is map-side; see the
+    CodegenFallback note in BASELINE.md). All ratios are ×1000-floored
+    integers so the DuckDB oracle hash-matches exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("__ws", words(F.col("text")))
+    ws = F.col("__ws")
+    nw = F.array_size(ws)
+
+    def ngrams(n: int) -> F.Column:
+        cnt = F.greatest(nw - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(ws, i, n), " ")
+        )
+
+    def dup_ratio(arr: F.Column) -> F.Column:
+        return F.floor(
+            1000.0 * (F.array_size(arr) - F.array_size(F.array_distinct(arr))) / F.array_size(arr)
+        ).cast("long")
+
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda x: F.array_size(F.filter(ws, lambda y: y == x)),
+        )
+    )
+    d = d.withColumn("__g2", ngrams(2)).withColumn("__g3", ngrams(3))
+    return d.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.array_size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
+        dup_ratio(ws).alias("dup_word_x1000"),
+        F.floor(1000.0 * top_freq / nw).cast("long").alias("top_word_x1000"),
+        dup_ratio(F.col("__g2")).alias("dup_2gram_x1000"),
+        dup_ratio(F.col("__g3")).alias("dup_3gram_x1000"),
+    )
+
+
+@register(
+    "docs_contamination_flags",
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 3, 1))) AS i
+            FROM ws),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS shingle FROM pos),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT sh.doc_id, count(*) AS n_shared_4grams
+    FROM sh JOIN ev USING (shingle)
+    WHERE sh.doc_id % 50 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def docs_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: flag every training document
+    sharing at least one word-4-gram with the held-out evaluation set
+    (here: every 50th doc_id — a deterministic stand-in for the real
+    benchmark corpus), with the count of distinct shared 4-grams.
+    This is the standard "did the test set leak into training" sweep
+    an LLM data pipeline runs before every corpus release.
+
+    Scale shape: the eval side is SMALL by construction (benchmarks
+    are thousands of docs, the corpus is billions), so its distinct
+    shingle set broadcasts; the corpus side is one explode-project
+    scan (shared with the dedup family) whose 4-grams hash-join the
+    broadcast — no shuffle of the corpus, no self-join, and the
+    per-doc distinct + count rides one aggregation keyed by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", n=4).distinct()
+    ev = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_4grams"))
+    )

@@ -1,0 +1,104 @@
+"""Gate tests for the round-2 text-quality extensions:
+repetition-ratio stats (Gopher/C4 rule family) and benchmark
+decontamination flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.plans import ORACLE, QUERIES
+from iotdatapipeline_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRepetitionStats:
+    def test_registered_with_oracle(self):
+        assert "docs_repetition_stats" in QUERIES
+        assert "docs_repetition_stats" in ORACLE
+
+    def test_zero_shuffle_pure_projection(self, spark, sf_small):
+        # the whole query must be map-side: one scan, no Exchange at
+        # all — the property that makes it free at 100 TB
+        plan = _plan(QUERIES["docs_repetition_stats"](spark, sf_small))
+        assert "Exchange" not in plan, plan
+
+    def test_ratios_bounded_and_consistent(self, spark, sf_small):
+        df = QUERIES["docs_repetition_stats"](spark, sf_small)
+        n_docs = load_table(spark, sf_small, "documents").count()
+        assert df.count() == n_docs
+        bad = df.filter(
+            (F.col("dup_word_x1000") < 0) | (F.col("dup_word_x1000") > 1000)
+            | (F.col("dup_2gram_x1000") < 0) | (F.col("dup_2gram_x1000") > 1000)
+            | (F.col("dup_3gram_x1000") < 0) | (F.col("dup_3gram_x1000") > 1000)
+            | (F.col("top_word_x1000") <= 0) | (F.col("top_word_x1000") > 1000)
+            | (F.col("n_distinct_words") > F.col("n_words"))
+        )
+        assert bad.count() == 0
+
+    def test_degenerate_doc_scores_maximal(self, spark):
+        # a fully repeated doc: dup ratios ~max, top word = 100%
+        df = spark.createDataFrame(
+            [(1, "spam " * 9 + "spam"), (2, "a b c d e f g h i j")], ["doc_id", "text"]
+        )
+        import iotdatapipeline_spark.plans.analytics as A
+
+        orig = A.load_table
+        try:
+            A.load_table = lambda sp, sf, name: df
+            out = {r["doc_id"]: r for r in QUERIES["docs_repetition_stats"](None, "x").collect()}
+        finally:
+            A.load_table = orig
+        assert out[1]["top_word_x1000"] == 1000
+        assert out[1]["dup_word_x1000"] == 900  # 10 words, 1 distinct
+        assert out[2]["dup_word_x1000"] == 0
+        assert out[2]["dup_2gram_x1000"] == 0
+
+
+class TestContamination:
+    def test_registered_with_oracle(self):
+        assert "docs_contamination_flags" in QUERIES
+        assert "docs_contamination_flags" in ORACLE
+
+    def test_eval_docs_never_flagged(self, spark, sf_small):
+        df = QUERIES["docs_contamination_flags"](spark, sf_small)
+        assert df.filter(F.col("doc_id") % 50 == 0).count() == 0
+
+    def test_flagged_docs_share_a_4gram(self, spark, sf_small):
+        # every flagged doc really does share a 4-gram with some eval
+        # doc (re-derived independently with a different construction)
+        df = QUERIES["docs_contamination_flags"](spark, sf_small)
+        docs = load_table(spark, sf_small, "documents").select(
+            "doc_id", F.split(F.col("text"), " ").alias("ws")
+        )
+        g = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.array_size("ws") - 3, F.lit(1))),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, 4), " "),
+                )
+            ).alias("ng"),
+        ).distinct()
+        ev = g.filter(F.col("doc_id") % 50 == 0).select("ng").distinct()
+        expect = (
+            g.filter(F.col("doc_id") % 50 != 0)
+            .join(ev, "ng")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        diff = df.join(expect, "doc_id", "full").filter(
+            F.col("n_shared_4grams").isNull()
+            | F.col("n").isNull()
+            | (F.col("n_shared_4grams") != F.col("n"))
+        )
+        assert diff.count() == 0
+
+    def test_broadcast_no_corpus_shuffle_join(self, spark, sf_small):
+        # the eval side must broadcast: no SortMergeJoin of the corpus
+        plan = _plan(QUERIES["docs_contamination_flags"](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
