@@ -1522,3 +1522,114 @@ def docs_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_4grams"))
     )
+
+
+@register(
+    "embeddings_int8_quantize",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                                   / list_max(list_transform(embedding,
+                                              y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_x1e6,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS sum_q2,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+)
+def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage
+    path that makes a 100 TB vector corpus 4× smaller before indexing
+    (every production ANN system quantizes; IVF+int8 is the classic
+    pairing with ``embeddings_ivf_*``). Per vector: the max-abs scale
+    and the quantized codes' order-insensitive integer summaries
+    (Σq, Σq², saturation count) — integer sums so the DuckDB oracle
+    is exact regardless of array traversal order.
+
+    Scale shape: a pure projection (array HOFs per row, zero
+    exchanges) — quantization is embarrassingly parallel, and at
+    cluster scale the codes array would be written back as the
+    compact index payload. Floor (not round) quantization keeps every
+    code decision a single IEEE double op, bit-identical across
+    engines; ``amax = 0`` cannot occur in the fixture (verified) and
+    would yield NULL codes rather than a divide crash.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    d = emb.select("vec_id", v.alias("embedding")).withColumn("__amax", amax)
+    qv = F.transform(
+        v, lambda x: F.floor(x.cast("double") * 127.0 / F.col("__amax")).cast("long")
+    )
+    d = d.withColumn("__qv", qv)
+    acc = lambda arr, f: F.aggregate(arr, F.lit(0).cast("long"), f)  # noqa: E731
+    return d.select(
+        "vec_id",
+        F.floor(F.col("__amax") * 1_000_000.0).cast("long").alias("amax_x1e6"),
+        acc(F.col("__qv"), lambda a, x: a + x).alias("sum_q"),
+        acc(F.col("__qv"), lambda a, x: a + x * x).alias("sum_q2"),
+        F.size(F.filter(F.col("__qv"), lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
+    )
+
+
+@register(
+    "docs_source_mixing",
+    """
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_words
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT *, CAST(floor(sqrt(total_words)) AS BIGINT) AS weight_isqrt FROM per),
+    t AS (SELECT sum(weight_isqrt) AS total_w FROM w)
+    SELECT source, n_docs, total_words, weight_isqrt,
+           CAST(floor(100000.0 * weight_isqrt / total_w) AS BIGINT) AS target_docs
+    FROM w, t
+    """,
+)
+def docs_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights (the α=0.5 sampling
+    rule used to flatten source-size imbalance when composing a
+    training mix): per source, the document/word mass, its √mass
+    sampling weight, and the per-source document budget out of a
+    100 k draw. Integer-exact: the weight is floor(√words) as a
+    BIGINT, the budget a floored integer ratio — no float summation
+    order anywhere (the only float op is one IEEE sqrt per source,
+    correctly rounded in both engines).
+
+    Scale shape: one partial-agg'd shuffle on the (low-cardinality)
+    source key, then a 1-row total broadcast back onto the per-source
+    rows — the same group-vs-global decorrelation as
+    ``q11_important_nation_balance``; nothing scans the corpus twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn("__nw", F.array_size(words(F.col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nw").alias("total_words"),
+        )
+        .withColumn("weight_isqrt", F.floor(F.sqrt(F.col("total_words"))).cast("long"))
+    )
+    total = per.agg(F.sum("weight_isqrt").alias("__total_w"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_words",
+            "weight_isqrt",
+            F.floor(100000.0 * F.col("weight_isqrt") / F.col("__total_w"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )

@@ -102,3 +102,45 @@ class TestContamination:
         plan = _plan(QUERIES["docs_contamination_flags"](spark, sf_small))
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestInt8Quantize:
+    def test_registered_with_oracle(self):
+        assert "embeddings_int8_quantize" in QUERIES
+        assert "embeddings_int8_quantize" in ORACLE
+
+    def test_zero_shuffle_pure_projection(self, spark, sf_small):
+        plan = _plan(QUERIES["embeddings_int8_quantize"](spark, sf_small))
+        assert "Exchange" not in plan, plan
+
+    def test_code_invariants(self, spark, sf_small):
+        df = QUERIES["embeddings_int8_quantize"](spark, sf_small)
+        n = load_table(spark, sf_small, "embeddings").count()
+        assert df.count() == n
+        # the max-|x| component always quantizes to ±127, so every
+        # vector saturates at least once; energy is bounded by d·127²
+        bad = df.filter(
+            (F.col("n_sat") < 1)
+            | (F.col("sum_q2") > 64 * 127 * 127)
+            | (F.col("sum_q2") < 127 * 127)
+            | (F.col("amax_x1e6") <= 0)
+        )
+        assert bad.count() == 0
+
+
+class TestSourceMixing:
+    def test_registered_with_oracle(self):
+        assert "docs_source_mixing" in QUERIES
+        assert "docs_source_mixing" in ORACLE
+
+    def test_budget_conserved_and_weights_flatten(self, spark, sf_small):
+        rows = QUERIES["docs_source_mixing"](spark, sf_small).collect()
+        docs = load_table(spark, sf_small, "documents")
+        assert {r["source"] for r in rows} == {
+            r["source"] for r in docs.select("source").distinct().collect()
+        }
+        total_target = sum(r["target_docs"] for r in rows)
+        # floored shares can undershoot by at most one per source
+        assert 100_000 - len(rows) <= total_target <= 100_000
+        for r in rows:
+            assert r["weight_isqrt"] == int(r["total_words"] ** 0.5)
