@@ -412,3 +412,59 @@ class TestTimeseriesOperatorProperties:
                 t3 = min(c) if c else None
             expected[u] = (t1, t2, t3)
         assert got == expected
+
+
+def ref_interpolate(obs: dict[int, int], h0: int, h1: int) -> dict[int, int | None]:
+    """Pure-Python reference for grid interpolation: ``obs`` maps
+    grid index → observed value; returns every index in [h0, h1] →
+    observed / linearly-interpolated / None (outside observed span).
+    Mirrors the operator's exact-integer rule: prev + floor((next −
+    prev)·Δt/Δspan) with the division in double."""
+    import math
+
+    out: dict[int, int | None] = {}
+    ks = sorted(obs)
+    for h in range(h0, h1 + 1):
+        if h in obs:
+            out[h] = obs[h]
+            continue
+        prevs = [k for k in ks if k < h]
+        nexts = [k for k in ks if k > h]
+        if not prevs or not nexts:
+            out[h] = None
+            continue
+        p, n = prevs[-1], nexts[0]
+        out[h] = obs[p] + math.floor(
+            float(obs[n] - obs[p]) * float(h - p) / float(n - p)
+        )
+    return out
+
+
+class TestInterpolateProperty:
+    @SET
+    @given(
+        st.dictionaries(
+            st.integers(0, 20),
+            st.integers(-1000, 1000),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_matches_python_reference(self, spark, obs):
+        from iotdatapipeline_spark.operators.timeseries import resample_interpolate
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base + dt.timedelta(hours=h), h, v) for h, v in obs.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "station int, ts timestamp, event_id int, v_cents long"
+        )
+        got = {
+            int((r["bucket_ts"] - base).total_seconds() // 3600): r["v_cents"]
+            for r in resample_interpolate(
+                df, key="station", ts_col="ts", value_col="v_cents"
+            ).collect()
+        }
+        expect = ref_interpolate(obs, min(obs), max(obs))
+        assert got == expect, (obs, got, expect)
