@@ -243,3 +243,68 @@ def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=("ts", "event_id"),
         out_ts="hour_ts",
     )
+
+
+@register(
+    "events_ewma_smooth",
+    """
+    WITH r AS (
+        SELECT user_id AS station, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v0,
+               lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS v1,
+               lag(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS v2,
+               lag(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS v3,
+               lag(CAST(floor(value * 100) AS BIGINT), 4) OVER w AS v4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT station, event_id,
+           CAST(floor(CAST(8 * v0 + COALESCE(4 * v1, 0) + COALESCE(2 * v2, 0)
+                           + COALESCE(v3, 0) + COALESCE(v4, 0) AS DOUBLE)
+                      / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                           + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                           + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END
+                           + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END)) AS BIGINT)
+               AS ewma_cents
+    FROM r
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing (α=½, truncated to a 5-reading
+    horizon) of each station's signal — the standard noise filter in
+    front of threshold alerting on sensor streams.  The truncation
+    makes it a FIXED window expression: weights 8/4/2/1/1 over the
+    current + 4 lagged readings, integer-renormalized over however
+    many readings exist, so early rows are exact too (an unbounded
+    recursive EWMA is not expressible as a window function — the
+    5-term horizon carries 93.75% of the mass and keeps both engines
+    bit-identical via one floored integer division).
+
+    Scale shape: the 5 lags share ONE window pass over one
+    station-hash exchange (materialized in a single select — the same
+    CollapseWindow discipline as counter_deltas); the smoothing
+    arithmetic is a pure projection on top."""
+    ev = _readings(spark, sf_dir)
+    w = Window.partitionBy("station").orderBy("ts", "event_id")
+    lags = ev.select(
+        "station",
+        "event_id",
+        F.col("v_cents").alias("v0"),
+        *[F.lag("v_cents", i).over(w).alias(f"v{i}") for i in range(1, 5)],
+    )
+    weights = (8, 4, 2, 1, 1)
+    # current reading (v0) propagates NULL — smoothing an absent
+    # reading is undefined; only absent LAGS renormalize away
+    num = sum(
+        (F.coalesce(F.lit(wt) * F.col(f"v{i}"), F.lit(0)) for i, wt in tuple(enumerate(weights))[1:]),
+        start=F.lit(weights[0]) * F.col("v0"),
+    )
+    den = sum(
+        (F.when(F.col(f"v{i}").isNull(), 0).otherwise(wt) for i, wt in tuple(enumerate(weights))[1:]),
+        start=F.lit(weights[0]),
+    )
+    return lags.select(
+        "station",
+        "event_id",
+        F.floor(num.cast("double") / den).cast("long").alias("ewma_cents"),
+    )

@@ -173,3 +173,47 @@ class TestInterpolate:
             .filter((F.col("hour_ts") >= F.col("h0")) & (F.col("hour_ts") <= F.col("h1")))
         )
         assert bad.count() == 0
+
+
+class TestEwma:
+    def test_registered_with_oracle(self):
+        assert "events_ewma_smooth" in QUERIES
+        assert "events_ewma_smooth" in ORACLE
+
+    def test_single_window_single_shuffle(self, spark, sf_small):
+        # all five lags must collapse into ONE window pass on one
+        # station-hash exchange
+        plan = _plan(QUERIES["events_ewma_smooth"](spark, sf_small))
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Window") == 1, plan
+
+    def test_smoothing_bounded_and_warmup_exact(self, spark, sf_small):
+        df = QUERIES["events_ewma_smooth"](spark, sf_small)
+        ev = load_table(spark, sf_small, "events")
+        assert df.count() == ev.count()
+        # smoothed value lies within each station's observed range
+        rng = ev.groupBy(F.col("user_id").alias("station")).agg(
+            F.min(F.floor(F.col("value") * 100).cast("long")).alias("lo"),
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("hi"),
+        )
+        bad = df.join(rng, "station").filter(
+            (F.col("ewma_cents") < F.col("lo")) | (F.col("ewma_cents") > F.col("hi"))
+        )
+        assert bad.count() == 0
+        # a station's FIRST reading must smooth to exactly itself
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        first = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").alias("station"),
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("expect"),
+            )
+        )
+        diff = df.join(first, ["station", "event_id"]).filter(
+            F.col("ewma_cents") != F.col("expect")
+        )
+        assert diff.count() == 0

@@ -48,7 +48,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single file (testdata) or a directory of
+        # per-tile files (crossover datasets) — glob the latter
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     failures = []
     for name, fn in QUERIES.items():
         if only and name not in only:
