@@ -65,7 +65,6 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="iotdp_stream_bench_")
     try:
         replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=n_chunks)
-        n_in = sum(1 for _ in ()) or None  # placeholder, set below
         from iotdatapipeline_spark.sources import load_table
 
         n_in = load_table(spark, sf_dir, "events").count()
