@@ -148,6 +148,54 @@ def audio_features(assets: DataFrame, *, strict: bool = False) -> DataFrame:
     return auds.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id bigint, out_width int, out_height int, pix_sum bigint, resized_hash string"
+)
+
+
+def resize_images(
+    assets: DataFrame, *, out_width: int = 8, out_height: int = 6, strict: bool = False
+) -> DataFrame:
+    """Decode → nearest-neighbor resize to a fixed target shape (the
+    thumbnail/normalization step every vision-data pipeline runs before
+    feature extraction or training). Sampling grid is integer-exact:
+    source index for output cell (y, x) is (y·h)//out_h, (x·w)//out_w —
+    pure integer arithmetic, so the resized pixels (and therefore the
+    output checksums) are reproducible by any independent
+    implementation, including the SQL oracle over the deterministic
+    fake-decode path.
+
+    Output per asset: target dims, the resized pixel SUM (order-free
+    integer — the oracle-checkable invariant) and an md5 of the resized
+    byte stream (row-major). The binary column is consumed inside the
+    Arrow batch; only the small summary row flows on."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = _decode_image_bytes(bytes(r.media), int(r.width), int(r.height), strict)
+                h, w = img.shape
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                resized = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "out_width": out_width,
+                        "out_height": out_height,
+                        "pix_sum": int(resized.astype(np.int64).sum()),
+                        "resized_hash": hashlib.md5(resized.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "out_width", "out_height", "pix_sum", "resized_hash"]
+            )
+
+    imgs = assets.filter(F.col("kind") == "image").select("asset_id", "media", "width", "height")
+    return imgs.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: 1-row-in → k-rows-out over mapInPandas
     (the frame decode itself is represented by a per-frame slice hash

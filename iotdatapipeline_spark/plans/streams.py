@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from iotdatapipeline_spark.analytics.multimodal import (
     audio_features,
     image_features,
+    resize_images,
     sample_frames,
 )
 from iotdatapipeline_spark.sources import load_table
@@ -533,3 +534,41 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("frame_index").cast("long").alias("max_frame_index"),
     )
+
+
+def _resize_oracle_sql(out_w: int = 8, out_h: int = 6) -> str:
+    """The resize gate's oracle: for the deterministic fake-decode
+    path (documents text is never BMP/PNG), pixel (y, x) of the
+    source is byte ((y·w)+x) mod 16 of md5(text)'s digest, and the
+    nearest-neighbor grid is integer-exact — so the resized pixel sum
+    is a closed-form 48-term expression DuckDB can evaluate."""
+    w = "(4 + doc_id % 5)"
+    h = "(3 + doc_id % 4)"
+    terms = []
+    for y in range(out_h):
+        for x in range(out_w):
+            e = f"((({y} * {h}) // {out_h}) * {w} + (({x} * {w}) // {out_w}))"
+            terms.append(f"CAST(('0x' || substr(m, 2 * ({e} % 16) + 1, 2)) AS BIGINT)")
+    total = " + ".join(terms)
+    return f"""
+    WITH src AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 3 = 0)
+    SELECT doc_id AS asset_id,
+           CAST({out_w} AS INTEGER) AS out_width,
+           CAST({out_h} AS INTEGER) AS out_height,
+           CAST({total} AS BIGINT) AS pix_sum
+    FROM src
+    """
+
+
+@register("multimodal_image_resize", _resize_oracle_sql())
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → nearest-neighbor resize to 8×6 over mapInPandas
+    (the thumbnail/normalization step of a vision pipeline). The gate
+    hash-checks the resized pixel SUM per asset against a closed-form
+    oracle over the deterministic decode — i.e. the resampling grid
+    arithmetic and every resized byte are independently recomputed,
+    not just row counts. ``resized_hash`` exists in the operator
+    output for downstream dedup but is projected out here (binary md5
+    is not SQL-recomputable without the byte-assembly gymnastics)."""
+    resized = resize_images(_assets_from_documents(spark, sf_dir))
+    return resized.select("asset_id", "out_width", "out_height", "pix_sum")
