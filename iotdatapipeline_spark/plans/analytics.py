@@ -1633,3 +1633,87 @@ def docs_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("target_docs"),
         )
     )
+
+
+def _bloom_probe_sql() -> str:
+    from iotdatapipeline_spark.operators.bloom import bloom_sql
+
+    bitset = bloom_sql("SELECT DISTINCT p_name FROM part", "p_name")
+    pos = lambda i, key: f"(('0x' || substr(md5('{i}|' || {key}), 1, 8))::BIGINT % 1024)"  # noqa: E731
+    arr = ", ".join(pos(i, "probe_key") for i in range(3))
+    return f"""
+    WITH bloom AS ({bitset}),
+    ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    probe AS (
+        SELECT DISTINCT array_to_string(ws[i:i+1], ' ') AS probe_key
+        FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i FROM ws)
+        UNION
+        SELECT DISTINCT p_name FROM part WHERE p_partkey % 10 = 0
+    ),
+    pm AS (
+        SELECT probe_key, p // 32 AS word_idx,
+               1::BIGINT << CAST(p % 32 AS INT) AS mask
+        FROM (SELECT probe_key, unnest([{arr}]) AS p FROM probe)
+    ),
+    hits AS (
+        SELECT pm.probe_key,
+               bool_and((COALESCE(bloom.word, 0) & pm.mask) = pm.mask) AS bloom_hit
+        FROM pm LEFT JOIN bloom USING (word_idx)
+        GROUP BY pm.probe_key
+    )
+    SELECT h.probe_key, h.bloom_hit,
+           (p.p_name IS NOT NULL) AS actual_in,
+           (h.bloom_hit AND p.p_name IS NULL) AS false_positive
+    FROM hits h LEFT JOIN (SELECT DISTINCT p_name FROM part) p
+      ON h.probe_key = p.p_name
+    """
+
+
+@register("parts_bloom_probe", _bloom_probe_sql())
+def parts_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe with its false-positive audit:
+    build a 1024-bit / 3-hash bitset over the part-name set
+    (operators/bloom.py), probe every distinct event_type against it,
+    and report bloom_hit next to the exact answer — the runtime-filter
+    primitive (Spark's own AQE `bloom_filter_agg` shape) made explicit
+    and auditable.
+
+    Scale shape: the build side aggregates to ≤ 32 BIGINT words (one
+    partial-agg'd shuffle, broadcastable forever after); the probe
+    side never shuffles its data — k positions explode map-side, the
+    word lookup is a broadcast hash join, and the verdict reduces on
+    the probe's own key. Probing 100 TB of events costs one scan.
+    Every bit decision is exact integer md5 arithmetic, so the DuckDB
+    oracle reproduces the filter word-for-word (no engine-hash
+    dependence — Spark's own bloom_filter_agg would not be
+    cross-engine checkable)."""
+    from iotdatapipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+    part_tbl = load_table(spark, sf_dir, "part")
+    parts = part_tbl.select("p_name").distinct()
+    bitset = bloom_build(parts, "p_name")
+    # probe set: every distinct word-2-gram of the corpus (negatives +
+    # FP candidates) plus a slice of true member names (positives)
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        exploded_shingles(docs, "doc_id", "text", n=2)
+        .select(F.col("shingle").alias("probe_key"))
+        .distinct()
+    )
+    members = (
+        part_tbl.filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_name").alias("probe_key"))
+        .distinct()
+    )
+    probe = bigrams.union(members).distinct()
+    probed = bloom_probe(probe, bitset, "probe_key")
+    exact = parts.withColumnRenamed("p_name", "probe_key").withColumn("__in", F.lit(True))
+    return (
+        probed.join(F.broadcast(exact), "probe_key", "left")
+        .select(
+            "probe_key",
+            "bloom_hit",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("actual_in"),
+            (F.col("bloom_hit") & F.col("__in").isNull()).alias("false_positive"),
+        )
+    )

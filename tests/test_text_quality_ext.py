@@ -144,3 +144,40 @@ class TestSourceMixing:
         assert 100_000 - len(rows) <= total_target <= 100_000
         for r in rows:
             assert r["weight_isqrt"] == int(r["total_words"] ** 0.5)
+
+
+class TestBloomProbe:
+    def test_registered_with_oracle(self):
+        assert "parts_bloom_probe" in QUERIES
+        assert "parts_bloom_probe" in ORACLE
+
+    def test_no_false_negatives_and_bounded_fp(self, spark, sf_small):
+        # THE Bloom guarantee: a member is never missed; and at this
+        # geometry (1024 bits / 3 hashes / ~200 keys) the FP rate on
+        # ~900 non-members must stay in single-digit percent
+        rows = QUERIES["parts_bloom_probe"](spark, sf_small).collect()
+        assert all(r["bloom_hit"] for r in rows if r["actual_in"])
+        neg = [r for r in rows if not r["actual_in"]]
+        fp = sum(1 for r in neg if r["bloom_hit"])
+        assert len(neg) > 0
+        assert fp / len(neg) < 0.10, (fp, len(neg))
+        # false_positive column is consistent with the two flags
+        assert all(
+            r["false_positive"] == (r["bloom_hit"] and not r["actual_in"]) for r in rows
+        )
+
+    def test_probe_never_sortmerge_joins(self, spark, sf_small):
+        plan = _plan(QUERIES["parts_bloom_probe"](spark, sf_small))
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_operator_roundtrip_tiny(self, spark):
+        from iotdatapipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        keys = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["k"])
+        bloom = bloom_build(keys, "k")
+        probe = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("delta",), ("epsilon",)], ["k"]
+        )
+        got = {r["k"]: r["bloom_hit"] for r in bloom_probe(probe, bloom, "k").collect()}
+        assert got["alpha"] and got["beta"] and got["gamma"]
