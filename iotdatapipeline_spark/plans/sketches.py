@@ -123,3 +123,106 @@ def cycle_time_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.floor(F.col("__p")[1] * 1000).cast("long").alias("p95_x1000"),
         F.floor(F.col("__p")[2] * 1000).cast("long").alias("p99_x1000"),
     )
+
+
+def _cms_sql(depth: int = 3, width: int = 256) -> str:
+    pos = lambda d, key: f"(('0x' || substr(md5('{d}|' || {key}), 1, 8))::BIGINT % {width})"  # noqa: E731
+    build_rows = " UNION ALL ".join(
+        f"SELECT {d} AS row_id, {pos(d, 'CAST(user_id AS VARCHAR)')} AS col_id, "
+        f"count(*) AS c FROM events GROUP BY col_id"
+        for d in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS row_id, {pos(d, 'CAST(user_id AS VARCHAR)')} AS col_id "
+        f"FROM (SELECT DISTINCT user_id FROM events)"
+        for d in range(depth)
+    )
+    return f"""
+    WITH cms AS (
+        SELECT row_id, col_id, CAST(sum(c) AS BIGINT) AS cell
+        FROM ({build_rows}) GROUP BY row_id, col_id
+    ),
+    probe AS ({probe_rows}),
+    est AS (
+        SELECT probe.user_id, min(cms.cell) AS est_count
+        FROM probe JOIN cms USING (row_id, col_id)
+        GROUP BY probe.user_id
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT est.user_id AS station,
+           CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(exact.exact_count AS BIGINT) AS exact_count,
+           CAST(est.est_count - exact.exact_count AS BIGINT) AS overcount
+    FROM est JOIN exact USING (user_id)
+    """
+
+
+@register("events_cms_station_counts", _cms_sql())
+def events_cms_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 3 × width 256) of per-station event
+    counts, audited against the exact answer: est ≥ exact always (the
+    CMS one-sided guarantee), with the overcount column showing the
+    collision cost. The mergeable fixed-memory frequency summary —
+    at 100 TB the sketch is depth×width cells no matter how many
+    events flow through, partials merge by cell-wise addition across
+    days/partitions (same property the oracle proves for the HLL and
+    rollup queries above), and heavy hitters fall out of a probe.
+
+    Exact-integer md5 column hashing (same construction as
+    operators/bloom.py) keeps the sketch engine-reproducible — a
+    DuckDB oracle can rebuild it cell-for-cell, which no native
+    engine-internal sketch allows.
+
+    Scale shape: the build explodes depth rows per event but map-side
+    combine collapses each task's contribution to ≤ depth×width cells
+    before the one tiny shuffle; the 768-cell sketch broadcasts to
+    the probe; exact counts (the audit side only — production drops
+    it) are one partial-agg'd shuffle on the station key."""
+    ev = load_table(spark, sf_dir, "events")
+    depth, width = 3, 256
+    key = F.col("user_id").cast("string")
+
+    def pos(d: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, 8), 16, 10
+        ).cast("long") % width
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("row_id"), pos(d).alias("col_id"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__rc")
+    ).select("__rc.row_id", "__rc.col_id")
+    cms = cells.groupBy("row_id", "col_id").agg(F.count(F.lit(1)).cast("long").alias("cell"))
+
+    stations = ev.select("user_id").distinct()
+    probe = stations.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("row_id"), pos(d).alias("col_id"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__rc"),
+    ).select("user_id", "__rc.row_id", "__rc.col_id")
+    est = (
+        probe.join(F.broadcast(cms), ["row_id", "col_id"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            F.col("user_id").alias("station"),
+            F.col("est_count").cast("long").alias("est_count"),
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+        )
+    )

@@ -57,3 +57,51 @@ class TestReaggregation:
         df = QUERIES["station_distinct_users_hll"](spark, sf_small)
         total = df.agg(F.sum("n_events")).collect()[0][0]
         assert total == load_table(spark, sf_small, "events").count()
+
+
+class TestCountMin:
+    def test_registered_with_oracle(self):
+        from iotdatapipeline_spark.plans import ORACLE, QUERIES
+
+        assert "events_cms_station_counts" in QUERIES
+        assert "events_cms_station_counts" in ORACLE
+
+    def test_one_sided_guarantee_and_tight_at_this_width(self, spark, sf_small):
+        from iotdatapipeline_spark.plans import QUERIES
+        from pyspark.sql import functions as F
+
+        df = QUERIES["events_cms_station_counts"](spark, sf_small)
+        # CMS never undercounts
+        assert df.filter(F.col("overcount") < 0).count() == 0
+        # at width 256 vs ~150 stations, most cells are collision-free:
+        # the median overcount must be zero and the estimate exact for
+        # a majority of stations
+        n = df.count()
+        exact_n = df.filter(F.col("overcount") == 0).count()
+        assert exact_n > n / 2, (exact_n, n)
+
+    def test_sketch_is_fixed_size(self, spark, sf_small):
+        # the sketch table itself can never exceed depth*width cells
+        from iotdatapipeline_spark.plans import QUERIES
+
+        # re-derive the internal sketch: build-side cells ≤ 3*256
+        from iotdatapipeline_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_small, "events")
+        key = F.col("user_id").cast("string")
+        width = 256
+        cells = ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, 8), 16, 10
+                        ).cast("long") % width
+                        + d * width
+                        for d in range(3)
+                    ]
+                )
+            ).alias("cell_id")
+        )
+        assert cells.distinct().count() <= 3 * 256
