@@ -9,7 +9,7 @@ driver's value hash is stable across summation orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.analytics.dedup import MINHASH_COEFFS
@@ -1716,4 +1716,94 @@ def parts_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__in"), F.lit(False)).alias("actual_in"),
             (F.col("bloom_hit") & F.col("__in").isNull()).alias("false_positive"),
         )
+    )
+
+
+@register(
+    "docs_cdc_chunk_dedup",
+    """
+    WITH w AS (
+        SELECT doc_id, i AS pos, ws[i] AS word,
+               CASE WHEN ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 8 = 0
+                    THEN 1 ELSE 0 END AS bnd
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    c AS (
+        SELECT doc_id, pos, word,
+               COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM w
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, string_agg(word, ' ' ORDER BY pos) AS chunk
+        FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_copies,
+           CAST(min(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_words
+    FROM chunks
+    GROUP BY md5(chunk)
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: split every document at
+    content-determined boundaries (after any word whose hash ≡ 0
+    mod 8 — the word-level Rabin/Karp gear rule, average chunk ≈ 8
+    words) and report each chunk shared by MORE THAN ONE document.
+    This is sub-document dedup — the pass that catches boilerplate
+    headers, licence blocks, and templated passages that whole-doc
+    hashing (docs_exact_dedup) and near-dup pairing both miss, because
+    boundaries re-synchronize after any insertion (the CDC property:
+    an edit shifts at most the chunks it touches).
+
+    Scale shape: posexplode fans each doc into words (map-side), the
+    boundary flag is per-word arithmetic, the chunk id is one running
+    sum over the per-doc window — a single doc-keyed exchange; chunk
+    reassembly refines that key to (doc, chunk) so AQE keeps it
+    local; the final hash-groupBy is the same one-shuffle shape as
+    exact dedup, over ~docs×len/8 chunk rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long") % 8 == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("bnd"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = w.withColumn("chunk_id", F.coalesce(F.sum("bnd").over(win), F.lit(0)))
+    chunks = (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("chunk")).alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.array_size(F.split(F.col("chunk"), " "))).cast("long").alias("chunk_words"),
+        )
+        .filter(F.col("n_docs") > 1)
     )

@@ -181,3 +181,62 @@ class TestBloomProbe:
         )
         got = {r["k"]: r["bloom_hit"] for r in bloom_probe(probe, bloom, "k").collect()}
         assert got["alpha"] and got["beta"] and got["gamma"]
+
+
+class TestCdcChunkDedup:
+    def test_registered_with_oracle(self):
+        assert "docs_cdc_chunk_dedup" in QUERIES
+        assert "docs_cdc_chunk_dedup" in ORACLE
+
+    def test_chunks_partition_documents(self, spark, sf_small):
+        # re-derive all chunks (not just shared ones) and check the
+        # CDC invariant: concatenating a doc's chunks in chunk_id
+        # order reproduces the document exactly
+        docs = load_table(spark, sf_small, "documents")
+        w = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "word",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long") % 8
+                == 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bnd"),
+        )
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        c = w.withColumn("chunk_id", F.coalesce(F.sum("bnd").over(win), F.lit(0)))
+        chunks = c.groupBy("doc_id", "chunk_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        rebuilt = chunks.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+        diff = rebuilt.join(docs, "doc_id").filter(F.col("rebuilt") != F.col("text"))
+        assert diff.count() == 0
+
+    def test_shared_chunks_really_shared(self, spark, sf_small):
+        df = QUERIES["docs_cdc_chunk_dedup"](spark, sf_small)
+        assert df.count() > 0
+        bad = df.filter((F.col("n_docs") < 2) | (F.col("n_copies") < F.col("n_docs")))
+        assert bad.count() == 0
