@@ -1807,3 +1807,51 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "docs_bpe_pair_counts",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    ch AS (SELECT string_split(word, '') AS cs FROM w WHERE len(word) >= 2),
+    p AS (
+        SELECT array_to_string(cs[i:i+1], '') AS pair
+        FROM ch, unnest(generate_series(1, len(cs) - 1)) AS t(i)
+    ),
+    cnt AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+    SELECT pair, n_occurrences, rank FROM (
+        SELECT pair, CAST(n AS BIGINT) AS n_occurrences,
+               row_number() OVER (ORDER BY n DESC, pair) AS rank
+        FROM cnt
+    ) WHERE rank <= 20
+    """,
+)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    adjacent-character-pair frequencies, top 20 merge candidates
+    (deterministic count-then-lexicographic ranking). Iterating this
+    — merge the top pair, recount — IS byte-pair-encoding vocabulary
+    induction; one exact distributed iteration is the building block
+    a tokenizer-training pipeline repeats.
+
+    Scale shape: words fan out map-side (explode), char pairs are
+    array arithmetic on each word (no per-char rows — the pair
+    explode is bounded by word length), the count is one
+    partial-agg'd shuffle on the pair key (alphabet², small), and the
+    global top-20 is a TakeOrdered over the tiny count table. The
+    corpus is scanned once; nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    chars = wds.select(F.split(F.col("word"), "").alias("__cs"))
+    pairs = chars.select(
+        F.explode(F.sequence(F.lit(1), F.array_size("__cs") - 1)).alias("__i"), "__cs"
+    ).select(F.array_join(F.slice(F.col("__cs"), F.col("__i"), 2), "").alias("pair"))
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n_occurrences", "rank")
+    )

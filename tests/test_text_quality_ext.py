@@ -240,3 +240,34 @@ class TestCdcChunkDedup:
         assert df.count() > 0
         bad = df.filter((F.col("n_docs") < 2) | (F.col("n_copies") < F.col("n_docs")))
         assert bad.count() == 0
+
+
+class TestBpePairCounts:
+    def test_registered_with_oracle(self):
+        assert "docs_bpe_pair_counts" in QUERIES
+        assert "docs_bpe_pair_counts" in ORACLE
+
+    def test_topk_shape_and_counts(self, spark, sf_small):
+        rows = QUERIES["docs_bpe_pair_counts"](spark, sf_small).collect()
+        assert len(rows) == 20
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, 21)
+        )
+        # ranking is by count desc then pair asc; all pairs 2 chars
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a["n_occurrences"], b["pair"]) >= (b["n_occurrences"], a["pair"])
+        assert all(len(r["pair"]) == 2 for r in rows)
+
+    def test_counts_match_brute_force(self, spark, sf_small):
+        # brute-force recount of the top pair via plain python
+        rows = QUERIES["docs_bpe_pair_counts"](spark, sf_small).collect()
+        top = max(rows, key=lambda r: (r["n_occurrences"], -r["rank"]))
+        docs = [r["text"] for r in load_table(spark, sf_small, "documents").collect()]
+        n = 0
+        for t in docs:
+            for w in t.split(" "):
+                for i in range(len(w) - 1):
+                    if w[i : i + 2] == top["pair"]:
+                        n += 1
+        assert n == top["n_occurrences"]
