@@ -468,3 +468,22 @@ class TestInterpolateProperty:
         }
         expect = ref_interpolate(obs, min(obs), max(obs))
         assert got == expect, (obs, got, expect)
+
+
+class TestBloomProperty:
+    @SET
+    @given(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=20, unique=True),
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=20, unique=True),
+    )
+    def test_no_false_negatives_ever(self, spark, members, probes):
+        from iotdatapipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        build = spark.createDataFrame([(m,) for m in members], "k string")
+        probe = spark.createDataFrame([(p,) for p in set(members) | set(probes)], "k string")
+        got = {
+            r["k"]: r["bloom_hit"]
+            for r in bloom_probe(probe, bloom_build(build, "k"), "k").collect()
+        }
+        for m in members:
+            assert got[m], m  # a member can NEVER miss
