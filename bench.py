@@ -144,6 +144,19 @@ HEADLINE = [
     "docs_token_stats",
 ]
 
+#: Secondary (non-headline) representatives of the round-2 families,
+#: timed at the bench SF only — recorded so their cost is tracked
+#: round-over-round without changing the headline total's meaning.
+SECONDARY = [
+    "events_hourly_interpolate",
+    "docs_repetition_stats",
+    "docs_contamination_flags",
+    "docs_cdc_chunk_dedup",
+    "parts_bloom_probe",
+    "events_cms_station_counts",
+    "embeddings_int8_quantize",
+]
+
 #: Tiny-scale warmup dir (codegen cache priming; see module docstring).
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
@@ -232,6 +245,21 @@ def main() -> None:
             "steady-state median-of-3, warm plans, same host/process for both engines; "
             f"small-input profile (p=8, AQE off) at sf<=0.2"
         )
+
+    # secondary families: timed with the same protocol, reported under
+    # their own key (not part of the headline total)
+    sec = {}
+    for name in [n for n in SECONDARY if n in QUERIES]:
+        try:
+            if os.path.isdir(WARMUP_SF_DIR):
+                QUERIES[name](spark, WARMUP_SF_DIR).count()
+            QUERIES[name](spark, sf_dir).count()
+            sec[name] = median_time(QUERIES[name](spark, sf_dir).count)
+        except Exception:  # never lose the headline line to a secondary
+            continue
+    if sec:
+        out["secondary_queries"] = sec
+        out["secondary_total"] = round(sum(sec.values()), 3)
 
     # crossover run at ~sf1 (×10 key-offset tiling of the bench SF):
     # shows the ratio where data work dominates Spark's fixed per-query
