@@ -710,15 +710,29 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (engine extension of W1/W2): sessions
-    split on >1h inactivity, counted per station."""
+    split on >1h inactivity, counted per station.
+
+    The output alias (user_id → station) is applied AFTER the
+    aggregation: renaming the key between the window and the groupBy
+    mints a fresh attribute that defeats alias-aware partitioning
+    propagation and inserts a second exchange (of the partial-agg
+    rows — cheap at 150 stations, O(#groups × partitions) when the
+    key is high-cardinality). Grouping on the window's own key keeps
+    it ONE shuffle total (pinned in tests/test_plans.py)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    d = ev.select(F.col("user_id").alias("station"), gap.alias("gap_us"))
-    return d.groupBy("station").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.lit(1) + F.sum(F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0))).cast("long").alias("n_sessions"),
-        F.max("gap_us").cast("long").alias("max_gap_us"),
+    d = ev.select("user_id", gap.alias("gap_us"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.lit(1) + F.sum(F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0)))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .select(F.col("user_id").alias("station"), "n_events", "n_sessions", "max_gap_us")
     )

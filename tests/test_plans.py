@@ -327,3 +327,18 @@ class TestRankProfile:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
         assert plan.count("Window") == 1, plan
+
+
+class TestSessionizationShuffleReuse:
+    def test_single_exchange_window_feeds_groupby(self, spark, sf_small):
+        """The lag window and the per-station aggregate share one
+        user_id hash exchange — renaming the key between them would
+        mint a fresh attribute and force a second full shuffle of the
+        fact (the regression this pin guards)."""
+        plan = (
+            QUERIES["events_sessionization"](spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
