@@ -260,6 +260,27 @@ def main() -> None:
     if sec:
         out["secondary_queries"] = sec
         out["secondary_total"] = round(sum(sec.values()), 3)
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            con.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM {_duck_source(sf_dir, t)}")
+            sduck = {}
+            for name in sec:
+                if name not in ORACLE:
+                    continue
+                con.sql(ORACLE[name]).fetchall()  # warm
+                sduck[name] = median_time(lambda n=name: con.sql(ORACLE[n]).fetchall())
+            con.close()
+            if sduck:
+                out["secondary_duckdb"] = sduck
+                out["secondary_ratios"] = {
+                    n: round(sec[n] / sduck[n], 2) for n in sduck if sduck.get(n)
+                }
+        except Exception:
+            pass
 
     # crossover run at ~sf1 (×10 key-offset tiling of the bench SF):
     # shows the ratio where data work dominates Spark's fixed per-query
