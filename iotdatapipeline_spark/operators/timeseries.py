@@ -243,3 +243,59 @@ def ordered_funnel(
         )
         result = result.join(nxt, user_col, "left")
     return result.select(user_col, *[f"t{i}" for i in range(1, len(stages) + 1)])
+
+
+def merge_islands(
+    *run_frames: DataFrame,
+    keys: Sequence[str] = ("station",),
+    state_col: str = "event_type",
+    ts_from: str = "valid_from",
+    ts_to: str = "valid_to",
+    n_col: str = "n_obs",
+) -> DataFrame:
+    """Associatively MERGE gaps-and-islands run frames (outputs of
+    :func:`collapse_islands` over time-disjoint slices of a log):
+    adjacent runs with the same state fuse (their observation counts
+    add, their validity intervals union), everything else passes
+    through, and ``run_id`` is renumbered 1.. per key in time order —
+    so ``merge(islands(A), islands(B)) ≡ islands(A ∪ B)`` whenever
+    each key's rows in A all precede its rows in B.
+
+    This is incremental maintenance for a NON-additive stateful
+    aggregation: at 100 TB you keep the collapsed run table, fold in
+    each new day's runs (touching only run-count rows, never the raw
+    log), and provably never recompute history. The equivalence is
+    hash-checked by the ``events_islands_incremental`` gate.
+
+    Shape: one union (no shuffle), then the same single-exchange
+    change-flag/run-sum/groupBy pipeline as ``collapse_islands``, but
+    over RUN rows (≈ log size / mean run length), not the log.
+    """
+    from functools import reduce
+
+    cols = [*keys, state_col, ts_from, ts_to, n_col]
+    combined = reduce(
+        lambda a, b: a.unionByName(b), (f.select(*cols) for f in run_frames)
+    )
+    w = Window.partitionBy(*keys).orderBy(ts_from)
+    chg = F.when(
+        F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = combined.withColumn("_chg", chg).withColumn(
+        "_grp",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = grouped.groupBy(*keys, state_col, "_grp").agg(
+        F.min(ts_from).alias(ts_from),
+        F.max(ts_to).alias(ts_to),
+        F.sum(n_col).alias(n_col),
+    )
+    w_rn = Window.partitionBy(*keys).orderBy(ts_from)
+    return merged.select(
+        *keys,
+        state_col,
+        F.row_number().over(w_rn).cast("long").alias("run_id"),
+        ts_from,
+        ts_to,
+        F.col(n_col).cast("long").alias(n_col),
+    )

@@ -217,3 +217,67 @@ class TestEwma:
             F.col("ewma_cents") != F.col("expect")
         )
         assert diff.count() == 0
+
+
+class TestIslandsIncremental:
+    def test_registered_with_oracle(self):
+        assert "events_islands_incremental" in QUERIES
+        assert "events_islands_incremental" in ORACLE
+
+    def test_merge_of_three_slices_equals_direct(self, spark, sf_small):
+        # associativity: 3 time slices, folded left, must equal the
+        # single-pass collapse over the full log
+        from iotdatapipeline_spark.operators.timeseries import (
+            collapse_islands,
+            merge_islands,
+        )
+
+        ev = (
+            load_table(spark, sf_small, "events")
+            .select(
+                F.col("user_id").alias("station"), "ts", "event_id", "event_type"
+            )
+        )
+        cut1 = F.lit("2024-01-11").cast("timestamp")
+        cut2 = F.lit("2024-01-21").cast("timestamp")
+        slices = [
+            ev.filter(F.col("ts") < cut1),
+            ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+            ev.filter(F.col("ts") >= cut2),
+        ]
+        parts = [collapse_islands(s) for s in slices]
+        merged = merge_islands(merge_islands(parts[0], parts[1]), parts[2])
+        direct = collapse_islands(ev).select(
+            "station", "event_type", "run_id", "valid_from", "valid_to", "n_obs"
+        )
+        m = merged.select(
+            "station", "event_type", "run_id", "valid_from", "valid_to", "n_obs"
+        )
+        assert m.exceptAll(direct).count() == 0
+        assert direct.exceptAll(m).count() == 0
+
+    def test_boundary_run_fuses(self, spark):
+        # a run continuing across the slice boundary must come back as
+        # ONE run with summed observations
+        from iotdatapipeline_spark.operators.timeseries import (
+            collapse_islands,
+            merge_islands,
+        )
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base + dt.timedelta(hours=h), h, s)
+            for h, s in enumerate(["a", "a", "b", "b", "b", "a"])
+        ]
+        df = spark.createDataFrame(
+            rows, "station int, ts timestamp, event_id int, event_type string"
+        )
+        prior = collapse_islands(df.filter(F.col("event_id") < 3))
+        delta = collapse_islands(df.filter(F.col("event_id") >= 3))
+        got = sorted(
+            (r["run_id"], r["event_type"], r["n_obs"])
+            for r in merge_islands(prior, delta).collect()
+        )
+        # b-run spans the boundary: runs are a(2), b(3), a(1)
+        assert got == [(1, "a", 2), (2, "b", 3), (3, "a", 1)]
