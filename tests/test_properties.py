@@ -487,3 +487,35 @@ class TestBloomProperty:
         }
         for m in members:
             assert got[m], m  # a member can NEVER miss
+
+
+class TestIslandsMergeProperty:
+    @SET
+    @given(
+        st.lists(st.sampled_from("ab"), min_size=2, max_size=24),
+        st.integers(1, 23),
+    )
+    def test_split_merge_equals_direct(self, spark, states, cut):
+        """merge(islands(prefix), islands(suffix)) == islands(full)
+        for ANY state sequence and ANY split point."""
+        from iotdatapipeline_spark.operators.timeseries import (
+            collapse_islands,
+            merge_islands,
+        )
+
+        cut = min(cut, len(states) - 1)
+        rows = [
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), h, s)
+            for h, s in enumerate(states)
+        ]
+        df = spark.createDataFrame(
+            rows, "station int, ts timestamp, event_id int, event_type string"
+        )
+        prior = collapse_islands(df.filter(F.col("event_id") < cut))
+        delta = collapse_islands(df.filter(F.col("event_id") >= cut))
+        merged = merge_islands(prior, delta)
+        direct = collapse_islands(df)
+        cols = ["station", "event_type", "run_id", "valid_from", "valid_to", "n_obs"]
+        got = sorted(tuple(r[c] for c in cols) for r in merged.select(*cols).collect())
+        want = sorted(tuple(r[c] for c in cols) for r in direct.select(*cols).collect())
+        assert got == want, (states, cut)
