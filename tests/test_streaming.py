@@ -707,3 +707,59 @@ class TestSupervisor:
         f2 = config_fingerprints(cfg2, "ip")
         assert f1["ip1"] == f2["ip1"]
         assert f1["ip2"] != f2["ip2"]
+
+
+class TestRocksDBStateStore:
+    def test_rocksdb_provider_emits_identical_rows(self, spark, sf_small, tmp_path):
+        """The RocksDB state store — the provider that holds
+        larger-than-heap state at cluster scale — must produce exactly
+        the rows the default (HDFS-backed in-memory) provider does for
+        the same replayed stream. State-store choice is an operational
+        knob, never a semantics change."""
+        import os
+        import uuid
+
+        from iotdatapipeline_spark.streaming import (
+            counter_state_machine,
+            readings_stream,
+            stage_replay_chunks,
+        )
+
+        replay = stage_replay_chunks(
+            spark, sf_small, str(tmp_path / "replay"), n_chunks=3
+        )
+
+        def run(provider: str | None) -> list:
+            old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+            if provider:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+            try:
+                stream = readings_stream(spark, replay, max_files_per_trigger=1)
+                out = counter_state_machine(stream, emit_mode="reference")
+                sink = f"ss_{uuid.uuid4().hex[:8]}"
+                q = (
+                    out.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(sink)
+                    .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                rows = sorted(
+                    tuple(r) for r in spark.table(sink).collect()
+                )
+                return rows
+            finally:
+                if provider:
+                    if old:
+                        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+                    else:
+                        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+        default_rows = run(None)
+        rocks_rows = run(
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        assert len(default_rows) > 0
+        assert default_rows == rocks_rows
