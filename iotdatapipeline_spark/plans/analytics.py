@@ -1860,3 +1860,119 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "n_occurrences", "rank")
     )
+
+
+_FUZZY_PAIRS_SQL = """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""
+
+
+@register(
+    "parts_fuzzy_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_SQL}),
+    nodes AS (SELECT a_key AS k FROM pairs UNION SELECT b_key FROM pairs),
+    edges AS (SELECT a_key AS s, b_key AS d FROM pairs
+              UNION SELECT b_key, a_key FROM pairs),
+    reach(node, x) AS (
+        SELECT k, k FROM nodes
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.x
+    ),
+    comp AS (SELECT node, min(x) AS component_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(component_id AS BIGINT) AS component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+    FROM comp
+    """,
+)
+def parts_fuzzy_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the blocked fuzzy-match pairs
+    (``parts_fuzzy_pairs``) are EDGES of an undirected similarity
+    graph, and the entities are its connected components — edit
+    distance is not transitive, so A~B and B~C chain into one entity
+    even when A and C differ by more than the threshold. Resolved
+    with ``operators.graph.connected_components`` (alternating
+    large-star/small-star contraction, O(log n) shuffle rounds
+    independent of chain length — the scale-safe alternative to
+    diameter-bound label propagation), then sized per cluster.
+
+    The oracle recomputes exact min-reachable-id per node via a
+    recursive transitive-closure CTE — exponentially more expensive
+    at scale (it materializes reachability, not components) but
+    exact at gate SF, making this a strong cross-check of the star
+    contraction's fixpoint."""
+    from iotdatapipeline_spark.operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"),
+    )
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(F.levenshtein("a_name", "b_name") <= 6)
+        .select("a_key", "b_key")
+    )
+    comp = connected_components(pairs, src="a_key", dst="b_key")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            F.col("node").cast("long").alias("part_key"),
+            F.col("component_id").cast("long").alias("component_id"),
+            F.col("component_size").cast("long").alias("component_size"),
+        )
+    )
+
+
+@register(
+    "docs_global_shuffle",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(hx, 1, 8))::BIGINT % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 16
+                    ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a seed-keyed md5 hash; the hash's top 32 bits assign one of
+    16 shards and ORDER the documents within each shard. Iterating
+    shards by number and rows by position is a uniformly shuffled,
+    exactly reproducible pass over the corpus — the write layout of a
+    shuffled training dataset.
+
+    Why hash-shuffle instead of ``orderBy(rand())``: (a) reproducible
+    across runs/engines (seed in the hash, no RNG state), (b) NO
+    GLOBAL SORT — one hash-partition exchange on the shard key plus a
+    per-shard local sort, vs a rangepartition+sort over 100 TB, and
+    (c) statistically uniform shard sizes regardless of input order
+    or key skew. Same one-exchange profile as docs_pack_sequences,
+    which consumes exactly this ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 16
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        docs.select("doc_id", hx.alias("hx"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.col("shard").cast("long").alias("shard"), "pos")
+    )

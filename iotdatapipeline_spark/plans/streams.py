@@ -456,6 +456,90 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stream-stream join gate: 6 h join window, 7 h watermark delay.
+#: Safety argument for exactness (why drained output = the batch
+#: interval join): the replay is event-time-ORDERED (stage_replay_chunks),
+#: so min ts(batch k+1) ≥ max ts(batch k); a purchase in batch k+1 needs
+#: clicks with ts ≥ min ts(k+1) − 6 h ≥ max ts(k) − 6 h, while the click
+#: state evictable after batch k is ts < max ts(k) − 7 h — strictly
+#: older than anything still joinable. Hence no match can be lost to
+#: state eviction, and inner-join append emits each matched pair exactly
+#: once.
+_SSJ_WINDOW = "6 hours"
+_SSJ_DELAY = "7 hours"
+
+
+@register(
+    "events_click_purchase_join",
+    """
+    SELECT p.user_id AS station,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    """,
+)
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (beyond-reference
+    extension of T9's fan-out: two DERIVED streams of one source
+    joined to each other): every purchase is joined to the same
+    station's clicks in the preceding 6 h, both sides watermarked, one
+    replay chunk per micro-batch. This is the operator behind
+    attribution/funnel joins that the batch ``events_funnel_stages``
+    family approximates — here executed by Spark's symmetric-hash
+    stream join with watermark-driven state eviction, and the drained
+    append output must hash-match the batch interval join (oracle).
+    See _SSJ_* above for the no-lost-matches proof sketch."""
+    work = tempfile.mkdtemp(prefix="iotdp_ssj_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=5)
+    clicks = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "click")
+        .select(
+            F.col("station").alias("c_station"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "purchase")
+        .select(
+            F.col("station"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_station") == F.col("station"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SSJ_WINDOW}")),
+        "inner",
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "station",
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("long").alias("lag_us"),
+    )
+
+
 # ── Multimodal gate ─────────────────────────────────────────────────────────
 
 
