@@ -118,6 +118,57 @@ def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFram
     return pre.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_long(
+    signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band a MinHash signature and return the long-format LSH index:
+    one row per (id, band_id, band_hash). This IS the structure a
+    persisted near-dup index stores (partitioned/bucketed by
+    (band_id, band_hash)) — ``lsh_candidate_pairs`` derives same-set
+    pairs from it, ``lsh_probe_candidates`` joins a new batch against
+    it without touching corpus×corpus."""
+    n_bands = k // rows_per_band
+    bands = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).cast(
+                "binary"
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(F.col(id_col), *bands)
+    return banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
+    )
+
+
+def lsh_probe_candidates(
+    index_bands: DataFrame, probe_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Asymmetric LSH candidate generation: join a (small) probe
+    batch's band keys against the stored corpus index on
+    (band_id, band_hash). Output: (probe_id, index_id) distinct.
+
+    This is the INCREMENTAL dedup shape: a daily ingest batch is
+    deduplicated against a 100 TB corpus by hash-joining |batch|·bands
+    rows against the bucketed index — corpus×corpus is never
+    re-enumerated, and with the index bucketed on the join key the
+    shuffle moves only the probe side."""
+    probe = probe_bands.select(
+        F.col(id_col).alias("probe_id"), "band_id", "band_hash"
+    )
+    index = index_bands.select(
+        F.col(id_col).alias("index_id"), "band_id", "band_hash"
+    )
+    return (
+        probe.join(index, ["band_id", "band_hash"])
+        .filter(F.col("probe_id") != F.col("index_id"))
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -140,20 +191,7 @@ def lsh_candidate_pairs(
     cap it with ``max_bucket`` at scale (dropped buckets are guaranteed
     over-threshold duplicates; route them to exact dedup instead).
     """
-    n_bands = k // rows_per_band
-    bands = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).cast(
-                "binary"
-            )
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    banded = signatures.select(F.col(id_col), *bands)
-    long = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
-    )
+    long = lsh_band_long(signatures, id_col, k=k, rows_per_band=rows_per_band)
     buckets = (
         long.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))

@@ -1976,3 +1976,95 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", F.col("shard").cast("long").alias("shard"), "pos")
     )
+
+
+@register(
+    "docs_incremental_neardup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ab AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
+        FROM sh
+    ),
+    m AS (
+        SELECT doc_id,
+               {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+        FROM ab GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               {", ".join(f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS b{b}" for b in range(4))}
+        FROM m
+    ),
+    e AS (
+        SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+               unnest([b0, b1, b2, b3]) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT p.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM e p JOIN e c
+          ON p.band_id = c.band_id AND p.band_hash = c.band_hash
+        WHERE p.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    iv AS (
+        SELECT cand.new_id, cand.corpus_id, count(*) AS inter
+        FROM cand
+          JOIN sh a ON a.doc_id = cand.new_id
+          JOIN sh b ON b.doc_id = cand.corpus_id AND b.shingle = a.shingle
+        GROUP BY cand.new_id, cand.corpus_id
+    )
+    SELECT new_id, corpus_id, CAST(inter AS BIGINT) AS inter,
+           CAST(floor(1000.0 * inter / (s1.n + s2.n - inter)) AS BIGINT) AS jaccard_x1000
+    FROM iv JOIN sizes s1 ON new_id = s1.doc_id JOIN sizes s2 ON corpus_id = s2.doc_id
+    WHERE CAST(floor(1000.0 * inter / (s1.n + s2.n - inter)) AS BIGINT) >= 500
+    """,
+)
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the shape a production pipeline
+    actually runs daily: a new-arrivals batch (here the deterministic
+    20% slice doc_id % 5 = 0) is checked against the already-indexed
+    corpus (the other 80%) WITHOUT ever re-enumerating corpus×corpus.
+    The corpus side is exactly the persisted LSH index
+    (``lsh_band_long``: one row per (id, band_id, band_hash));
+    ``lsh_probe_candidates`` hash-joins the batch's band keys against
+    it, and only the surviving candidates pay the exact-Jaccard
+    verification. At 100 TB the index is bucketed on
+    (band_id, band_hash) so the probe join shuffles ONLY the batch
+    side; cost scales with |batch|·bands + candidate volume,
+    independent of corpus size."""
+    from iotdatapipeline_spark.analytics.dedup import lsh_band_long, lsh_probe_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_new = minhash_signatures(shingle_set(new, "doc_id", "text", 3, distinct=False), "doc_id")
+    sig_cor = minhash_signatures(shingle_set(corpus, "doc_id", "text", 3, distinct=False), "doc_id")
+    cands = lsh_probe_candidates(
+        lsh_band_long(sig_cor, "doc_id"), lsh_band_long(sig_new, "doc_id"), "doc_id"
+    )
+    sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(sh.alias("a"), F.col("a.doc_id") == F.col("probe_id"))
+        .join(sh.alias("b"), (F.col("b.doc_id") == F.col("index_id")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("probe_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("probe_id"), F.col("n").alias("n1")), "probe_id")
+        .join(sizes.select(F.col("doc_id").alias("index_id"), F.col("n").alias("n2")), "index_id")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).cast("long"),
+        )
+        .filter(F.col("jaccard_x1000") >= 500)
+    )
+    return out.select(
+        F.col("probe_id").alias("new_id"),
+        F.col("index_id").alias("corpus_id"),
+        F.col("inter").cast("long").alias("inter"),
+        "jaccard_x1000",
+    )

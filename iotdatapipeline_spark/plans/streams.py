@@ -540,6 +540,104 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_click_purchase_left_join",
+    """
+    WITH fw AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 7 HOUR AS wm
+    ),
+    matched AS (
+        SELECT p.user_id AS station, p.event_id AS purchase_id,
+               c.event_id AS click_id
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    ),
+    unmatched AS (
+        SELECT p.user_id AS station, p.event_id AS purchase_id,
+               CAST(NULL AS BIGINT) AS click_id
+        FROM events p, fw
+        WHERE p.event_type = 'purchase' AND p.ts < fw.wm
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+          )
+    )
+    SELECT station, purchase_id, click_id FROM matched
+    UNION ALL
+    SELECT station, purchase_id, click_id FROM unmatched
+    """,
+)
+def events_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join — the half of the semantics the
+    inner gate can't see: matched pairs emit as they join, while a
+    purchase with NO click in its 6 h window emits a null-padded row
+    only when the event-time watermark PASSES its timestamp (proving
+    no more clicks can arrive). The oracle states that contract
+    exactly: the drained output is the batch inner join PLUS the
+    unmatched purchases with ts < the final watermark — unmatched
+    purchases younger than that are still in state when the
+    availableNow drain ends, and a correct engine must NOT have
+    emitted them. An engine that emits unmatched rows eagerly (before
+    the watermark proves completeness) or never flushes them
+    hash-mismatches in either direction.
+
+    The final watermark is ``least(max click ts, max purchase ts) −
+    7 h``, NOT ``max event ts − 7 h``: Catalyst pushes the type filter
+    BELOW the EventTimeWatermark operator, so each side's watermark
+    tracks only the rows that side actually consumes, and the global
+    watermark is the min of the two (multipleWatermarkPolicy=min).
+    Found empirically — an oracle written against the unfiltered max
+    missed the last two unmatched purchases — and worth pinning: at
+    scale, a slow/idle side holding the global watermark back is
+    exactly how outer-join results get delayed in production."""
+    work = tempfile.mkdtemp(prefix="iotdp_ssjl_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=5)
+    clicks = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "click")
+        .select(
+            F.col("station").alias("c_station"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "purchase")
+        .select(
+            F.col("station"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_station") == F.col("station"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SSJ_WINDOW}")),
+        "left_outer",
+    )
+    sink = f"ssjl_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("station", "purchase_id", "click_id")
+
+
 # ── Multimodal gate ─────────────────────────────────────────────────────────
 
 
