@@ -282,3 +282,152 @@ def neardup_pairs(
         ).cast("long").alias("cos_x1e6"),
     )
     return scored.filter(F.col("cos_x1e6") >= min_cos_x1e6)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training: split each vector into ``m``
+    equal subvectors and run the exact-integer Lloyd's of
+    ``kmeans_assignments`` INDEPENDENTLY per subspace (the subspace id
+    joins every grouping key, so all m trainings ride the same
+    shuffles — no per-subspace jobs). Init per subspace: the ``ksub``
+    lowest-id vectors' subvectors, relabeled 0..ksub-1.
+
+    Returns ``(subvectors, codebooks)``:
+    subvectors = (id, s, sv: array<long>) — the scaled inputs;
+    codebooks = (s, cid, c: array<long>) — ``m·ksub`` centroids after
+    ``iters`` assignment rounds. Both deterministic bit-for-bit, so the
+    whole training trajectory is oracle-checkable like the k-means
+    gate."""
+    d_expr = F.array_size(F.col(vec_col))
+    ints = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)).alias("__v"),
+        (d_expr / m).cast("int").alias("__dsub"),
+    )
+    sub = ints.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "__v",
+        "__dsub",
+    ).select(
+        F.col(id_col),
+        "s",
+        F.slice(F.col("__v"), F.col("s") * F.col("__dsub") + 1, F.col("__dsub")).alias("sv"),
+    )
+    w0 = Window.partitionBy("s").orderBy(id_col)
+    cents = (
+        sub.withColumn("__rn", F.row_number().over(w0))
+        .filter(F.col("__rn") <= ksub)
+        .select("s", (F.col("__rn") - 1).alias("cid"), F.col("sv").alias("c"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        pairs = sub.join(F.broadcast(cent), "s")
+        d = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = pairs.select(F.col(id_col), "s", "cid", d.alias("dist_sq"))
+        w = Window.partitionBy(id_col, "s").orderBy(F.asc("dist_sq"), F.asc("cid"))
+        return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    for _ in range(iters - 1):
+        a = assign(cents)
+        member = sub.join(a.select(id_col, "s", "cid"), [id_col, "s"])
+        dims = member.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+        agg = dims.groupBy("s", "cid", "pos").agg(
+            F.floor(F.sum("val") / F.count(F.lit(1))).alias("mval")
+        )
+        cents = agg.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))), lambda st: st["mval"]
+            ).alias("c")
+        )
+    return sub, cents
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC): neighbors
+    are represented only by their m-byte code (nearest codebook
+    centroid per subspace); a query's estimated distance to a neighbor
+    is Σ_s d(query_subvector_s, codebook[s, code_s]) — m small exact
+    lookups instead of a d-dimensional scan.
+
+    Scale story: the corpus's PQ codes are m·log2(ksub) bits per
+    vector (here 4 codes ≈ 2 B vs 256 B of floats) — the index that
+    keeps a billion-vector search RAM-resident. The per-query lookup
+    table (m·ksub exact integer distances) broadcasts; the candidate
+    scoring join touches codes only. Output: qid, nid, rk, dist_est —
+    fully integer-deterministic, so the gate hash-checks training,
+    encoding, and search end-to-end."""
+    sub, cents = pq_codebooks(
+        corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+
+    # encode: nearest centroid per (vector, subspace)
+    pairs = sub.join(F.broadcast(cents), "s")
+    d = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(F.col(id_col), "s", "cid", d.alias("dist_sq"))
+    wenc = Window.partitionBy(id_col, "s").orderBy(F.asc("dist_sq"), F.asc("cid"))
+    codes = (
+        scored.withColumn("__rn", F.row_number().over(wenc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("nid"), "s", F.col("cid").alias("code"))
+    )
+
+    # per-query lookup table: exact distance to every codebook centroid
+    qsub = sub.join(queries.select(F.col(id_col)), id_col).select(
+        F.col(id_col).alias("qid"), "s", F.col("sv").alias("qsv")
+    )
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "qid",
+        "s",
+        "cid",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dpart"),
+    )
+
+    est = (
+        codes.alias("cd")
+        .join(
+            F.broadcast(lut).alias("lt"),
+            (F.col("cd.s") == F.col("lt.s")) & (F.col("cd.code") == F.col("lt.cid")),
+        )
+        .groupBy("qid", "nid")
+        .agg(F.sum("dpart").alias("dist_est"))
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_est"), F.asc("nid"))
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
+    )

@@ -2068,3 +2068,159 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter").cast("long").alias("inter"),
         "jaccard_x1000",
     )
+
+
+@register(
+    "embeddings_pq_topk",
+    """
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, v[(s*16+1):((s+1)*16)] AS sv
+        FROM iv, unnest([0, 1, 2, 3]) AS t(s)
+    ),
+    c0 AS (
+        SELECT s, rn - 1 AS cid, sv AS c
+        FROM (SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM sub)
+        WHERE rn <= 8
+    ),
+    p0 AS (SELECT sub.vec_id, sub.s, c0.cid, unnest(sub.sv) AS a, unnest(c0.c) AS b
+           FROM sub JOIN c0 ON c0.s = sub.s),
+    d0 AS (SELECT vec_id, s, cid, sum((a - b) * (a - b)) AS dist_sq FROM p0 GROUP BY 1, 2, 3),
+    a0 AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist_sq, cid) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT s, cid, i AS pos,
+               CAST(floor(CAST(sum(sv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        FROM (SELECT a0.s, a0.cid, sub.sv, unnest(generate_series(1, len(sub.sv))) AS i
+              FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.s = a0.s)
+        GROUP BY 1, 2, 3
+    ),
+    c1 AS (SELECT s, cid, list(m ORDER BY pos) AS c FROM m0 GROUP BY s, cid),
+    p1 AS (SELECT sub.vec_id, sub.s, c1.cid, unnest(sub.sv) AS a, unnest(c1.c) AS b
+           FROM sub JOIN c1 ON c1.s = sub.s),
+    d1 AS (SELECT vec_id, s, cid, sum((a - b) * (a - b)) AS dist_sq FROM p1 GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id AS nid, s, cid AS code FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist_sq, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    lutp AS (SELECT qs.vec_id AS qid, qs.s, c1.cid, unnest(qs.sv) AS a, unnest(c1.c) AS b
+             FROM sub qs JOIN c1 ON c1.s = qs.s WHERE qs.vec_id < 5),
+    lut AS (SELECT qid, s, cid, sum((a - b) * (a - b)) AS dpart FROM lutp GROUP BY 1, 2, 3),
+    est AS (
+        SELECT lut.qid, codes.nid, sum(lut.dpart) AS dist_est
+        FROM codes JOIN lut ON lut.s = codes.s AND lut.cid = codes.code
+        WHERE lut.qid <> codes.nid
+        GROUP BY 1, 2
+    )
+    SELECT qid, nid, rk, CAST(dist_est AS BIGINT) AS dist_est
+    FROM (
+        SELECT qid, nid, dist_est,
+               row_number() OVER (PARTITION BY qid ORDER BY dist_est, nid) AS rk
+        FROM est
+    ) WHERE rk <= 3
+    """,
+)
+def embeddings_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end: per-subspace codebook
+    training (m=4 subspaces × ksub=8 centroids, the exact-integer
+    Lloyd's of the k-means gate run per subspace), corpus encoding to
+    4 codes/vector, and asymmetric-distance (ADC) top-3 for the five
+    probe queries. The oracle unrolls the ENTIRE pipeline — training
+    iterations, encoding argmins, lookup-table sums, final ranking —
+    in SQL, so the hash checks every stage, not just the search.
+
+    This is the memory-side companion to IVF (embeddings_ivf_*): IVF
+    prunes WHICH vectors a query scores, PQ compresses WHAT is stored
+    per vector (4 small codes ≈ 2 B vs 256 B of floats) — production
+    billion-scale indexes (IVF-PQ) compose the two, which here is
+    passing this query's codes as the ivf bucket's payload. Fixture
+    dim 64 → 16-dim subvectors (oracle hardcodes the slice)."""
+    from iotdatapipeline_spark.analytics.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, m=4, ksub=8, iters=2)
+
+
+def _pq_recall_sql() -> str:
+    """Compose the PQ oracle with an exact integer-L2 top-3 — recall of
+    the compressed (4-code ADC) search against the uncompressed scan."""
+    pq = ORACLE["embeddings_pq_topk"]
+    return f"""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, unnest(q.v) AS a, unnest(n.v) AS b
+           FROM iv q JOIN iv n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+    dd AS (SELECT qid, nid, sum((a - b) * (a - b)) AS dist FROM pr GROUP BY 1, 2),
+    ex AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+            FROM dd
+        ) WHERE rk <= 3
+    )
+    SELECT ex.qid,
+           CAST(count(pq.nid) AS BIGINT) AS n_hit,
+           CAST(floor(100.0 * count(pq.nid) / 3) AS BIGINT) AS recall_x100
+    FROM ex LEFT JOIN ({pq}) pq ON pq.qid = ex.qid AND pq.nid = ex.nid
+    GROUP BY ex.qid
+    """
+
+
+@register("embeddings_pq_recall", None)
+def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of PQ-ADC search against the exact (scaled-integer L2)
+    scan — the compression-quality metric that sizes m/ksub at deploy
+    time, exactly as embeddings_ivf_recall sizes n_probe. Both sides
+    and the overlap join are integer-deterministic, so this composes
+    the two oracles into a full value-hash check.
+
+    Expect LOW absolute recall on this fixture: the synthetic
+    embeddings are near-isotropic random vectors — the provable worst
+    case for vector quantization (distances concentrate, codebooks
+    explain little variance; measured 3-5/15 across m/ksub sweeps).
+    Real text embeddings lie near low-dimensional manifolds where PQ
+    recall is high at the same code budget; the gate checks the
+    MEASUREMENT machinery, not a quality bar."""
+    from iotdatapipeline_spark.analytics.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    ints = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000)).alias("__v"),
+    )
+    q = ints.select(F.col("vec_id").alias("qid"), F.col("__v").alias("qv")).filter(F.col("qid") < 5)
+    d = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = ints.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dd = pairs.select("qid", F.col("vec_id").alias("nid"), d.alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    exact = dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).select("qid", "nid")
+    pq = pq_adc_topk(emb, queries_df, k=3, m=4, ksub=8, iters=2).select(
+        F.col("qid").alias("pqid"), F.col("nid").alias("pnid")
+    )
+    hit = exact.join(pq, (F.col("pqid") == F.col("qid")) & (F.col("pnid") == F.col("nid")), "left")
+    return hit.groupBy("qid").agg(
+        F.count("pnid").cast("long").alias("n_hit"),
+        F.floor(100.0 * F.count("pnid") / 3).cast("long").alias("recall_x100"),
+    )
+
+
+ORACLE["embeddings_pq_recall"] = _pq_recall_sql()
