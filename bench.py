@@ -155,6 +155,12 @@ SECONDARY = [
     "parts_bloom_probe",
     "events_cms_station_counts",
     "embeddings_int8_quantize",
+    # round-3 families (parts_fuzzy_components is excluded: its
+    # iterative contraction executes eagerly at plan-build time via
+    # localCheckpoint, so a count-only timing would under-report it)
+    "docs_incremental_neardup",
+    "embeddings_pq_topk",
+    "docs_global_shuffle",
 ]
 
 #: Tiny-scale warmup dir (codegen cache priming; see module docstring).

@@ -356,6 +356,44 @@ def pq_codebooks(
     return sub, cents
 
 
+def _sub_sq_dist(a: str, b: str):
+    """Exact integer squared-L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(sub: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector as its nearest codebook centroid per
+    subspace. Input: ``pq_codebooks`` outputs. Output: (nid, s, code)
+    — the m-code compressed representation of the corpus."""
+    pairs = sub.join(F.broadcast(cents), "s")
+    scored = pairs.select(F.col(id_col), "s", "cid", _sub_sq_dist("sv", "c").alias("dist_sq"))
+    wenc = Window.partitionBy(id_col, "s").orderBy(F.asc("dist_sq"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wenc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("nid"), "s", F.col("cid").alias("code"))
+    )
+
+
+def pq_query_lut(
+    sub: DataFrame, cents: DataFrame, queries: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-query ADC lookup table: exact integer distance from each
+    query subvector to every codebook centroid. Output:
+    (qid, s, cid, dpart) — m·ksub rows per query, the broadcastable
+    table ADC scoring sums over."""
+    qsub = sub.join(queries.select(F.col(id_col)), id_col).select(
+        F.col(id_col).alias("qid"), "s", F.col("sv").alias("qsv")
+    )
+    return qsub.join(F.broadcast(cents), "s").select(
+        "qid", "s", "cid", _sub_sq_dist("qsv", "c").alias("dpart")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -385,35 +423,8 @@ def pq_adc_topk(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
     )
 
-    # encode: nearest centroid per (vector, subspace)
-    pairs = sub.join(F.broadcast(cents), "s")
-    d = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = pairs.select(F.col(id_col), "s", "cid", d.alias("dist_sq"))
-    wenc = Window.partitionBy(id_col, "s").orderBy(F.asc("dist_sq"), F.asc("cid"))
-    codes = (
-        scored.withColumn("__rn", F.row_number().over(wenc))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col).alias("nid"), "s", F.col("cid").alias("code"))
-    )
-
-    # per-query lookup table: exact distance to every codebook centroid
-    qsub = sub.join(queries.select(F.col(id_col)), id_col).select(
-        F.col(id_col).alias("qid"), "s", F.col("sv").alias("qsv")
-    )
-    lut = qsub.join(F.broadcast(cents), "s").select(
-        "qid",
-        "s",
-        "cid",
-        F.aggregate(
-            F.zip_with(F.col("qsv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("dpart"),
-    )
+    codes = pq_encode(sub, cents, id_col)
+    lut = pq_query_lut(sub, cents, queries, id_col)
 
     est = (
         codes.alias("cd")

@@ -2224,3 +2224,147 @@ def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["embeddings_pq_recall"] = _pq_recall_sql()
+
+
+@register(
+    "embeddings_ivfpq_topk",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    ap AS (
+        SELECT e.vec_id AS nid, cid,
+               unnest(e.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings e, c
+    ),
+    ad AS (SELECT nid, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq FROM ap GROUP BY nid, cid),
+    assign AS (
+        SELECT nid, cid FROM (
+            SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY dist_sq ASC, cid) AS rn
+            FROM ad
+        ) WHERE rn = 1
+    ),
+    qp AS (
+        SELECT q.vec_id AS qid, cid,
+               unnest(q.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM embeddings q, c WHERE q.vec_id < 5
+    ),
+    qdist AS (SELECT qid, cid, round(sum((x - y) * (x - y)), 6) AS dist_sq FROM qp GROUP BY qid, cid),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, cid) AS rn
+            FROM qdist
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, a.nid
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.nid <> p.qid
+    ),
+    iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, v[(s*16+1):((s+1)*16)] AS sv
+        FROM iv, unnest([0, 1, 2, 3]) AS t(s)
+    ),
+    c0 AS (
+        SELECT s, rn - 1 AS cid, sv AS pc
+        FROM (SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM sub)
+        WHERE rn <= 8
+    ),
+    p0 AS (SELECT sub.vec_id, sub.s, c0.cid, unnest(sub.sv) AS a, unnest(c0.pc) AS b
+           FROM sub JOIN c0 ON c0.s = sub.s),
+    d0 AS (SELECT vec_id, s, cid, sum((a - b) * (a - b)) AS dist_sq FROM p0 GROUP BY 1, 2, 3),
+    a0 AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist_sq, cid) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT s, cid, i AS pos,
+               CAST(floor(CAST(sum(sv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        FROM (SELECT a0.s, a0.cid, sub.sv, unnest(generate_series(1, len(sub.sv))) AS i
+              FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.s = a0.s)
+        GROUP BY 1, 2, 3
+    ),
+    c1 AS (SELECT s, cid, list(m ORDER BY pos) AS pc FROM m0 GROUP BY s, cid),
+    p1 AS (SELECT sub.vec_id, sub.s, c1.cid, unnest(sub.sv) AS a, unnest(c1.pc) AS b
+           FROM sub JOIN c1 ON c1.s = sub.s),
+    d1 AS (SELECT vec_id, s, cid, sum((a - b) * (a - b)) AS dist_sq FROM p1 GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id AS nid, s, cid AS code FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist_sq, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    lutp AS (SELECT qs.vec_id AS qid, qs.s, c1.cid, unnest(qs.sv) AS a, unnest(c1.pc) AS b
+             FROM sub qs JOIN c1 ON c1.s = qs.s WHERE qs.vec_id < 5),
+    lut AS (SELECT qid, s, cid, sum((a - b) * (a - b)) AS dpart FROM lutp GROUP BY 1, 2, 3),
+    est AS (
+        SELECT cand.qid, cand.nid, sum(lut.dpart) AS dist_est
+        FROM cand
+          JOIN codes ON codes.nid = cand.nid
+          JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s AND lut.cid = codes.code
+        GROUP BY 1, 2
+    )
+    SELECT qid, nid, rk, CAST(dist_est AS BIGINT) AS dist_est
+    FROM (
+        SELECT qid, nid, dist_est,
+               row_number() OVER (PARTITION BY qid ORDER BY dist_est, nid) AS rk
+        FROM est
+    ) WHERE rk <= 3
+    """,
+)
+def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production billion-scale ANN indexes
+    run: IVF decides WHICH vectors a query scores (probe the 2 nearest
+    of 8 coarse buckets), PQ decides HOW each candidate is scored
+    (ADC over 4 codes instead of 64 floats). The candidate set comes
+    from the same coarse assignment as embeddings_ivf_search; scoring
+    touches only codes + the per-query lookup table. The oracle
+    composes both verified pipelines and the gate hash-checks the
+    whole thing — coarse quantizer, subspace training, encoding,
+    candidate pruning, ADC ranking."""
+    from iotdatapipeline_spark.analytics.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_query_lut,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+
+    index = ivf_assign(emb, cents).select(F.col("vec_id").alias("nid"), "centroid_id")
+    probes = ivf_assign(queries_df, cents, n_probe=2).select(
+        F.col("vec_id").alias("qid"), "centroid_id"
+    )
+    cand = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+
+    sub, pcents = pq_codebooks(emb, m=4, ksub=8, iters=2)
+    codes = pq_encode(sub, pcents)
+    lut = pq_query_lut(sub, pcents, queries_df)
+    est = (
+        cand.join(codes, "nid")
+        .join(F.broadcast(lut), ["qid", "s"])
+        .filter(F.col("code") == F.col("cid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum("dpart").alias("dist_est"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_est"), F.asc("nid"))
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
+    )
