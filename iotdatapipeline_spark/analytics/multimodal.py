@@ -154,7 +154,12 @@ RESIZE_SCHEMA = (
 
 
 def resize_images(
-    assets: DataFrame, *, out_width: int = 8, out_height: int = 6, strict: bool = False
+    assets: DataFrame,
+    *,
+    out_width: int = 8,
+    out_height: int = 6,
+    strict: bool = False,
+    emit_pixels: bool = False,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize to a fixed target shape (the
     thumbnail/normalization step every vision-data pipeline runs before
@@ -168,7 +173,16 @@ def resize_images(
     Output per asset: target dims, the resized pixel SUM (order-free
     integer — the oracle-checkable invariant) and an md5 of the resized
     byte stream (row-major). The binary column is consumed inside the
-    Arrow batch; only the small summary row flows on."""
+    Arrow batch; only the small summary row flows on —
+    ``emit_pixels=True`` additionally carries the row-major resized
+    bytes out (out_w·out_h per asset, still tiny) for downstream
+    NATIVE-expression consumers like the average-hash fingerprint,
+    keeping Python strictly codec-bound."""
+    cols = ["asset_id", "out_width", "out_height", "pix_sum", "resized_hash"]
+    schema = RESIZE_SCHEMA
+    if emit_pixels:
+        cols = cols + ["resized"]
+        schema = RESIZE_SCHEMA + ", resized binary"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,21 +193,20 @@ def resize_images(
                 ys = (np.arange(out_height) * h) // out_height
                 xs = (np.arange(out_width) * w) // out_width
                 resized = img[np.ix_(ys, xs)]
-                rows.append(
-                    {
-                        "asset_id": r.asset_id,
-                        "out_width": out_width,
-                        "out_height": out_height,
-                        "pix_sum": int(resized.astype(np.int64).sum()),
-                        "resized_hash": hashlib.md5(resized.tobytes()).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "out_width", "out_height", "pix_sum", "resized_hash"]
-            )
+                row = {
+                    "asset_id": r.asset_id,
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "pix_sum": int(resized.astype(np.int64).sum()),
+                    "resized_hash": hashlib.md5(resized.tobytes()).hexdigest(),
+                }
+                if emit_pixels:
+                    row["resized"] = resized.astype(np.uint8).tobytes()
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     imgs = assets.filter(F.col("kind") == "image").select("asset_id", "media", "width", "height")
-    return imgs.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return imgs.mapInPandas(resize, schema=schema)
 
 
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:

@@ -754,3 +754,58 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not SQL-recomputable without the byte-assembly gymnastics)."""
     resized = resize_images(_assets_from_documents(spark, sf_dir))
     return resized.select("asset_id", "out_width", "out_height", "pix_sum")
+
+
+def _avghash_oracle_sql(n: int = 8) -> str:
+    """Closed-form oracle for the 8×8 average-hash: pixel (y, x) of
+    the deterministic fake decode is digest byte ((y·h)//8·w +
+    (x·w)//8) mod 16 of md5(text); bit = 1 iff 64·pixel > pixel sum
+    (strict, integer-exact — ties are 0 in both engines)."""
+    w = "(4 + doc_id % 5)"
+    h = "(3 + doc_id % 4)"
+    px = []
+    for y in range(n):
+        for x in range(n):
+            e = f"((({y} * {h}) // {n}) * {w} + (({x} * {w}) // {n}))"
+            px.append(f"CAST(('0x' || substr(m, 2 * ({e} % 16) + 1, 2)) AS BIGINT)")
+    total = " + ".join(px)
+    bits = ", ".join(f"CASE WHEN 64 * {p} > total THEN '1' ELSE '0' END" for p in px)
+    return f"""
+    WITH src AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 3 = 0),
+    t AS (SELECT doc_id, m, {total} AS total FROM src)
+    SELECT doc_id AS asset_id,
+           CAST(total AS BIGINT) AS pix_sum,
+           concat_ws('', {bits}) AS avghash
+    FROM t
+    """
+
+
+@register("multimodal_image_avghash", _avghash_oracle_sql())
+def multimodal_image_avghash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint (average hash): decode →
+    nearest-neighbor 8×8 thumbnail (the codec-bound mapInPandas step,
+    now emitting its pixels) → 64-bit brighter-than-mean signature
+    computed with NATIVE expressions over the resized bytes — Python
+    ends where the codec ends. The oracle recomputes every one of the
+    64 threshold decisions closed-form, so the gate hash-checks the
+    whole fingerprint, not a summary.
+
+    This is the image-side analog of SimHash for text: near-identical
+    images (re-encodes, small crops under the same thumbnail grid)
+    agree on most bits, and pairing at scale reuses the proven banded
+    machinery (docs_simhash_neardup_pairs) on 16-bit bands of this
+    hash; exact-duplicate grouping is hash equality. The fixture's
+    fake decodes are md5-uniform — no planted image near-dups — so the
+    gate pins the fingerprint computation itself."""
+    resized = resize_images(
+        _assets_from_documents(spark, sf_dir), out_width=8, out_height=8, emit_pixels=True
+    )
+    px = F.expr(
+        "transform(sequence(1, 64), i -> cast(conv(hex(substring(resized, i, 1)), 16, 10) as bigint))"
+    )
+    out = resized.select("asset_id", F.col("pix_sum").cast("long").alias("pix_sum"), px.alias("__px"))
+    bits = F.concat_ws(
+        "",
+        F.transform(F.col("__px"), lambda p: F.when(p * 64 > F.col("pix_sum"), F.lit("1")).otherwise(F.lit("0"))),
+    )
+    return out.select("asset_id", "pix_sum", bits.alias("avghash"))

@@ -115,3 +115,32 @@ class TestResize:
         row = resize_images(df, out_width=8, out_height=6, strict=True).collect()[0]
         expect = luma(decode_bmp(encode_bmp(img))).astype(np.int64).sum()
         assert row["pix_sum"] == int(expect)
+
+
+class TestEmitPixels:
+    def test_emit_pixels_consistent_with_summary(self, spark, assets):
+        from iotdatapipeline_spark.analytics.multimodal import resize_images
+
+        out = resize_images(assets, out_width=8, out_height=8, emit_pixels=True)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert len(r["resized"]) == 64
+            assert sum(r["resized"]) == r["pix_sum"]
+
+    def test_avghash_bit_rule(self, spark, assets):
+        """Native-expression avg-hash bits over the emitted pixels must
+        follow the strict 64·p > sum rule exactly."""
+        from iotdatapipeline_spark.analytics.multimodal import resize_images
+
+        out = resize_images(assets, out_width=8, out_height=8, emit_pixels=True)
+        px = F.expr(
+            "transform(sequence(1, 64), i -> cast(conv(hex(substring(resized, i, 1)), 16, 10) as bigint))"
+        )
+        bits = F.concat_ws(
+            "",
+            F.transform(px, lambda p: F.when(p * 64 > F.col("pix_sum"), F.lit("1")).otherwise(F.lit("0"))),
+        )
+        for r in out.select("resized", "pix_sum", bits.alias("avghash")).collect():
+            want = "".join("1" if b * 64 > r["pix_sum"] else "0" for b in r["resized"])
+            assert r["avghash"] == want
