@@ -809,3 +809,54 @@ def multimodal_image_avghash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("__px"), lambda p: F.when(p * 64 > F.col("pix_sum"), F.lit("1")).otherwise(F.lit("0"))),
     )
     return out.select("asset_id", "pix_sum", bits.alias("avghash"))
+
+
+@register(
+    "events_stream_static_enrich",
+    """
+    SELECT e.user_id AS station, e.event_id,
+           CAST(floor(e.value * 100) AS BIGINT) AS counter,
+           n.n_name AS region_name,
+           CAST(floor(e.value * 100) AS BIGINT) * (1 + n.n_nationkey % 3) AS weighted
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as a driver-gated query: the replay stream joined per
+    micro-batch to a broadcast static dimension (station → region and
+    a per-region multiplier — the same shape as the reference's
+    station-config interpretation, Prensas.py:518-533, and its AS400
+    multiplier enrichment). Stream-static joins need no watermark and
+    no state: each micro-batch hash-joins against the broadcast dim,
+    which Spark re-resolves per batch (hot-reloadable at the
+    supervisor layer, T8). Drained availableNow output must equal the
+    plain batch join row-for-row — every reading appears exactly once,
+    enriched."""
+    work = tempfile.mkdtemp(prefix="iotdp_sse_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=4)
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"),
+        F.col("n_name").alias("region_name"),
+        (1 + F.col("n_nationkey") % 3).alias("mult"),
+    )
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    enriched = stream.join(
+        F.broadcast(dim), stream["station"] % 25 == dim["nkey"]
+    ).select(
+        "station",
+        "event_id",
+        F.col("counter").cast("long").alias("counter"),
+        "region_name",
+        (F.col("counter").cast("long") * F.col("mult")).cast("long").alias("weighted"),
+    )
+    sink = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
