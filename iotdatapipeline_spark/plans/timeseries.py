@@ -361,3 +361,67 @@ def events_islands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_islands(
         prior, delta, keys=("station",), state_col="event_type"
     ).select("station", "event_type", "run_id", "valid_from", "valid_to", "n_obs")
+
+
+@register(
+    "events_cusum_drift",
+    """
+    WITH r AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) - 50 AS d
+        FROM events
+    ),
+    s AS (
+        SELECT station, ts, event_id,
+               sum(d) OVER (PARTITION BY station ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pre
+        FROM r
+    ),
+    p AS (
+        SELECT station, ts, event_id, pre,
+               least(min(pre) OVER (PARTITION BY station ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 0) AS low
+        FROM s
+    )
+    SELECT station, event_id,
+           CAST(pre - low AS BIGINT) AS cusum,
+           (pre - low) > 300 AS breach
+    FROM p
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per station — the classic sensor-health /
+    change-point statistic (Page 1954): S_0 = 0,
+    S_i = max(0, S_{i-1} + (x_i − k)), breach when S crosses h. The
+    recurrence looks stateful (each S depends on the full prefix),
+    but it has a closed form: S_i = prefix_i − min(0, min_{j≤i}
+    prefix_j) — a running SUM and a running MIN over the same ordered
+    frame, i.e. ONE window pass, no recursion, no Python, no state
+    store. The same rewrite that made the reference's cumulative
+    quantity (A5) batch-expressible applies to the control-chart
+    family. Integer-exact (k = 50 on the ×100 counter scale, h = 300),
+    tie-broken on (ts, event_id)."""
+    r = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("station"),
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 50).alias("d"),
+    )
+    w = (
+        Window.partitionBy("station")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = r.select("station", "ts", "event_id", F.sum("d").over(w).alias("pre"))
+    p = s.select(
+        "station",
+        "event_id",
+        "pre",
+        F.least(F.min("pre").over(w), F.lit(0)).alias("low"),
+    )
+    return p.select(
+        "station",
+        "event_id",
+        (F.col("pre") - F.col("low")).cast("long").alias("cusum"),
+        ((F.col("pre") - F.col("low")) > 300).alias("breach"),
+    )

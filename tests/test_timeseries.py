@@ -281,3 +281,37 @@ class TestIslandsIncremental:
         )
         # b-run spans the boundary: runs are a(2), b(3), a(1)
         assert got == [(1, "a", 2), (2, "b", 3), (3, "a", 1)]
+
+
+class TestCusum:
+    def test_registered_with_oracle(self):
+        assert "events_cusum_drift" in QUERIES
+        assert "events_cusum_drift" in ORACLE
+
+    def test_plan_shape_single_exchange(self, spark, sf_small):
+        # both window passes (running sum, then running min over it)
+        # share the (station, ts, event_id) sort order — one exchange,
+        # one sort, two Window operators stacked on the same partitioning
+        plan = _plan(QUERIES["events_cusum_drift"](spark, sf_small))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_recurrence_equivalence(self, spark, sf_small):
+        # closed form == the stateful recurrence S_i = max(0, S_{i-1}+d)
+        rows = QUERIES["events_cusum_drift"](spark, sf_small).collect()
+        from iotdatapipeline_spark.sources import load_table
+        import collections
+
+        ev = (
+            load_table(spark, sf_small, "events")
+            .selectExpr("user_id AS station", "ts", "event_id",
+                        "CAST(floor(value * 100) AS BIGINT) - 50 AS d")
+            .orderBy("station", "ts", "event_id")
+            .collect()
+        )
+        state: dict = collections.defaultdict(int)
+        want = {}
+        for r in ev:
+            state[r.station] = max(0, state[r.station] + r.d)
+            want[(r.station, r.event_id)] = state[r.station]
+        got = {(r.station, r.event_id): r.cusum for r in rows}
+        assert got == want
