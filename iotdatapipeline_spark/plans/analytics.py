@@ -2368,3 +2368,71 @@ def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
     )
+
+
+@register(
+    "docs_semantic_neardup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sem AS (SELECT * FROM ({_neardup_blocked_sql(1)}) s0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    iv AS (
+        SELECT s.id1, s.id2, count(*) AS inter
+        FROM sem s
+          JOIN sh a ON a.doc_id = s.id1
+          JOIN sh b ON b.doc_id = s.id2 AND b.shingle = a.shingle
+        GROUP BY s.id1, s.id2
+    )
+    SELECT s.id1, s.id2, s.cos_x1e6,
+           CAST(coalesce(floor(1000.0 * iv.inter / (z1.n + z2.n - iv.inter)), 0) AS BIGINT)
+               AS jaccard_x1000,
+           CAST(coalesce(floor(1000.0 * iv.inter / (z1.n + z2.n - iv.inter)), 0) >= 500 AS BOOLEAN)
+               AS lexical_confirmed
+    FROM sem s
+      LEFT JOIN iv ON iv.id1 = s.id1 AND iv.id2 = s.id2
+      JOIN sizes z1 ON z1.doc_id = s.id1
+      JOIN sizes z2 ON z2.doc_id = s.id2
+    """,
+)
+def docs_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication with lexical cross-verification (the
+    SemDeDup pattern, Abbas et al. 2023): candidate duplicate pairs
+    come from EMBEDDING similarity (IVF-bucket-blocked cosine — finds
+    paraphrases exact n-grams miss), and each candidate is then
+    checked against exact word-3-gram Jaccard, labeling pairs as
+    lexically confirmed duplicates vs semantic-only neighbors. The
+    documents and embeddings fixtures share one id space, so the two
+    modalities join directly; at scale the Jaccard verify runs only on
+    the (tiny) semantic candidate set, never on the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    pairs = neardup_pairs(emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000)
+
+    sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.alias("a"), F.col("a.doc_id") == F.col("id1"))
+        .join(sh.alias("b"), (F.col("b.doc_id") == F.col("id2")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jx = F.coalesce(
+        F.floor(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))),
+        F.lit(0),
+    ).cast("long")
+    return (
+        pairs.join(inter, ["id1", "id2"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            "cos_x1e6",
+            jx.alias("jaccard_x1000"),
+            (jx >= 500).alias("lexical_confirmed"),
+        )
+    )
