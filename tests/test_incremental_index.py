@@ -82,3 +82,98 @@ def test_streaming_incremental_lsh_index(spark, sf_oracle, tmp_path):
 
     assert got == expected
     assert len(got) > 0
+
+
+class TestStreamJoinRecovery:
+    def test_interval_join_resumes_from_checkpoint(self, spark, sf_small, tmp_path):
+        """Stop/restart correctness for the stream-stream interval
+        join: drain half the replay, terminate, deliver the rest
+        against the SAME checkpoint. Buffered join state (clicks
+        awaiting future purchases and vice versa) must survive the
+        restart: the file-sink output across both runs equals the
+        batch interval join exactly — no lost cross-restart matches,
+        no duplicates."""
+        import shutil
+
+        from iotdatapipeline_spark.streaming.source import (
+            readings_stream,
+            stage_replay_chunks,
+        )
+
+        staged = stage_replay_chunks(spark, sf_small, str(tmp_path / "staged"), n_chunks=6)
+        live = str(tmp_path / "replay")
+        os.makedirs(live)
+        chunks = sorted(os.listdir(staged))
+
+        def deliver(name: str, order: int) -> None:
+            dst = os.path.join(live, name)
+            shutil.copy(os.path.join(staged, name), dst)
+            os.utime(dst, (1_700_000_000 + order, 1_700_000_000 + order))
+
+        def run_join() -> None:
+            clicks = (
+                readings_stream(spark, live, max_files_per_trigger=1)
+                .withWatermark("ts", "7 hours")
+                .filter(F.col("part") == "click")
+                .select(
+                    F.col("station").alias("c_station"),
+                    F.col("ts").alias("c_ts"),
+                    F.col("event_id").alias("click_id"),
+                )
+            )
+            purchases = (
+                readings_stream(spark, live, max_files_per_trigger=1)
+                .withWatermark("ts", "7 hours")
+                .filter(F.col("part") == "purchase")
+                .select(
+                    "station", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+                )
+            )
+            joined = purchases.join(
+                clicks,
+                (F.col("c_station") == F.col("station"))
+                & (F.col("c_ts") <= F.col("p_ts"))
+                & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 hours")),
+                "inner",
+            ).select("station", "purchase_id", "click_id")
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        for i, c in enumerate(chunks[:3]):
+            deliver(c, i)
+        run_join()
+        mid = spark.read.parquet(str(tmp_path / "out")).count()
+        for i, c in enumerate(chunks[3:]):
+            deliver(c, 3 + i)
+        run_join()
+
+        got_df = spark.read.parquet(str(tmp_path / "out"))
+        assert got_df.count() == got_df.distinct().count()  # exactly-once sink
+        got = {(r.station, r.purchase_id, r.click_id) for r in got_df.collect()}
+
+        ev = load_table(spark, sf_small, "events")
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("station"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_station"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        expected_df = p.join(
+            c,
+            (F.col("c_station") == F.col("station"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 hours")),
+        ).select("station", "purchase_id", "click_id")
+        expected = {(r.station, r.purchase_id, r.click_id) for r in expected_df.collect()}
+
+        assert got == expected
+        assert len(got) > mid  # cross-restart matches actually happened
