@@ -148,3 +148,40 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.ceil(0.1 * F.col("n")).cast("long")
     ).select("lang", "doc_id")
+
+
+@register(
+    "orders_part_cooccurrence",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS support
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the counting pass of frequent-
+    itemset mining): part pairs ordered together, with their support.
+    Shape: one scan → per-order distinct part set (collect_set, the
+    basket is the bucket) → in-array pair expansion → one count
+    shuffle on the pair key. The pair fan-out is quadratic only in
+    BASKET size (≤ 7 lineitems in TPC-H; capped naturally), never in
+    the catalog or order count — the same bounded-bucket idiom as the
+    LSH candidate expansion, where a naive formulation would self-join
+    the fact table on l_orderkey and scan it twice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    lefts = baskets.select(F.posexplode("parts").alias("i", "p1"), F.col("parts"))
+    pairs = lefts.select(
+        "p1", F.explode(F.slice(F.col("parts"), F.col("i") + 2, F.size("parts"))).alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
