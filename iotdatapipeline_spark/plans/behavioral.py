@@ -185,3 +185,50 @@ def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@register(
+    "events_type_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(floor(1000.0 * n / sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
+               AS p_x1000
+    FROM t
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), the behavior-modeling
+    primitive behind funnel diagnostics and next-action prediction.
+    One lag window per user (the same ordered-sequence shuffle the
+    funnel and sessionization queries use — at scale these share a
+    partitioning), one count shuffle on the (from, to) pair (≤ types²
+    rows), and the row-normalization runs on that tiny matrix.
+    Integer-floored probabilities, tie-broken ordering — exact SQL
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.floor(F.lit(1000.0) * F.col("n") / F.sum("n").over(wn)).cast("long").alias("p_x1000"),
+    )

@@ -873,3 +873,48 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(profit).cast("long").alias("profit_cents"))
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    mask = (1 << bits) - 1
+    return f"""
+    WITH t AS (
+        SELECT event_id,
+               (user_id & {mask}) AS a,
+               (CAST(floor(value * 100) AS BIGINT) & {mask}) AS b
+        FROM events
+    )
+    SELECT event_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST({z} AS BIGINT) AS zcode
+    FROM t
+    """
+
+
+@register("events_zorder_code", _zorder_oracle_sql())
+def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (station, counter) — the
+    write-path layout primitive for multi-column data skipping
+    (``functions.zorder``): sorting a 100 TB fact table by this code
+    before writing gives every parquet row group a compact rectangle
+    of the key space, so min/max stats prune scans for predicates on
+    EITHER column, not just the leading sort key. Pure shift/mask
+    integer arithmetic (no HOFs — stays in whole-stage codegen); the
+    oracle recomputes all 32 bit placements. The skipping effect
+    itself is pinned by tests/test_zorder.py over real parquet
+    row-group stats."""
+    from iotdatapipeline_spark.functions.zorder import morton_code
+
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("long").bitwiseAND(F.lit((1 << 16) - 1))
+    b = F.floor(F.col("value") * 100).cast("long").bitwiseAND(F.lit((1 << 16) - 1))
+    return ev.select(
+        "event_id",
+        a.alias("a"),
+        b.alias("b"),
+        morton_code(F.col("user_id"), F.floor(F.col("value") * 100), 16).alias("zcode"),
+    )
