@@ -2445,3 +2445,76 @@ def docs_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jx >= 500).alias("lexical_confirmed"),
         )
     )
+
+
+@register(
+    "docs_collocations",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    nab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+    na AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
+    nb AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM bg),
+    scored AS (
+        SELECT nab.w1, nab.w2, nab.n_ab,
+               CAST((1000 * nab.n_ab * tot.n) // (na.n_a * nb.n_b) AS BIGINT) AS lift_x1000
+        FROM nab JOIN na USING (w1) JOIN nb USING (w2) CROSS JOIN tot
+        WHERE nab.n_ab >= 5
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, lift_x1000, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY lift_x1000 DESC, w1, w2) AS rank
+        FROM scored
+    ) WHERE rank <= 50
+    """,
+)
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (phrase mining): the top adjacent word
+    pairs by LIFT — n_ab·N / (n_a·n_b), the integer-exact core of PMI
+    without the logarithm (log is monotone, so the ranking is
+    identical and no libm rounding can split the engines). The
+    corpus-analysis pass behind multi-word-token selection in
+    tokenizer design and boilerplate-phrase detection.
+
+    Scale shape: one explode fans out bigrams map-side; three
+    hash aggregations (pair, first-word, second-word — the unigram
+    margins are tiny and broadcast back); the 1-row total is a
+    broadcast scalar; the global top-50 is a TakeOrdered on the
+    filtered (n_ab ≥ 5) pair table. The fact is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.col("__ws")
+    bg = (
+        docs.select(F.split(F.col("text"), " ").alias("__ws"))
+        .select(F.explode(F.sequence(F.lit(1), F.array_size(ws) - 1)).alias("__i"), "__ws")
+        .select(
+            F.element_at(ws, F.col("__i")).alias("w1"),
+            F.element_at(ws, F.col("__i") + 1).alias("w2"),
+        )
+    )
+    nab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")).filter(F.col("n_ab") >= 5)
+    na = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        nab.join(na, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            # integer `div`, not float `/`+cast: the oracle floor-divides
+            # in int64, and a double quotient landing ~1ulp under an
+            # integer boundary would floor differently
+            F.expr("1000 * n_ab * n div (n_a * n_b)").cast("long").alias("lift_x1000"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_x1000"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("w1", "w2", "n_ab", "lift_x1000", "rank")
+    )
