@@ -18,6 +18,12 @@ ORDER_SENSITIVE = [
     "config_regroup",            # collect_set/collect_list regroup
     "latest_snapshot",           # max_by last-write-wins
     "embeddings_kmeans",         # iterative argmin
+    "parts_fuzzy_components",    # iterative min-label contraction
+    "embeddings_pq_topk",        # per-subspace argmin + rank tie-breaks
+    "docs_incremental_neardup",  # minhash over checkpointed shingles
+    "docs_global_shuffle",       # row_number over hash order
+    "docs_collocations",         # global lift ranking
+    "events_type_transitions",   # lag window over per-user sequences
 ]
 
 
