@@ -14,7 +14,7 @@ key-wise anti joins (orphans) — no Python, no second pass per rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.sources import load_table
@@ -118,4 +118,60 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphan_count(s, F.broadcast(n), "s_nationkey", "n_nationkey", "supplier->nation")
         )
         .orderBy("fk")
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH r AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events
+    ),
+    b AS (SELECT min(c) AS mn, max(c) AS mx FROM r),
+    h AS (
+        SELECT r.event_type,
+               least(((r.c - b.mn) * 10) // (b.mx - b.mn + 1), 9) AS bucket,
+               count(*) AS n
+        FROM r CROSS JOIN b
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+           CAST((1000 * n) // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_x1000
+    FROM h
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type with DATA-DERIVED bounds —
+    the distribution-profiling pass behind drift monitors and data
+    docs. Two-phase shape: the 1-row global (min, max) broadcasts
+    (never a shuffle of the fact), bucket assignment is integer
+    arithmetic on the ×100 counter scale (no float boundaries to
+    disagree on), and the per-type normalization runs on the tiny
+    (type × 10) result. One scan, one count shuffle."""
+    r = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    b = r.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    h = (
+        r.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.expr("((c - mn) * 10) div (mx - mn + 1)"), F.lit(9).cast("long")
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        h.withColumn("__tot", F.sum("n").over(w))
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            # integer div like the oracle — a float quotient could floor
+            # differently 1ulp under a boundary
+            F.expr("1000 * n div __tot").cast("long").alias("share_x1000"),
+        )
     )
