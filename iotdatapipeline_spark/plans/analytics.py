@@ -2518,3 +2518,57 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("w1", "w2", "n_ab", "lift_x1000", "rank")
     )
+
+
+@register(
+    "docs_quality_rank_corr",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY x, doc_id) AS rx,
+               row_number() OVER (ORDER BY y, doc_id) AS ry
+        FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+    FROM r
+    """,
+)
+def docs_quality_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation components between two quality
+    signals (document length vs distinct-vocabulary size) — the
+    metric-agreement check run before trusting one signal as a proxy
+    for another. Emits the EXACT integer sufficient statistics
+    (n, Σd² over deterministically tie-broken ranks); ρ = 1 −
+    6Σd²/(n(n²−1)) follows in the consumer — the final division is
+    deliberately left out because n³ scaling overflows int64 by sf1
+    and a float quotient could floor differently across engines,
+    while (n, Σd²) stay exact at any scale.
+
+    Scale note: ranking is a global sort (range partition + local
+    sort) per signal — two sort passes over (id, value) pairs, the
+    textbook distributed-ranking cost, independent of text size once
+    the metrics are projected."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        F.array_size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias("y"),
+    )
+    wx = Window.orderBy("x", "doc_id")
+    wy = Window.orderBy("y", "doc_id")
+    r = m.select(
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d = F.col("rx") - F.col("ry")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
