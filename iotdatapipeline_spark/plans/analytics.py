@@ -2572,3 +2572,53 @@ def docs_quality_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(d * d).cast("long").alias("sum_d2"),
     )
+
+
+@register(
+    "docs_novelty_scores",
+    f"""
+    WITH {_SHINGLES_SQL},
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST((1000 * sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_x1000
+    FROM sh JOIN firsts f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty score per document: the fraction of its
+    word-3-gram shingles whose FIRST appearance (by doc_id — ingestion
+    order) is this document. The dataset-curation signal behind
+    contribution-weighted sampling and redundancy pruning: a document
+    whose shingles all appeared earlier adds nothing a dedup pass
+    didn't already keep; high-novelty documents carry the corpus's
+    marginal information.
+
+    Scale shape: one distinct-shingle fan-out, a min-aggregate on the
+    shingle key (the 'first writer' index — incremental pipelines
+    maintain it exactly like the LSH band index), a hash join back on
+    the same key, and a per-doc aggregate. Integer division for the
+    score — no float boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "shingle")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("1000 * n_novel div n_shingles").cast("long").alias("novelty_x1000"),
+        )
+    )
