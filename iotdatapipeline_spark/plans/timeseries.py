@@ -425,3 +425,78 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pre") - F.col("low")).cast("long").alias("cusum"),
         ((F.col("pre") - F.col("low")) > 300).alias("breach"),
     )
+
+
+@register(
+    "events_drift_segments",
+    """
+    WITH r AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) - 50 AS d
+        FROM events
+    ),
+    s AS (
+        SELECT station, ts, event_id,
+               sum(d) OVER (PARTITION BY station ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pre
+        FROM r
+    ),
+    p AS (
+        SELECT station, ts, event_id, pre,
+               least(min(pre) OVER (PARTITION BY station ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 0) AS low
+        FROM s
+    ),
+    c AS (SELECT station, ts, event_id, (pre - low) > 300 AS breach FROM p),
+    g AS (
+        SELECT station, ts, event_id, breach,
+               CASE WHEN lag(breach) OVER (PARTITION BY station ORDER BY ts, event_id)
+                         IS NOT DISTINCT FROM breach THEN 0 ELSE 1 END AS chg
+        FROM c
+    ),
+    runs AS (
+        SELECT station, ts, breach,
+               sum(chg) OVER (PARTITION BY station ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM g
+    )
+    SELECT station, breach, CAST(run_id AS BIGINT) AS run_id,
+           min(ts) AS valid_from, max(ts) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM runs GROUP BY station, breach, run_id
+    """,
+)
+def events_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-episode segmentation — operator COMPOSITION: the CUSUM
+    statistic (events_cusum_drift's closed form) feeds the
+    gaps-and-islands collapse (operators.timeseries.collapse_islands),
+    turning a per-reading breach flag into maximal breach/normal
+    EPISODES with validity intervals — 'when did this sensor drift,
+    and for how long', the alarm-history table a monitoring system
+    stores. All three window passes share the (station) partitioning
+    and (ts, event_id) order, so the whole chain is one exchange +
+    one refining aggregate."""
+    from iotdatapipeline_spark.operators.timeseries import collapse_islands
+
+    r = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("station"),
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 50).alias("d"),
+    )
+    w = (
+        Window.partitionBy("station")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = r.select("station", "ts", "event_id", F.sum("d").over(w).alias("pre"))
+    c = s.select(
+        "station",
+        "ts",
+        "event_id",
+        ((F.col("pre") - F.least(F.min("pre").over(w), F.lit(0))) > 300).alias("breach"),
+    )
+    return collapse_islands(c, keys=("station",), state_col="breach").select(
+        "station", "breach", "run_id", "valid_from", "valid_to",
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
