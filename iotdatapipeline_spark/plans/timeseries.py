@@ -500,3 +500,43 @@ def events_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station", "breach", "run_id", "valid_from", "valid_to",
         F.col("n_obs").cast("long").alias("n_obs"),
     )
+
+
+@register(
+    "events_station_downtime",
+    """
+    WITH s AS (
+        SELECT user_id AS station, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT station, prev_ts AS silent_from, ts AS silent_to,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+    """,
+)
+def events_station_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime intervals per station — the BATCH DUAL of the
+    reference's silence detection (T5, Prensas.py:638-642: a 5 s
+    queue timeout fires the limpieza reset the moment a station goes
+    quiet). The streaming side can only see the silence it is
+    currently inside; this recovers every silence episode longer than
+    the threshold (6 h here, scaled to the fixture's cadence) from
+    the log: one lag pass per station, a filter, no joins. The same
+    intervals drive SLA accounting and sensor-health reports."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("user_id").alias("station"),
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return s.filter(gap > 21_600_000_000).select(
+        "station",
+        F.col("prev_ts").alias("silent_from"),
+        F.col("ts").alias("silent_to"),
+        gap.cast("long").alias("gap_us"),
+    )
