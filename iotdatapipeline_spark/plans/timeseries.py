@@ -540,3 +540,224 @@ def events_station_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("silent_to"),
         gap.cast("long").alias("gap_us"),
     )
+
+
+@register(
+    "events_rolling_zscore",
+    """
+    WITH r AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               count(*) OVER w AS win_n,
+               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS win_sum,
+               sum(CAST(floor(value * 100) AS BIGINT)
+                   * CAST(floor(value * 100) AS BIGINT)) OVER w AS win_sum2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT station, ts, event_id, v_cents,
+           CAST(win_n AS BIGINT) AS win_n,
+           CAST((win_n * v_cents - win_sum) * (win_n * v_cents - win_sum)
+                AS BIGINT) AS dev2_n2,
+           CAST(win_n * win_sum2 - win_sum * win_sum AS BIGINT) AS var_n2
+    FROM r
+    WHERE win_n >= 8
+      AND (win_n * v_cents - win_sum) * (win_n * v_cents - win_sum)
+          > 9 * (win_n * win_sum2 - win_sum * win_sum)
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: flag a reading whose value
+    deviates from its own station's trailing baseline (the previous
+    ≤32 readings, current row EXCLUDED) by more than 3 population
+    standard deviations.  The despiking / sensor-fault screen every
+    telemetry pipeline runs before trusting counters — the streaming
+    dual would carry (n, Σv, Σv²) in keyed state exactly like the
+    counter machine (T4) carries its prev.
+
+    No sqrt and no float boundary: z² > 9 is cross-multiplied into
+    integers — (n·v − Σv)² > 9·(n·Σv² − (Σv)²) — so the flag decision
+    hashes identically on any engine.  With v ≤ ~5.6e4 cents and
+    n ≤ 32 every term stays far inside int64.
+
+    Scale shape: one window pass per station partition (the same
+    exchange every other per-station operator reuses), a filter, no
+    joins.  At 100 TB the trailing frame is O(32) state per task —
+    the window never buffers more than the frame."""
+    ev = _readings(spark, sf_dir)
+    w = (
+        Window.partitionBy("station")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-32, -1)
+    )
+    r = ev.select(
+        "station",
+        "ts",
+        "event_id",
+        "v_cents",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("v_cents").over(w).alias("win_sum"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("win_sum2"),
+    )
+    dev = F.col("win_n") * F.col("v_cents") - F.col("win_sum")
+    var_n2 = F.col("win_n") * F.col("win_sum2") - F.col("win_sum") * F.col("win_sum")
+    return (
+        r.filter((F.col("win_n") >= 8) & (dev * dev > 9 * var_n2))
+        .select(
+            "station",
+            "ts",
+            "event_id",
+            "v_cents",
+            F.col("win_n").cast("long").alias("win_n"),
+            (dev * dev).cast("long").alias("dev2_n2"),
+            var_n2.cast("long").alias("var_n2"),
+        )
+    )
+
+
+@register(
+    "events_acf_lags",
+    """
+    WITH s AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS x,
+               lag(CAST(floor(value * 100) AS BIGINT), 1)
+                   OVER w AS y1,
+               lag(CAST(floor(value * 100) AS BIGINT), 2)
+                   OVER w AS y2,
+               lag(CAST(floor(value * 100) AS BIGINT), 3)
+                   OVER w AS y3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT station, 1 AS lag_k, x, y1 AS y FROM s WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT station, 2 AS lag_k, x, y2 AS y FROM s WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT station, 3 AS lag_k, x, y3 AS y FROM s WHERE y3 IS NOT NULL
+    )
+    SELECT station, CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM pairs GROUP BY station, lag_k
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation sufficient statistics per (station, lag) for
+    lags 1–3: the seasonality / self-similarity probe run before
+    choosing a forecasting or drift model for a sensor.  Emits the
+    EXACT integer moments (n, Σx, Σy, Σxy, Σx², Σy²) over the lagged
+    pairs; Pearson r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    follows in the consumer — the sqrt is deliberately left out so
+    the gate stays float-free (same convention as
+    `docs_quality_rank_corr`).
+
+    Scale shape: ONE window pass computes all three lag columns over
+    the same (station, ts) sort — adding a lag adds a column, not an
+    exchange; the stack/unpivot is a narrow transform and the final
+    aggregate partially aggregates map-side before the single
+    shuffle."""
+    ev = _readings(spark, sf_dir)
+    w = Window.partitionBy("station").orderBy("ts", "event_id")
+    s = ev.select(
+        "station",
+        F.col("v_cents").alias("x"),
+        F.lag("v_cents", 1).over(w).alias("y1"),
+        F.lag("v_cents", 2).over(w).alias("y2"),
+        F.lag("v_cents", 3).over(w).alias("y3"),
+    )
+    pairs = s.select(
+        "station",
+        F.expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag_k, y)"),
+        "x",
+    ).filter(F.col("y").isNotNull())
+    return pairs.groupBy("station", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
+
+
+@register(
+    "station_value_trend",
+    """
+    WITH b AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v,
+               CAST((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                    // 60000000 AS BIGINT) AS t_min
+        FROM events
+    ),
+    s AS (
+        SELECT station, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t_min) AS BIGINT) AS sum_t,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(t_min * v) AS BIGINT) AS sum_tv,
+               CAST(sum(t_min * t_min) AS BIGINT) AS sum_t2
+        FROM b GROUP BY station
+    )
+    SELECT station, n, sum_t, sum_v, sum_tv, sum_t2,
+           CASE WHEN n * sum_t2 - sum_t * sum_t > 0
+                THEN CAST((1000 * (n * sum_tv - sum_t * sum_v))
+                          // (n * sum_t2 - sum_t * sum_t) AS BIGINT)
+                ELSE NULL END AS slope_x1000
+    FROM s
+    """,
+)
+def station_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station least-squares trend of reading value over time —
+    the drift/wear indicator maintenance planning ranks stations by.
+    Time is integer minutes since the station's own first reading (a
+    per-partition min, not a global scan), values integer cents, so
+    the OLS sufficient statistics (n, Σt, Σv, Σtv, Σt²) are exact;
+    slope = (nΣtv − ΣtΣv)/(nΣt² − (Σt)²) is emitted ×1000 by integer
+    division (both engines truncate toward zero on signed div — a
+    pinned semantics, not an accident).
+
+    int64 headroom at gate scales: t ≤ 43 200 min (30-day fixture),
+    v ≤ 5.7e4 ⇒ n·Σtv ≤ ~2.4e13 and the ×1000 numerator ≤ ~5e16.  At
+    unbounded per-station history the stats promote to DECIMAL(38,0)
+    — the aggregation shape is unchanged.
+
+    Scale shape: one window-min per station partition, then a single
+    partial-aggregated groupBy on the same key — two stages, one
+    exchange, no joins."""
+    ev = _readings(spark, sf_dir)
+    wmin = Window.partitionBy("station")
+    b = ev.select(
+        "station",
+        F.col("v_cents").alias("v"),
+        (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(wmin)).alias("dt_us"),
+    ).select(
+        "station",
+        "v",
+        F.expr("dt_us div 60000000").cast("long").alias("t_min"),
+    )
+    s = b.groupBy("station").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t_min").cast("long").alias("sum_t"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.sum(F.col("t_min") * F.col("v")).cast("long").alias("sum_tv"),
+        F.sum(F.col("t_min") * F.col("t_min")).cast("long").alias("sum_t2"),
+    )
+    den = F.col("n") * F.col("sum_t2") - F.col("sum_t") * F.col("sum_t")
+    num = F.col("n") * F.col("sum_tv") - F.col("sum_t") * F.col("sum_v")
+    return s.select(
+        "station",
+        "n",
+        "sum_t",
+        "sum_v",
+        "sum_tv",
+        "sum_t2",
+        F.when(den > 0, F.expr(
+            "(1000 * (n * sum_tv - sum_t * sum_v)) div (n * sum_t2 - sum_t * sum_t)"
+        ).cast("long")).alias("slope_x1000"),
+    )
