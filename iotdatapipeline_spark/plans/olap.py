@@ -918,3 +918,68 @@ def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("b"),
         morton_code(F.col("user_id"), F.floor(F.col("value") * 100), 16).alias("zcode"),
     )
+
+
+@register(
+    "parts_skyline",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS size,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT a.p_brand, a.p_partkey, a.price_cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_brand = a.p_brand
+          AND b.price_cents <= a.price_cents AND b.size <= a.size
+          AND (b.price_cents < a.price_cents OR b.size < a.size)
+    )
+    """,
+)
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto frontier) on (minimize price,
+    minimize size): a part survives iff no same-brand part is at
+    least as cheap AND at least as small with one strict improvement
+    — the classic multi-criteria shortlist query (Borzsony et al.,
+    ICDE 2001).
+
+    The oracle states the O(n²) NOT-EXISTS dominance test; the Spark
+    plan is the O(n log n) sort-based 2-D skyline instead: order each
+    brand by price, then a point is dominated iff the running MIN of
+    size over STRICTLY cheaper parts (a RANGE frame to 1 preceding on
+    integer cents) is ≤ its size, or an equal-price part is strictly
+    smaller (a per-(brand, price) min).  Two window passes over ONE
+    brand-partitioned sort — no self-join, so the plan survives the
+    brand cardinality collapsing (all parts in one brand) that makes
+    the n² formulation quadratic at 100 TB.
+
+    Integer cents for price so the strict/non-strict boundaries hash
+    identically on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w_prev = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("p_brand", "price_cents")
+    r = p.select(
+        "p_brand",
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.min("size").over(w_prev).alias("min_size_cheaper"),
+        F.min("size").over(w_eq).alias("min_size_equal"),
+    )
+    dominated = (
+        (F.col("min_size_cheaper").isNotNull() & (F.col("min_size_cheaper") <= F.col("size")))
+        | (F.col("min_size_equal") < F.col("size"))
+    )
+    return r.filter(~dominated).select("p_brand", "p_partkey", "price_cents", "size")
