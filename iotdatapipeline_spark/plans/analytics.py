@@ -2622,3 +2622,149 @@ def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000 * n_novel div n_shingles").cast("long").alias("novelty_x1000"),
         )
     )
+
+
+@register(
+    "docs_boundary_overlap_pairs",
+    """
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(w[greatest(len(w) - 2, 1):len(w)], ' ') AS suf,
+               array_to_string(w[1:3], ' ') AS pre,
+               len(w) AS nw
+        FROM ws
+    )
+    SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc,
+           md5(a.suf) AS boundary_hash
+    FROM sp a JOIN sp b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+    WHERE a.nw >= 6 AND b.nw >= 6
+    """,
+)
+def docs_boundary_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: pairs where one document's trailing
+    3 words equal another's leading 3 words — the signature of a
+    single source document sharded across two records by an upstream
+    chunker. Reconstruction pipelines stitch these pairs back
+    together before dedup so the joined text isn't double-counted.
+
+    Scale shape: each side contributes ONE (key, doc_id) row — the
+    join is suffix-key = prefix-key on a 3-word string, an ordinary
+    hash join whose build side is |corpus|, never an all-pairs
+    product. Short docs (< 6 words) are excluded so a 3-word document
+    can't match itself end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sp = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(w, F.greatest(F.size(w) - F.lit(2), F.lit(1)), 3), " "
+        ).alias("suf"),
+        F.array_join(F.slice(w, 1, 3), " ").alias("pre"),
+        F.size(w).alias("nw"),
+    ).filter(F.col("nw") >= 6)
+    a = sp.select(F.col("doc_id").alias("tail_doc"), "suf")
+    b = sp.select(F.col("doc_id").alias("head_doc"), F.col("pre").alias("suf"))
+    return (
+        a.join(b, "suf")
+        .filter(F.col("tail_doc") != F.col("head_doc"))
+        .select("tail_doc", "head_doc", F.md5(F.col("suf").cast("binary")).alias("boundary_hash"))
+    )
+
+
+def _langid_confusion_sql() -> str:
+    inner = _langid_sql()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT d.lang AS declared_lang, pred.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+    GROUP BY d.lang, pred.pred_lang
+    """
+
+
+@register("docs_langid_confusion", _langid_confusion_sql())
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared metadata language vs
+    the stopword-argmax detector, counted per (declared, predicted)
+    cell. The audit run before trusting EITHER signal to route
+    documents into per-language training mixes — off-diagonal mass
+    localizes whether metadata or detector is lying.
+
+    Scale shape: the detector is a pure projection (no joins), so the
+    matrix is one partial-aggregated groupBy on a ≤ (langs+1)² key
+    space — map-side combine collapses it to a handful of rows per
+    task regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared_lang"),
+            langid_pred(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "embeddings_gram_matrix",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i.range AS i, j.range AS j, qv[i.range + 1] * qv[j.range + 1] AS p
+        FROM q, range(0, 64) i, range(0, 64) j
+        WHERE j.range >= i.range
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p) AS BIGINT) AS sum_pq
+    FROM cells GROUP BY i, j
+    """,
+)
+def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the corpus embeddings — the
+    Σxᵀx sufficient statistic behind PCA / whitening / covariance
+    drift checks on a vector store. Coordinates are quantized to
+    integer milli-units (floor(x·1000), the same double-promotion cut
+    as `embeddings_int8_quantize`) so the 2 080 accumulated cells are
+    exact integers with no float summation-order boundary.
+
+    Scale shape: one scan; each row expands to its d(d+1)/2 products
+    via nested array transforms and ONE explode — no self-join, no
+    shuffle of the vectors themselves; the single aggregate reduces
+    (i, j) cells map-side, so the shuffle carries at most 2 080 rows
+    per task regardless of corpus size. At d where d² per-row blowup
+    dominates (d ≳ 10³), the same statistic would be blocked into
+    column-range tiles — shape unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+        ).alias("qv")
+    )
+    cells = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 63), i ->"
+                " transform(sequence(i, 63), j ->"
+                " struct(i AS i, j AS j, qv[i] * qv[j] AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("p").cast("long").alias("sum_pq"),
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n_vecs",
+        "sum_pq",
+    )

@@ -175,3 +175,83 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000 * n div __tot").cast("long").alias("share_x1000"),
         )
     )
+
+
+@register(
+    "dq_snapshot_diff",
+    """
+    WITH old_s AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_s AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.cents <> n.cents OR o.o_orderstatus <> n.o_orderstatus
+                     THEN 'changed'
+                ELSE 'same' END AS change_type,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.cents = n.cents AND o.o_orderstatus = n.o_orderstatus)
+    """,
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (CDC diff): classify every key across
+    two table versions as added / removed / changed, emitting the
+    non-identical rows with both values. The audit a pipeline runs
+    between ingests to bound upstream churn before reprocessing — and
+    the batch dual of the reference's per-row UPDATE-else-INSERT
+    merge (K1/K2, Prensas.py:216-223, :319-331), which only ever sees
+    one side of this diff at a time. Versions are simulated from the
+    fixture deterministically (key-modulus membership, a +100-cent
+    update on every third key).
+
+    Scale shape: one FULL OUTER hash join on the snapshot key — both
+    sides shuffle once on o_orderkey, identical rows are filtered
+    post-join so only churn survives to the output. At 100 TB the
+    join co-partitions if both snapshots are bucketed by key; the
+    'same'-row filter keeps output proportional to churn, not to
+    table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    old_s = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    new_s = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)).alias("cents"),
+    )
+    o = old_s.alias("o")
+    n = new_s.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    same = (
+        F.col("o.o_orderkey").isNotNull()
+        & F.col("n.o_orderkey").isNotNull()
+        & (F.col("o.cents") == F.col("n.cents"))
+        & (F.col("o.o_orderstatus") == F.col("n.o_orderstatus"))
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.cents") != F.col("n.cents"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return j.filter(~same).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        change.alias("change_type"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    )
