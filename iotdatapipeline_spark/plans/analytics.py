@@ -2768,3 +2768,56 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "sum_pq",
     )
+
+
+@register(
+    "docs_inverted_index",
+    """
+    WITH td AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM td GROUP BY term),
+    top20 AS (
+        SELECT term,
+               array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings_head
+        FROM td GROUP BY term
+    )
+    SELECT df.term, df.doc_freq, top20.postings_head
+    FROM df JOIN top20 ON df.term = top20.term
+    WHERE df.doc_freq >= 10
+    """,
+)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term → document-frequency + the first 20
+    postings in doc_id order): the search-index construction pass of
+    a corpus pipeline, and the same (term, doc) distinct fan-out that
+    feeds TF-IDF. The posting SAMPLE is emitted — not the full list —
+    because a stopword's postings are O(corpus) and a row that size
+    is exactly the skew a 100 TB build must not materialize; real
+    builds shard each term's postings into fixed-size blocks, and the
+    head block is what this plan produces.
+
+    Scale shape: explode → distinct on (term, doc_id) (one shuffle),
+    then doc_freq and the head-20 come from the SAME term-partitioned
+    exchange: a count aggregate and a row_number window + filter +
+    sorted collect over ≤20 rows per term — never an unbounded
+    collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"), "doc_id")
+        .distinct()
+    )
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        td.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings_head"))
+    )
+    return (
+        dfreq.filter(F.col("doc_freq") >= 10)
+        .join(head, "term")
+        .select("term", "doc_freq", "postings_head")
+    )
