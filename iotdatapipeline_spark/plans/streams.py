@@ -38,7 +38,7 @@ from iotdatapipeline_spark.streaming.source import (
     stage_ooo_replay_chunks,
     stage_replay_chunks,
 )
-from iotdatapipeline_spark.streaming.stateful import counter_state_machine
+from iotdatapipeline_spark.streaming.stateful import counter_state_machine, zscore_alert_machine
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -852,6 +852,61 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sse_{uuid.uuid4().hex[:8]}"
     q = (
         enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "events_stream_rolling_zscore",
+    """
+    WITH r AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               count(*) OVER w AS win_n,
+               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS win_sum,
+               sum(CAST(floor(value * 100) AS BIGINT)
+                   * CAST(floor(value * 100) AS BIGINT)) OVER w AS win_sum2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT station, ts, event_id, v_cents,
+           CAST(win_n AS BIGINT) AS win_n,
+           CAST((win_n * v_cents - win_sum) * (win_n * v_cents - win_sum)
+                AS BIGINT) AS dev2_n2,
+           CAST(win_n * win_sum2 - win_sum * win_sum AS BIGINT) AS var_n2
+    FROM r
+    WHERE win_n >= 8
+      AND (win_n * v_cents - win_sum) * (win_n * v_cents - win_sum)
+          > 9 * (win_n * win_sum2 - win_sum * win_sum)
+    """,
+)
+def events_stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score anomaly detector as ACTUAL Structured
+    Streaming: the events fixture replays through 4 time-ordered
+    chunks (multi-batch state carry-over — the trailing ring crosses
+    micro-batch boundaries), and the drained alert stream must
+    hash-match the batch trailing-window formulation
+    (`events_rolling_zscore`) bit-for-bit. Same batch↔streaming
+    equivalence statement the counter machine makes for T4, here for
+    the O(window)-state telemetry screen.
+
+    Scale shape: state is a ≤32-long integer ring per station —
+    bounded regardless of stream length; each micro-batch shuffles
+    only on station, same key the batch window uses."""
+    work = tempfile.mkdtemp(prefix="iotdp_stream_zscore_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=4)
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    out = zscore_alert_machine(stream)
+    sink = f"stream_zscore_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", os.path.join(work, "ckpt"))

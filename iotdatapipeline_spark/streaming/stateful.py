@@ -255,3 +255,84 @@ def counter_state_machine(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ── Rolling z-score anomaly machine (streaming dual of the batch
+#    `events_rolling_zscore` gate query) ──────────────────────────────
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "station bigint, ts timestamp, event_id bigint, v_cents bigint, "
+    "win_n bigint, dev2_n2 bigint, var_n2 bigint"
+)
+
+#: ring of the last ≤window values, oldest first
+ZSCORE_STATE_SCHEMA = "ring array<bigint>"
+
+
+def _zscore_advance(
+    station, pdf: pd.DataFrame, ring: list, window: int, min_n: int, k2: int
+) -> tuple[list[dict[str, Any]], list]:
+    """Transition function: one sorted batch of readings against the
+    trailing-ring state. Integer-only (the cross-multiplied z² test of
+    plans/timeseries.events_rolling_zscore), so streamed output equals
+    the batch window formulation bit-for-bit."""
+    out: list[dict[str, Any]] = []
+    for row in pdf.itertuples(index=False):
+        v = int(row.counter)
+        n = len(ring)
+        if n >= min_n:
+            s = sum(ring)
+            q = sum(x * x for x in ring)
+            dev = n * v - s
+            var_n2 = n * q - s * s
+            if dev * dev > k2 * var_n2:
+                out.append(
+                    {
+                        "station": station,
+                        "ts": row.ts,
+                        "event_id": int(row.event_id),
+                        "v_cents": v,
+                        "win_n": n,
+                        "dev2_n2": dev * dev,
+                        "var_n2": var_n2,
+                    }
+                )
+        ring.append(v)
+        if len(ring) > window:
+            ring.pop(0)
+    return out, ring
+
+
+def make_zscore_fn(window: int = 32, min_n: int = 8, k2: int = 9):
+    """applyInPandasWithState fn for per-station rolling z-score
+    alerts. State is the trailing ring only — O(window) per key, the
+    memory bound that survives unbounded streams."""
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (station,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ring = list(state.get[0]) if state.exists else []
+        out, ring = _zscore_advance(station, pdf, ring, window, min_n, k2)
+        state.update((ring,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def zscore_alert_machine(
+    readings: DataFrame, *, window: int = 32, min_n: int = 8, k2: int = 9
+) -> DataFrame:
+    """Per-station streaming anomaly detector: flag a reading whose
+    deviation from the trailing ≤``window`` readings exceeds √k2
+    population standard deviations. The streaming dual of the batch
+    `events_rolling_zscore` plan — the equivalence gate holds the
+    drained stream output hash-identical to the batch window query."""
+    return readings.groupBy("station").applyInPandasWithState(
+        make_zscore_fn(window, min_n, k2),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -763,3 +763,54 @@ class TestRocksDBStateStore:
         )
         assert len(default_rows) > 0
         assert default_rows == rocks_rows
+
+
+class TestZscoreStateFn:
+    """Unit tests for the rolling z-score ring-state transition
+    (streaming.stateful.make_zscore_fn) — the batch-split invariance
+    that makes the streamed gate equal the batch window query."""
+
+    def _rows(self, values, t0=None):
+        t0 = t0 or dt.datetime(2024, 1, 1, 9, 0, 0)
+        return [
+            (7, "p", t0 + dt.timedelta(seconds=i), i, 0.0, v)
+            for i, v in enumerate(values)
+        ]
+
+    def test_split_batches_equal_one_batch(self):
+        from iotdatapipeline_spark.streaming.stateful import make_zscore_fn
+
+        values = [100, 102, 98, 101, 99, 100, 103, 97, 101, 500, 100, 99, 4]
+        rows = self._rows(values)
+        one = FakeGroupState()
+        fn = make_zscore_fn(window=5, min_n=3, k2=9)
+        whole = list(fn((7,), iter([_mk_pdf(rows)]), one))
+
+        split = FakeGroupState()
+        parts = []
+        for lo in range(0, len(rows), 4):
+            parts.extend(fn((7,), iter([_mk_pdf(rows[lo : lo + 4])]), split))
+        whole_df = pd.concat(whole, ignore_index=True) if whole else pd.DataFrame()
+        split_df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        pd.testing.assert_frame_equal(whole_df, split_df)
+        assert list(one.get[0]) == list(split.get[0])
+
+    def test_flags_spike_not_baseline(self):
+        from iotdatapipeline_spark.streaming.stateful import make_zscore_fn
+
+        values = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 400]
+        fn = make_zscore_fn(window=32, min_n=8, k2=9)
+        st = FakeGroupState()
+        out = list(fn((7,), iter([_mk_pdf(self._rows(values))]), st))
+        flagged = pd.concat(out, ignore_index=True)
+        assert list(flagged["v_cents"]) == [400]
+        assert (flagged["dev2_n2"] > 9 * flagged["var_n2"]).all()
+
+    def test_ring_bounded_by_window(self):
+        from iotdatapipeline_spark.streaming.stateful import make_zscore_fn
+
+        fn = make_zscore_fn(window=5, min_n=3, k2=9)
+        st = FakeGroupState()
+        list(fn((7,), iter([_mk_pdf(self._rows(list(range(100, 140))))]), st))
+        assert len(st.get[0]) == 5
+        assert list(st.get[0]) == [135, 136, 137, 138, 139]
