@@ -383,3 +383,53 @@ def parts_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("pr"),
         )
     return pr.select(F.col("node").alias("l_partkey"), F.col("pr").alias("pr_x1e6"))
+
+
+@register(
+    "customers_rfm_scores",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def customers_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (last order date),
+    frequency (order count), monetary (lifetime cents), each scored
+    into quintiles — the classic behavioral-segmentation table a
+    marketing/valuation pipeline derives from the order log. Ties
+    broken by customer key so quintile boundaries are deterministic.
+
+    Scale shape: one partial-aggregated groupBy on the customer key,
+    then three ntile windows over the SAME unpartitioned sort-by-
+    variable orderings. Global ntile is a range-partitioned sort per
+    score — at extreme cardinality the standard substitute is
+    percent_rank over pre-aggregated distribution cuts; the quintile
+    semantics stay identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("long").alias("m_score"),
+    )

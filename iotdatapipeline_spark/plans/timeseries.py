@@ -761,3 +761,148 @@ def station_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * (n * sum_tv - sum_t * sum_v)) div (n * sum_t2 - sum_t * sum_t)"
         ).cast("long")).alias("slope_x1000"),
     )
+
+
+@register(
+    "events_hod_seasonal_deviation",
+    """
+    WITH b AS (
+        SELECT user_id AS station, ts, event_id, hour(ts) AS hod,
+               CAST(floor(value * 100) AS BIGINT) AS v,
+               count(*) OVER w AS n,
+               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s,
+               sum(CAST(floor(value * 100) AS BIGINT)
+                   * CAST(floor(value * 100) AS BIGINT)) OVER w AS q
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, hour(ts))
+    ),
+    loo AS (
+        SELECT station, ts, event_id, hod, v,
+               n - 1 AS n1, s - v AS s1, q - v * v AS q1
+        FROM b
+    )
+    SELECT station, ts, event_id, CAST(hod AS BIGINT) AS hod,
+           v AS v_cents, CAST(n1 AS BIGINT) AS loo_n,
+           CAST((n1 * v - s1) * (n1 * v - s1) AS BIGINT) AS dev2_n2,
+           CAST(n1 * q1 - s1 * s1 AS BIGINT) AS var_n2
+    FROM loo
+    WHERE n1 >= 8
+      AND (n1 * v - s1) * (n1 * v - s1) > 9 * (n1 * q1 - s1 * s1)
+    """,
+)
+def events_hod_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen: flag a reading more than 3σ from its
+    station's OWN hour-of-day profile (daily periodicity baseline) —
+    complements `events_rolling_zscore`, which compares against the
+    trailing window: a value normal at 14:00 can be anomalous at
+    03:00. The baseline is LEAVE-ONE-OUT (the group moments minus the
+    candidate row) so a gross outlier can't inflate its own variance
+    and hide; the 3σ test is the same cross-multiplied integer form —
+    no sqrt, no float.
+
+    Scale shape: one exchange on (station, hour-of-day) serves the
+    full-frame window moments; the LOO correction and flag are pure
+    projections. 24× better key cardinality than per-station alone."""
+    ev = _readings(spark, sf_dir)
+    hod = F.hour("ts")
+    w = Window.partitionBy("station", hod)
+    b = ev.select(
+        "station",
+        "ts",
+        "event_id",
+        hod.alias("hod"),
+        F.col("v_cents").alias("v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v_cents").over(w).alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("q"),
+    )
+    n1 = F.col("n") - 1
+    s1 = F.col("s") - F.col("v")
+    q1 = F.col("q") - F.col("v") * F.col("v")
+    dev = n1 * F.col("v") - s1
+    var_n2 = n1 * q1 - s1 * s1
+    return b.filter((n1 >= 8) & (dev * dev > 9 * var_n2)).select(
+        "station",
+        "ts",
+        "event_id",
+        F.col("hod").cast("long").alias("hod"),
+        F.col("v").alias("v_cents"),
+        n1.cast("long").alias("loo_n"),
+        (dev * dev).cast("long").alias("dev2_n2"),
+        var_n2.cast("long").alias("var_n2"),
+    )
+
+
+@register(
+    "events_downtime_hourly_prorate",
+    """
+    WITH s AS (
+        SELECT user_id AS station, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    iv AS (
+        SELECT station, prev_ts AS t0, ts AS t1
+        FROM s
+        WHERE prev_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+    ),
+    hours AS (
+        SELECT station, t0, t1,
+               unnest(generate_series(date_trunc('hour', t0),
+                                      date_trunc('hour', t1),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM iv
+    )
+    SELECT station, h AS hour_ts,
+           CAST(sum(least(epoch_us(h + INTERVAL 1 HOUR), epoch_us(t1))
+                    - greatest(epoch_us(h), epoch_us(t0))) AS BIGINT) AS down_us
+    FROM hours
+    GROUP BY station, h
+    """,
+)
+def events_downtime_hourly_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal allocation (interval → grid proration): each silence
+    interval from `events_station_downtime` is split across the hour
+    buckets it overlaps, charged the exact overlap microseconds —
+    the join shape behind SLA accounting, utilization heatmaps, and
+    any cost prorated over a calendar grid. Integer µs arithmetic at
+    the bucket boundaries, so partial first/last hours hash exactly.
+
+    Scale shape: the interval set is already small (output of a
+    filter), and the explode is bounded by interval length in hours —
+    generation, not a join; the final aggregate is one (station,
+    hour) shuffle. The range-join dual (grid ⋈ intervals on overlap)
+    would shuffle the full grid; exploding the sparse side wins
+    whenever downtime ≪ calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("user_id").alias("station"),
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    iv = s.filter(gap > 21_600_000_000).select(
+        "station", F.col("prev_ts").alias("t0"), F.col("ts").alias("t1")
+    )
+    hours = iv.select(
+        "station",
+        "t0",
+        "t1",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("t0")),
+                F.date_trunc("hour", F.col("t1")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    overlap = F.least(
+        F.unix_micros(F.col("h") + F.expr("INTERVAL 1 HOUR")), F.unix_micros("t1")
+    ) - F.greatest(F.unix_micros("h"), F.unix_micros("t0"))
+    return (
+        hours.select("station", F.col("h").alias("hour_ts"), overlap.alias("ov"))
+        .groupBy("station", "hour_ts")
+        .agg(F.sum("ov").cast("long").alias("down_us"))
+    )
