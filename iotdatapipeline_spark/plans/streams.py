@@ -915,3 +915,77 @@ def events_stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _avghash_neardup_sql() -> str:
+    ham = " + ".join(
+        f"CASE WHEN substr(h1, {i}, 1) <> substr(h2, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH ah AS ({_avghash_oracle_sql()}),
+    bands AS (
+        SELECT asset_id, avghash, b.range AS band_idx,
+               substr(avghash, 1 + 8 * CAST(b.range AS INTEGER), 8) AS band
+        FROM ah, range(0, 8) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS id1, a.avghash AS h1,
+                        c.asset_id AS id2, c.avghash AS h2
+        FROM bands a JOIN bands c
+          ON a.band_idx = c.band_idx AND a.band = c.band
+         AND a.asset_id < c.asset_id
+    )
+    SELECT id1, id2, CAST({ham} AS BIGINT) AS hamming
+    FROM cand
+    """
+
+
+@register("multimodal_image_neardup_pairs", _avghash_neardup_sql())
+def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup candidates: 8-bit bands of the 64-bit
+    average-hash bucket the corpus (two images collide iff some band
+    agrees — the image-side LSH, same banded machinery as
+    docs_simhash_neardup_pairs), then every candidate pair is scored
+    with its exact Hamming distance. The fixture's fake decodes are
+    md5-uniform — no planted visual near-dups — so the gate emits ALL
+    banded candidates with their distances (a threshold would select
+    ~nothing), pinning the banding + distance machinery a real corpus
+    would filter at hamming ≤ t.
+
+    Scale shape: the hash computation is the proven avghash plan
+    (codec-bound mapInPandas → native bits); pairing adds one explode
+    (8 bands/asset), a self-join that only meets inside (band_idx,
+    band) buckets, a distinct on the pair key, and a projection — the
+    LSH-bucket idiom, never all-pairs."""
+    ah = multimodal_image_avghash(spark, sf_dir).select("asset_id", "avghash")
+    bands = ah.select(
+        "asset_id",
+        "avghash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b ->"
+                " struct(b AS band_idx, substring(avghash, 1 + 8 * b, 8) AS band))"
+            )
+        ).alias("bd"),
+    ).select("asset_id", "avghash", "bd.band_idx", "bd.band")
+    a = bands.select(
+        F.col("asset_id").alias("id1"), F.col("avghash").alias("h1"), "band_idx", "band"
+    )
+    c = bands.select(
+        F.col("asset_id").alias("id2"), F.col("avghash").alias("h2"), "band_idx", "band"
+    )
+    cand = (
+        a.join(c, ["band_idx", "band"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "h1", "id2", "h2")
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.expr(
+            "cast(size(filter(sequence(1, 64), i ->"
+            " substring(h1, i, 1) <> substring(h2, i, 1))) as bigint)"
+        ).alias("hamming"),
+    )
