@@ -2821,3 +2821,45 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(head, "term")
         .select("term", "doc_freq", "postings_head")
     )
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH pri AS (
+        SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   // CAST(greatest(n_chars, 1) AS BIGINT) AS priority
+        FROM documents
+    )
+    SELECT doc_id, weight, priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 50
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority-sampling family,
+    Duffield et al.): each document draws a fixed pseudo-random key
+    (the first 60 bits of md5(doc_id)) divided by its weight
+    (n_chars), and the bottom-50 priorities win — heavier documents
+    get proportionally smaller priorities, so inclusion probability
+    scales with weight, yet the draw is a pure function of the key:
+    reproducible across runs, partitionings, and engines (integer
+    division, no float u^(1/w)).
+
+    Scale shape: a projection plus one global bottom-k — Spark's
+    TakeOrderedAndProject keeps k rows per partition then merges k·p
+    at the driver; no sort of the corpus. The same priority column
+    with a per-stratum window gives weighted sampling per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    pri = docs.select(
+        "doc_id",
+        weight.alias("weight"),
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)"
+            " div cast(greatest(n_chars, 1) as bigint)"
+        ).alias("priority"),
+    )
+    return pri.orderBy("priority", "doc_id").limit(50)

@@ -255,3 +255,55 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.cents").alias("old_cents"),
         F.col("n.cents").alias("new_cents"),
     )
+
+
+@register(
+    "events_upsert_apply",
+    """
+    WITH ops AS (
+        SELECT user_id AS k, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    last AS (
+        SELECT k, op, v_cents, ts,
+               row_number() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ops
+    )
+    SELECT k AS station, v_cents, ts AS updated_at
+    FROM last WHERE rn = 1 AND op = 'U'
+    """,
+)
+def events_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC apply (the lakehouse MERGE compaction): a change
+    feed of keyed upserts and deletes collapses to the final table
+    state — last op per key wins by (ts, event_id) sequence; a
+    trailing delete removes the key entirely. This is the set-based
+    form of the reference's row-at-a-time UPDATE-else-INSERT loop
+    (K1/K2, Prensas.py:216-223, :319-331) PLUS deletes, and the
+    compaction step any CDC-fed table maintenance (Delta/Iceberg
+    MERGE) runs. Deletes here are simulated from the 'error' type.
+
+    Scale shape: ONE shuffle on the key; last-writer-wins is max_by
+    over the (ts, event_id) sequence struct — partial aggregation
+    keeps one candidate per key per map task (no window sort needed);
+    the delete filter is a post-aggregate projection. Commutative,
+    so out-of-order feeds collapse identically."""
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("user_id").alias("station"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    seq = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    last = ops.groupBy("station").agg(
+        F.max_by(F.struct("op", "v_cents", "ts"), seq).alias("w")
+    )
+    return last.filter(F.col("w.op") == "U").select(
+        "station",
+        F.col("w.v_cents").alias("v_cents"),
+        F.col("w.ts").alias("updated_at"),
+    )
