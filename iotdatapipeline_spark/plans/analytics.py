@@ -2863,3 +2863,101 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority"),
     )
     return pri.orderBy("priority", "doc_id").limit(50)
+
+
+@register(
+    "docs_prefix_filter_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    sized AS (
+        SELECT sh.doc_id, sh.shingle, f.df,
+               count(*) OVER (PARTITION BY sh.doc_id) AS m,
+               row_number() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY f.df, sh.shingle) AS rn
+        FROM sh JOIN freq f ON f.shingle = sh.shingle
+    ),
+    pref AS (SELECT doc_id, shingle, m FROM sized WHERE rn <= m - (m + 1) // 2 + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, a.m AS m1, b.doc_id AS id2, b.m AS m2
+        FROM pref a JOIN pref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id1, c.id2, c.m1, c.m2, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.id1
+        JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+        GROUP BY c.id1, c.id2, c.m1, c.m2
+    )
+    SELECT id1, id2, CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2, i,
+           CAST(1000 * i // (m1 + m2 - i) AS BIGINT) AS jaccard_x1000
+    FROM inter
+    WHERE 1000 * i >= 500 * (m1 + m2 - i)
+    """,
+)
+def docs_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family,
+    Chaudhuri/Xiao): order each document's shingle set rarest-first
+    by corpus document frequency, keep only the first
+    m − ⌈m/2⌉ + 1 shingles as the candidate prefix, and pair
+    documents that share ANY prefix shingle — the classical theorem
+    guarantees no Jaccard-≥0.5 pair is missed, while common shingles
+    (the ones that would explode a naive token join) never generate
+    candidates because they sort out of every prefix. Survivors are
+    verified with EXACT Jaccard (integer cross-multiplied threshold).
+    The algorithmic alternative to MinHash-LSH: deterministic, no
+    false negatives, candidate volume governed by token rarity
+    instead of band count.
+
+    Scale shape: one df-aggregate on the shingle key, one window pass
+    per doc (rarest-first rank), a candidate join that only meets on
+    PREFIX shingles, then a candidate-bounded intersection count.
+    Nothing enumerates n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The distinct shingle set feeds FOUR legs (df counts, prefix
+    # ranking, both intersection sides): checkpoint it once so the
+    # explode+md5 fan-out runs once (operators/graph.py:107 idiom).
+    sh = (
+        shingle_set(docs, "doc_id", "text", 3, distinct=True)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(freq, "shingle")
+    w_m = Window.partitionBy("doc_id")
+    w_rn = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sized = j.select(
+        "doc_id",
+        "shingle",
+        F.count(F.lit(1)).over(w_m).alias("m"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    pref = sized.filter(F.col("rn") <= F.col("m") - F.expr("(m + 1) div 2") + 1).select(
+        "doc_id", "shingle", "m"
+    )
+    a = pref.select(F.col("doc_id").alias("id1"), F.col("m").alias("m1"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id2"), F.col("m").alias("m2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "m1", "id2", "m2")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2", "m1", "m2")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    union = F.col("m1") + F.col("m2") - F.col("i")
+    return inter.filter(1000 * F.col("i") >= 500 * union).select(
+        "id1",
+        "id2",
+        F.col("m1").cast("long").alias("m1"),
+        F.col("m2").cast("long").alias("m2"),
+        "i",
+        F.expr("cast(1000 * i div (m1 + m2 - i) as bigint)").alias("jaccard_x1000"),
+    )
