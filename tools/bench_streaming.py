@@ -32,11 +32,15 @@ from iotdatapipeline_spark.streaming import (  # noqa: E402
     readings_stream,
     stage_replay_chunks,
 )
+from iotdatapipeline_spark.streaming.stateful import zscore_alert_machine  # noqa: E402
 
 
-def run_once(spark, replay_dir: str, ckpt_root: str, files_per_trigger: int) -> dict:
+def run_once(spark, replay_dir: str, ckpt_root: str, files_per_trigger: int, machine: str = "counter") -> dict:
     stream = readings_stream(spark, replay_dir, max_files_per_trigger=files_per_trigger)
-    out = counter_state_machine(stream, emit_mode="reference")
+    if machine == "zscore":
+        out = zscore_alert_machine(stream)
+    else:
+        out = counter_state_machine(stream, emit_mode="reference")
     sink = f"bench_stream_{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
     q = (
@@ -73,6 +77,7 @@ def main() -> None:
         run_once(spark, replay, work, files_per_trigger=n_chunks)
         per_batch = run_once(spark, replay, work, files_per_trigger=1)
         one_shot = run_once(spark, replay, work, files_per_trigger=n_chunks)
+        z_shot = run_once(spark, replay, work, files_per_trigger=n_chunks, machine="zscore")
 
         out = {
             "metric": "stream_counter_rows_per_sec",
@@ -85,6 +90,10 @@ def main() -> None:
             "single_batch": {
                 **one_shot,
                 "rows_per_sec": round(n_in / one_shot["wall_sec"]),
+            },
+            "zscore_single_batch": {
+                **z_shot,
+                "rows_per_sec": round(n_in / z_shot["wall_sec"]),
             },
             "reference_ceiling_rows_per_sec": "~n_stations (1 reading/station/s poll floor, Prensas.py:602-604)",
         }
