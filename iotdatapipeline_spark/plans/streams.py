@@ -38,7 +38,11 @@ from iotdatapipeline_spark.streaming.source import (
     stage_ooo_replay_chunks,
     stage_replay_chunks,
 )
-from iotdatapipeline_spark.streaming.stateful import counter_state_machine, zscore_alert_machine
+from iotdatapipeline_spark.streaming.stateful import (
+    counter_state_machine,
+    debounce_machine,
+    zscore_alert_machine,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -989,3 +993,59 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             " substring(h1, i, 1) <> substring(h2, i, 1))) as bigint)"
         ).alias("hamming"),
     )
+
+
+@register(
+    "events_stream_alert_debounce",
+    """
+    WITH RECURSIVE s AS (
+        SELECT user_id AS station, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT station, rn, ts, event_id, ts AS last_kept,
+               TRUE AS kept, CAST(NULL AS BIGINT) AS gap_us
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.station, s.rn, s.ts, s.event_id,
+               CASE WHEN epoch_us(s.ts) - epoch_us(rec.last_kept) >= 43200000000
+                    THEN s.ts ELSE rec.last_kept END,
+               epoch_us(s.ts) - epoch_us(rec.last_kept) >= 43200000000,
+               CASE WHEN epoch_us(s.ts) - epoch_us(rec.last_kept) >= 43200000000
+                    THEN epoch_us(s.ts) - epoch_us(rec.last_kept) END
+        FROM rec JOIN s ON s.station = rec.station AND s.rn = rec.rn + 1
+    )
+    SELECT station, ts, event_id, gap_us FROM rec WHERE kept
+    """,
+)
+def events_stream_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debounce via actual Structured Streaming: emit a reading
+    only when ≥12 h has passed since the last EMITTED reading for the
+    station — the anti-flood latch. Suppression restarts on EMIT, not
+    on every row, so whether a row survives depends on the full
+    prefix of emitted rows: a window can't express it; the oracle is
+    a recursive CTE advancing (station-parallel) one row per
+    iteration, exactly like the reference machine's oracle. The
+    drained 4-chunk replay (state = one integer per key, carried
+    across micro-batches) must hash-match it, realized gaps included.
+
+    Third stateful semantics in the library after the counter machine
+    (running-max emit state) and the z-score ring (bounded-window
+    moments) — this one is the on-emit-only timer latch
+    (Prensas.py:663-677's one-shot shape)."""
+    work = tempfile.mkdtemp(prefix="iotdp_stream_debounce_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=4)
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    out = debounce_machine(stream)
+    sink = f"stream_debounce_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

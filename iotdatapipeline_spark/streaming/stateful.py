@@ -336,3 +336,71 @@ def zscore_alert_machine(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ── Alert-debounce machine (fixed-interval suppression latch) ────────
+
+DEBOUNCE_OUTPUT_SCHEMA = "station bigint, ts timestamp, event_id bigint, gap_us bigint"
+
+#: last KEPT reading's epoch-µs; -1 = uninitialized
+DEBOUNCE_STATE_SCHEMA = "last_kept_us bigint"
+
+
+def _debounce_advance(
+    station, pdf: pd.DataFrame, last_kept_us: int | None, interval_us: int
+) -> tuple[list[dict[str, Any]], int]:
+    """Keep a reading iff ≥interval since the last KEPT reading (not
+    the last row — suppression windows restart only on emit, the same
+    on-emit-only state advance as the reference latch,
+    Prensas.py:663-677). Sequential by construction: whether a row is
+    kept depends on the full prefix of kept rows, which is why the
+    batch oracle is a recursive CTE, not a window."""
+    out: list[dict[str, Any]] = []
+    for row in pdf.itertuples(index=False):
+        ts_us = int(pd.Timestamp(row.ts).value // 1_000)
+        if last_kept_us is None:
+            out.append({"station": station, "ts": row.ts, "event_id": int(row.event_id), "gap_us": None})
+            last_kept_us = ts_us
+        elif ts_us - last_kept_us >= interval_us:
+            out.append(
+                {
+                    "station": station,
+                    "ts": row.ts,
+                    "event_id": int(row.event_id),
+                    "gap_us": ts_us - last_kept_us,
+                }
+            )
+            last_kept_us = ts_us
+    return out, last_kept_us
+
+
+def make_debounce_fn(interval_us: int = 43_200_000_000):
+    """applyInPandasWithState fn for per-station alert debouncing.
+    State is ONE integer per key — the cheapest stateful operator in
+    the library, and still inexpressible as a window."""
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (station,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        last = state.get[0] if state.exists else None
+        out, last = _debounce_advance(station, pdf, last, interval_us)
+        state.update((int(last),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def debounce_machine(readings: DataFrame, *, interval_us: int = 43_200_000_000) -> DataFrame:
+    """Per-station fixed-interval alert suppression: emit a reading
+    only when ≥``interval_us`` has passed since the last EMITTED one.
+    The anti-flood latch in every alerting pipeline; emitted rows
+    carry the realized gap."""
+    return readings.groupBy("station").applyInPandasWithState(
+        make_debounce_fn(interval_us),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -814,3 +814,44 @@ class TestZscoreStateFn:
         list(fn((7,), iter([_mk_pdf(self._rows(list(range(100, 140))))]), st))
         assert len(st.get[0]) == 5
         assert list(st.get[0]) == [135, 136, 137, 138, 139]
+
+
+class TestDebounceStateFn:
+    """Unit tests for the fixed-interval debounce latch
+    (streaming.stateful.make_debounce_fn)."""
+
+    def _rows(self, offsets_min, t0=None):
+        t0 = t0 or dt.datetime(2024, 1, 1, 9, 0, 0)
+        return [
+            (3, "p", t0 + dt.timedelta(minutes=m), i, 0.0, 0)
+            for i, m in enumerate(offsets_min)
+        ]
+
+    def test_suppression_restarts_on_emit_not_on_row(self):
+        from iotdatapipeline_spark.streaming.stateful import make_debounce_fn
+
+        # interval 30 min; rows at 0, 20, 40, 70 minutes:
+        # 0 kept; 20 suppressed; 40 kept (40-0 >= 30); 70 kept (70-40 >= 30).
+        # A last-ROW rule would also keep 40 only if 40-20 >= 30 (false) —
+        # this pins the on-emit-only advance.
+        fn = make_debounce_fn(interval_us=30 * 60 * 1_000_000)
+        st = FakeGroupState()
+        out = list(fn((3,), iter([_mk_pdf(self._rows([0, 20, 40, 70]))]), st))
+        kept = pd.concat(out, ignore_index=True)
+        assert list(kept["event_id"]) == [0, 2, 3]
+        assert kept["gap_us"].tolist()[1:] == [40 * 60 * 1_000_000, 30 * 60 * 1_000_000]
+
+    def test_split_batches_equal_one_batch(self):
+        from iotdatapipeline_spark.streaming.stateful import make_debounce_fn
+
+        rows = self._rows([0, 5, 35, 50, 66, 120, 121, 152])
+        fn = make_debounce_fn(interval_us=30 * 60 * 1_000_000)
+        one, split = FakeGroupState(), FakeGroupState()
+        whole = list(fn((3,), iter([_mk_pdf(rows)]), one))
+        parts = []
+        for lo in range(0, len(rows), 3):
+            parts.extend(fn((3,), iter([_mk_pdf(rows[lo : lo + 3])]), split))
+        pd.testing.assert_frame_equal(
+            pd.concat(whole, ignore_index=True), pd.concat(parts, ignore_index=True)
+        )
+        assert one.get == split.get
