@@ -906,3 +906,62 @@ def events_downtime_hourly_prorate(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("station", "hour_ts")
         .agg(F.sum("ov").cast("long").alias("down_us"))
     )
+
+
+@register(
+    "station_time_weighted_avg",
+    """
+    WITH s AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    seg AS (
+        SELECT station, v,
+               epoch_us(nxt) - epoch_us(ts) AS dt_us
+        FROM s WHERE nxt IS NOT NULL
+    ),
+    agg AS (
+        SELECT station,
+               CAST(sum(v * dt_us) AS BIGINT) AS weighted_us,
+               CAST(sum(dt_us) AS BIGINT) AS span_us
+        FROM seg GROUP BY station
+    )
+    SELECT station, weighted_us, span_us,
+           CAST(weighted_us // (span_us // 1000) AS BIGINT) AS twa_millicents
+    FROM agg
+    """,
+)
+def station_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per station: each reading's value is held
+    until the next reading (the step-function/last-observation model
+    every telemetry store uses — InfluxQL/Timescale ``time_weight``),
+    and the average is ∫v dt / span instead of the row mean — a
+    station that reports rarely while high no longer under-counts.
+    Exact integers: Σ v·Δt in cent·µs, span in µs, quotient in
+    milli-cents via nested integer division (truncation pinned in
+    both engines; Σv·Δt ≤ v_max·span ≈ 1.5e17 — inside int64 at any
+    per-station history because the sum telescopes to the span).
+
+    Scale shape: one lead window and one aggregate over the same
+    station partitioning — single exchange, no joins."""
+    ev = _readings(spark, sf_dir)
+    w = Window.partitionBy("station").orderBy("ts", "event_id")
+    s = ev.select(
+        "station",
+        F.col("v_cents").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    seg = s.select("station", "v", (F.col("nxt_us") - F.col("t_us")).alias("dt_us"))
+    agg = seg.groupBy("station").agg(
+        F.sum(F.col("v") * F.col("dt_us")).cast("long").alias("weighted_us"),
+        F.sum("dt_us").cast("long").alias("span_us"),
+    )
+    return agg.select(
+        "station",
+        "weighted_us",
+        "span_us",
+        F.expr("weighted_us div (span_us div 1000)").cast("long").alias("twa_millicents"),
+    )
