@@ -433,3 +433,49 @@ def customers_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT p2 || '>' || p1 || '>' || event_type AS path
+        FROM s WHERE p2 IS NOT NULL
+    ),
+    counts AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path)
+    SELECT path, n FROM counts
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, 3-step: the top-20 most common
+    event-type trigrams across per-user ordered histories — the
+    path-analysis table behind funnel discovery (which 3-step flows
+    actually happen, before you pin a funnel to test). Extends the
+    first-order `events_type_transitions` matrix to order-2 context.
+
+    Scale shape: both lag columns come from ONE window pass over the
+    per-user ordering (the same exchange sessionization and the
+    transition matrix reuse); path counting partial-aggregates on a
+    ≤|types|³ key space; the global top-20 is TakeOrderedAndProject
+    with a deterministic (count, path) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    paths = s.select(
+        F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type")).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(F.desc("n"), "path").limit(20)

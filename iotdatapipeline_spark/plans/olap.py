@@ -983,3 +983,52 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("min_size_equal") < F.col("size"))
     )
     return r.filter(~dominated).select("p_brand", "p_partkey", "price_cents", "size")
+
+
+@register(
+    "parts_hierarchy_rollup",
+    """
+    WITH anc AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+               unnest([p_partkey, p_partkey // 10, p_partkey // 100,
+                       p_partkey // 1000, p_partkey // 10000]) AS ancestor
+        FROM part
+    ),
+    d AS (SELECT DISTINCT p_partkey, cents, ancestor FROM anc)
+    SELECT ancestor AS node,
+           CAST(count(*) AS BIGINT) AS subtree_parts,
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
+    FROM d GROUP BY ancestor
+    """,
+)
+def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM-style) subtree rollup without recursion: the
+    part keyspace forms a decimal forest (parent = key div 10, depth
+    ≤ 5), and because every node's ANCESTOR LIST is closed-form, the
+    recursive 'sum my subtree' query flattens into explode(ancestors)
+    → one groupBy — each leaf contributes to all ≤5 enclosing nodes
+    in a single shuffle. The Spark answer to WITH RECURSIVE rollups
+    (org trees, BOM cost rollups, account hierarchies): when depth is
+    bounded or ancestors are derivable, recursion is an explode;
+    when not, it's the O(log n) doubling join (operators/graph.py).
+    Self-duplicates from the div chain (0 div 10 = 0) collapse via
+    the DISTINCT on (part, ancestor).
+
+    Scale shape: one scan, a ≤5× fan-out, one distinct + one
+    partial-aggregated groupBy on the ancestor key."""
+    part = load_table(spark, sf_dir, "part")
+    anc = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.explode(
+            F.expr(
+                "array(p_partkey, p_partkey div 10, p_partkey div 100,"
+                " p_partkey div 1000, p_partkey div 10000)"
+            )
+        ).alias("ancestor"),
+    ).distinct()
+    return anc.groupBy(F.col("ancestor").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("subtree_parts"),
+        F.sum("cents").cast("long").alias("subtree_cents"),
+    )

@@ -24,6 +24,12 @@ ORDER_SENSITIVE = [
     "docs_global_shuffle",       # row_number over hash order
     "docs_collocations",         # global lift ranking
     "events_type_transitions",   # lag window over per-user sequences
+    "parts_cooccurrence_pagerank",  # iterative integer rank propagation
+    "docs_prefix_filter_pairs",  # rarest-first prefix rank tie-breaks
+    "docs_weighted_sample",      # global bottom-k priority draw
+    "events_upsert_apply",       # max_by last-writer-wins
+    "customers_rfm_scores",      # global ntile tie-breaks
+    "docs_inverted_index",       # head-20 postings per term
 ]
 
 
