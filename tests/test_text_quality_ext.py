@@ -271,3 +271,48 @@ class TestBpePairCounts:
                     if w[i : i + 2] == top["pair"]:
                         n += 1
         assert n == top["n_occurrences"]
+
+
+class TestPrefixFilterCompleteness:
+    def test_no_jaccard_half_pair_missed(self, spark, sf_small):
+        """Empirical check of the prefix-filtering theorem the plan
+        relies on: the registered query's output pair set must equal
+        the brute-force set of ALL Jaccard-≥0.5 pairs (computed
+        without any prefix pruning). A miss means the prefix length
+        arithmetic drifted; an extra means the verify filter did."""
+        import duckdb
+
+        from iotdatapipeline_spark.plans import QUERIES
+
+        got = {
+            (r.id1, r.id2)
+            for r in QUERIES["docs_prefix_filter_pairs"](spark, sf_small).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"create view documents as select * from '{sf_small}/documents.parquet'"
+        )
+        want = {
+            tuple(r)
+            for r in con.sql(
+                """
+                WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                pos AS (SELECT doc_id, ws,
+                               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                        FROM ws),
+                sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                       FROM pos),
+                m AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+                inter AS (
+                    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                )
+                SELECT id1, id2
+                FROM inter JOIN m m1 ON m1.doc_id = id1 JOIN m m2 ON m2.doc_id = id2
+                WHERE 1000 * i >= 500 * (m1.m + m2.m - i)
+                """
+            ).fetchall()
+        }
+        assert got == want
+        assert len(want) > 0  # the fixture actually contains near-dups
