@@ -307,3 +307,105 @@ def events_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.v_cents").alias("v_cents"),
         F.col("w.ts").alias("updated_at"),
     )
+
+
+@register(
+    "events_incremental_agg_merge",
+    """
+    SELECT user_id AS station, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-station
+    rollup is computed as MERGE(old snapshot aggregate, delta-batch
+    aggregate) — the algebraic update a pipeline applies per ingest
+    instead of recomputing history (count/sum/max are commutative
+    monoids, so merge is a full-outer join + elementwise combine).
+    The ORACLE is deliberately the direct one-shot aggregate over
+    everything: the gate therefore proves the incremental path is
+    exactly equivalent to recomputation — the invariant view
+    maintenance lives or dies by. Cutoff = day 15 of the fixture
+    simulates the snapshot boundary.
+
+    Scale shape: two partial-aggregated groupBys (each over its slice
+    — at 100 TB the 'old' side is the STORED rollup, not a scan) and
+    one full-outer hash join on the station key."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cutoff = "2024-01-15"
+
+    def agg(df):
+        return df.groupBy(F.col("user_id").alias("station")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+
+    old = agg(ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    delta = agg(ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")))
+    o = old.alias("o")
+    d = delta.alias("d")
+    j = o.join(d, F.col("o.station") == F.col("d.station"), "full_outer")
+    z = lambda c: F.coalesce(c, F.lit(0).cast("long"))  # noqa: E731
+    return j.select(
+        F.coalesce(F.col("o.station"), F.col("d.station")).alias("station"),
+        (z(F.col("o.n_rows")) + z(F.col("d.n_rows"))).alias("n_rows"),
+        (z(F.col("o.sum_cents")) + z(F.col("d.sum_cents"))).alias("sum_cents"),
+        F.greatest(
+            F.coalesce(F.col("o.max_cents"), F.col("d.max_cents")),
+            F.coalesce(F.col("d.max_cents"), F.col("o.max_cents")),
+        ).alias("max_cents"),
+    )
+
+
+@register(
+    "dq_bucket_checksums",
+    """
+    WITH h AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                     o_orderstatus || '|' ||
+                     CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS rh
+        FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def dq_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table digests: rows hash into 64 key-range
+    buckets, each reduced to (count, XOR of row-hashes) — two replicas
+    compare 64 tiny rows instead of the table, and a mismatched
+    bucket localizes WHERE to run the expensive row-level diff
+    (`dq_snapshot_diff`). The anti-entropy primitive of replicated
+    stores, as one aggregate. XOR is commutative, associative, and
+    overflow-free at any row count (a sum of 60-bit hashes overflows
+    int64 within a few hundred rows under ANSI mode — found by the
+    gate), so the digest is partitioning-independent and
+    scale-independent by construction.
+
+    Scale shape: pure projection + one partial-aggregated groupBy on
+    a 64-value key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(payload.cast("binary")), 1, 15), 16, 10).cast("long")
+    return (
+        orders.select((F.col("o_orderkey") % 64).cast("long").alias("bucket"), rh.alias("rh"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("long").alias("checksum"),
+        )
+    )
