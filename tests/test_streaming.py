@@ -855,3 +855,56 @@ class TestDebounceStateFn:
             pd.concat(whole, ignore_index=True), pd.concat(parts, ignore_index=True)
         )
         assert one.get == split.get
+
+
+class TestZscoreCheckpointRecovery:
+    def test_ring_state_survives_restart(self, spark, sf_small, tmp_path):
+        """Stop/restart correctness for the z-score machine: drain
+        half the replay, terminate, deliver the rest against the SAME
+        checkpoint. The restored run must resume each station's
+        trailing ring (not reset it), so the union of both runs'
+        alerts equals the single-pass batch window query exactly."""
+        import shutil
+
+        from iotdatapipeline_spark.plans import ORACLE, QUERIES
+        from iotdatapipeline_spark.streaming import readings_stream, stage_replay_chunks
+        from iotdatapipeline_spark.streaming.stateful import zscore_alert_machine
+
+        staged = stage_replay_chunks(spark, sf_small, str(tmp_path / "staged"), n_chunks=6)
+        live = str(tmp_path / "replay")
+        os.makedirs(live)
+        chunks = sorted(os.listdir(staged))
+
+        def deliver(name: str, order: int) -> None:
+            dst = os.path.join(live, name)
+            shutil.copy(os.path.join(staged, name), dst)
+            os.utime(dst, (1_700_000_000 + order, 1_700_000_000 + order))
+
+        out_path = str(tmp_path / "alerts")
+
+        def drain() -> None:
+            stream = readings_stream(spark, live, max_files_per_trigger=1)
+            q = (
+                zscore_alert_machine(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        for i, c in enumerate(chunks[:3]):
+            deliver(c, i)
+        drain()
+        mid = spark.read.parquet(out_path).count()
+        for i, c in enumerate(chunks[3:]):
+            deliver(c, 3 + i)
+        drain()  # same checkpoint → resume rings
+
+        got = spark.read.parquet(out_path)
+        assert got.count() >= mid
+        expected = QUERIES["events_rolling_zscore"](spark, sf_small)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
