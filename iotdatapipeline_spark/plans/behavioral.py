@@ -479,3 +479,74 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return counts.orderBy(F.desc("n"), "path").limit(20)
+
+
+@register(
+    "events_purchase_attribution",
+    """
+    WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    j AS (
+        SELECT p.purchase_id, p.user_id, p.p_ts, c.c_ts, c.click_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+         AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 172800000000
+    )
+    SELECT purchase_id, user_id, p_ts AS purchase_ts,
+           click_id AS attributed_click, c_ts AS click_ts,
+           CASE WHEN c_ts IS NOT NULL
+                THEN CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) END AS gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the LAST
+    click by the same user within the preceding 48 h (none → null) —
+    the standard marketing-attribution join. The oracle states it as
+    a bounded self-join + argmax; the plan is the library's AS-OF
+    join (operators/asof.py: union both sides, one window pass over
+    the per-user timeline — no join fan-out at all), then a window
+    filter for the 48 h lookback.
+
+    Scale shape: one exchange on user_id for the merged timeline, one
+    last_value window — the as-of idiom whose cost is a sort, not a
+    per-pair product; equal-ts ties pre-collapsed (max event_id) so
+    'latest' is distribution-independent."""
+    from iotdatapipeline_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts"))
+    )
+    j = asof_join(
+        p,
+        c,
+        on=("user_id",),
+        ts_col="ts",
+        value_cols=("click_id", "click_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("click_ts")
+    within = F.col("click_ts").isNotNull() & (gap <= 172_800_000_000)
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("click_id")).alias("attributed_click"),
+        F.when(within, F.col("click_ts")).alias("click_ts"),
+        F.when(within, gap).cast("long").alias("gap_us"),
+    )
