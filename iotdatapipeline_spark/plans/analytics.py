@@ -2961,3 +2961,104 @@ def docs_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.expr("cast(1000 * i div (m1 + m2 - i) as bigint)").alias("jaccard_x1000"),
     )
+
+
+# ── Exact-substring span dedup (ExactSubstr) ────────────────────────────────
+
+
+@register(
+    "docs_duplicate_ngram_spans",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS gh
+        FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+    h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+    b AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM h
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens,
+           count(*) AS n_grams
+    FROM s GROUP BY doc_id, span_id
+    """,
+)
+def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS: for every document, the maximal
+    token ranges whose every 8-token window also occurs verbatim in at
+    least one OTHER document — the span-level dedup pass (ExactSubstr,
+    Lee et al. 2021) that catches verbatim boilerplate and quoted
+    passages inside otherwise-unique documents, which whole-doc hashing
+    (docs_exact_dedup) and near-dup pairing (MinHash/SimHash) both
+    miss. Emitting spans rather than pairs is what makes the pass
+    actionable at corpus scale: the downstream cut removes the span,
+    not the document.
+
+    Scale shape: one explode fans docs into positioned 8-gram hashes
+    (map-side, single codegen stage — same explode-first formulation as
+    `exploded_shingles`); cross-doc duplication is decided with a
+    min!=max groupBy on the gram hash (partial-aggregatable — no
+    count-distinct, no self-join); surviving positions re-join the gram
+    table on the hash (shuffle hash join, both sides pre-shrunk); span
+    assembly is the gaps-and-islands running sum over the per-doc
+    window — one doc-keyed exchange. No stage is quadratic in corpus
+    size; the widest intermediate is the positioned gram table, linear
+    in total tokens, never materialized as a per-doc array."""
+    n = 8
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.col("__ws")
+    g = (
+        docs.withColumn("__ws", F.split(F.col("text"), " "))
+        .filter(F.array_size(ws) >= n)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(F.sequence(F.lit(1), F.array_size(ws) - (n - 1))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.array_join(F.slice(ws, F.col("pos"), n), " ")).alias("gh"),
+        )
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= 1, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("n_tokens"),
+        "n_grams",
+    )
