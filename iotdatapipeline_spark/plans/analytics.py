@@ -3062,3 +3062,76 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("n_tokens"),
         "n_grams",
     )
+
+
+# ── Corpus-level source overlap via MinHash sketch union ───────────────────
+
+_SRC_MINHASH_SQL = f"""
+    ws AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT source, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+            FROM ws),
+    sh AS (SELECT DISTINCT source, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM pos),
+    ab AS (SELECT source,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
+           FROM ab_src),
+    m AS (SELECT source,
+                 {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+          FROM ab GROUP BY source)
+""".replace("FROM ab_src", "FROM sh")
+
+
+@register(
+    "sources_minhash_overlap",
+    f"""
+    WITH {_SRC_MINHASH_SQL},
+    pairs AS (
+        SELECT m1.source AS source1, m2.source AS source2,
+               ({" + ".join(f"(m1.h{i} = m2.h{i})::INT" for i in range(8))}) AS matches
+        FROM m m1 JOIN m m2 ON m1.source < m2.source
+    )
+    SELECT source1, source2, CAST(matches AS BIGINT) AS matches,
+           CAST((1000 * matches) // 8 AS BIGINT) AS jaccard_est_x1000
+    FROM pairs
+    """,
+)
+def sources_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level overlap matrix: estimated shingle-set Jaccard
+    between every pair of SOURCES from one k=8 MinHash signature per
+    source — the contamination/provenance question ("how much does
+    crawl A repeat crawl B?") answered without ever joining the two
+    corpora.  Per-source signatures are mergeable summaries: each is
+    k mins over the source's shingle set, so at 100 TB they are
+    maintained incrementally per ingest batch (min is a monoid) and
+    the pairwise matrix costs |sources|² integer comparisons on the
+    driver-side-tiny signature table, independent of corpus size.
+    The oracle recomputes the identical estimator in SQL — the gate
+    pins the sketch's determinism; its accuracy as a Jaccard
+    estimator is the standard 1/sqrt(k) MinHash bound.
+
+    Scale shape: shingle explode + per-source distinct + one groupBy
+    (same fan-out as docs_minhash_lsh_pairs); the pair join runs on
+    |sources| rows — broadcast, never a shuffle of the fact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "source", "text", 3).distinct()
+    sig = minhash_signatures(sh, "source", k=8)
+    a = sig.select(
+        F.col("source").alias("source1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sig.select(
+        F.col("source").alias("source2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    ).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("source1") < F.col("source2"))
+        .select("source1", "source2", matches.alias("matches"))
+        .select(
+            "source1",
+            "source2",
+            "matches",
+            F.expr("cast(1000 * matches div 8 as bigint)").alias("jaccard_est_x1000"),
+        )
+    )

@@ -226,3 +226,41 @@ def events_cms_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
         )
     )
+
+
+@register(
+    "events_bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event_type from MERGEABLE partials:
+    the roaring-bitmap pattern on 64-bit words.  Each (event_type,
+    day, user_id div 64) cell stores one long whose set bits are the
+    users seen in that 64-id bucket; `bit_or` is a commutative,
+    idempotent monoid, so daily words merge into the total without
+    rescanning the fact — the property HLL buys with ~2% error
+    (station_distinct_users_hll), bought here exactly at the cost of
+    id-space-proportional state.  The oracle is the DIRECT
+    count(DISTINCT user_id): equality proves the partials are lossless.
+
+    Scale shape: the first groupBy keys on (type, day, bucket) —
+    partial-aggregated map-side, so the shuffle carries at most one
+    long per populated bucket per day per type; the merge groupBy is a
+    strict coarsening (AQE keeps it near-local); the final count is
+    sum(bit_count(word)).  At 100 TB the bucket key partitions the id
+    space evenly regardless of user skew — a hot user sets one bit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_words = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") / 64).cast("long").alias("bucket"),
+    ).agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))")).alias("word")
+    )
+    merged = daily_words.groupBy("event_type", "bucket").agg(F.bit_or("word").alias("word"))
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_users")
+    )

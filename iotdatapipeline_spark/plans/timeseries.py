@@ -965,3 +965,190 @@ def station_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_us",
         F.expr("weighted_us div (span_us div 1000)").cast("long").alias("twa_millicents"),
     )
+
+
+# ── Robust statistics: rank-based percentiles, winsorization, MAD ──────────
+
+
+@register(
+    "events_winsorized_stats",
+    """
+    WITH r AS (
+        SELECT user_id AS station, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(value * 100) AS BIGINT), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    cuts AS (
+        SELECT station,
+               min(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100) THEN v_cents END) AS p05,
+               min(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_cents END) AS p95
+        FROM r GROUP BY station
+    )
+    SELECT r.station,
+           CAST(min(n) AS BIGINT) AS n,
+           CAST(min(p05) AS BIGINT) AS p05_cents,
+           CAST(min(p95) AS BIGINT) AS p95_cents,
+           CAST(sum(least(greatest(v_cents, p05), p95)) AS BIGINT) AS winsorized_sum_cents,
+           CAST(sum(least(greatest(v_cents, p05), p95)) // min(n) AS BIGINT) AS winsorized_mean_cents,
+           CAST(sum(CASE WHEN v_cents < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN v_cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+    FROM r JOIN cuts ON r.station = cuts.station
+    GROUP BY r.station
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-station aggregates: clamp every reading to the
+    station's own [p05, p95] band before averaging — the robust mean
+    a telemetry pipeline trusts when sensors emit occasional garbage
+    that would swamp a plain average.  Percentiles are RANK-BASED
+    (discrete: the value at row ⌈q·n⌉ of the (value, event_id) sort),
+    not interpolated, so the cut points are actual observed values
+    and every engine computes the identical integer — no float
+    percentile boundary to disagree on.
+
+    Scale shape: one row_number pass over the station partition (the
+    exchange every per-station operator shares), cut-point extraction
+    is a filter + groupBy on |stations| rows, and the clamp rejoins
+    on station — a broadcast.  The window never buffers beyond its
+    partition; no all-pairs, no second sort."""
+    ev = _readings(spark, sf_dir)
+    w_rank = Window.partitionBy("station").orderBy("v_cents", "event_id")
+    w_all = Window.partitionBy("station")
+    r = ev.select(
+        "station",
+        "v_cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    lo = F.greatest(F.lit(1), F.expr("(n * 5 + 99) div 100"))
+    hi = F.expr("(n * 95 + 99) div 100")
+    cuts = (
+        r.groupBy("station")
+        .agg(
+            F.min(F.when(F.col("rn") == lo, F.col("v_cents"))).alias("p05"),
+            F.min(F.when(F.col("rn") == hi, F.col("v_cents"))).alias("p95"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("v_cents"), F.col("p05")), F.col("p95"))
+    return (
+        r.join(F.broadcast(cuts), "station")
+        .groupBy("station")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.min("p05").cast("long").alias("p05_cents"),
+            F.min("p95").cast("long").alias("p95_cents"),
+            F.sum(clamped).cast("long").alias("winsorized_sum_cents"),
+            F.expr("cast(sum(least(greatest(v_cents, p05), p95)) div min(n) as bigint)").alias(
+                "winsorized_mean_cents"
+            ),
+            F.sum(F.when(F.col("v_cents") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("v_cents") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+    )
+
+
+@register(
+    "events_mad_outliers",
+    """
+    WITH r AS (
+        SELECT user_id AS station, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(value * 100) AS BIGINT), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT station, min(CASE WHEN rn = (n + 1) // 2 THEN v_cents END) AS med
+        FROM r GROUP BY station
+    ),
+    d AS (
+        SELECT r.station, ts, event_id, v_cents, med,
+               abs(v_cents - med) AS dev,
+               row_number() OVER (PARTITION BY r.station
+                                  ORDER BY abs(v_cents - med), event_id) AS drn,
+               count(*) OVER (PARTITION BY r.station) AS n
+        FROM r JOIN med ON r.station = med.station
+    ),
+    mad AS (
+        SELECT station, min(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+        FROM d GROUP BY station
+    )
+    SELECT d.station, ts, event_id, v_cents,
+           CAST(med AS BIGINT) AS med_cents,
+           CAST(mad AS BIGINT) AS mad_cents,
+           CAST(dev AS BIGINT) AS dev_cents
+    FROM d JOIN mad ON d.station = mad.station
+    WHERE mad > 0 AND 6745 * dev > 35000 * mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers (Iglewicz–Hoaglin modified
+    z-score): flag readings where 0.6745·|v − median| / MAD > 3.5,
+    the robust screen that — unlike the σ-based rolling z-score —
+    is immune to the outliers themselves inflating the spread
+    estimate (breakdown point 50% vs 0%).  Both medians are LOWER
+    medians at rank ⌈n/2⌉ of a deterministic (value, event_id) sort,
+    and the flag is the cross-multiplied integer inequality
+    6745·dev > 35000·MAD — no division, no float, engine-identical.
+
+    Scale shape: two window passes over the same station partitioning
+    (value sort, then deviation sort) with |stations|-row broadcast
+    joins carrying the median and MAD back — the unavoidable two
+    sorts of an exact-median plan; at 100 TB each pass partitions by
+    station exactly like every other per-station operator.  Stations
+    with MAD = 0 (a majority-constant signal) are excluded rather
+    than flagging every nonmedian reading."""
+    ev = _readings(spark, sf_dir)
+    w_rank = Window.partitionBy("station").orderBy("v_cents", "event_id")
+    w_all = Window.partitionBy("station")
+    r = ev.select(
+        "station",
+        "ts",
+        "event_id",
+        "v_cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    med = (
+        r.groupBy("station")
+        .agg(F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v_cents"))).alias("med"))
+    )
+    w_drank = Window.partitionBy("station").orderBy(F.abs(F.col("v_cents") - F.col("med")), "event_id")
+    d = (
+        r.join(F.broadcast(med), "station")
+        .select(
+            "station",
+            "ts",
+            "event_id",
+            "v_cents",
+            "med",
+            F.abs(F.col("v_cents") - F.col("med")).alias("dev"),
+            F.row_number().over(w_drank).alias("drn"),
+            F.col("n"),
+        )
+    )
+    mad = (
+        d.groupBy("station")
+        .agg(F.min(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "station")
+        .filter((F.col("mad") > 0) & (6745 * F.col("dev") > 35000 * F.col("mad")))
+        .select(
+            "station",
+            "ts",
+            "event_id",
+            "v_cents",
+            F.col("med").cast("long").alias("med_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            F.col("dev").cast("long").alias("dev_cents"),
+        )
+    )

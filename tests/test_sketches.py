@@ -105,3 +105,35 @@ class TestCountMin:
             ).alias("cell_id")
         )
         assert cells.distinct().count() <= 3 * 256
+
+
+class TestBitmapDistinct:
+    def test_bitmap_equals_exact_distinct(self, spark, sf_small):
+        from iotdatapipeline_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        got = {
+            (r.event_type): r.distinct_users
+            for r in QUERIES["events_bitmap_distinct_users"](spark, sf_small).collect()
+        }
+        want = {
+            (r.event_type): r.d
+            for r in load_table(spark, sf_small, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestSourceMinhashOverlap:
+    def test_estimates_bounded_and_symmetric_free(self, spark, sf_small):
+        rows = QUERIES["sources_minhash_overlap"](spark, sf_small).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            assert r.source1 < r.source2  # upper triangle only
+            assert 0 <= r.matches <= 8
+            assert r.jaccard_est_x1000 == 1000 * r.matches // 8
+            seen.add((r.source1, r.source2))
+        assert len(seen) == len(rows)  # no duplicate pairs

@@ -315,3 +315,51 @@ class TestCusum:
             want[(r.station, r.event_id)] = state[r.station]
         got = {(r.station, r.event_id): r.cusum for r in rows}
         assert got == want
+
+
+class TestRobustStats:
+    def test_registered_with_oracle(self):
+        for n in ("events_winsorized_stats", "events_mad_outliers"):
+            assert n in QUERIES and n in ORACLE
+
+    def test_winsorized_invariants(self, spark, sf_small):
+        rows = QUERIES["events_winsorized_stats"](spark, sf_small).collect()
+        assert rows
+        for r in rows:
+            assert r.p05_cents <= r.p95_cents
+            # winsorized mean must land inside the clamp band
+            assert r.p05_cents <= r.winsorized_mean_cents <= r.p95_cents
+            # ≤5% of rows clamped on each side (rank-based cut points)
+            assert r.n_clamped_low <= r.n * 5 // 100 + 1
+            assert r.n_clamped_high <= r.n * 5 // 100 + 1
+
+    def test_mad_python_recurrence(self, spark, sf_small):
+        # lower-median / MAD recomputed row-at-a-time in Python
+        from iotdatapipeline_spark.sources import load_table
+        import collections
+
+        ev = (
+            load_table(spark, sf_small, "events")
+            .selectExpr("user_id AS station", "event_id",
+                        "CAST(floor(value * 100) AS BIGINT) AS v")
+            .collect()
+        )
+        by_st = collections.defaultdict(list)
+        for r in ev:
+            by_st[r.station].append((r.v, r.event_id))
+
+        def lower_median(vals):
+            s = sorted(vals)
+            return s[(len(s) + 1) // 2 - 1]
+
+        want = set()
+        for st, pairs in by_st.items():
+            med = lower_median(pairs)[0]
+            mad = lower_median([(abs(v - med), e) for v, e in pairs])[0]
+            if mad <= 0:
+                continue
+            for v, e in pairs:
+                if 6745 * abs(v - med) > 35000 * mad:
+                    want.add((st, e))
+        got = {(r.station, r.event_id) for r in QUERIES["events_mad_outliers"](spark, sf_small).collect()}
+        assert got == want
