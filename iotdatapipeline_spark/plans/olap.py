@@ -1032,3 +1032,57 @@ def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("subtree_parts"),
         F.sum("cents").cast("long").alias("subtree_cents"),
     )
+
+
+@register(
+    "parts_bom_explosion",
+    """
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS part, p_partkey AS node, CAST(1 AS BIGINT) AS path_qty
+        FROM part
+      UNION ALL
+        SELECT part, node // 10, path_qty * (node % 7 + 1)
+        FROM walk WHERE node >= 10
+    )
+    SELECT node,
+           count(*) AS n_descendants,
+           CAST(sum(path_qty) AS BIGINT) AS extended_qty
+    FROM walk WHERE node > 0 GROUP BY node
+    """,
+)
+def parts_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM explosion with MULTIPLIED path quantities: every node's
+    total component demand — for one unit of the node, how many units
+    of each descendant part, summed over the subtree, where each edge
+    child→parent carries qty = child%7+1 and a descendant's extended
+    quantity is the PRODUCT of edge quantities along its path.  This
+    is the multiplicative recursive query (WITH RECURSIVE walk in the
+    oracle) that `parts_hierarchy_rollup`'s additive version cannot
+    express: the measure changes as it climbs.
+
+    Spark-first decorrelation: the decimal forest gives every node a
+    CLOSED-FORM ancestor chain (parent = key div 10), so the
+    recursion flattens into explode(array of (ancestor, prefix
+    product)) — the path product at depth d is q(k)·q(k div 10)·…
+    computed as d literal factors, ≤6 levels for any key < 10⁶.  One
+    scan, a ≤6× fan-out, one partial-aggregated groupBy; the
+    unbounded-depth fallback is the O(log n) doubling join
+    (operators/graph.py), exactly as documented on the rollup twin.
+
+    Each level-d entry exists only while the node stays positive —
+    mirroring the recursion's node >= 10 guard — so no DISTINCT and
+    no zero-node rows."""
+    part = load_table(spark, sf_dir, "part")
+    # prefix products: pq[d] = Π_{i<d} (p div 10^i % 7 + 1)
+    qs = [f"(p_partkey div {10**i} % 7 + 1)" for i in range(6)]
+    entries = ", ".join(
+        f"struct(p_partkey div {10**d} as node, cast({' * '.join(['1'] + qs[:d])} as bigint) as path_qty)"
+        for d in range(6)
+    )
+    walk = part.select(
+        F.explode(F.expr(f"filter(array({entries}), e -> e.node > 0)")).alias("e")
+    ).select("e.node", "e.path_qty")
+    return walk.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_descendants"),
+        F.sum("path_qty").cast("long").alias("extended_qty"),
+    )

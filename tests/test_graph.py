@@ -84,3 +84,29 @@ class TestConnectedComponents:
     def test_matches_union_find(self, spark, edges):
         real = [(a, b) for a, b in edges if a != b]
         assert run_cc(spark, edges) == uf_components(real)
+
+
+class TestBomExplosion:
+    def test_matches_python_recursion(self, spark, sf_small):
+        from collections import defaultdict
+
+        from iotdatapipeline_spark.plans import QUERIES
+        from iotdatapipeline_spark.sources import load_table
+
+        keys = [
+            r.p_partkey for r in load_table(spark, sf_small, "part").select("p_partkey").collect()
+        ]
+        want_n: dict = defaultdict(int)
+        want_q: dict = defaultdict(int)
+        for k in keys:
+            node, pq = k, 1
+            while node > 0:
+                want_n[node] += 1
+                want_q[node] += pq
+                pq *= node % 7 + 1
+                node //= 10
+        got = {
+            r.node: (r.n_descendants, r.extended_qty)
+            for r in QUERIES["parts_bom_explosion"](spark, sf_small).collect()
+        }
+        assert got == {n: (want_n[n], want_q[n]) for n in want_n}
