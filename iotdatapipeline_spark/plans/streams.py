@@ -1049,3 +1049,106 @@ def events_stream_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "events_click_purchase_full_join",
+    """
+    WITH fw AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) AS m
+    ),
+    matched AS (
+        SELECT p.user_id AS station, p.event_id AS purchase_id,
+               c.event_id AS click_id
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    ),
+    un_p AS (
+        SELECT p.user_id AS station, p.event_id AS purchase_id,
+               CAST(NULL AS BIGINT) AS click_id
+        FROM events p, fw
+        WHERE p.event_type = 'purchase' AND p.ts < fw.m - INTERVAL 7 HOUR
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+          )
+    ),
+    un_c AS (
+        SELECT c.user_id AS station, CAST(NULL AS BIGINT) AS purchase_id,
+               c.event_id AS click_id
+        FROM events c, fw
+        WHERE c.event_type = 'click' AND c.ts < fw.m - INTERVAL 13 HOUR
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+          )
+    )
+    SELECT station, purchase_id, click_id FROM matched
+    UNION ALL SELECT station, purchase_id, click_id FROM un_p
+    UNION ALL SELECT station, purchase_id, click_id FROM un_c
+    """,
+)
+def events_click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join — both null-emission halves at
+    once, completing the inner/left/full join-mode matrix: matched
+    pairs emit as they join; a purchase with no click in its trailing
+    6 h window null-pads once the watermark passes it (same cutoff the
+    left gate pinned); a click with no purchase in its FOLLOWING 6 h
+    window null-pads once the watermark passes the END of the window
+    it could still match — c.ts + 6 h, i.e. c.ts < wm − 13 h with the
+    7 h delay.  The asymmetric cutoffs are the point: each side's
+    state lifetime is derived from the join predicate's bound on the
+    OTHER side's event time, which is exactly how Spark sizes
+    symmetric-hash join state for eviction at scale.  Oracle =
+    batch interval join + both watermark-gated NOT EXISTS arms."""
+    work = tempfile.mkdtemp(prefix="iotdp_ssjf_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=5)
+    clicks = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "click")
+        .select(
+            F.col("station").alias("c_station"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        readings_stream(spark, replay, max_files_per_trigger=1)
+        .withWatermark("ts", _SSJ_DELAY)
+        .filter(F.col("part") == "purchase")
+        .select(
+            F.col("station"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_station") == F.col("station"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SSJ_WINDOW}")),
+        "full_outer",
+    )
+    sink = f"ssjf_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.coalesce(F.col("station"), F.col("c_station")).alias("station"),
+        "purchase_id",
+        "click_id",
+    )
