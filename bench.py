@@ -297,7 +297,31 @@ def main() -> None:
         except Exception as exc:  # never lose the headline line to the extra run
             out["crossover_error"] = f"{type(exc).__name__}: {exc}"
 
-    print(json.dumps(out))
+    # Full detail goes to the BENCH_DETAIL.json sidecar; stdout carries
+    # ONE compact headline-only JSON line. The driver tail-captures
+    # stdout and the round-2 all-in-one line outgrew its buffer
+    # (BENCH_r02.json parsed: null), so keep the stdout line small.
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=2)
+    except OSError:
+        pass
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+    }
+    for k in ("duckdb_total", "ratio_vs_duckdb"):
+        if k in out:
+            compact[k] = out[k]
+    if isinstance(out.get("crossover"), dict):
+        x = out["crossover"]
+        compact["crossover_sf"] = x.get("sf")
+        compact["crossover_ratio_vs_duckdb"] = x.get("ratio_vs_duckdb")
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -255,11 +255,23 @@ def neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     min_cos_x1e6: int = 350_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold,
-    optionally blocked (same ``block_col`` only — at scale use an LSH
+    blocked on ``block_col`` (same block only — at scale use an LSH
     or IVF bucket as the block). Threshold compares the ×1e6-floored
-    cosine so the cut is exact-integer. Output: id1, id2, cos_x1e6."""
+    cosine so the cut is exact-integer. Output: id1, id2, cos_x1e6.
+
+    Unblocked mode is an O(n²) self cross-join — a scale-killer on
+    any real corpus — so it requires the explicit
+    ``allow_quadratic=True`` opt-in (recall-audit use only); calling
+    with neither a block nor the opt-in raises."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "neardup_pairs without block_col is an O(n^2) all-pairs cross join; "
+            "pass an LSH/IVF bucket as block_col, or opt in explicitly with "
+            "allow_quadratic=True (recall-audit use only)"
+        )
     left = corpus.select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),

@@ -1028,7 +1028,7 @@ def embeddings_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the blocked query above). Output: one row per probe
     width — n_probe / n_true / n_blocked / n_hit / recall_x100."""
     emb = load_table(spark, sf_dir, "embeddings")
-    truth = neardup_pairs(emb, min_cos_x1e6=350_000).select("id1", "id2")
+    truth = neardup_pairs(emb, min_cos_x1e6=350_000, allow_quadratic=True).select("id1", "id2")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
@@ -1590,11 +1590,12 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
         SELECT source,
                count(*) AS n_docs,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_words
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                   AS total_words
         FROM documents GROUP BY source
     ),
     w AS (SELECT *, CAST(floor(sqrt(total_words)) AS BIGINT) AS weight_isqrt FROM per),
-    t AS (SELECT sum(weight_isqrt) AS total_w FROM w)
+    t AS (SELECT CAST(sum(weight_isqrt) AS BIGINT) AS total_w FROM w)
     SELECT source, n_docs, total_words, weight_isqrt,
            CAST(floor(100000.0 * weight_isqrt / total_w) AS BIGINT) AS target_docs
     FROM w, t
@@ -3075,11 +3076,11 @@ _SRC_MINHASH_SQL = f"""
            FROM pos),
     ab AS (SELECT source,
                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2038074743 AS x
-           FROM ab_src),
+           FROM sh),
     m AS (SELECT source,
                  {", ".join(f"min(({a} * x + {b}) % 2038074743) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
           FROM ab GROUP BY source)
-""".replace("FROM ab_src", "FROM sh")
+"""
 
 
 @register(

@@ -781,10 +781,10 @@ def station_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     """
     SELECT l_returnflag AS return_flag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1064,20 +1064,29 @@ def parts_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLOSED-FORM ancestor chain (parent = key div 10), so the
     recursion flattens into explode(array of (ancestor, prefix
     product)) — the path product at depth d is q(k)·q(k div 10)·…
-    computed as d literal factors, ≤6 levels for any key < 10⁶.  One
-    scan, a ≤6× fan-out, one partial-aggregated groupBy; the
-    unbounded-depth fallback is the O(log n) doubling join
-    (operators/graph.py), exactly as documented on the rollup twin.
+    computed as d literal factors.  The unroll is 19 levels — one per
+    decimal digit of an int64 (max 9.2·10¹⁸ < 10¹⁹) — so the
+    flattening is exact for ANY positive bigint key (a depth-6 unroll
+    silently dropped ancestors once p_partkey ≥ 10⁶, i.e. TPC-H
+    SF ≥ 5); levels past the key's digit count yield node = 0 and are
+    filtered before the explode, so the fan-out stays ≤ digits(key),
+    and the worst-case path product 7¹⁹ ≈ 10¹⁶ still fits in the
+    bigint.  One scan, one
+    partial-aggregated groupBy; the unbounded-depth fallback is the
+    O(log n) doubling join (operators/graph.py), exactly as documented
+    on the rollup twin.
 
     Each level-d entry exists only while the node stays positive —
     mirroring the recursion's node >= 10 guard — so no DISTINCT and
     no zero-node rows."""
     part = load_table(spark, sf_dir, "part")
-    # prefix products: pq[d] = Π_{i<d} (p div 10^i % 7 + 1)
-    qs = [f"(p_partkey div {10**i} % 7 + 1)" for i in range(6)]
+    # prefix products: pq[d] = Π_{i<d} (p div 10^i % 7 + 1); depth 19
+    # covers every positive int64 key (≤19 decimal digits)
+    depth = 19
+    qs = [f"(p_partkey div {10**i} % 7 + 1)" for i in range(depth)]
     entries = ", ".join(
         f"struct(p_partkey div {10**d} as node, cast({' * '.join(['1'] + qs[:d])} as bigint) as path_qty)"
-        for d in range(6)
+        for d in range(depth)
     )
     walk = part.select(
         F.explode(F.expr(f"filter(array({entries}), e -> e.node > 0)")).alias("e")

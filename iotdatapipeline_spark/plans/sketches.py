@@ -22,7 +22,7 @@ rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.sources import load_table
@@ -173,11 +173,18 @@ def events_cms_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle can rebuild it cell-for-cell, which no native
     engine-internal sketch allows.
 
-    Scale shape: the build explodes depth rows per event but map-side
-    combine collapses each task's contribution to ≤ depth×width cells
-    before the one tiny shuffle; the 768-cell sketch broadcasts to
-    the probe; exact counts (the audit side only — production drops
-    it) are one partial-agg'd shuffle on the station key."""
+    Scale shape (one-pass, no row expansion): because the sketch key
+    IS the station, every event of a station lands in the SAME cell
+    per row, so cell(d, c) = Σ exact_count over stations hashing to c
+    at row d — the per-station count (already needed as the audit
+    side) doubles as the CMS add-weight.  The fact is scanned ONCE
+    (the partial-agg'd station groupBy); the depth hash columns and
+    the three cell sums are window aggregates over the tiny
+    post-aggregation station table, so no explode (the r2 plan
+    tripled fact rows before combine — 9.6× vs DuckDB at sf0.1), no
+    joins, and the only fact-sized cost is the single count shuffle.
+    At 100 TB: one shuffle of the fact on station, then depth
+    shuffles of |stations| rows."""
     ev = load_table(spark, sf_dir, "events")
     depth, width = 3, 256
     key = F.col("user_id").cast("string")
@@ -187,44 +194,20 @@ def events_cms_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, 8), 16, 10
         ).cast("long") % width
 
-    cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("row_id"), pos(d).alias("col_id"))
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__rc")
-    ).select("__rc.row_id", "__rc.col_id")
-    cms = cells.groupBy("row_id", "col_id").agg(F.count(F.lit(1)).cast("long").alias("cell"))
-
-    stations = ev.select("user_id").distinct()
-    probe = stations.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("row_id"), pos(d).alias("col_id"))
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__rc"),
-    ).select("user_id", "__rc.row_id", "__rc.col_id")
-    est = (
-        probe.join(F.broadcast(cms), ["row_id", "col_id"])
-        .groupBy("user_id")
-        .agg(F.min("cell").alias("est_count"))
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    withpos = counts.select(
+        "user_id", "exact_count", *[pos(d).alias(f"__c{d}") for d in range(depth)]
     )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-    return (
-        est.join(exact, "user_id")
-        .select(
-            F.col("user_id").alias("station"),
-            F.col("est_count").cast("long").alias("est_count"),
-            "exact_count",
-            (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+    for d in range(depth):
+        withpos = withpos.withColumn(
+            f"__cell{d}", F.sum("exact_count").over(Window.partitionBy(f"__c{d}"))
         )
+    est = F.least(*[F.col(f"__cell{d}") for d in range(depth)])
+    return withpos.select(
+        F.col("user_id").alias("station"),
+        est.cast("long").alias("est_count"),
+        "exact_count",
+        (est - F.col("exact_count")).cast("long").alias("overcount"),
     )
 
 
@@ -256,9 +239,17 @@ def events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_words = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("day"),
-        (F.col("user_id") / 64).cast("long").alias("bucket"),
+        # integer FLOOR-division paired with pmod: exact over the full
+        # bigint domain (float division loses exactness above 2^53,
+        # and truncate-toward-zero div with pmod collides -1 with 63;
+        # user_id - pmod is 64-aligned, so the truncating div IS the
+        # floor, and the subtraction cannot underflow because bigint
+        # min is itself 64-aligned)
+        F.expr("(user_id - pmod(user_id, 64)) div 64").alias("bucket"),
     ).agg(
-        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))")).alias("word")
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(pmod(user_id, 64) as int))")).alias(
+            "word"
+        )
     )
     merged = daily_words.groupBy("event_type", "bucket").agg(F.bit_or("word").alias("word"))
     return merged.groupBy("event_type").agg(

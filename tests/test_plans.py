@@ -201,6 +201,20 @@ class TestPlanShapes:
         pair_joins = [l for l in opt.splitlines() if re.search(r"Join Inner.*id1.*id2", l)]
         assert pair_joins and all("centroid" in l or "blk" in l for l in pair_joins), opt
 
+    def test_neardup_pairs_unblocked_requires_explicit_opt_in(self, spark, sf_small):
+        # the O(n²) all-pairs mode is a scale-killer: the library
+        # default must refuse it, and the recall-audit opt-in must
+        # still work
+        import pytest
+
+        from iotdatapipeline_spark.analytics.similarity import neardup_pairs
+        from iotdatapipeline_spark.sources import load_table as _lt
+
+        emb = _lt(spark, sf_small, "embeddings")
+        with pytest.raises(ValueError, match="allow_quadratic"):
+            neardup_pairs(emb)
+        assert neardup_pairs(emb, allow_quadratic=True).columns == ["id1", "id2", "cos_x1e6"]
+
 
 class TestApproxDistinct:
     def test_approx_count_distinct_within_5pct_of_exact(self, spark, sf_small):
