@@ -106,6 +106,29 @@ def word_hashes(text: Column) -> Column:
     return F.transform(words(text), lambda w: F.md5(w.cast("binary")))
 
 
+def bpe_merge_greedy(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array: replace every greedy
+    left-to-right NON-OVERLAPPING occurrence of (left, right) with the
+    concatenated symbol. A pure array fold — map-side, no exchange.
+
+    The fold IS greedy scanning: after a merge, the accumulator's last
+    element is the (strictly longer) merged symbol, so it can never
+    equal ``left`` again for the same position — overlapping matches
+    (possible only when left == right, e.g. 'aaa') are consumed at
+    even run offsets exactly as a left-to-right scan would."""
+    lr = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over words. Prefer ``word_hashes`` +
     ``simhash16_of_hashes`` with a materialized hash column in

@@ -1863,6 +1863,142 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_sql(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled k-round BPE training oracle. Each round: weighted
+    adjacent-pair count over the current symbol arrays, argmax with
+    (count DESC, left, right) tie-break, then the GREEDY left-to-right
+    non-overlapping merge. Greedy is expressed closed-form: when
+    left<>right, adjacent matches can never overlap, so every match
+    merges; when left=right, matches inside a run of equal symbols
+    overlap and greedy takes the even offsets (islands via the
+    i - row_number() trick, offset parity within each island)."""
+    ctes = [
+        """cur0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+        SELECT syms[i] AS l, syms[i+1] AS r2, CAST(sum(freq) AS BIGINT) AS n
+        FROM cur{p}, unnest(generate_series(1, len(syms)-1)) AS t(i)
+        WHERE len(syms) >= 2 GROUP BY l, r2
+    ),
+    b{r} AS (SELECT l, r2, n FROM p{r} ORDER BY n DESC, l, r2 LIMIT 1),
+    u{r} AS (
+        SELECT word, freq, i, syms[i] AS sym, b{r}.l AS L, b{r}.r2 AS R
+        FROM cur{p}, b{r}, unnest(generate_series(1, len(syms))) AS t(i)
+    ),
+    m{r} AS (
+        SELECT *, (sym = L AND lead(sym) OVER (PARTITION BY word ORDER BY i) = R) AS is_match,
+               i - row_number() OVER (PARTITION BY word, sym ORDER BY i) AS isl
+        FROM u{r}
+    ),
+    g{r} AS (
+        SELECT *, coalesce(is_match AND (L <> R OR
+                   (i - min(i) OVER (PARTITION BY word, sym, isl)) % 2 = 0), false) AS merge_start
+        FROM m{r}
+    ),
+    c{r} AS (
+        SELECT *, coalesce(lag(merge_start) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+        FROM g{r}
+    ),
+    cur{r} AS (
+        SELECT word, freq,
+               list(CASE WHEN merge_start THEN L || R ELSE sym END ORDER BY i)
+                   FILTER (WHERE NOT consumed) AS syms
+        FROM c{r} GROUP BY word, freq
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, r2 AS right_sym, l || r2 AS merged, n AS n_occurrences FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+@register("docs_bpe_train_merges", _bpe_train_sql())
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: the full iterative merge loop, not just
+    the first pair count (`docs_bpe_pair_counts` is round 1 of this).
+    Five rounds of: count adjacent symbol pairs corpus-wide (weighted
+    by word frequency), pick the most frequent pair (count DESC, then
+    lexicographic — fully deterministic), merge it greedily
+    left-to-right in every word, recount. Output: one row per learned
+    merge with its pre-merge occurrence count — the merges table a
+    BPE tokenizer ships.
+
+    Scale shape (the Sennrich trick, distributed): the fact is scanned
+    ONCE to build the distinct-word frequency table; every training
+    round then runs on |vocab| rows, not corpus rows — at 100 TB the
+    vocabulary is millions of rows against billions of documents, so
+    the loop is k tiny shuffles after one big one. Per-round
+    ``localCheckpoint`` keeps the plan flat across iterations (same
+    pattern as operators/graph.py components); the per-round argmax is
+    a 1-row driver decision gating the next round — the same
+    role as graph.py's convergence fingerprint, not a data collect.
+    The merge itself is a pure array fold per word (greedy
+    left-to-right, provably equal to the oracle's run-parity form):
+    map-side only, no exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    cur = freq.withColumn("syms", F.split(F.col("word"), "")).localCheckpoint(eager=True)
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        two = df.filter(F.array_size("syms") >= 2)
+        prs = two.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.array_size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r2"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        return prs.groupBy(F.col("__p.l").alias("l"), F.col("__p.r2").alias("r2")).agg(
+            F.sum("freq").cast("long").alias("n")
+        )
+
+    def merge_expr(left: str, right: str) -> F.Column:
+        lr = F.lit(left + right)
+        return F.aggregate(
+            F.col("syms"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = pair_counts(cur).orderBy(F.desc("n"), F.asc("l"), F.asc("r2")).limit(1).collect()
+        if not top:  # vocabulary fully merged — stop early
+            break
+        t = top[0]
+        merges.append((r, t["l"], t["r2"], t["l"] + t["r2"], t["n"]))
+        cur = cur.withColumn("syms", merge_expr(t["l"], t["r2"])).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
+    )
+
+
 _FUZZY_PAIRS_SQL = """
     SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
     FROM part a JOIN part b
