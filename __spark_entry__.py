@@ -35,57 +35,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries whose implementation or oracle changed THIS round (or that a
 #: prior round flagged) — they need a fresh driver row even if already
-#: covered, so they rank with the never-covered group.
+#: covered, so they rank with the never-covered group. All six round-3
+#: retests went green in CORRECTNESS_r03, so round 4 carries only the
+#: queries whose plans were restructured this round.
 _RETEST = [
-    "q12_priority_by_returnflag",  # oracle BIGINT cast fix (r2 red row)
-    "docs_source_mixing",  # oracle BIGINT cast fix (r2 red row)
-    "events_cms_station_counts",  # one-pass rewrite this round
-    "events_bitmap_distinct_users",  # integer-bucket fix this round
-    "parts_bom_explosion",  # depth-19 unroll this round
-    "sources_minhash_overlap",  # oracle template cleanup this round
+    "events_hod_seasonal_deviation",  # one-pass groupBy+join rewrite (r3 verdict item 7)
 ]
 
-#: Never-covered queries the judge called out as the highest-value
-#: targets for the next gate (VERDICT round 2): the stateful stream
-#: machines (T4 — the hardest semantics), the multimodal family, the
-#: watermark / stream-stream join family, and the uncovered TPC-H set.
-#: Registration order already front-loads these; the explicit list
-#: keeps them ahead of any query added later in the round.
+#: Never-covered queries — the last 28 of the 174-query registry without
+#: a hard driver row (VERDICT round 3 "What's missing #1"): the
+#: time-series stats family, behavioral, graph, DQ, incremental, and the
+#: two by-design rows-only sketches. All pass the judge's sf0.01 sweep;
+#: this list pins their order so the 50-row gate covers every one and
+#: closes lifetime coverage at 174/174.
 _PRIORITY = [
-    "stream_counter_machine_rowmode",
-    "stream_counter_machine_reference",
-    "events_late_dedup",
-    "events_late_window",
-    "events_tumbling_window",
-    "events_session_window",
-    "events_click_purchase_join",
-    "events_click_purchase_left_join",
-    "events_click_purchase_full_join",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_frame_stats",
-    "multimodal_image_resize",
-    "multimodal_image_avghash",
-    "multimodal_image_neardup_pairs",
-    "events_stream_static_enrich",
-    "events_stream_rolling_zscore",
-    "events_stream_alert_debounce",
-    "q2_max_acctbal_supplier",
-    "q4_priority_exists",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_customers",
-    "q11_important_nation_balance",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_bands",
-    "q20_concentrated_suppliers",
-    "q21_sole_blame_supplier",
-    "q22_idle_customers",
-    "loyal_customers_division",
+    "events_rolling_zscore",
+    "events_acf_lags",
+    "station_value_trend",
+    "events_hod_seasonal_deviation",
+    "events_downtime_hourly_prorate",
+    "station_time_weighted_avg",
+    "events_winsorized_stats",
+    "events_mad_outliers",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "events_type_transitions",
+    "events_top_paths",
+    "events_purchase_attribution",
+    "customers_rfm_scores",
+    "orders_part_cooccurrence",
+    "parts_triangle_counts",
+    "parts_cooccurrence_pagerank",
+    "dq_events_profile",
+    "dq_referential_orphans",
+    "dq_snapshot_diff",
+    "dq_bucket_checksums",
+    "events_value_histogram",
+    "events_upsert_apply",
+    "events_incremental_agg_merge",
+    "events_reaggregated_weekly",
+    "docs_stratified_sample",
+    "station_distinct_users_hll",
+    "cycle_time_approx_percentiles",
 ]
 
 
@@ -106,18 +97,24 @@ def _coverage_order(names) -> list[str]:
         try:
             with open(path) as f:
                 rows = json.load(f)
+            covered |= set(rows)
+            if not isinstance(rows, dict):
+                continue  # legacy list-of-names shape: covered only
+            for n, r in rows.items():
+                # failed = an explicit False / non-null err in the
+                # LATEST row for the query (files iterate in round
+                # order, so a later green row clears an earlier red
+                # one); a missing hash_match (the rows-only check for
+                # non-SQL queries) is not a failure
+                if isinstance(r, dict) and (
+                    r.get("err") is not None
+                    or any(r.get(k) is False for k in ("rows_match", "schema_match", "hash_match"))
+                ):
+                    failed.add(n)
+                else:
+                    failed.discard(n)
         except Exception:
             continue
-        covered |= set(rows)
-        for n, r in rows.items():
-            # failed = an explicit False / non-null err; a missing
-            # hash_match (the rows-only check for non-SQL queries) is
-            # not a failure
-            if isinstance(r, dict) and (
-                r.get("err") is not None
-                or any(r.get(k) is False for k in ("rows_match", "schema_match", "hash_match"))
-            ):
-                failed.add(n)
     prio = {n: i for i, n in enumerate(_PRIORITY)}
 
     def rank(n: str):
