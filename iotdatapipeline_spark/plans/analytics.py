@@ -1973,18 +1973,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("long").alias("n")
         )
 
-    def merge_expr(left: str, right: str) -> F.Column:
-        lr = F.lit(left + right)
-        return F.aggregate(
-            F.col("syms"),
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+    from iotdatapipeline_spark.analytics.text import bpe_merge_greedy
 
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -1993,7 +1982,9 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         t = top[0]
         merges.append((r, t["l"], t["r2"], t["l"] + t["r2"], t["n"]))
-        cur = cur.withColumn("syms", merge_expr(t["l"], t["r2"])).localCheckpoint(eager=True)
+        cur = cur.withColumn(
+            "syms", bpe_merge_greedy(F.col("syms"), t["l"], t["r2"])
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
     )

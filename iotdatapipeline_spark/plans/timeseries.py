@@ -800,9 +800,17 @@ def events_hod_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     and hide; the 3σ test is the same cross-multiplied integer form —
     no sqrt, no float.
 
-    Scale shape: one exchange on (station, hour-of-day) serves the
-    full-frame window moments; the LOO correction and flag are pure
-    projections. 24× better key cardinality than per-station alone."""
+    Scale shape: ONE exchange of the fact table on (station,
+    hour-of-day) serves the full-frame window moments; the LOO
+    correction and flag are pure projections. Three plan shapes were
+    built and measured at sf8/sf16 (round 4): this window form
+    (sf8 1.07 s), a groupBy-profile + join-back (2.9 s — the profile
+    is stations×24 and stations scale with the data, 120 k at sf8,
+    so it is broadcast-hostile and the shuffle join pays the fact
+    exchange twice), and a collect_list hash-agg + pre-explode gate
+    (2.9 s — per-group array building loses codegen and allocates
+    per row). The window form wins; its residual vs DuckDB is the
+    sort-window constant, decomposed in BASELINE.md."""
     ev = _readings(spark, sf_dir)
     hod = F.hour("ts")
     w = Window.partitionBy("station", hod)
