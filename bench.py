@@ -49,7 +49,7 @@ CROSSOVER_QUERIES = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_token_stats",
-    "embeddings_knn_bruteforce",
+    "embeddings_pq_topk",  # mirrors the r4 headline ANN slot swap
 ]
 
 #: ×10 tiling of sf0.1 ≈ sf1 (6M lineitem rows). Tiles are key-offset
@@ -140,7 +140,13 @@ HEADLINE = [
     # analytics extensions (skipped automatically if not yet registered)
     "docs_minhash_lsh_pairs",
     "docs_exact_dedup",
-    "embeddings_knn_bruteforce",
+    # Round 4 (verdict r3 item 2): the ANN headline slot now times the
+    # PRODUCTION similarity-search path (PQ-compressed ADC scan top-k)
+    # instead of embeddings_knn_bruteforce — the bruteforce crossJoin is
+    # a self-labeled recall BASELINE (plans/analytics.py), never the
+    # path a user runs at scale. knn_bruteforce stays tracked in
+    # SECONDARY; change documented in BASELINE.md.
+    "embeddings_pq_topk",
     "docs_token_stats",
 ]
 
@@ -159,7 +165,7 @@ SECONDARY = [
     # iterative contraction executes eagerly at plan-build time via
     # localCheckpoint, so a count-only timing would under-report it)
     "docs_incremental_neardup",
-    "embeddings_pq_topk",
+    "embeddings_knn_bruteforce",
     "docs_global_shuffle",
 ]
 
@@ -186,7 +192,10 @@ def main() -> None:
     except ValueError:
         sf = None
     spark = get_spark("iotdatapipeline-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: benign AQE/GC accumulator races log ERROR lines
+    # on completed stages (seen in BENCH_r03's tail) and the driver
+    # tail-captures stdout — nothing may crowd out the final JSON line.
+    spark.sparkContext.setLogLevel("FATAL")
 
     if sf is not None and sf <= 0.2:
         # small-input profile (see module docstring) — bench-scale only
@@ -304,8 +313,10 @@ def main() -> None:
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
         with open(detail_path, "w") as f:
-            json.dump(out, f, indent=2)
-    except OSError:
+            f.write(json.dumps(out, indent=2, default=str))
+    except Exception:
+        # a sidecar failure (OSError, a non-serializable value, …) must
+        # never suppress the compact stdout line below
         pass
     compact = {
         "metric": out["metric"],
