@@ -77,6 +77,7 @@ _PRIORITY = [
     "docs_stratified_sample",
     "station_distinct_users_hll",
     "cycle_time_approx_percentiles",
+    "stream_limpieza_timeout",  # NEW r4: the T5 silence-timeout path (verdict item 6)
 ]
 
 

@@ -204,6 +204,116 @@ def stream_counter_machine_reference(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+#: T5 gate parameters — event-time silence gap (1 h) and chunk count.
+_T5_N_CHUNKS = 6
+_T5_GAP_MS = 3_600_000
+
+
+@register(
+    "stream_limpieza_timeout",
+    f"""
+    WITH r AS (
+        SELECT user_id AS station, event_type AS part, ts,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    c AS (
+        SELECT station, part, ts,
+               rn // ((n + {_T5_N_CHUNKS - 1}) // {_T5_N_CHUNKS}) AS chunk
+        FROM r
+    ),
+    cm AS (  -- watermark available IN batch c+1 = max event ms through chunk c
+        SELECT chunk, max(max_ms) OVER (ORDER BY chunk) AS cm_ms
+        FROM (SELECT chunk, max(epoch_ms(ts)) AS max_ms FROM c GROUP BY chunk)
+    ),
+    kc AS (
+        SELECT station, part, chunk, max(epoch_ms(ts)) AS key_ms
+        FROM c GROUP BY station, part, chunk
+    ),
+    isl AS (  -- gaps-and-islands: consecutive chunks with data = one run
+        SELECT *, chunk - dense_rank() OVER (
+                   PARTITION BY station, part ORDER BY chunk) AS run_id
+        FROM kc
+    ),
+    runs AS (
+        SELECT station, part, run_id, min(chunk) AS c_start,
+               max(chunk) AS c_end, max(key_ms) AS m_ms
+        FROM isl GROUP BY station, part, run_id
+    ),
+    seq AS (
+        SELECT *, lead(c_start) OVER (
+                   PARTITION BY station, part ORDER BY c_start) AS c_next
+        FROM runs
+    )
+    -- a run's timer fires iff the watermark passes (last key ms + gap)
+    -- at some batch after the run ends and strictly before the key's
+    -- next data batch; batches = the {_T5_N_CHUNKS} data chunks plus
+    -- one watermark-eviction batch. wm is monotone, so only the LAST
+    -- usable batch need be tested: index min(c_next-1, {_T5_N_CHUNKS}),
+    -- whose wm is the cumulative max through that index - 1.
+    SELECT s.station, s.part, CAST(count(*) AS BIGINT) AS limpieza_count
+    FROM seq s
+    JOIN cm ON cm.chunk = least(coalesce(s.c_next, {_T5_N_CHUNKS + 1}) - 1,
+                                {_T5_N_CHUNKS}) - 1
+    WHERE cm.cm_ms > s.m_ms + {_T5_GAP_MS}
+    GROUP BY s.station, s.part
+    """,
+)
+def stream_limpieza_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — silence detection → limpieza through ACTUAL Structured
+    Streaming state timeouts (Prensas.py:663-677's one-shot silence
+    latch): the time-ordered replay flows through the T4 machine with
+    an EVENT-TIME timeout — a key fires one ``limpieza`` marker when
+    the watermark passes its last reading + 1 h of silence (state
+    removed; a later reappearance re-admits and re-arms, the
+    reference's re-latch). Event time rather than wall clock keeps the
+    gate deterministic and replayable — the same property a
+    production exactly-once pipeline needs — and the stream terminates
+    under ``availableNow`` like any watermark-evicted operator
+    (wall-clock ProcessingTimeTimeout never terminates there:
+    measured, see make_state_fn).
+
+    The oracle replays the exact semantics in SQL: one batch per
+    chunk, watermark in batch c = max event ms through chunk c-1, a
+    key's silence run fires iff the watermark strictly passes its
+    deadline at some batch before its next data (runs-and-watermark
+    CTE). Hash-matching per-key limpieza COUNTS proves the timeout
+    path fires, fires once per silence (one-shot latch), and re-arms
+    after re-admission.
+
+    Replay staging (global sort + equal row chunks) is gate harness,
+    not a production path; the production operator is the
+    timeout-armed ``counter_state_machine`` itself, whose state is
+    partitioned by (station, part) and scales with keys, not rows."""
+    work = tempfile.mkdtemp(prefix="iotdp_limpieza_")
+    replay = stage_replay_chunks(
+        spark, sf_dir, os.path.join(work, "replay"), n_chunks=_T5_N_CHUNKS
+    )
+    stream = readings_stream(spark, replay, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    out = counter_state_machine(
+        stream, emit_mode="row", timeout_ms=_T5_GAP_MS, timeout_mode="event"
+    )
+    sink = f"stream_limpieza_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .filter(F.col("row_kind") == "limpieza")
+        .groupBy("station", "part")
+        .agg(F.count(F.lit(1)).cast("long").alias("limpieza_count"))
+    )
+
+
 #: T7 gate parameters — shared by the streamed queries and their SQL twins.
 _T7_N_CHUNKS = 6
 _T7_JITTER_US = 7_200_000_000  # arrival = ts + md5-jitter in [0, 2h)

@@ -132,11 +132,31 @@ def _advance(
     return out, new_state
 
 
-def make_state_fn(emit_mode: str = "reference", timeout_ms: int | None = None):
+def make_state_fn(
+    emit_mode: str = "reference",
+    timeout_ms: int | None = None,
+    timeout_mode: str = "processing",
+):
     """Build the applyInPandasWithState function. Separated for unit
-    testing: the returned fn is pure given (key, batches, state)."""
+    testing: the returned fn is pure given (key, batches, state).
+
+    ``timeout_mode``:
+      * ``"processing"`` — wall-clock silence (``setTimeoutDuration``),
+        the reference's literal behavior (Prensas.py:663-677 measures
+        real elapsed time). Nondeterministic by nature; also, under
+        ``availableNow`` the wall-clock timer keeps the cleanup loop
+        alive indefinitely (observed: the drained query never
+        terminates), so use it only for live ``--follow`` streams.
+      * ``"event"`` — silence in EVENT time: the key times out when the
+        WATERMARK passes (its max seen event time + ``timeout_ms``).
+        Deterministic given the replay chunking — no wall clock
+        anywhere — and terminates under ``availableNow`` like any
+        watermark-evicted operator, which is what a replayable,
+        exactly-once pipeline wants at scale."""
     if emit_mode not in ("reference", "row"):
         raise ValueError(f"emit_mode must be 'reference' or 'row', got {emit_mode!r}")
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"timeout_mode must be 'processing' or 'event', got {timeout_mode!r}")
 
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         station, part = key
@@ -152,7 +172,17 @@ def make_state_fn(emit_mode: str = "reference", timeout_ms: int | None = None):
         out, new_state = _advance(station, part, pdf, current, emit_mode)
         state.update(new_state)
         if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_mode == "event":
+                # deadline = key's max event time (ms, Spark's watermark
+                # granularity) + the silence gap. The max() guard keeps
+                # Spark's "timestamp must be after the watermark"
+                # contract; with a time-ordered replay the batch's own
+                # rows are always at-or-after the watermark, so the
+                # guard never changes the deadline in practice.
+                m_ms = max(int(t.value) // 1_000_000 for t in pdf["ts"])
+                state.setTimeoutTimestamp(max(m_ms + timeout_ms, state.getCurrentWatermarkMs() + 1))
+            else:
+                state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(out)
 
@@ -217,15 +247,21 @@ def counter_state_machine(
     *,
     emit_mode: str = "reference",
     timeout_ms: int | None = None,
+    timeout_mode: str = "processing",
     backend: str = "applyInPandas",
 ) -> DataFrame:
     """Group by (station, part) and run the T4 state machine. Input
     needs columns: station, part, ts, event_id, counter.
 
+    ``timeout_mode="event"`` (see make_state_fn) needs a watermark on
+    ``ts`` upstream and the applyInPandas backend.
+
     ``backend``: ``"applyInPandas"`` (applyInPandasWithState, default)
     or ``"transformWithState"`` (the Spark 4 typed-state API). Both run
     the same ``_advance`` transition; the equivalence test holds their
     outputs identical."""
+    if timeout_mode == "event" and backend != "applyInPandas":
+        raise ValueError("timeout_mode='event' is implemented on the applyInPandas backend")
     if backend == "transformWithState":
         if not transform_with_state_available():
             raise RuntimeError(
@@ -245,11 +281,14 @@ def counter_state_machine(
         )
     if backend != "applyInPandas":
         raise ValueError(f"unknown backend {backend!r}")
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None else GroupStateTimeout.NoTimeout
-    )
+    if timeout_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif timeout_mode == "event":
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return readings.groupBy("station", "part").applyInPandasWithState(
-        make_state_fn(emit_mode, timeout_ms),
+        make_state_fn(emit_mode, timeout_ms, timeout_mode),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

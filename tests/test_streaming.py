@@ -64,6 +64,12 @@ class FakeGroupState:
     def setTimeoutDuration(self, ms):
         self.timeout_ms = ms
 
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_timestamp_ms = ts_ms
+
+    def getCurrentWatermarkMs(self):
+        return getattr(self, "watermark_ms", 0)
+
 
 def _mk_pdf(rows):
     return pd.DataFrame(
@@ -130,6 +136,43 @@ class TestStateFnUnit:
         out = pd.concat(list(fn((1, "p"), iter([]), st)))
         assert list(out["row_kind"]) == ["limpieza"]
         assert st.removed
+
+    def test_event_timeout_deadline_is_max_ts_plus_gap(self):
+        # event mode arms the timer at (key's max event ms + gap)
+        fn = make_state_fn("row", timeout_ms=3_600_000, timeout_mode="event")
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0, tzinfo=dt.timezone.utc)
+        rows = [(1, "p", pd.Timestamp(t0) + pd.Timedelta(seconds=i), i, 0.0, c)
+                for i, c in enumerate([10, 12])]
+        list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        max_ms = int(pd.Timestamp(t0).value // 1_000_000) + 1_000
+        assert st.timeout_timestamp_ms == max_ms + 3_600_000
+
+    def test_event_timeout_deadline_never_before_watermark(self):
+        fn = make_state_fn("row", timeout_ms=10, timeout_mode="event")
+        st = FakeGroupState()
+        st.watermark_ms = 10**15  # watermark far ahead of the key's data
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0, tzinfo=dt.timezone.utc)
+        rows = [(1, "p", pd.Timestamp(t0), 0, 0.0, 10)]
+        list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
+        assert st.timeout_timestamp_ms == 10**15 + 1
+
+    def test_event_timeout_fire_emits_limpieza_and_removes(self):
+        fn = make_state_fn("row", timeout_ms=3_600_000, timeout_mode="event")
+        st = FakeGroupState(value=(10, None, 0, 0, True), timed_out=True)
+        out = pd.concat(list(fn((1, "p"), iter([]), st)))
+        assert list(out["row_kind"]) == ["limpieza"]
+        assert st.removed
+
+    def test_event_timeout_requires_applyinpandas_backend(self):
+        import pytest
+
+        from iotdatapipeline_spark.streaming.stateful import counter_state_machine
+
+        with pytest.raises(ValueError, match="applyInPandas"):
+            counter_state_machine(
+                None, timeout_ms=1, timeout_mode="event", backend="transformWithState"
+            )
 
 
 class TestReferenceSimulatorParity:
