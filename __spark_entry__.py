@@ -78,6 +78,7 @@ _PRIORITY = [
     "station_distinct_users_hll",
     "cycle_time_approx_percentiles",
     "stream_limpieza_timeout",  # NEW r4: the T5 silence-timeout path (verdict item 6)
+    "events_merge_upsert_cow",  # NEW r4: transactional COW MERGE target (missing #3)
 ]
 
 

@@ -22,6 +22,8 @@ from iotdatapipeline_spark.plans.sketches import ORACLE as _SK_ORACLE
 from iotdatapipeline_spark.plans.sketches import QUERIES as _SK_QUERIES
 from iotdatapipeline_spark.plans.quality import ORACLE as _DQ_ORACLE
 from iotdatapipeline_spark.plans.quality import QUERIES as _DQ_QUERIES
+from iotdatapipeline_spark.plans.lakehouse import ORACLE as _LH_ORACLE
+from iotdatapipeline_spark.plans.lakehouse import QUERIES as _LH_QUERIES
 
 QUERIES.update(_AN_QUERIES)
 ORACLE.update(_AN_ORACLE)
@@ -39,5 +41,7 @@ QUERIES.update(_SK_QUERIES)
 ORACLE.update(_SK_ORACLE)
 QUERIES.update(_DQ_QUERIES)
 ORACLE.update(_DQ_ORACLE)
+QUERIES.update(_LH_QUERIES)
+ORACLE.update(_LH_ORACLE)
 
 __all__ = ["QUERIES", "ORACLE"]

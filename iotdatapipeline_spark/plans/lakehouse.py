@@ -1,0 +1,125 @@
+"""Gate queries for the transactional MERGE target
+(sources/versioned.py) — the K1/K2/K5 upsert semantics executed
+through a REAL multi-version commit path (copy-on-write files,
+optimistic concurrency) instead of whole-table overwrite, then
+hash-checked against an ANSI twin of the same set semantics.
+
+The reference applies these merges row-at-a-time over pyodbc against a
+transactional RDBMS (Prensas.py:216-223, 319-331); VersionedTable is
+the Spark-idiomatic equivalent this environment can host (no
+Delta/Iceberg packages available).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources import load_table
+from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _latest_per_station(df: DataFrame) -> DataFrame:
+    """One row per station: the payload of its max event_id (unique, so
+    deterministic on both engines without tie-break rules)."""
+    return df.groupBy("station").agg(
+        F.max_by(F.struct("part", "ts_us", "v_cents"), F.col("event_id")).alias("__s"),
+        F.max("event_id").cast("long").alias("version_id"),
+    ).select("station", "__s.part", "__s.ts_us", "__s.v_cents", "version_id")
+
+
+def _readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        "event_id",
+    )
+
+
+@register(
+    "events_merge_upsert_cow",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM merged WHERE station % 7 <> 0
+    """,
+)
+def events_merge_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2/K5 through the transactional table: (1) CREATE the
+    per-station latest-record dim from the odd-thirds of events in 8
+    copy-on-write files; (2) MERGE-upsert the even-thirds source,
+    restricted to stations ≡ 0 (mod 5) so most files are carried by
+    reference, not rewritten (the COW path the test suite pins); (3)
+    MERGE-delete stations ≡ 0 (mod 7) — the reference's
+    limpieza-by-reset shape as a keyed delete. The returned frame is
+    the final committed snapshot, read back through the version-3
+    manifest; the oracle recomputes all three effects as pure set
+    algebra (full-join coalesce + filter). A merge that rewrites the
+    wrong files, loses carried files, or commits non-atomically
+    hash-mismatches — and the three-version history is asserted so a
+    silently-degenerate single-version path can't pass.
+
+    Scale shape: every data-moving step is a distributed join/agg; the
+    only collects are the bounded touched-FILE lists inside
+    merge_into. The gate's table is small, but the protocol is the
+    scale design: at 100 TB the same MERGE rewrites only the files
+    holding matched keys."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_cow_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8)
+    table.merge_into(src, ["station"])
+    dele = table.snapshot().filter(F.col("station") % 7 == 0)
+    table.merge_into(dele, ["station"], when_matched="delete")
+    assert [m["op"] for m in table.history()] == [
+        "create",
+        "merge:update",
+        "merge:delete",
+    ]
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

