@@ -80,6 +80,31 @@ def upsert_foreach_batch(path: str, keys: Sequence[str]):
     return apply
 
 
+def versioned_upsert_foreach_batch(root: str, keys: Sequence[str]):
+    """K1/K2 executor against the transactional MERGE target
+    (sources/versioned.py): each micro-batch becomes one committed
+    copy-on-write MERGE — only the files holding matched keys are
+    rewritten, the commit is atomic, and concurrent writers (another
+    stream, a batch backfill) are serialized by optimistic concurrency
+    instead of clobbering each other the way whole-table overwrite
+    would. This is the executor a production deployment keeps; the
+    plain-parquet ``upsert_foreach_batch`` is the zero-infrastructure
+    fallback."""
+    from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+    def apply(batch_df: DataFrame, batch_id: int, order_col: str = "ts") -> None:
+        if not batch_df.columns:
+            return
+        latest = latest_per_key(batch_df, keys, order_col)
+        table = VersionedTable(batch_df.sparkSession, root)
+        if table.version() == 0:
+            table.create(latest)
+        else:
+            table.merge_into(latest, keys)
+
+    return apply
+
+
 def _idempotent_append(batch_df: DataFrame, batch_id: int, path: str) -> None:
     """Exactly-once append under micro-batch RETRY: rows land in a
     ``__batch_id=N`` partition via dynamic partition overwrite, so a

@@ -537,6 +537,29 @@ class TestSinks:
         out = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "ts").collect()}
         assert out == {1: "new", 2: "only"}
 
+    def test_versioned_upsert_sink_commits_one_merge_per_batch(self, spark, tmp_path):
+        """K1 against the transactional target: each micro-batch lands
+        as one committed copy-on-write MERGE; the final snapshot is the
+        per-key latest across batches and the manifest history shows
+        create + one merge per subsequent batch."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt")
+        sink = versioned_upsert_foreach_batch(root, ["k"])
+        sink(spark.createDataFrame([(1, 5, "a"), (2, 5, "b")], "k int, ts int, v string"), 0)
+        sink(spark.createDataFrame([(2, 9, "b2"), (3, 9, "c")], "k int, ts int, v string"), 1)
+        # within-batch last-write-wins before the merge
+        sink(spark.createDataFrame([(3, 10, "mid"), (3, 11, "c2")], "k int, ts int, v string"), 2)
+        table = VersionedTable(spark, root)
+        got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+        assert got == {1: "a", 2: "b2", 3: "c2"}
+        assert [m["op"] for m in table.history()] == [
+            "create",
+            "merge:update",
+            "merge:update",
+        ]
+
 
 @pytest.mark.slow
 class TestTransformWithStateBackend:
