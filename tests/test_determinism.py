@@ -30,6 +30,7 @@ ORDER_SENSITIVE = [
     "events_upsert_apply",       # max_by last-writer-wins
     "customers_rfm_scores",      # global ntile tie-breaks
     "docs_inverted_index",       # head-20 postings per term
+    "events_merge_upsert_cow",   # COW merge + max_by latest per station
 ]
 
 
