@@ -113,7 +113,7 @@ def events_merge_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(tempfile.mkdtemp(prefix="iotdp_cow_"), "tbl")
     table = VersionedTable(spark, root)
-    table.create(base, n_files=8)
+    table.create(base, n_files=8, cluster_by=["station"])
     table.merge_into(src, ["station"])
     dele = table.snapshot().filter(F.col("station") % 7 == 0)
     table.merge_into(dele, ["station"], when_matched="delete")

@@ -74,6 +74,32 @@ class TestCopyOnWrite:
         assert len(carried) >= len(m1["files"]) - 1  # ≥3 of 4 not rewritten
         assert set(m2["files"]) != set(m1["files"])  # but something changed
 
+    def test_cluster_by_prunes_localized_merges(self, spark, tmp_path):
+        """Range clustering is what makes file pruning bite: a
+        key-local source (one contiguous key range) must rewrite only
+        the file(s) owning that range, and the clustering must survive
+        the merge (manifest-carried) so the NEXT localized merge
+        prunes too."""
+        t = VersionedTable(spark, str(tmp_path / "ct"))
+        base = spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(1000)])
+        t.create(base, n_files=10, cluster_by=["k"])
+        m1 = t._read_manifest(1)
+        assert m1["cluster_by"] == ["k"]
+        # source local to one range: ~1/10 of the key space
+        src = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(500, 550)])
+        t.merge_into(src, ["k"])
+        m2 = t._read_manifest(2)
+        carried = set(m1["files"]) & set(m2["files"])
+        assert len(carried) >= len(m1["files"]) - 2  # ≥8 of 10 untouched
+        # clustering preserved → a second localized merge still prunes
+        src2 = spark.createDataFrame([Row(k=i, v=f"w{i}") for i in range(100, 120)])
+        t.merge_into(src2, ["k"])
+        m3 = t._read_manifest(3)
+        assert len(set(m2["files"]) & set(m3["files"])) >= len(m2["files"]) - 2
+        got = dict(_rows(t.snapshot()))
+        assert got[510] == "u510" and got[110] == "w110" and got[0] == "base0"
+        assert len(got) == 1000
+
     def test_insert_only_merge_rewrites_nothing(self, spark, table):
         m1 = table._read_manifest(1)
         src = spark.createDataFrame([Row(k=1000, v="brand-new")])
@@ -118,12 +144,12 @@ class TestOptimisticConcurrency:
         real_try_commit = table._try_commit
         state = {"b_done": False}
 
-        def racing_commit(base, files, op):
+        def racing_commit(base, files, op, cluster_by=None):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
-            return real_try_commit(base, files, op)
+            return real_try_commit(base, files, op, cluster_by)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -137,7 +163,7 @@ class TestOptimisticConcurrency:
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
-        def always_conflict(base, files, op):
+        def always_conflict(base, files, op, cluster_by=None):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
