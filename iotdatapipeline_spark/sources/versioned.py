@@ -88,6 +88,7 @@ class VersionedTable:
         files: list[str],
         op: str,
         cluster_by: Sequence[str] | None = None,
+        txn_id: str | None = None,
     ) -> None:
         """Atomically create manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first."""
@@ -98,6 +99,7 @@ class VersionedTable:
             "op": op,
             "files": sorted(files),
             "cluster_by": list(cluster_by) if cluster_by else [],
+            "txn_id": txn_id,
         }
         path = self._manifest_path(base_version + 1)
         try:
@@ -183,19 +185,31 @@ class VersionedTable:
         *,
         when_matched: str = "update",
         max_retries: int = 5,
+        txn_id: str | None = None,
     ) -> int:
         """Copy-on-write MERGE: ``when_matched="update"`` replaces
         matched rows with the source row (K1/K2 upsert;
         ``when_not_matched`` is always INSERT), ``"delete"`` removes
         matched rows (K5's reset-by-delete shape). Returns the
         committed version. Retries the whole read-apply-commit cycle on
-        :class:`CommitConflict` — optimistic concurrency."""
+        :class:`CommitConflict` — optimistic concurrency.
+
+        ``txn_id`` makes the merge EXACTLY-ONCE under replay (the
+        streaming sink passes ``stream-{batch_id}``): if any committed
+        manifest already carries the id, the merge is a no-op returning
+        that version — Spark re-running a micro-batch after a failure
+        between sink write and offset commit cannot apply it twice.
+        Same idempotence protocol as Delta's txn (appId, version)."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
         keys = list(keys)
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
             base = self.version()
+            if txn_id is not None:
+                for v in range(1, base + 1):
+                    if self._read_manifest(v).get("txn_id") == txn_id:
+                        return v  # already applied (batch replay)
             if base == 0:
                 raise ValueError("merge_into target does not exist; create() it first")
             m = self._read_manifest(base)
@@ -238,7 +252,7 @@ class VersionedTable:
                 rewritten += self._write_files(ins)
             try:
                 self._try_commit(
-                    base, untouched + rewritten, f"merge:{when_matched}", cluster_by
+                    base, untouched + rewritten, f"merge:{when_matched}", cluster_by, txn_id
                 )
                 return base + 1
             except CommitConflict:

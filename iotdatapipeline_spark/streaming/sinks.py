@@ -98,9 +98,11 @@ def versioned_upsert_foreach_batch(root: str, keys: Sequence[str]):
         latest = latest_per_key(batch_df, keys, order_col)
         table = VersionedTable(batch_df.sparkSession, root)
         if table.version() == 0:
-            table.create(latest)
+            table.create(latest, cluster_by=list(keys))
         else:
-            table.merge_into(latest, keys)
+            # txn_id: a replayed micro-batch (failure between sink
+            # write and offset commit) must not apply twice
+            table.merge_into(latest, keys, txn_id=f"stream-{batch_id}")
 
     return apply
 

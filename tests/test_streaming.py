@@ -559,6 +559,11 @@ class TestSinks:
             "merge:update",
             "merge:update",
         ]
+        # replayed micro-batch (same batch_id) is exactly-once: no new
+        # version, same snapshot
+        sink(spark.createDataFrame([(3, 11, "c2")], "k int, ts int, v string"), 2)
+        assert table.version() == 3
+        assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
 
 
 @pytest.mark.slow

@@ -144,12 +144,12 @@ class TestOptimisticConcurrency:
         real_try_commit = table._try_commit
         state = {"b_done": False}
 
-        def racing_commit(base, files, op, cluster_by=None):
+        def racing_commit(base, files, op, cluster_by=None, txn_id=None):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
-            return real_try_commit(base, files, op, cluster_by)
+            return real_try_commit(base, files, op, cluster_by, txn_id)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -160,10 +160,21 @@ class TestOptimisticConcurrency:
         ops = [m["op"] for m in table.history()]
         assert ops == ["create", "merge:update", "merge:update"]
 
+    def test_txn_id_makes_merge_exactly_once(self, spark, table):
+        """Replaying a merge with the same txn_id (Spark micro-batch
+        retry) is a no-op returning the already-committed version."""
+        src = spark.createDataFrame([Row(k=1, v="once")])
+        v1 = table.merge_into(src, ["k"], txn_id="stream-7")
+        v2 = table.merge_into(src, ["k"], txn_id="stream-7")  # replay
+        assert v1 == v2 == 2
+        assert table.version() == 2
+        # a different txn still commits
+        assert table.merge_into(src, ["k"], txn_id="stream-8") == 3
+
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
-        def always_conflict(base, files, op, cluster_by=None):
+        def always_conflict(base, files, op, cluster_by=None, txn_id=None):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
