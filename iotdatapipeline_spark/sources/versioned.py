@@ -261,6 +261,28 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
 
+    def optimize(self, n_files: int, max_retries: int = 5) -> int:
+        """Compact the table into ``n_files`` files (range-clustered if
+        the table is) as a new committed version — same data, new
+        layout. The streaming sink accretes one small insert file per
+        micro-batch with new keys; periodic OPTIMIZE keeps the file
+        count bounded so scans and merge pruning stay effective.
+        Concurrency-safe like any commit: a conflicting writer wins and
+        the compaction retries over the new snapshot."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("optimize target does not exist; create() it first")
+            m = self._read_manifest(base)
+            cluster_by = m.get("cluster_by") or None
+            files = self._write_files(self.snapshot(base), n_files, cluster_by)
+            try:
+                self._try_commit(base, files, "optimize", cluster_by)
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"optimize gave up after {max_retries} conflicts")
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO committed manifest —
         i.e. the orphans of conflict-aborted merge attempts. Every

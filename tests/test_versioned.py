@@ -109,6 +109,35 @@ class TestCopyOnWrite:
         assert len(m2["files"]) > len(m1["files"])  # plus insert file(s)
 
 
+class TestOptimize:
+    def test_compaction_preserves_data_and_clustering(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "opt"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(100)]),
+            n_files=5,
+            cluster_by=["k"],
+        )
+        # accrete small insert files, as the streaming sink does
+        for i in range(3):
+            t.merge_into(
+                spark.createDataFrame([Row(k=1000 + i, v=f"new{i}")]), ["k"]
+            )
+        before = t._read_manifest(t.version())
+        assert len(before["files"]) >= 8
+        v = t.optimize(n_files=4)
+        m = t._read_manifest(v)
+        assert m["op"] == "optimize"
+        assert len(m["files"]) == 4
+        assert m["cluster_by"] == ["k"]  # layout property survives
+        got = dict(_rows(t.snapshot()))
+        assert len(got) == 103 and got[0] == "base0" and got[1002] == "new2"
+        # compacted layout still prunes localized merges
+        m_pre = t._read_manifest(t.version())
+        t.merge_into(spark.createDataFrame([Row(k=3, v="x")]), ["k"])
+        m_post = t._read_manifest(t.version())
+        assert len(set(m_pre["files"]) & set(m_post["files"])) >= 3
+
+
 class TestTimeTravelAndVacuum:
     def test_time_travel(self, spark, table):
         src = spark.createDataFrame([Row(k=0, v="new0")])
