@@ -88,26 +88,51 @@ class VersionedTable:
         files: list[str],
         op: str,
         cluster_by: Sequence[str] | None = None,
-        txn_id: str | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> None:
-        """Atomically create manifest ``base_version + 1``; raise
-        :class:`CommitConflict` if another writer got there first."""
+        """Atomically commit manifest ``base_version + 1``; raise
+        :class:`CommitConflict` if another writer got there first.
+
+        The manifest is FULLY WRITTEN to a temp file first and the
+        commit point is ``os.link`` of that file to the versioned name
+        — atomic and exclusive on POSIX. Creating the final name
+        directly with O_EXCL and then writing would make the crash
+        window between create and write a table-bricking state (an
+        empty v{N} that every reader and every future committer trips
+        over); link-after-write means the versioned name either does
+        not exist or is a complete manifest.
+
+        ``txn_app``/``txn_version`` (Delta's txn protocol): each commit
+        carries forward a per-app latest-txn map so idempotence checks
+        are O(1) reads of the latest manifest, not a scan of history.
+        """
         os.makedirs(self._log, exist_ok=True)
+        txns: dict = {}
+        if base_version > 0:
+            txns = dict(self._read_manifest(base_version).get("txns") or {})
+        if txn_app is not None:
+            txns[txn_app] = [int(txn_version), base_version + 1]
         manifest = {
             "version": base_version + 1,
             "base": base_version,
             "op": op,
             "files": sorted(files),
             "cluster_by": list(cluster_by) if cluster_by else [],
-            "txn_id": txn_id,
+            "txns": txns,
         }
         path = self._manifest_path(base_version + 1)
+        tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)  # atomic commit point
         except FileExistsError as exc:
             raise CommitConflict(f"version {base_version + 1} already committed") from exc
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+        finally:
+            os.unlink(tmp)
 
     # ── data-file plumbing ──────────────────────────────────────────────
 
@@ -130,8 +155,12 @@ class VersionedTable:
         as in any copy-on-write table format."""
         os.makedirs(self._data, exist_ok=True)
         stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex[:8]}")
-        if n_files and cluster_by:
-            out = df.repartitionByRange(n_files, *cluster_by)
+        if cluster_by:
+            # clustering must never silently drop: without n_files,
+            # keep the incoming parallelism but still range-partition
+            out = df.repartitionByRange(
+                n_files or df.rdd.getNumPartitions() or 1, *cluster_by
+            )
         elif n_files:
             out = df.repartition(n_files)
         else:
@@ -154,15 +183,20 @@ class VersionedTable:
         df: DataFrame,
         n_files: int | None = None,
         cluster_by: Sequence[str] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Commit ``df`` as version 1 of a new table. ``cluster_by``
         (usually the merge keys) range-clusters the data files and is
         remembered by the manifest, so every later MERGE preserves the
-        clustering and key-local sources rewrite few files."""
+        clustering and key-local sources rewrite few files.
+        ``txn_app``/``txn_version`` record the creating transaction so
+        a replayed first micro-batch is recognized by merge_into's
+        idempotence check instead of applying twice."""
         if self.version() != 0:
             raise ValueError(f"table already exists at {self.root}")
         files = self._write_files(df, n_files, cluster_by)
-        self._try_commit(0, files, "create", cluster_by)
+        self._try_commit(0, files, "create", cluster_by, txn_app, txn_version)
         return 1
 
     def snapshot(self, version: int | None = None) -> DataFrame:
@@ -185,7 +219,8 @@ class VersionedTable:
         *,
         when_matched: str = "update",
         max_retries: int = 5,
-        txn_id: str | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Copy-on-write MERGE: ``when_matched="update"`` replaces
         matched rows with the source row (K1/K2 upsert;
@@ -194,28 +229,39 @@ class VersionedTable:
         committed version. Retries the whole read-apply-commit cycle on
         :class:`CommitConflict` — optimistic concurrency.
 
-        ``txn_id`` makes the merge EXACTLY-ONCE under replay (the
-        streaming sink passes ``stream-{batch_id}``): if any committed
-        manifest already carries the id, the merge is a no-op returning
-        that version — Spark re-running a micro-batch after a failure
-        between sink write and offset commit cannot apply it twice.
-        Same idempotence protocol as Delta's txn (appId, version)."""
+        ``txn_app``/``txn_version`` make the merge EXACTLY-ONCE under
+        replay — Delta's txn protocol: each commit carries a per-app
+        latest-txn-version map forward in its manifest, so the check
+        is one O(1) read of the latest manifest (not a history scan),
+        and a writer whose versions increase monotonically (the
+        streaming sink passes ``("stream", batch_id)``) can never
+        apply a batch twice: if the recorded version for the app is
+        already >= this one, the merge is a no-op returning the table
+        version that applied it.
+
+        The source must be key-unique (SQL MERGE's multiple-match case
+        is an error there; here duplicate source keys would simply both
+        insert). The streaming sink guarantees it via
+        ``latest_per_key`` before every merge; batch callers should do
+        the same."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be passed together")
         keys = list(keys)
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
             base = self.version()
-            if txn_id is not None:
-                for v in range(1, base + 1):
-                    if self._read_manifest(v).get("txn_id") == txn_id:
-                        return v  # already applied (batch replay)
             if base == 0:
                 raise ValueError("merge_into target does not exist; create() it first")
             m = self._read_manifest(base)
+            if txn_app is not None:
+                seen = (m.get("txns") or {}).get(txn_app)
+                if seen is not None and int(seen[0]) >= int(txn_version):
+                    return int(seen[1])  # already applied (batch replay)
             snap = self.snapshot(base).withColumn("__file", F.input_file_name())
             # exact file-level pruning: the collected result is the
-            # bounded list of touched FILES, never data rows
+            # bounded list of touched FILES, never data rows.
             # plain join (no forced broadcast): Catalyst/AQE broadcasts
             # the key set when it is small — the common dim-merge case —
             # and falls back to a shuffle join for huge sources
@@ -228,7 +274,9 @@ class VersionedTable:
             }
             cluster_by = m.get("cluster_by") or None
             untouched = [f for f in m["files"] if f not in touched]
+            cols = self.snapshot(base).columns  # parquet footer only, no job
             rewritten: list[str] = []
+            touched_df = None
             if touched:
                 touched_df = self.spark.read.parquet(
                     *[os.path.join(self._data, f) for f in touched]
@@ -239,20 +287,29 @@ class VersionedTable:
                 )
             if when_matched == "update":
                 inserted = source
-            else:  # delete matched; still insert the not-matched source rows
-                matched_keys = (
-                    self.snapshot(base).select(*keys).distinct()
-                )
-                inserted = source.join(matched_keys, keys, "left_anti")
-            cols = self.snapshot(base).columns
+            else:
+                # delete matched; still insert the not-matched source
+                # rows. Matched keys can only live in touched files, so
+                # the full snapshot need not be re-read.
+                if touched_df is not None:
+                    matched_keys = touched_df.select(*keys).distinct()
+                    inserted = source.join(matched_keys, keys, "left_anti")
+                else:
+                    inserted = source
             ins = inserted.select(*cols)
-            if ins.isEmpty() and not touched:
+            ins_empty = ins.isEmpty()  # one job, reused below
+            if ins_empty and not touched:
                 return base  # no-op merge
-            if not ins.isEmpty():
+            if not ins_empty:
                 rewritten += self._write_files(ins)
             try:
                 self._try_commit(
-                    base, untouched + rewritten, f"merge:{when_matched}", cluster_by, txn_id
+                    base,
+                    untouched + rewritten,
+                    f"merge:{when_matched}",
+                    cluster_by,
+                    txn_app,
+                    txn_version,
                 )
                 return base + 1
             except CommitConflict:
@@ -283,17 +340,29 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"optimize gave up after {max_retries} conflicts")
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO committed manifest —
         i.e. the orphans of conflict-aborted merge attempts. Every
         committed version keeps its files, so time travel stays
-        intact."""
+        intact.
+
+        ``retention_s`` is the safety horizon against IN-FLIGHT
+        writers (Delta has the same knob for the same reason): a
+        writer renames its data files into ``data/`` BEFORE its
+        commit, so an unreferenced file younger than the horizon may
+        belong to a transaction that is about to commit — deleting it
+        would corrupt that version. Only files older than the horizon
+        are removed; pass 0 only when no writer can be active."""
+        import time
+
         referenced: set[str] = set()
         for v in range(1, self.version() + 1):
             referenced |= set(self._read_manifest(v)["files"])
+        cutoff = time.time() - retention_s
         removed = []
         for f in os.listdir(self._data) if os.path.isdir(self._data) else []:
-            if f not in referenced:
-                os.remove(os.path.join(self._data, f))
+            path = os.path.join(self._data, f)
+            if f not in referenced and os.path.getmtime(path) < cutoff:
+                os.remove(path)
                 removed.append(f)
         return removed

@@ -92,17 +92,26 @@ def versioned_upsert_foreach_batch(root: str, keys: Sequence[str]):
     fallback."""
     from iotdatapipeline_spark.sources.versioned import VersionedTable
 
+    from iotdatapipeline_spark.sources.versioned import CommitConflict
+
     def apply(batch_df: DataFrame, batch_id: int, order_col: str = "ts") -> None:
         if not batch_df.columns:
             return
         latest = latest_per_key(batch_df, keys, order_col)
         table = VersionedTable(batch_df.sparkSession, root)
+        # txn ("stream", batch_id): a replayed micro-batch (failure
+        # between sink write and offset commit) must not apply twice —
+        # including a replay of the CREATING batch, whose txn the
+        # create commit records for merge_into's idempotence check.
         if table.version() == 0:
-            table.create(latest, cluster_by=list(keys))
-        else:
-            # txn_id: a replayed micro-batch (failure between sink
-            # write and offset commit) must not apply twice
-            table.merge_into(latest, keys, txn_id=f"stream-{batch_id}")
+            try:
+                table.create(
+                    latest, cluster_by=list(keys), txn_app="stream", txn_version=batch_id
+                )
+                return
+            except (CommitConflict, ValueError):
+                pass  # another writer created the table first — merge
+        table.merge_into(latest, keys, txn_app="stream", txn_version=batch_id)
 
     return apply
 

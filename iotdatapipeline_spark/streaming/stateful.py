@@ -41,8 +41,16 @@ OUTPUT_SCHEMA = (
     "row_kind string"
 )
 
-# (prev_counter, base_ct, corrida_previa, last_tod_sec, initialized)
-STATE_SCHEMA = "prev_counter bigint, base_ct bigint, corrida_previa bigint, last_tod int, initialized boolean"
+# (prev_counter, base_ct, corrida_previa, last_tod_sec, initialized,
+#  max_ts_ms). The last field is event-time-timeout bookkeeping only:
+# the key's LIFETIME max event time in ms, so an out-of-order (but
+# watermark-valid) batch cannot regress the silence deadline below
+# already-seen data. The _advance transition neither reads nor writes
+# it.
+STATE_SCHEMA = (
+    "prev_counter bigint, base_ct bigint, corrida_previa bigint, last_tod int, "
+    "initialized boolean, max_ts_ms bigint"
+)
 
 _B1 = 8 * 3600
 _B2 = 16 * 3600
@@ -168,18 +176,24 @@ def make_state_fn(
 
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        current = state.get if state.exists else _FRESH_STATE
+        stored = tuple(state.get) if state.exists else None
+        current = stored[:5] if stored else _FRESH_STATE
+        prior_max_ms = (stored[5] if stored and len(stored) > 5 else None) or 0
         out, new_state = _advance(station, part, pdf, current, emit_mode)
-        state.update(new_state)
+        m_ms = max(int(t.value) // 1_000_000 for t in pdf["ts"])
+        # lifetime max, not batch max: a late-but-watermark-valid batch
+        # must not regress the silence deadline below data already seen
+        m_ms = max(m_ms, prior_max_ms)
+        state.update(new_state + (m_ms,))
         if timeout_ms is not None:
             if timeout_mode == "event":
-                # deadline = key's max event time (ms, Spark's watermark
-                # granularity) + the silence gap. The max() guard keeps
-                # Spark's "timestamp must be after the watermark"
-                # contract; with a time-ordered replay the batch's own
-                # rows are always at-or-after the watermark, so the
-                # guard never changes the deadline in practice.
-                m_ms = max(int(t.value) // 1_000_000 for t in pdf["ts"])
+                # deadline = key's lifetime max event time (ms, Spark's
+                # watermark granularity) + the silence gap. The max()
+                # guard keeps Spark's "timestamp must be after the
+                # watermark" contract; with a time-ordered replay the
+                # batch's own rows are always at-or-after the
+                # watermark, so the guard never changes the deadline in
+                # practice.
                 state.setTimeoutTimestamp(max(m_ms + timeout_ms, state.getCurrentWatermarkMs() + 1))
             else:
                 state.setTimeoutDuration(timeout_ms)
@@ -222,9 +236,14 @@ class CounterStateProcessor:
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
         station, part = key
         pdf = pd.concat(list(rows), ignore_index=True).sort_values(["ts", "event_id"], kind="mergesort")
-        current = tuple(self._state.get()) if self._state.exists() else _FRESH_STATE
+        stored = tuple(self._state.get()) if self._state.exists() else None
+        current = stored[:5] if stored else _FRESH_STATE
+        prior_max_ms = (stored[5] if stored and len(stored) > 5 else None) or 0
         out, new_state = _advance(station, part, pdf, current, self._emit_mode)
-        self._state.update(new_state)
+        m_ms = max(
+            max(int(t.value) // 1_000_000 for t in pdf["ts"]), prior_max_ms
+        )
+        self._state.update(new_state + (m_ms,))
         if self._timeout_ms is not None:
             self._handle.registerTimer(timer_values.getCurrentProcessingTimeInMs() + self._timeout_ms)
         if out:

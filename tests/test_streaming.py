@@ -157,6 +157,20 @@ class TestStateFnUnit:
         list(fn((1, "p"), iter([_mk_pdf(rows)]), st))
         assert st.timeout_timestamp_ms == 10**15 + 1
 
+    def test_event_timeout_deadline_never_regresses_on_late_batch(self):
+        """A late-but-watermark-valid batch with older timestamps must
+        not pull the silence deadline below data already seen — the
+        lifetime max lives in state (6th field), not the batch."""
+        fn = make_state_fn("row", timeout_ms=3_600_000, timeout_mode="event")
+        st = FakeGroupState()
+        t0 = pd.Timestamp(dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc))
+        list(fn((1, "p"), iter([_mk_pdf([(1, "p", t0, 0, 0.0, 10)])]), st))
+        deadline_1 = st.timeout_timestamp_ms
+        late = t0 - pd.Timedelta(minutes=50)  # older event time
+        list(fn((1, "p"), iter([_mk_pdf([(1, "p", late, 1, 0.0, 11)])]), st))
+        assert st.timeout_timestamp_ms == deadline_1  # not regressed
+        assert st.get[5] == int(t0.value) // 1_000_000
+
     def test_event_timeout_fire_emits_limpieza_and_removes(self):
         fn = make_state_fn("row", timeout_ms=3_600_000, timeout_mode="event")
         st = FakeGroupState(value=(10, None, 0, 0, True), timed_out=True)

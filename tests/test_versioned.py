@@ -152,9 +152,20 @@ class TestTimeTravelAndVacuum:
         orphan = os.path.join(table._data, "f-orphan.parquet")
         with open(orphan, "wb") as f:
             f.write(b"junk")
-        removed = table.vacuum()
+        removed = table.vacuum(retention_s=0)
         assert removed == ["f-orphan.parquet"]
         assert _rows(table.snapshot())  # table intact
+
+    def test_vacuum_retention_spares_inflight_writers_files(self, spark, table):
+        """An unreferenced file younger than the retention horizon may
+        belong to a transaction about to commit — default vacuum must
+        not touch it."""
+        orphan = os.path.join(table._data, "f-young.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        assert table.vacuum() == []  # default 1h horizon
+        assert os.path.exists(orphan)
+        assert table.vacuum(retention_s=0) == ["f-young.parquet"]
 
 
 class TestOptimisticConcurrency:
@@ -173,12 +184,12 @@ class TestOptimisticConcurrency:
         real_try_commit = table._try_commit
         state = {"b_done": False}
 
-        def racing_commit(base, files, op, cluster_by=None, txn_id=None):
+        def racing_commit(base, files, op, cluster_by=None, txn_app=None, txn_version=None):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
-            return real_try_commit(base, files, op, cluster_by, txn_id)
+            return real_try_commit(base, files, op, cluster_by, txn_app, txn_version)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -189,21 +200,42 @@ class TestOptimisticConcurrency:
         ops = [m["op"] for m in table.history()]
         assert ops == ["create", "merge:update", "merge:update"]
 
-    def test_txn_id_makes_merge_exactly_once(self, spark, table):
-        """Replaying a merge with the same txn_id (Spark micro-batch
-        retry) is a no-op returning the already-committed version."""
+    def test_txn_makes_merge_exactly_once(self, spark, table):
+        """Replaying a merge with the same (txn_app, txn_version) —
+        Spark micro-batch retry — is a no-op returning the
+        already-committed table version; the check is O(1) against the
+        latest manifest's carried-forward txn map, not a history
+        scan."""
         src = spark.createDataFrame([Row(k=1, v="once")])
-        v1 = table.merge_into(src, ["k"], txn_id="stream-7")
-        v2 = table.merge_into(src, ["k"], txn_id="stream-7")  # replay
+        v1 = table.merge_into(src, ["k"], txn_app="stream", txn_version=7)
+        v2 = table.merge_into(src, ["k"], txn_app="stream", txn_version=7)  # replay
         assert v1 == v2 == 2
         assert table.version() == 2
-        # a different txn still commits
-        assert table.merge_into(src, ["k"], txn_id="stream-8") == 3
+        # a LOWER txn version (late replay of an older batch) is also
+        # a no-op — monotonic-writer protocol, as in Delta's txn
+        assert table.merge_into(src, ["k"], txn_app="stream", txn_version=5) == 2
+        # a higher version commits, and the map carries forward
+        assert table.merge_into(src, ["k"], txn_app="stream", txn_version=8) == 3
+        assert table._read_manifest(3)["txns"]["stream"] == [8, 3]
+
+    def test_crash_between_manifest_create_and_write_cannot_brick(self, spark, table):
+        """The commit point is link-after-full-write: the versioned
+        manifest name either does not exist or is complete JSON, so a
+        writer dying mid-commit leaves the table readable and
+        committable (no empty v{N} squatting on the next version)."""
+        # simulate the old failure: even if a stray temp file leaks,
+        # version resolution and the next commit are unaffected
+        with open(os.path.join(table._log, ".tmp-deadwriter.json"), "w") as f:
+            f.write("{")  # truncated
+        assert table.version() == 1
+        src = spark.createDataFrame([Row(k=1, v="after-crash")])
+        assert table.merge_into(src, ["k"]) == 2
+        assert dict(_rows(table.snapshot()))[1] == "after-crash"
 
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
-        def always_conflict(base, files, op, cluster_by=None, txn_id=None):
+        def always_conflict(base, files, op, cluster_by=None, txn_app=None, txn_version=None):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
