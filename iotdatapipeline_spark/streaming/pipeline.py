@@ -38,15 +38,26 @@ def run_pipeline(
     config: DataFrame | None = None,
     emit_mode: str = "reference",
     timeout_ms: int | None = None,
+    timeout_mode: str = "processing",
+    versioned_records: bool = False,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the pipeline. ``available_now=True`` drains the replay
     and stops (test mode); otherwise it runs with a 1 s trigger
-    mirroring the reference's poll cadence (T1)."""
+    mirroring the reference's poll cadence (T1).
+
+    Production configuration: ``timeout_mode="event"`` (deterministic
+    replayable silence detection; terminates under availableNow) with
+    ``versioned_records=True`` (K1 through the transactional MERGE
+    target, txn-exactly-once per micro-batch)."""
     stream = readings_stream(spark, replay_dir)
     if config is not None:
         stream = enrich_with_config(stream, config)
-    updates = counter_state_machine(stream, emit_mode=emit_mode, timeout_ms=timeout_ms)
+    if timeout_mode == "event" and timeout_ms is not None:
+        stream = stream.withWatermark("ts", "0 seconds")
+    updates = counter_state_machine(
+        stream, emit_mode=emit_mode, timeout_ms=timeout_ms, timeout_mode=timeout_mode
+    )
     # K6/K7 observability as observed metrics: per-micro-batch emit /
     # limpieza / quantity counters surfaced through StreamingQuery
     # progress (the Spark-native replacement for the reference's
@@ -67,6 +78,7 @@ def run_pipeline(
                 updates_keys=["station", "part", "plan_date", "shift_id"],
                 history_path=history_path,
                 limpieza_path=limpieza_path,
+                versioned_records=versioned_records,
             )
         )
     )

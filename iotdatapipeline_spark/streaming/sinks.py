@@ -156,11 +156,19 @@ def fanout_foreach_batch(
     updates_keys: Sequence[str],
     history_path: str,
     limpieza_path: str | None = None,
+    versioned_records: bool = False,
 ):
     """The reference's per-batch effect fan-out (Prensas.py:794-818):
     history append (K3) for every update row, record upsert (K1) keyed
     per (station, part, plan_date, shift), limpieza rows (K5) routed
-    to their own sink. One pass over a cached batch."""
+    to their own sink. One pass over a cached batch.
+
+    ``versioned_records=True`` sends the K1 upsert through the
+    transactional MERGE target (``updates_path`` becomes a
+    VersionedTable root): copy-on-write rewrites, atomic commits, and
+    txn-exactly-once under batch replay — the production
+    configuration. The default plain-parquet overwrite remains the
+    zero-infrastructure fallback."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -168,9 +176,40 @@ def fanout_foreach_batch(
             updates = batch_df.filter(F.col("row_kind") == "update")
             _idempotent_append(updates, batch_id, history_path)
             latest = latest_per_key(updates, updates_keys, ("ts", "counter"))
-            spark = batch_df.sparkSession
-            existing = read_or_empty(spark, updates_path, updates)
-            _atomic_overwrite(merge_upsert(existing, latest, updates_keys), updates_path)
+            if versioned_records:
+                from iotdatapipeline_spark.sources.versioned import (
+                    CommitConflict,
+                    VersionedTable,
+                )
+
+                table = VersionedTable(batch_df.sparkSession, updates_path)
+                if not latest.isEmpty():
+                    if table.version() == 0:
+                        try:
+                            table.create(
+                                latest,
+                                cluster_by=list(updates_keys),
+                                txn_app="pipeline",
+                                txn_version=batch_id,
+                            )
+                        except (CommitConflict, ValueError):
+                            table.merge_into(
+                                latest,
+                                updates_keys,
+                                txn_app="pipeline",
+                                txn_version=batch_id,
+                            )
+                    else:
+                        table.merge_into(
+                            latest,
+                            updates_keys,
+                            txn_app="pipeline",
+                            txn_version=batch_id,
+                        )
+            else:
+                spark = batch_df.sparkSession
+                existing = read_or_empty(spark, updates_path, updates)
+                _atomic_overwrite(merge_upsert(existing, latest, updates_keys), updates_path)
             if limpieza_path is not None:
                 limp = batch_df.filter(F.col("row_kind") == "limpieza").select("station", "part")
                 if limp.take(1):

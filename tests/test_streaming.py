@@ -282,6 +282,53 @@ class TestEndToEndStreaming:
         n_updates_written = history.filter(F.col("row_kind") == "update").count()
         assert total_observed == n_updates_written
 
+    def test_production_configuration_end_to_end(self, spark, sf_small, tmp_path):
+        """The full production shape in one run: replay → T4 machine
+        with EVENT-TIME silence timeouts → fan-out into the
+        transactional record table (txn-exactly-once MERGE per batch)
+        + history + limpieza route. Asserts (1) the versioned record
+        snapshot is keyed uniquely and equals the per-key latest of
+        the history, (2) silence fired limpieza rows, (3) the table
+        history is one clustered create plus per-batch merges."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        replay = stage_replay_chunks(spark, sf_small, str(tmp_path / "replay"), n_chunks=6)
+        q = run_pipeline(
+            spark,
+            replay,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            records_path=str(tmp_path / "records"),
+            history_path=str(tmp_path / "history"),
+            limpieza_path=str(tmp_path / "limpieza"),
+            emit_mode="row",
+            timeout_ms=3_600_000,
+            timeout_mode="event",
+            versioned_records=True,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        table = VersionedTable(spark, str(tmp_path / "records"))
+        records = table.snapshot()
+        keys = ["station", "part", "plan_date", "shift_id"]
+        assert records.count() == records.select(*keys).distinct().count()
+        history = spark.read.parquet(str(tmp_path / "history"))
+        from iotdatapipeline_spark.streaming.sinks import latest_per_key
+
+        expected = latest_per_key(
+            history.filter(F.col("row_kind") == "update").drop("__batch_id"),
+            keys,
+            ("ts", "counter"),
+        )
+        assert records.exceptAll(expected.select(*records.columns)).count() == 0
+        assert expected.exceptAll(records.select(*expected.columns)).count() == 0
+        # silence detection actually fired through the limpieza route
+        limp = spark.read.parquet(str(tmp_path / "limpieza"))
+        assert limp.count() > 0
+        # table protocol: clustered create, then only merges
+        ops = [m["op"] for m in table.history()]
+        assert ops[0] == "create" and set(ops[1:]) <= {"merge:update"}
+        assert table._read_manifest(1)["cluster_by"] == keys
+
     def test_checkpoint_recovery_resumes_state_exactly(self, spark, sf_small, tmp_path):
         """Stop/restart correctness: drain HALF the replay, let the
         query terminate, then deliver the rest against the SAME
