@@ -168,6 +168,53 @@ class TestTimeTravelAndVacuum:
         assert table.vacuum(retention_s=0) == ["f-young.parquet"]
 
 
+class TestModelBased:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("seed", [7, 91])
+    def test_random_op_sequence_matches_dict_model(self, spark, tmp_path, seed):
+        """Model-based check of the whole table protocol: a random
+        sequence of upserts / deletes / optimizes applied both to the
+        VersionedTable and to a plain-dict model must agree on every
+        intermediate snapshot, and time travel must replay the model's
+        full history."""
+        import random
+
+        rng = random.Random(seed)
+        t = VersionedTable(spark, str(tmp_path / f"mb{seed}"))
+        model: dict[int, str] = {i: f"v0-{i}" for i in range(0, 30, 2)}
+        t.create(
+            spark.createDataFrame([Row(k=k, v=v) for k, v in model.items()]),
+            n_files=3,
+            cluster_by=["k"],
+        )
+        snapshots = [dict(model)]
+        for step in range(8):
+            op = rng.choice(["upsert", "delete", "optimize"])
+            if op == "optimize":
+                t.optimize(n_files=rng.randint(1, 4))
+            else:
+                ks = rng.sample(range(35), rng.randint(1, 5))
+                rows = [Row(k=k, v=f"s{step}-{k}") for k in ks]
+                src = spark.createDataFrame(rows)
+                if op == "upsert":
+                    t.merge_into(src, ["k"])
+                    model.update({r.k: r.v for r in rows})
+                else:
+                    t.merge_into(src, ["k"], when_matched="delete")
+                    for r in rows:
+                        if r.k in model:
+                            del model[r.k]
+                        else:
+                            model[r.k] = r.v  # not-matched inserts
+            got = dict(_rows(t.snapshot()))
+            assert got == model, f"step {step} ({op}): {got} != {model}"
+            snapshots.append(dict(model))
+        # time travel replays the whole history
+        assert t.version() == len(snapshots)
+        for v, expect in enumerate(snapshots, start=1):
+            assert dict(_rows(t.snapshot(v))) == expect
+
+
 class TestOptimisticConcurrency:
     def test_commit_conflict_raises_on_duplicate_version(self, spark, table):
         with pytest.raises(CommitConflict):
