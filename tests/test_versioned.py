@@ -279,6 +279,26 @@ class TestOptimisticConcurrency:
         assert table.merge_into(src, ["k"]) == 2
         assert dict(_rows(table.snapshot()))[1] == "after-crash"
 
+    @pytest.mark.slow
+    def test_truly_concurrent_writers_serialize_and_all_land(self, spark, table):
+        """Four threads merge disjoint keys into the SAME table at the
+        same time — the O_EXCL/link commit must serialize them into a
+        linear version history with every effect present (no lost
+        update, no duplicate version)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def merge(i: int) -> int:
+            w = VersionedTable(spark, table.root)  # own manifest reads
+            src = spark.createDataFrame([Row(k=1000 + i, v=f"writer{i}")])
+            return w.merge_into(src, ["k"], max_retries=30)
+
+        with ThreadPoolExecutor(4) as ex:
+            versions = sorted(ex.map(merge, range(4)))
+        assert versions == [2, 3, 4, 5]  # linear, no gaps, no dupes
+        got = dict(_rows(table.snapshot()))
+        assert all(got[1000 + i] == f"writer{i}" for i in range(4))
+        assert got[0] == "base0" and len(got) == 24
+
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
