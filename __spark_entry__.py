@@ -79,6 +79,7 @@ _PRIORITY = [
     "cycle_time_approx_percentiles",
     "stream_limpieza_timeout",  # NEW r4: the T5 silence-timeout path (verdict item 6)
     "events_merge_upsert_cow",  # NEW r4: transactional COW MERGE target (missing #3)
+    "cycle_time_formatting",  # NEW r4: C4/C6/C10 scalars converted from pass* to a hard row
 ]
 
 

@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.functions import (
+    cycle_time_seconds,
     decode_block,
     expand_block,
+    fmt_date,
+    fmt_ts,
     plan_date,
     shift_id,
 )
@@ -269,6 +272,41 @@ def shift_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         shift_id(F.col("ts")).alias("shift_id"),
         plan_date(F.col("ts")).alias("plan_date"),
+    )
+
+
+# ── C4/C6/C10: cycle-time decode + timestamp formatting ─────────────────────
+
+@register(
+    "cycle_time_formatting",
+    """
+    SELECT event_id,
+           coalesce(abs(CAST(TRY_CAST(
+               CASE WHEN event_id % 5 = 0 THEN event_type
+                    ELSE CAST(CAST(floor((value - 50) * 1000) AS BIGINT) AS VARCHAR)
+               END AS BIGINT) AS DOUBLE) / 1000.0), 0.0) AS cycle_s,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+           strftime(ts, '%Y-%m-%d') AS date_fmt
+    FROM events
+    """,
+)
+def cycle_time_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 + C10 + C6 as a gate row (Prensas.py:543-551, 699, 713, 235):
+    the PLC cycle-time word decoded ms→s with the reference's
+    malformed→0.0 and abs() rules — every 5th row feeds a NON-NUMERIC
+    string (the event type) through the try_cast path, and the
+    shifted value makes genuinely negative words exercise abs — plus
+    both reference timestamp formats. Pure per-row projections: no
+    exchange, scan-pruned to three columns."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 5 == 0, F.col("event_type")).otherwise(
+        F.floor((F.col("value") - 50) * 1000).cast("long").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        cycle_time_seconds(raw).alias("cycle_s"),
+        fmt_ts(F.col("ts")).alias("ts_fmt"),
+        fmt_date(F.col("ts")).alias("date_fmt"),
     )
 
 
