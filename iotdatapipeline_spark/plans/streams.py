@@ -314,6 +314,81 @@ def stream_limpieza_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: T2 gate parameters. The consumed set is the deterministic output of
+#: ``drop_oldest_schedule(10, 2, 3)`` (unit-tested in
+#: tests/test_streaming.py); the query asserts the staged schedule
+#: still matches before streaming.
+_T2_N_CHUNKS, _T2_CAPACITY, _T2_PERIOD = 10, 2, 3
+_T2_CONSUMED = (1, 4, 7, 8, 9)
+
+
+@register(
+    "stream_drop_oldest_backpressure",
+    f"""
+    WITH r AS (
+        SELECT user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) AS v,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    c AS (
+        SELECT station, v,
+               rn // ((n + {_T2_N_CHUNKS - 1}) // {_T2_N_CHUNKS}) AS chunk
+        FROM r
+    )
+    SELECT station, CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(v) AS BIGINT) AS v_total
+    FROM c WHERE chunk IN {_T2_CONSUMED}
+    GROUP BY station
+    """,
+)
+def stream_drop_oldest_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — drop-oldest bounded-queue backpressure (Prensas.py:584-593)
+    as a hard gate row: the time-ordered replay is staged THROUGH the
+    bounded queue model (capacity 2, slow consumer every 3 ticks —
+    chunks 0,2,3,5,6 are overwritten before the consumer gets them),
+    streamed via a real readStream, and the drained per-station
+    count/sum must hash-match the SQL twin restricted to exactly the
+    surviving chunks {{1,4,7,8,9}}. A replay that loses the wrong
+    chunks, duplicates a chunk, or delivers a dropped one mismatches.
+    The schedule constant is re-asserted against the model at run
+    time, so the oracle cannot silently drift from the queue
+    semantics."""
+    from iotdatapipeline_spark.streaming.source import stage_bounded_replay
+
+    work = tempfile.mkdtemp(prefix="iotdp_t2_")
+    replay, consumed, _dropped = stage_bounded_replay(
+        spark,
+        sf_dir,
+        os.path.join(work, "replay"),
+        n_chunks=_T2_N_CHUNKS,
+        capacity=_T2_CAPACITY,
+        consumer_period=_T2_PERIOD,
+    )
+    if tuple(consumed) != _T2_CONSUMED:
+        raise RuntimeError(f"queue schedule drifted: {consumed} != {_T2_CONSUMED}")
+    stream = readings_stream(spark, replay)
+    sink = f"stream_t2_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("station")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("counter").cast("long").alias("v_total"),
+        )
+    )
+
+
 #: T7 gate parameters — shared by the streamed queries and their SQL twins.
 _T7_N_CHUNKS = 6
 _T7_JITTER_US = 7_200_000_000  # arrival = ts + md5-jitter in [0, 2h)
