@@ -25,6 +25,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from iotdatapipeline_spark.analytics.multimodal import (
     audio_features,
@@ -1337,3 +1338,111 @@ def events_click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFra
         "purchase_id",
         "click_id",
     )
+
+
+#: T8 gate parameters — deterministic config "versions" derived from
+#: events. Membership rules are chosen so each reconcile round mixes
+#: started / restarted / stopped / unchanged groups: a group is absent
+#: from version v when (grp+v)%8==0, and its member set toggles with
+#: (grp+v)%3, so fingerprints change for some groups every round.
+_T8_VERSIONS = 4
+
+
+@register(
+    "supervisor_reload_actions",
+    f"""
+    WITH v AS (SELECT unnest([0, 1, 2, 3]) AS version),
+    cfg AS (
+        SELECT v.version,
+               CAST(e.user_id % 32 AS INTEGER) AS grp,
+               md5(CAST(e.event_id AS VARCHAR) || '|' || e.event_type || '|' ||
+                   CAST(CAST(floor(e.value * 100) AS BIGINT) AS VARCHAR)) AS h
+        FROM events e, v
+        WHERE (e.user_id % 32 + v.version) % 8 <> 0
+          AND (e.event_id % 4 = 0
+               OR (e.event_id % 4 = 1 AND (e.user_id % 32 + v.version) % 3 = 0))
+    ),
+    fp AS (
+        SELECT version, grp, md5(string_agg(h, '|' ORDER BY h)) AS fp
+        FROM cfg GROUP BY version, grp
+    ),
+    seq AS (
+        SELECT version, grp, fp,
+               lag(version) OVER w AS prev_version,
+               lag(fp) OVER w AS prev_fp
+        FROM fp WINDOW w AS (PARTITION BY grp ORDER BY version)
+    ),
+    alive AS (
+        SELECT version, grp,
+               CASE WHEN prev_version IS NULL OR prev_version <> version - 1
+                        THEN 'started'
+                    WHEN fp <> prev_fp THEN 'restarted'
+               END AS action
+        FROM seq
+    ),
+    stopped AS (
+        SELECT s.version + 1 AS version, s.grp, 'stopped' AS action
+        FROM fp s
+        WHERE s.version < {_T8_VERSIONS - 1}
+          AND NOT EXISTS (SELECT 1 FROM fp t
+                          WHERE t.grp = s.grp AND t.version = s.version + 1)
+    )
+    SELECT CAST(version AS INTEGER) AS version, grp, action
+    FROM alive WHERE action IS NOT NULL
+    UNION ALL
+    SELECT CAST(version AS INTEGER) AS version, grp, action FROM stopped
+    """,
+)
+def supervisor_reload_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — the supervisor's hot-reload diff (Prensas.py:835-947) as a
+    hard gate row: four deterministic config versions flow through the
+    REAL control plane — ``config_fingerprints`` (the distributed
+    sorted-member-hash md5, C7) feeding ``Supervisor.reconcile`` — and
+    the emitted (version, group, action) log must match a DuckDB twin
+    that derives started/restarted/stopped from its own canonical
+    digests. The two engines never compare fingerprint VALUES (Spark's
+    is md5-of-JSON, the oracle's md5-of-concat): the supervisor's
+    behavior depends only on fingerprint EQUALITY structure, which both
+    digests preserve because event_id makes member rows unique. A diff
+    that restarts an unchanged group, misses a changed one, or leaks a
+    removed group mismatches. The per-round ``collect`` inside
+    ``config_fingerprints`` is the supervisor's documented control-plane
+    pattern: one bounded (≤32-group) row set per reload poll."""
+    from iotdatapipeline_spark.streaming.supervisor import (
+        Supervisor,
+        config_fingerprints,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 32).cast("int").alias("grp"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("long").alias("val"),
+    )
+
+    class _NoopQuery:
+        def stop(self) -> None:
+            pass
+
+    sup = Supervisor(start_query=lambda group: _NoopQuery())
+    rows = []
+    for v in range(_T8_VERSIONS):
+        cfg_v = base.filter(
+            ((F.col("grp") + F.lit(v)) % 8 != 0)
+            & (
+                (F.col("event_id") % 4 == 0)
+                | ((F.col("event_id") % 4 == 1) & ((F.col("grp") + F.lit(v)) % 3 == 0))
+            )
+        ).select("grp", "event_id", "event_type", "val")
+        actions = sup.reconcile(config_fingerprints(cfg_v, "grp"))
+        rows.extend((v, int(g), a) for g, a in sorted(actions.items()))
+
+    schema = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("grp", IntegerType()),
+            StructField("action", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -840,6 +840,21 @@ class TestSupervisor:
         assert f1["ip1"] == f2["ip1"]
         assert f1["ip2"] != f2["ip2"]
 
+    def test_supervisor_reload_actions_gate_mixes_all_actions(self, spark, sf_small):
+        """The T8 gate query must exercise every reconcile branch:
+        version 0 is all 'started', and later versions mix restarted /
+        stopped / re-started groups (by construction of the membership
+        rules). Also pins determinism across invocations."""
+        from iotdatapipeline_spark.plans.streams import supervisor_reload_actions
+
+        rows = supervisor_reload_actions(spark, sf_small).collect()
+        actions = {(r["version"], r["grp"]): r["action"] for r in rows}
+        kinds = {a for (v, _g), a in actions.items() if v > 0}
+        assert {a for (v, _g), a in actions.items() if v == 0} == {"started"}
+        assert {"started", "restarted", "stopped"} <= kinds
+        again = supervisor_reload_actions(spark, sf_small).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
 
 class TestRocksDBStateStore:
     def test_rocksdb_provider_emits_identical_rows(self, spark, sf_small, tmp_path):
