@@ -82,6 +82,7 @@ _PRIORITY = [
     "cycle_time_formatting",  # NEW r4: C4/C6/C10 scalars converted from pass* to a hard row
     "stream_drop_oldest_backpressure",  # NEW r4: T2 lossy replay as a hard row
     "supervisor_reload_actions",  # NEW r4: T8 hot-reload diff as a hard row
+    "history_append_replayed",  # NEW r4: K3 idempotent append under batch retry
 ]
 
 

@@ -1446,3 +1446,52 @@ def supervisor_reload_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "history_append_replayed",
+    """
+    SELECT user_id AS station, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_total
+    FROM events GROUP BY user_id
+    """,
+)
+def history_append_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — the idempotent history append (Prensas.py:794-803) as a
+    hard gate row: three deterministic micro-batches of events flow
+    through the REAL ``append_foreach_batch`` executor, then batch 1 is
+    applied AGAIN — the retry a Structured Streaming sink must absorb
+    when a failure lands between the sink write and the offset commit.
+    The read-back per-station count/sum must equal the plain aggregate
+    over ALL events: a plain append-mode sink double-counts the
+    replayed batch, and a static-overwrite sink wipes the other
+    batches' partitions — either failure mode hash-mismatches. The
+    executor's dynamic-partition-overwrite discipline
+    (``__batch_id=N`` partition per batch) is what makes the replay a
+    no-op."""
+    from iotdatapipeline_spark.streaming.sinks import (
+        append_foreach_batch,
+        read_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("station"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.col("event_id"),
+    )
+    work = tempfile.mkdtemp(prefix="iotdp_k3_")
+    path = os.path.join(work, "history")
+    sink = append_foreach_batch(path)
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for bid, b in enumerate(batches):
+        sink(b, bid)
+    sink(batches[1], 1)  # the replayed micro-batch
+    return (
+        read_history(spark, path)
+        .drop("event_id")
+        .groupBy("station")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v_total"),
+        )
+    )
