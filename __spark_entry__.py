@@ -83,6 +83,7 @@ _PRIORITY = [
     "stream_drop_oldest_backpressure",  # NEW r4: T2 lossy replay as a hard row
     "supervisor_reload_actions",  # NEW r4: T8 hot-reload diff as a hard row
     "history_append_replayed",  # NEW r4: K3 idempotent append under batch retry
+    "fanout_sinks_readback",  # NEW r4: T9/K5 fan-out executor routing + retry
 ]
 
 

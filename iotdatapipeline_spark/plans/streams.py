@@ -1495,3 +1495,94 @@ def history_append_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("v_total"),
         )
     )
+
+
+@register(
+    "fanout_sinks_readback",
+    """
+    WITH r AS (
+        SELECT user_id AS station, event_type AS part,
+               CAST(floor(value * 100) AS BIGINT) AS counter,
+               CASE WHEN event_id % 11 = 0 THEN 'limpieza' ELSE 'update' END AS row_kind
+        FROM events
+    )
+    SELECT 'history' AS sink, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(counter) AS BIGINT) AS v_total
+    FROM r WHERE row_kind = 'update'
+    UNION ALL
+    SELECT 'records', CAST(count(DISTINCT station || '|' || part) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM r WHERE row_kind = 'update'
+    UNION ALL
+    SELECT 'limpieza', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM r WHERE row_kind = 'limpieza'
+    """,
+)
+def fanout_sinks_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/K3/K5 — the per-batch effect fan-out (Prensas.py:794-818) as
+    a hard gate row: tagged readings flow through the REAL
+    ``fanout_foreach_batch`` executor in two micro-batches plus a
+    replay of the last one, then all three sinks are read back and
+    reduced to split-independent invariants — history row/sum totals
+    (no loss, no duplication under retry), record count (exactly one
+    row per upsert key), and limpieza routing count. A sink that
+    duplicates the replayed batch, drops a row_kind route, or leaves
+    duplicate keys in the record table hash-mismatches. Invariants are
+    deliberately split-independent so the oracle does not depend on
+    which micro-batch a row landed in."""
+    from iotdatapipeline_spark.streaming.sinks import (
+        fanout_foreach_batch,
+        read_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("counter"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("limpieza"))
+        .otherwise(F.lit("update"))
+        .alias("row_kind"),
+    )
+    work = tempfile.mkdtemp(prefix="iotdp_t9_")
+    up, hp, lp = (os.path.join(work, d) for d in ("records", "history", "limpieza"))
+    sink = fanout_foreach_batch(
+        updates_path=up,
+        updates_keys=("station", "part"),
+        history_path=hp,
+        limpieza_path=lp,
+    )
+    b0 = readings.filter(F.col("event_id") % 2 == 0)
+    b1 = readings.filter(F.col("event_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay of the LAST batch — the only retry streaming produces
+    hist = (
+        read_history(spark, hp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("counter").cast("long").alias("v_total"),
+        )
+        .select(F.lit("history").alias("sink"), "n_rows", "v_total")
+    )
+    recs = (
+        spark.read.parquet(up)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit("records").alias("sink"),
+            "n_rows",
+            F.lit(None).cast("long").alias("v_total"),
+        )
+    )
+    limp = (
+        read_history(spark, lp)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit("limpieza").alias("sink"),
+            "n_rows",
+            F.lit(None).cast("long").alias("v_total"),
+        )
+    )
+    return hist.unionByName(recs).unionByName(limp)
