@@ -1,19 +1,27 @@
-"""q3 plan shoot-out at scale: pre-aggregation rewrite vs the shipped
-plan, plus a component decomposition of the wall time.
+"""q3 plan shoot-out at scale: candidate rewrites vs the shipped plan,
+measured with an INTERLEAVED A/B (alternating plans within one warm
+session) so OS-page-cache ordering cannot manufacture a winner.
 
-The candidate aggregates lineitem by l_orderkey BEFORE the join (legal
-because o_orderdate/o_orderpriority are functionally dependent on the
-join key, which is unique on the dim side), hoping to shrink the big
-exchange ~4x. Measured at x160 (sf16) it is RATIO-NEUTRAL
-(3.25 s shipped vs 3.26 s pre-agg): with the runtime Bloom filter on
-(spark.sql.optimizer.runtime.bloomFilter.enabled=true by default in
-Spark 4) the shipped join already prunes the probe side before the
-exchange, and the pre-agg variant replaces that with an equally
-expensive high-cardinality (~14 M group) exchange. Decomposition at
-x160: lineitem scan+filter 0.89 s, scan+orderkey-agg 2.53 s, dim
-build 1.16 s — the 3.25 s total is the overlapped sum of engine scan
-and exchange floors, confirming the documented-floor verdict rather
-than a missed plan alternative.
+Candidates and x160 (sf16) results:
+
+1. Pre-aggregation — aggregate lineitem by l_orderkey BEFORE the join
+   (legal: o_orderdate/o_orderpriority are functionally dependent on
+   the join key, unique on the dim side), hoping to shrink the big
+   exchange ~4x. RATIO-NEUTRAL (3.25 s shipped vs 3.26 s): with the
+   runtime Bloom filter on (default in Spark 4) the shipped join
+   already prunes the probe side before its exchange, and the pre-agg
+   variant replaces that with an equally expensive high-cardinality
+   (~14 M group) exchange.
+2. SHUFFLE_HASH hint on the reduced dim (skip SMJ's two sorts). A
+   sequential measurement showed a tempting ~30% win; the interleaved
+   A/B exposed it as a cache-ordering artifact (hinted median 4.04 s
+   vs unhinted 3.41 s). Host run-to-run variance is ±30% — only
+   interleaved A/Bs are trusted for plan decisions.
+
+Component decomposition at x160: lineitem scan+filter 0.89 s,
+scan+orderkey-agg 2.53 s, dim build 1.16 s — the full-query wall is
+the overlapped sum of engine scan and exchange floors, confirming the
+documented-floor verdict rather than a missed plan alternative.
 """
 
 from __future__ import annotations
@@ -59,6 +67,57 @@ def q3_preagg(spark, sf_dir):
     )
 
 
+def q3_shuffle_hash(spark, sf_dir):
+    """The SHUFFLE_HASH-hinted variant (candidate 2)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    if table_bytes(sf_dir, "orders") <= 64 << 20:
+        dim = F.broadcast(dim)
+    else:
+        dim = dim.hint("SHUFFLE_HASH")
+    return (
+        li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def interleaved_ab(label_a, run_a, label_b, run_b, reps: int = 5) -> None:
+    """Alternate the two plans within one warm session; report medians.
+    Sequential timing is NOT trustworthy here: whichever plan runs
+    second inherits a hotter page cache."""
+    import statistics
+    import time
+
+    run_a()
+    run_b()  # warm both
+    ta, tb = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_a()
+        ta.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_b()
+        tb.append(time.perf_counter() - t0)
+    print(f"{label_a}: {[round(x, 2) for x in ta]} median {round(statistics.median(ta), 3)}s")
+    print(f"{label_b}: {[round(x, 2) for x in tb]} median {round(statistics.median(tb), 3)}s")
+
+
 def main() -> int:
     xdir = ensure_crossover_dir("/root/testdata/sf0.1", tiles=TILES)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -73,13 +132,19 @@ def main() -> int:
 
     cur = QUERIES["q3_shipping_priority"]
     a = cur(spark, xdir).collect()
-    b = q3_preagg(spark, xdir).collect()
-    assert [tuple(r) for r in a] == [tuple(r) for r in b], (a[:3], b[:3])
-    print("results match")
+    for cand in (q3_preagg, q3_shuffle_hash):
+        b = cand(spark, xdir).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], (cand.__name__, a[:3], b[:3])
+    print("results match (all candidates)")
 
-    s_cur = median_time(lambda: cur(spark, xdir).count())
-    s_new = median_time(lambda: q3_preagg(spark, xdir).count())
-    print(f"tiles={TILES}: current={s_cur}s preagg={s_new}s")
+    interleaved_ab(
+        "shipped ", lambda: cur(spark, xdir).count(),
+        "preagg  ", lambda: q3_preagg(spark, xdir).count(),
+    )
+    interleaved_ab(
+        "shipped ", lambda: cur(spark, xdir).count(),
+        "shj-hint", lambda: q3_shuffle_hash(spark, xdir).count(),
+    )
     spark.stop()
     return 0
 
