@@ -1351,7 +1351,7 @@ _T8_VERSIONS = 4
 @register(
     "supervisor_reload_actions",
     f"""
-    WITH v AS (SELECT unnest([0, 1, 2, 3]) AS version),
+    WITH v AS (SELECT unnest([{", ".join(map(str, range(_T8_VERSIONS)))}]) AS version),
     cfg AS (
         SELECT v.version,
                CAST(e.user_id % 32 AS INTEGER) AS grp,

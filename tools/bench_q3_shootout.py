@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from bench import ensure_crossover_dir, median_time
+from bench import ensure_crossover_dir
 from iotdatapipeline_spark import get_spark
 from iotdatapipeline_spark.plans import QUERIES
 from iotdatapipeline_spark.sources import load_table, table_bytes
@@ -41,7 +41,11 @@ from iotdatapipeline_spark.sources import load_table, table_bytes
 TILES = int(os.environ.get("TILES", "160"))
 
 
-def q3_preagg(spark, sf_dir):
+def _q3_inputs(spark, sf_dir):
+    """The shipped q3's filtered inputs and reduced dim, in one place
+    so every candidate measures the same query. Drift is additionally
+    caught at runtime: main() asserts each candidate's rows equal the
+    shipped plan's."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -52,6 +56,11 @@ def q3_preagg(spark, sf_dir):
     dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    return li, dim
+
+
+def q3_preagg(spark, sf_dir):
+    li, dim = _q3_inputs(spark, sf_dir)
     li_agg = li.groupBy("l_orderkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
         .cast("long")
@@ -69,16 +78,7 @@ def q3_preagg(spark, sf_dir):
 
 def q3_shuffle_hash(spark, sf_dir):
     """The SHUFFLE_HASH-hinted variant (candidate 2)."""
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    )
-    dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
+    li, dim = _q3_inputs(spark, sf_dir)
     if table_bytes(sf_dir, "orders") <= 64 << 20:
         dim = F.broadcast(dim)
     else:
@@ -97,23 +97,24 @@ def q3_shuffle_hash(spark, sf_dir):
     )
 
 
-def interleaved_ab(label_a, run_a, label_b, run_b, reps: int = 5) -> None:
-    """Alternate the two plans within one warm session; report medians.
-    Sequential timing is NOT trustworthy here: whichever plan runs
-    second inherits a hotter page cache."""
+def interleaved_ab(label_a, run_a, label_b, run_b, reps: int = 6) -> None:
+    """ABBA-interleave the two plans within one warm session; report
+    medians. Sequential timing is NOT trustworthy here: whichever plan
+    runs second inherits a hotter page cache, and a fixed AB order
+    leaves the same within-pair bias — alternating the start plan each
+    rep cancels it."""
     import statistics
     import time
 
     run_a()
     run_b()  # warm both
     ta, tb = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run_a()
-        ta.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        run_b()
-        tb.append(time.perf_counter() - t0)
+    for i in range(reps):
+        order = ((run_a, ta), (run_b, tb)) if i % 2 == 0 else ((run_b, tb), (run_a, ta))
+        for run, acc in order:
+            t0 = time.perf_counter()
+            run()
+            acc.append(time.perf_counter() - t0)
     print(f"{label_a}: {[round(x, 2) for x in ta]} median {round(statistics.median(ta), 3)}s")
     print(f"{label_b}: {[round(x, 2) for x in tb]} median {round(statistics.median(tb), 3)}s")
 
