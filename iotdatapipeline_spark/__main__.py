@@ -15,6 +15,14 @@ instead of draining once and exiting.
 
 Runs one registry query and prints it (the reference's console
 markdown dump, K6).
+
+    python -m iotdatapipeline_spark sql "SELECT ..." [--sf-dir DIR]
+
+Ad-hoc Spark SQL over the fixture tables (registered as temp views:
+region nation customer supplier part orders lineitem events documents
+embeddings) — the declarative surface the reference never had; every
+registry operator remains expressible here because the engine is
+DataFrame/Catalyst end to end.
 """
 
 from __future__ import annotations
@@ -70,6 +78,20 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    from iotdatapipeline_spark.session import get_spark
+    from iotdatapipeline_spark.sources import register_views
+
+    spark = get_spark("iotdatapipeline-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    df.show(args.rows, truncate=False)
+    if args.explain:
+        df.explain("formatted")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m iotdatapipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -88,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--rows", type=int, default=20)
     q.add_argument("--explain", action="store_true")
     q.set_defaults(fn=_cmd_query)
+
+    sq = sub.add_parser("sql", help="run ad-hoc Spark SQL over the fixture views")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    sq.add_argument("--rows", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.set_defaults(fn=_cmd_sql)
 
     args = ap.parse_args(argv)
     return args.fn(args)
