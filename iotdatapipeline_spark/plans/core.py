@@ -701,8 +701,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order a cost-based optimizer would pick. Whether the reduced
     (orders⋈customer) side then BROADCASTS into lineitem is size-gated
     on the orders table's on-disk bytes: small scans take the
-    single-exchange broadcast plan; at cluster scale the gate declines
-    the hint and AQE picks shuffle-vs-broadcast from runtime stats.
+    single-exchange broadcast plan. Past the gate the dim carries a
+    SHUFFLE_HASH hint: the reduced dim is always the far smaller join
+    side, so hash-building it per partition skips SortMergeJoin's sort
+    of BOTH shuffled sides — ABBA-interleaved A/Bs
+    (tools/bench_q3_shootout.py) measure the hint neutral while the
+    sort fits in memory (x160: 3.4 vs 3.4 s) and 30% faster once it
+    spills (x640: 8.9 vs 12.7 s median-of-6). The hint is advisory:
+    AQE still re-plans from runtime stats, and the per-partition build
+    side stays bounded at cluster scale because partition count grows
+    with the data.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -716,6 +724,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if table_bytes(sf_dir, "orders") <= 64 << 20:
         dim = F.broadcast(dim)
+    else:
+        dim = dim.hint("SHUFFLE_HASH")
     return (
         li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -12,11 +12,15 @@ Candidates and x160 (sf16) results:
    already prunes the probe side before its exchange, and the pre-agg
    variant replaces that with an equally expensive high-cardinality
    (~14 M group) exchange.
-2. SHUFFLE_HASH hint on the reduced dim (skip SMJ's two sorts). A
-   sequential measurement showed a tempting ~30% win; the interleaved
-   A/B exposed it as a cache-ordering artifact (hinted median 4.04 s
-   vs unhinted 3.41 s). Host run-to-run variance is ±30% — only
-   interleaved A/Bs are trusted for plan decisions.
+2. SHUFFLE_HASH hint on the reduced dim (skip SMJ's two sorts) —
+   SCALE-DEPENDENT, now shipped past the broadcast gate. At x160 a
+   sequential measurement showed a tempting ~30% "win" that the
+   interleaved A/B exposed as a cache-ordering artifact (4.04 s
+   hinted vs 3.41 s unhinted medians; host variance is ±30% — only
+   interleaved A/Bs are trusted for plan decisions). At x640, where
+   the SMJ sort of the 214 M-row probe side spills, the same
+   protocol shows a real win: 8.94 s vs 12.74 s median-of-6 — so the
+   shipped q3 hints SHUFFLE_HASH whenever it can't broadcast.
 
 Component decomposition at x160: lineitem scan+filter 0.89 s,
 scan+orderkey-agg 2.53 s, dim build 1.16 s — the full-query wall is
@@ -76,13 +80,13 @@ def q3_preagg(spark, sf_dir):
     )
 
 
-def q3_shuffle_hash(spark, sf_dir):
-    """The SHUFFLE_HASH-hinted variant (candidate 2)."""
+def q3_sort_merge(spark, sf_dir):
+    """The UNHINTED counterfactual (plain SMJ past the broadcast gate).
+    The shipped q3 hints SHUFFLE_HASH there, so this variant preserves
+    the pre-fix plan for regression comparison."""
     li, dim = _q3_inputs(spark, sf_dir)
     if table_bytes(sf_dir, "orders") <= 64 << 20:
         dim = F.broadcast(dim)
-    else:
-        dim = dim.hint("SHUFFLE_HASH")
     return (
         li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -133,7 +137,7 @@ def main() -> int:
 
     cur = QUERIES["q3_shipping_priority"]
     a = cur(spark, xdir).collect()
-    for cand in (q3_preagg, q3_shuffle_hash):
+    for cand in (q3_preagg, q3_sort_merge):
         b = cand(spark, xdir).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b], (cand.__name__, a[:3], b[:3])
     print("results match (all candidates)")
@@ -144,7 +148,7 @@ def main() -> int:
     )
     interleaved_ab(
         "shipped ", lambda: cur(spark, xdir).count(),
-        "shj-hint", lambda: q3_shuffle_hash(spark, xdir).count(),
+        "smj     ", lambda: q3_sort_merge(spark, xdir).count(),
     )
     spark.stop()
     return 0
