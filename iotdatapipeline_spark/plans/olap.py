@@ -800,7 +800,15 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     The date filter prunes lineitem at the scan; orders projects to
     (key, priority) before joining — size-gated broadcast like q3, so
     small scans take the exchange-free plan while at cluster scale the
-    hint is declined and the join shuffles on the shared orderkey."""
+    hint is declined and the join shuffles on the shared orderkey.
+
+    Deliberately NO SHUFFLE_HASH past the gate, unlike q3: q3's build
+    side is a REDUCED dim (mktsegment ∩ date ≈ ¼ of orders) that fits
+    per-partition memory, but q12's is the UNREDUCED orders projection
+    — hinted at ×640 it fails outright with "Can't acquire … bytes
+    memory to build hash relation" (measured; SHJ's build must fit,
+    SMJ spills gracefully). The rule this encodes: hash-build only
+    sides a predicate has actually reduced."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -848,7 +856,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides big at scale — shuffles, on the orderkey the fact already
     carries. All dim broadcasts are unconditional (part/supplier/
     nation are genuinely dimension-sized at any SF); the orders side
-    is size-gated like q3/q12."""
+    is size-gated like q3/q12 — and like q12 it stays SMJ past the
+    gate (unreduced orders would blow SHJ's per-partition hash build;
+    see q12's docstring for the measured failure)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey", "p_retailprice"
     )
