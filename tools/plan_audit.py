@@ -1,6 +1,7 @@
 """Registry-wide physical-plan audit: one row per registered query with
 the plan facts that matter at 100 TB — shuffle count, scan count,
-broadcast vs sort-merge joins, whole-stage-codegen coverage, and the
+broadcast vs sort-merge vs shuffled-hash joins, whole-stage-codegen
+coverage, and the
 two anti-patterns (CartesianProduct, row-wise Python).
 
 Usage:
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from iotdatapipeline_spark import get_spark  # noqa: E402
 from iotdatapipeline_spark.plans import QUERIES  # noqa: E402
 
-COLUMNS = ("query", "exchanges", "scans", "bhj", "smj", "bnlj", "flags")
+COLUMNS = ("query", "exchanges", "scans", "bhj", "smj", "shj", "bnlj", "flags")
 
 
 def audit_one(df) -> dict:
@@ -39,6 +40,7 @@ def audit_one(df) -> dict:
         "scans": plan.count("Scan parquet"),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "flags": ",".join(flags) or "-",
     }
@@ -58,7 +60,7 @@ def main() -> int:
         try:
             rows.append({"query": name, **audit_one(fn(spark, sf_dir))})
         except Exception as e:
-            rows.append({"query": name, "exchanges": -1, "scans": -1, "bhj": -1, "smj": -1, "bnlj": -1, "flags": f"ERROR:{type(e).__name__}"})
+            rows.append({"query": name, "exchanges": -1, "scans": -1, "bhj": -1, "smj": -1, "shj": -1, "bnlj": -1, "flags": f"ERROR:{type(e).__name__}"})
     widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in COLUMNS}
     sep = " | " if md else "  "
     line = sep.join(c.ljust(widths[c]) for c in COLUMNS)
