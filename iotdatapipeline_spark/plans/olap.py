@@ -802,13 +802,17 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     small scans take the exchange-free plan while at cluster scale the
     hint is declined and the join shuffles on the shared orderkey.
 
-    Deliberately NO SHUFFLE_HASH past the gate, unlike q3: q3's build
-    side is a REDUCED dim (mktsegment ∩ date ≈ ¼ of orders) that fits
-    per-partition memory, but q12's is the UNREDUCED orders projection
-    — hinted at ×640 it fails outright with "Can't acquire … bytes
-    memory to build hash relation" (measured; SHJ's build must fit,
-    SMJ spills gracefully). The rule this encodes: hash-build only
-    sides a predicate has actually reduced."""
+    Deliberately NO SHUFFLE_HASH hint past the gate, unlike q3: q3's
+    build side is a REDUCED dim (mktsegment ∩ date ≈ ¼ of orders) that
+    fits per-partition memory, but q12's is the UNREDUCED orders
+    projection — hinted at ×640 it fails outright with "Can't acquire
+    … bytes memory to build hash relation" (measured; SHJ's build must
+    fit, SMJ spills gracefully). Unhinted, the planner still picks SHJ
+    at moderate scale where its stat bound (size < broadcast threshold
+    × partitions) proves the build fits — the ×40 audit shows shj=1 —
+    and correctly falls back to SMJ at ×640 where it does not. The
+    rule this encodes: never FORCE a hash build past the planner's
+    bound on a side no predicate has reduced."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
