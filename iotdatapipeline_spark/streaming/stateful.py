@@ -31,6 +31,7 @@ import datetime as dt
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -179,7 +180,22 @@ def make_state_fn(
         stored = tuple(state.get) if state.exists else None
         current = stored[:5] if stored else _FRESH_STATE
         prior_max_ms = (stored[5] if stored and len(stored) > 5 else None) or 0
-        out, new_state = _advance(station, part, pdf, current, emit_mode)
+        pdf_t = pdf
+        if emit_mode == "reference":
+            # Exact pruning of the Python transition loop: prev ≡
+            # running max of (initial prev, prior counters) — any
+            # counter above prev emits and BECOMES prev, so the
+            # running max is prev at every position. A row strictly
+            # below it can neither emit (both the strict and the
+            # boundary-equality rule need counter ≥ prev) nor touch
+            # state, so the loop only needs the rows at-or-above the
+            # running max. Vectorized; output identical by
+            # construction (pinned by TestReferencePruning).
+            c = pdf["counter"].to_numpy(dtype="int64")
+            seed = int(current[0]) if current[4] else np.iinfo(np.int64).min
+            run = np.maximum.accumulate(np.concatenate(([seed], c[:-1])))
+            pdf_t = pdf[c >= run]
+        out, new_state = _advance(station, part, pdf_t, current, emit_mode)
         m_ms = max(int(t.value) // 1_000_000 for t in pdf["ts"])
         # lifetime max, not batch max: a late-but-watermark-valid batch
         # must not regress the silence deadline below data already seen

@@ -1055,3 +1055,51 @@ class TestZscoreCheckpointRecovery:
         expected = QUERIES["events_rolling_zscore"](spark, sf_small)
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+class TestReferencePruning:
+    """The vectorized running-max pruning in make_state_fn must be
+    EXACTLY output-preserving: _advance over the pruned rows ==
+    _advance over all rows, for any counter sequence and any starting
+    state. Randomized over adversarial shapes: decreasing runs,
+    plateaus (boundary-equality emits), midnight wraps, shift
+    crossings, fresh and carried state."""
+
+    @staticmethod
+    def _prune(pdf, current):
+        import numpy as np
+
+        c = pdf["counter"].to_numpy(dtype="int64")
+        seed = int(current[0]) if current[4] else np.iinfo(np.int64).min
+        run = np.maximum.accumulate(np.concatenate(([seed], c[:-1])))
+        return pdf[c >= run]
+
+    def test_pruned_loop_is_exact(self):
+        import random
+
+        from iotdatapipeline_spark.streaming.stateful import _FRESH_STATE, _advance
+
+        rng = random.Random(20260814)
+        for trial in range(300):
+            n = rng.randint(1, 40)
+            base = dt.datetime(2024, 3, 1, rng.choice([6, 7, 15, 23]), 50, 0)
+            rows = []
+            t = base
+            counter = rng.randint(0, 50)
+            for i in range(n):
+                # steps that go up, down, or plateau; ts steps that
+                # cross 08:00/16:00/midnight boundaries
+                counter = max(0, counter + rng.choice([-7, -3, -1, 0, 0, 1, 2, 5, 11]))
+                t = t + dt.timedelta(minutes=rng.choice([1, 5, 30, 240]))
+                rows.append({"ts": pd.Timestamp(t), "event_id": i, "counter": counter})
+            pdf = pd.DataFrame(rows)
+            if rng.random() < 0.5:
+                state = _FRESH_STATE
+            else:
+                state = (rng.randint(0, 60), rng.choice([None, 5]), rng.randint(0, 9),
+                         rng.randint(0, 86399), True)
+            full_out, full_state = _advance(1, "p", pdf, state, "reference")
+            pruned = self._prune(pdf, state)
+            pr_out, pr_state = _advance(1, "p", pruned, state, "reference")
+            assert pr_out == full_out, (trial, state, pdf.to_dict("records"))
+            assert pr_state == full_state, (trial, state)
