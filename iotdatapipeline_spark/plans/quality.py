@@ -37,13 +37,14 @@ def register(name: str, sql: str | None = None):
     "dq_events_profile",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
-           sum(CASE WHEN props IS NULL OR props NOT LIKE '{%' THEN 1 ELSE 0 END)
-               AS bad_props,
-           sum(CASE WHEN value IS NULL OR value < 0 OR value > 500 THEN 1 ELSE 0 END)
-               AS value_out_of_range,
-           sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
-                    THEN 1 ELSE 0 END) AS unknown_type,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_user,
+           CAST(sum(CASE WHEN props IS NULL OR props NOT LIKE '{%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_props,
+           CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 500 THEN 1 ELSE 0 END)
+               AS BIGINT) AS value_out_of_range,
+           CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unknown_type,
            count(DISTINCT event_type) AS n_types,
            CAST(min(floor(value * 100)) AS BIGINT) AS min_cents,
            CAST(max(floor(value * 100)) AS BIGINT) AS max_cents

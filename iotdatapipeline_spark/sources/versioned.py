@@ -90,6 +90,7 @@ class VersionedTable:
         cluster_by: Sequence[str] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        schema_json: str | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -110,7 +111,13 @@ class VersionedTable:
         os.makedirs(self._log, exist_ok=True)
         txns: dict = {}
         if base_version > 0:
-            txns = dict(self._read_manifest(base_version).get("txns") or {})
+            base_m = self._read_manifest(base_version)
+            txns = dict(base_m.get("txns") or {})
+            if schema_json is None:
+                # carry the schema forward so an all-rows merge-delete
+                # that commits zero files still leaves a readable
+                # (empty) version instead of bricking the table
+                schema_json = base_m.get("schema")
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
         manifest = {
@@ -120,6 +127,7 @@ class VersionedTable:
             "files": sorted(files),
             "cluster_by": list(cluster_by) if cluster_by else [],
             "txns": txns,
+            "schema": schema_json,
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -196,7 +204,10 @@ class VersionedTable:
         if self.version() != 0:
             raise ValueError(f"table already exists at {self.root}")
         files = self._write_files(df, n_files, cluster_by)
-        self._try_commit(0, files, "create", cluster_by, txn_app, txn_version)
+        self._try_commit(
+            0, files, "create", cluster_by, txn_app, txn_version,
+            schema_json=df.schema.json(),
+        )
         return 1
 
     def snapshot(self, version: int | None = None) -> DataFrame:
@@ -206,7 +217,14 @@ class VersionedTable:
         m = self._read_manifest(v)
         paths = [os.path.join(self._data, f) for f in m["files"]]
         if not paths:
-            raise ValueError(f"version {v} has no files")
+            # an all-rows merge-delete legitimately commits zero files;
+            # the manifest's recorded schema keeps the version readable
+            schema_json = m.get("schema")
+            if schema_json is None:
+                raise ValueError(f"version {v} has no files and no recorded schema")
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
         return self.spark.read.parquet(*paths)
 
     def history(self) -> list[dict]:
@@ -259,7 +277,8 @@ class VersionedTable:
                 seen = (m.get("txns") or {}).get(txn_app)
                 if seen is not None and int(seen[0]) >= int(txn_version):
                     return int(seen[1])  # already applied (batch replay)
-            snap = self.snapshot(base).withColumn("__file", F.input_file_name())
+            base_df = self.snapshot(base)
+            snap = base_df.withColumn("__file", F.input_file_name())
             # exact file-level pruning: the collected result is the
             # bounded list of touched FILES, never data rows.
             # plain join (no forced broadcast): Catalyst/AQE broadcasts
@@ -274,7 +293,7 @@ class VersionedTable:
             }
             cluster_by = m.get("cluster_by") or None
             untouched = [f for f in m["files"] if f not in touched]
-            cols = self.snapshot(base).columns  # parquet footer only, no job
+            cols = base_df.columns  # parquet footer only, no job
             rewritten: list[str] = []
             touched_df = None
             if touched:
@@ -310,6 +329,7 @@ class VersionedTable:
                     cluster_by,
                     txn_app,
                     txn_version,
+                    schema_json=base_df.schema.json(),
                 )
                 return base + 1
             except CommitConflict:

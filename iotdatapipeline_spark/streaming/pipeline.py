@@ -41,6 +41,7 @@ def run_pipeline(
     timeout_mode: str = "processing",
     versioned_records: bool = False,
     available_now: bool = True,
+    watermark_delay: str = "0 seconds",
 ) -> StreamingQuery:
     """Start the pipeline. ``available_now=True`` drains the replay
     and stops (test mode); otherwise it runs with a 1 s trigger
@@ -49,12 +50,22 @@ def run_pipeline(
     Production configuration: ``timeout_mode="event"`` (deterministic
     replayable silence detection; terminates under availableNow) with
     ``versioned_records=True`` (K1 through the transactional MERGE
-    target, txn-exactly-once per micro-batch)."""
+    target, txn-exactly-once per micro-batch).
+
+    ``watermark_delay`` (event mode only) is how long an out-of-order
+    reading may lag the max seen event time before the engine drops it
+    ahead of the stateful operator. The ``"0 seconds"`` default is
+    right for deterministic REPLAY (the replay source is in order, and
+    zero delay means timers fire as early as possible); a live
+    out-of-order source should pass a real delay (e.g. ``"30
+    seconds"``) — the trade-off is limpieza timers firing that much
+    later. With a non-zero delay the stateful op's late-batch handling
+    (lifetime max_ts_ms) engages for rows inside the allowance."""
     stream = readings_stream(spark, replay_dir)
     if config is not None:
         stream = enrich_with_config(stream, config)
     if timeout_mode == "event" and timeout_ms is not None:
-        stream = stream.withWatermark("ts", "0 seconds")
+        stream = stream.withWatermark("ts", watermark_delay)
     updates = counter_state_machine(
         stream, emit_mode=emit_mode, timeout_ms=timeout_ms, timeout_mode=timeout_mode
     )
@@ -79,6 +90,10 @@ def run_pipeline(
                 history_path=history_path,
                 limpieza_path=limpieza_path,
                 versioned_records=versioned_records,
+                # the checkpoint is the query's durable identity: same
+                # checkpoint ⇒ same batch-id sequence ⇒ same txn app;
+                # a fresh checkpoint automatically gets a fresh app id
+                txn_app=f"pipeline-{checkpoint_dir}",
             )
         )
     )

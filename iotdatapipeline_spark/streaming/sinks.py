@@ -80,7 +80,7 @@ def upsert_foreach_batch(path: str, keys: Sequence[str]):
     return apply
 
 
-def versioned_upsert_foreach_batch(root: str, keys: Sequence[str]):
+def versioned_upsert_foreach_batch(root: str, keys: Sequence[str], txn_app: str | None = None):
     """K1/K2 executor against the transactional MERGE target
     (sources/versioned.py): each micro-batch becomes one committed
     copy-on-write MERGE — only the files holding matched keys are
@@ -89,29 +89,46 @@ def versioned_upsert_foreach_batch(root: str, keys: Sequence[str]):
     instead of clobbering each other the way whole-table overwrite
     would. This is the executor a production deployment keeps; the
     plain-parquet ``upsert_foreach_batch`` is the zero-infrastructure
-    fallback."""
+    fallback.
+
+    ``txn_app`` is the Delta ``txnAppId`` convention: the idempotence
+    check dedupes on (txn_app, batch_id), so every logically distinct
+    streaming query writing this table MUST use a distinct, stable app
+    id — and a query restarted from a FRESH checkpoint (batch ids reset
+    to 0) needs a NEW app id, or its merges silently no-op until
+    batch_id passes the recorded version. Default ``None`` generates a
+    unique id per factory call: safe against cross-query collisions,
+    exactly-once within one process lifetime, but replay dedup does NOT
+    survive a restart — pass a stable per-(query, checkpoint) id to get
+    that."""
     from iotdatapipeline_spark.sources.versioned import VersionedTable
 
     from iotdatapipeline_spark.sources.versioned import CommitConflict
+
+    app = txn_app if txn_app is not None else f"stream-{uuid.uuid4().hex[:12]}"
 
     def apply(batch_df: DataFrame, batch_id: int, order_col: str = "ts") -> None:
         if not batch_df.columns:
             return
         latest = latest_per_key(batch_df, keys, order_col)
+        if latest.isEmpty():
+            # an empty first micro-batch must not take the create()
+            # path (zero-file version) nor burn the app's txn slot
+            return
         table = VersionedTable(batch_df.sparkSession, root)
-        # txn ("stream", batch_id): a replayed micro-batch (failure
+        # txn (app, batch_id): a replayed micro-batch (failure
         # between sink write and offset commit) must not apply twice —
         # including a replay of the CREATING batch, whose txn the
         # create commit records for merge_into's idempotence check.
         if table.version() == 0:
             try:
                 table.create(
-                    latest, cluster_by=list(keys), txn_app="stream", txn_version=batch_id
+                    latest, cluster_by=list(keys), txn_app=app, txn_version=batch_id
                 )
                 return
             except (CommitConflict, ValueError):
                 pass  # another writer created the table first — merge
-        table.merge_into(latest, keys, txn_app="stream", txn_version=batch_id)
+        table.merge_into(latest, keys, txn_app=app, txn_version=batch_id)
 
     return apply
 
@@ -157,6 +174,7 @@ def fanout_foreach_batch(
     history_path: str,
     limpieza_path: str | None = None,
     versioned_records: bool = False,
+    txn_app: str | None = None,
 ):
     """The reference's per-batch effect fan-out (Prensas.py:794-818):
     history append (K3) for every update row, record upsert (K1) keyed
@@ -168,7 +186,15 @@ def fanout_foreach_batch(
     VersionedTable root): copy-on-write rewrites, atomic commits, and
     txn-exactly-once under batch replay — the production
     configuration. The default plain-parquet overwrite remains the
-    zero-infrastructure fallback."""
+    zero-infrastructure fallback.
+
+    ``txn_app`` follows the same contract as
+    :func:`versioned_upsert_foreach_batch`: distinct stable id per
+    logical query; new checkpoint ⇒ new app id. Default ``None`` =
+    unique per factory call (collision-safe, replay-dedup within this
+    process only)."""
+
+    app = txn_app if txn_app is not None else f"pipeline-{uuid.uuid4().hex[:12]}"
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -189,21 +215,21 @@ def fanout_foreach_batch(
                             table.create(
                                 latest,
                                 cluster_by=list(updates_keys),
-                                txn_app="pipeline",
+                                txn_app=app,
                                 txn_version=batch_id,
                             )
                         except (CommitConflict, ValueError):
                             table.merge_into(
                                 latest,
                                 updates_keys,
-                                txn_app="pipeline",
+                                txn_app=app,
                                 txn_version=batch_id,
                             )
                     else:
                         table.merge_into(
                             latest,
                             updates_keys,
-                            txn_app="pipeline",
+                            txn_app=app,
                             txn_version=batch_id,
                         )
             else:

@@ -1103,3 +1103,55 @@ class TestReferencePruning:
             pr_out, pr_state = _advance(1, "p", pruned, state, "reference")
             assert pr_out == full_out, (trial, state, pdf.to_dict("records"))
             assert pr_state == full_state, (trial, state)
+
+
+class TestSinkTxnIsolation:
+    """ADVICE r4 fixes: distinct queries must not dedupe each other's
+    batches through a shared txn app id, and an empty first micro-batch
+    must not consume the create path."""
+
+    def test_two_sinks_do_not_cross_dedupe(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt")
+        # two logically distinct streaming queries, both at batch_id 0/1
+        sink_a = versioned_upsert_foreach_batch(root, ["k"])
+        sink_b = versioned_upsert_foreach_batch(root, ["k"])
+        sink_a(spark.createDataFrame([(1, 1, "a0")], "k int, ts int, v string"), 0)
+        # same batch_id from a DIFFERENT query: must apply, not no-op
+        sink_b(spark.createDataFrame([(2, 1, "b0")], "k int, ts int, v string"), 0)
+        sink_b(spark.createDataFrame([(3, 2, "b1")], "k int, ts int, v string"), 1)
+        got = {r["k"]: r["v"] for r in VersionedTable(spark, root).snapshot().collect()}
+        assert got == {1: "a0", 2: "b0", 3: "b1"}
+        # replay WITHIN a query still dedupes
+        sink_b(spark.createDataFrame([(3, 2, "b1")], "k int, ts int, v string"), 1)
+        assert VersionedTable(spark, root).version() == 3
+
+    def test_explicit_txn_app_is_honored(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt2")
+        sink = versioned_upsert_foreach_batch(root, ["k"], txn_app="q1")
+        sink(spark.createDataFrame([(1, 1, "a")], "k int, ts int, v string"), 0)
+        # a RESTARTED factory with the same stable app id dedupes the replay
+        sink_restarted = versioned_upsert_foreach_batch(root, ["k"], txn_app="q1")
+        sink_restarted(spark.createDataFrame([(1, 1, "a")], "k int, ts int, v string"), 0)
+        table = VersionedTable(spark, root)
+        assert table.version() == 1
+        assert (table.history()[-1]["txns"] or {}).get("q1") == [0, 1]
+
+    def test_empty_first_batch_skipped(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt3")
+        sink = versioned_upsert_foreach_batch(root, ["k"], txn_app="q")
+        empty = spark.createDataFrame([], "k int, ts int, v string")
+        sink(empty, 0)
+        assert VersionedTable(spark, root).version() == 0  # no zero-file create
+        sink(spark.createDataFrame([(1, 1, "a")], "k int, ts int, v string"), 1)
+        table = VersionedTable(spark, root)
+        assert table.version() == 1
+        assert {r["k"] for r in table.snapshot().collect()} == {1}

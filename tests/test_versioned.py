@@ -231,12 +231,14 @@ class TestOptimisticConcurrency:
         real_try_commit = table._try_commit
         state = {"b_done": False}
 
-        def racing_commit(base, files, op, cluster_by=None, txn_app=None, txn_version=None):
+        def racing_commit(base, files, op, cluster_by=None, txn_app=None,
+                          txn_version=None, schema_json=None):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
-            return real_try_commit(base, files, op, cluster_by, txn_app, txn_version)
+            return real_try_commit(base, files, op, cluster_by, txn_app,
+                                   txn_version, schema_json)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -302,9 +304,34 @@ class TestOptimisticConcurrency:
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
-        def always_conflict(base, files, op, cluster_by=None, txn_app=None, txn_version=None):
+        def always_conflict(base, files, op, cluster_by=None, txn_app=None,
+                            txn_version=None, schema_json=None):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
         with pytest.raises(CommitConflict, match="gave up"):
             table.merge_into(src, ["k"], max_retries=2)
+
+
+class TestEmptyVersion:
+    """An all-rows merge-delete must leave a READABLE empty version,
+    not an unrepresentable table state (ADVICE r4): the manifest
+    records the schema, snapshot() returns an empty frame, and the
+    table accepts later merges."""
+
+    def test_delete_all_rows_then_merge_again(self, spark, table):
+        everything = spark.createDataFrame([Row(k=i, v="x") for i in range(20)])
+        table.merge_into(everything, ["k"], when_matched="delete")
+        snap = table.snapshot()
+        assert snap.count() == 0
+        assert snap.columns == ["k", "v"]
+        # not bricked: the next merge re-populates via insert
+        table.merge_into(spark.createDataFrame([Row(k=1, v="back")]), ["k"])
+        assert _rows(table.snapshot()) == [(1, "back")]
+
+    def test_time_travel_across_empty_version(self, spark, table):
+        everything = spark.createDataFrame([Row(k=i, v="x") for i in range(20)])
+        v_empty = table.merge_into(everything, ["k"], when_matched="delete")
+        table.merge_into(spark.createDataFrame([Row(k=5, v="later")]), ["k"])
+        assert table.snapshot(v_empty).count() == 0
+        assert table.snapshot(1).count() == 20
