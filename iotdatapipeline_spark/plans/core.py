@@ -722,7 +722,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    if table_bytes(sf_dir, "orders") <= 64 << 20:
+    # the gate keys on the FILTERED dim's estimated size, not the raw
+    # orders bytes: the date filter keeps ~46% of orders and the
+    # BUILDING segment ~20%, and only 3 narrow columns survive the
+    # projection, so the broadcast payload is ~25% of the orders
+    # on-disk bytes at worst (r5: measured 546 k rows ≈ 25 MB at ×40
+    # where the old 64 MB raw gate had already flipped to shuffle).
+    # 256 MB on disk ≈ ≤64 MB broadcast — the usual executor budget.
+    if table_bytes(sf_dir, "orders") <= 256 << 20:
         dim = F.broadcast(dim)
     else:
         dim = dim.hint("SHUFFLE_HASH")
