@@ -5,6 +5,7 @@ from iotdatapipeline_spark.sources.csv_store import (
     read_csv_store,
 )
 from iotdatapipeline_spark.sources.dbapi import (
+    ConnectFactory,
     dbapi_upsert,
     dbapi_upsert_foreach_batch,
     read_jdbc,
@@ -26,6 +27,7 @@ __all__ = [
     "read_jdbc",
     "write_jdbc_append",
     "upsert_sql",
+    "ConnectFactory",
     "dbapi_upsert",
     "dbapi_upsert_foreach_batch",
 ]

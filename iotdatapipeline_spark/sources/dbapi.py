@@ -41,6 +41,7 @@ __all__ = [
     "read_jdbc",
     "write_jdbc_append",
     "upsert_sql",
+    "ConnectFactory",
     "dbapi_upsert",
     "dbapi_upsert_foreach_batch",
 ]
@@ -101,22 +102,18 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, **properties: str) ->
     writer.save()
 
 
-def upsert_sql(
-    table: str,
-    columns: Sequence[str],
-    key_cols: Sequence[str],
-    *,
-    paramstyle: str = "qmark",
-) -> str:
-    """``INSERT ... ON CONFLICT(keys) DO UPDATE`` for one row of
-    ``columns`` — the portable (SQLite/Postgres/DuckDB) MERGE spelling
-    of the reference's UPDATE-or-INSERT pair (Prensas.py:216-223 +
-    :319-331). ``paramstyle``: ``qmark`` (sqlite3/pyodbc) or
-    ``format`` (psycopg2/mysql)."""
-    if not set(key_cols) <= set(columns):
-        raise ValueError(f"key_cols {key_cols} must be a subset of columns {columns}")
-    ph = "?" if paramstyle == "qmark" else "%s"
-    non_keys = [c for c in columns if c not in key_cols]
+#: dialect → default DBAPI paramstyle (PEP 249): qmark for
+#: sqlite3/pyodbc/ibm_db_dbi, format for psycopg2/mysqlclient
+_DIALECT_PARAMSTYLE = {
+    "onconflict": "qmark",
+    "tsql": "qmark",
+    "db2": "qmark",
+    "mysql": "format",
+}
+
+
+def _upsert_onconflict(table, columns, key_cols, non_keys, ph) -> str:
+    # SQLite / Postgres / DuckDB spelling
     sql = (
         f"INSERT INTO {table} ({', '.join(columns)}) "
         f"VALUES ({', '.join([ph] * len(columns))}) "
@@ -126,6 +123,95 @@ def upsert_sql(
         sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
         return f"{sql} DO UPDATE SET {sets}"
     return f"{sql} DO NOTHING"
+
+
+def _upsert_merge(table, columns, key_cols, non_keys, ph, *, holdlock: bool) -> str:
+    # ANSI MERGE over a one-row VALUES source — SQL Server (pyodbc,
+    # WITH (HOLDLOCK) makes the upsert race-free under concurrency)
+    # and DB2 for i (AS400) both take this shape; SQL Server also
+    # requires the statement-terminating semicolon on MERGE.
+    src = f"(VALUES ({', '.join([ph] * len(columns))})) AS src ({', '.join(columns)})"
+    on = " AND ".join(f"tgt.{k} = src.{k}" for k in key_cols)
+    tgt = f"{table} WITH (HOLDLOCK) AS tgt" if holdlock else f"{table} AS tgt"
+    sql = f"MERGE INTO {tgt} USING {src} ON {on}"
+    if non_keys:
+        sets = ", ".join(f"{c} = src.{c}" for c in non_keys)
+        sql += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    ins_vals = ", ".join(f"src.{c}" for c in columns)
+    sql += f" WHEN NOT MATCHED THEN INSERT ({', '.join(columns)}) VALUES ({ins_vals})"
+    return sql + (";" if holdlock else "")
+
+
+def _upsert_mysql(table, columns, key_cols, non_keys, ph) -> str:
+    head = f"INSERT INTO {table} ({', '.join(columns)}) VALUES ({', '.join([ph] * len(columns))})"
+    if non_keys:
+        sets = ", ".join(f"{c} = VALUES({c})" for c in non_keys)
+        return f"{head} ON DUPLICATE KEY UPDATE {sets}"
+    return f"INSERT IGNORE INTO {table} ({', '.join(columns)}) VALUES ({', '.join([ph] * len(columns))})"
+
+
+def upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    *,
+    paramstyle: str | None = None,
+    dialect: str = "onconflict",
+) -> str:
+    """One-row MERGE statement for ``executemany``, in the target
+    database's dialect — the reference's UPDATE-or-INSERT pair
+    (Prensas.py:216-223 + :319-331) as a single atomic statement.
+
+    ``dialect``:
+      * ``"onconflict"`` — SQLite / Postgres / DuckDB
+        ``INSERT ... ON CONFLICT DO UPDATE`` (default; what the sandbox
+        tests execute end-to-end against sqlite3);
+      * ``"tsql"`` — SQL Server ``MERGE WITH (HOLDLOCK)``, the
+        reference's actual pyodbc target (Prensas.py:166-170);
+      * ``"db2"`` — DB2 for i (AS400) ``MERGE``, the reference's
+        multiplier-table host (Prensas.py:128-133);
+      * ``"mysql"`` — ``INSERT ... ON DUPLICATE KEY UPDATE``.
+
+    ``paramstyle`` overrides the dialect's PEP-249 default (``qmark``
+    for sqlite3/pyodbc/ibm_db_dbi, ``format`` for psycopg2/mysql)."""
+    if dialect not in _DIALECT_PARAMSTYLE:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {sorted(_DIALECT_PARAMSTYLE)}")
+    if not set(key_cols) <= set(columns):
+        raise ValueError(f"key_cols {key_cols} must be a subset of columns {columns}")
+    ph = "?" if (paramstyle or _DIALECT_PARAMSTYLE[dialect]) == "qmark" else "%s"
+    non_keys = [c for c in columns if c not in key_cols]
+    columns = list(columns)
+    if dialect == "tsql":
+        return _upsert_merge(table, columns, key_cols, non_keys, ph, holdlock=True)
+    if dialect == "db2":
+        return _upsert_merge(table, columns, key_cols, non_keys, ph, holdlock=False)
+    if dialect == "mysql":
+        return _upsert_mysql(table, columns, key_cols, non_keys, ph)
+    return _upsert_onconflict(table, columns, key_cols, non_keys, ph)
+
+
+class ConnectFactory:
+    """Picklable zero-arg PEP-249 connection factory from a DRIVER
+    STRING: executors import the named module and call its
+    ``connect(*args, **kwargs)`` — so pointing the upsert executor at
+    SQL Server is configuration, not code::
+
+        ConnectFactory("sqlite3", "/data/plant.db")
+        ConnectFactory("pyodbc", "DRIVER={ODBC Driver 18 for SQL Server};"
+                                 "SERVER=...;DATABASE=...;UID=...;PWD=...")
+
+    Only the module name and connect arguments are pickled; the import
+    happens on the executor (a live connection can never be shipped)."""
+
+    def __init__(self, module: str, *args, **kwargs):
+        self.module = module
+        self.args = args
+        self.kwargs = kwargs
+
+    def __call__(self):
+        import importlib
+
+        return importlib.import_module(self.module).connect(*self.args, **self.kwargs)
 
 
 def _chunks(it: Iterator, size: int) -> Iterator[list]:
@@ -143,7 +229,8 @@ def dbapi_upsert(
     key_cols: Sequence[str],
     *,
     batch_size: int = 1000,
-    paramstyle: str = "qmark",
+    paramstyle: str | None = None,
+    dialect: str = "onconflict",
     retries: int = 5,
 ) -> None:
     """Distributed MERGE into a DBAPI target: ``foreachPartition``,
@@ -152,13 +239,17 @@ def dbapi_upsert(
 
     ``connect`` must be a picklable zero-arg factory (executors open
     their own connections — a driver-side connection object cannot be
-    shipped). Transient failures (e.g. SQLite write-lock contention
+    shipped); :class:`ConnectFactory` builds one from a PEP-249 driver
+    module name + connect arguments, and ``dialect`` picks the target's
+    MERGE spelling, so retargeting from the sandbox's sqlite to the
+    reference's SQL Server (Prensas.py:166-170) or AS400
+    (Prensas.py:128-133) is pure configuration. Transient failures (e.g. SQLite write-lock contention
     when 32 local partitions land at once) retry the partition's
     transaction with exponential backoff; the upsert is idempotent, so
     a replayed partition converges to the same state.
     """
     columns = list(df.columns)
-    sql = upsert_sql(table, columns, key_cols, paramstyle=paramstyle)
+    sql = upsert_sql(table, columns, key_cols, paramstyle=paramstyle, dialect=dialect)
 
     def apply(rows) -> None:
         chunks = _chunks(iter(rows), batch_size)

@@ -69,6 +69,81 @@ class TestUpsertSql:
         with pytest.raises(ValueError):
             upsert_sql("t", ["a"], ["k"])
 
+    def test_unknown_dialect_rejected(self):
+        with pytest.raises(ValueError, match="unknown dialect"):
+            upsert_sql("t", ["k", "a"], ["k"], dialect="oracle")
+
+
+class TestUpsertDialects:
+    """Verdict r4 item 6: the SQL Server / AS400 / MySQL paths of the
+    reference are a dialect choice, not a code change. No live server
+    in the sandbox, so each dialect's generated statement is pinned
+    exactly (structure + paramstyle) and the shared pieces —
+    executemany batching, per-partition transactions, retries — are
+    exercised end-to-end through the sqlite dialect."""
+
+    def test_tsql_merge(self):
+        sql = upsert_sql("production_records", ["k1", "k2", "qty", "st"], ["k1", "k2"], dialect="tsql")
+        assert sql == (
+            "MERGE INTO production_records WITH (HOLDLOCK) AS tgt "
+            "USING (VALUES (?, ?, ?, ?)) AS src (k1, k2, qty, st) "
+            "ON tgt.k1 = src.k1 AND tgt.k2 = src.k2 "
+            "WHEN MATCHED THEN UPDATE SET qty = src.qty, st = src.st "
+            "WHEN NOT MATCHED THEN INSERT (k1, k2, qty, st) "
+            "VALUES (src.k1, src.k2, src.qty, src.st);"
+        )
+
+    def test_db2_merge(self):
+        sql = upsert_sql("multipliers", ["part", "mult"], ["part"], dialect="db2")
+        assert sql == (
+            "MERGE INTO multipliers AS tgt "
+            "USING (VALUES (?, ?)) AS src (part, mult) "
+            "ON tgt.part = src.part "
+            "WHEN MATCHED THEN UPDATE SET mult = src.mult "
+            "WHEN NOT MATCHED THEN INSERT (part, mult) VALUES (src.part, src.mult)"
+        )
+
+    def test_mysql_upsert(self):
+        sql = upsert_sql("t", ["k", "a"], ["k"], dialect="mysql")
+        assert sql == (
+            "INSERT INTO t (k, a) VALUES (%s, %s) ON DUPLICATE KEY UPDATE a = VALUES(a)"
+        )
+        # all-key table degrades to INSERT IGNORE
+        assert upsert_sql("t", ["k"], ["k"], dialect="mysql").startswith("INSERT IGNORE")
+
+    def test_merge_dialects_insert_only_when_all_keys(self):
+        sql = upsert_sql("t", ["k1", "k2"], ["k1", "k2"], dialect="tsql")
+        assert "WHEN MATCHED" not in sql and "WHEN NOT MATCHED THEN INSERT" in sql
+
+    def test_paramstyle_override(self):
+        assert "VALUES (%s, %s)" in upsert_sql("t", ["k", "a"], ["k"], dialect="tsql", paramstyle="format")
+
+    def test_dialect_threads_through_executor(self, spark, db):
+        # dialect is accepted by the executor itself (sqlite execution)
+        df = spark.createDataFrame([Row(station="P1", part="A", produced_quantity=9, status_id=1)])
+        dbapi_upsert(
+            df, _connect_factory(db), "production_records", ["station", "part"],
+            dialect="onconflict",
+        )
+        assert _state(db) == {("P1", "A"): (9, 1)}
+
+
+class TestConnectFactory:
+    def test_driver_string_factory_roundtrip(self, spark, db):
+        """ConnectFactory('sqlite3', path) must survive pickling to the
+        executors and open a working connection there — the same
+        mechanics a pyodbc driver string would ride."""
+        import pickle
+
+        from iotdatapipeline_spark.sources.dbapi import ConnectFactory
+
+        factory = pickle.loads(pickle.dumps(ConnectFactory("sqlite3", db, timeout=30)))
+        df = spark.createDataFrame(
+            [Row(station="P7", part="Z", produced_quantity=3, status_id=2)]
+        ).repartition(4)
+        dbapi_upsert(df, factory, "production_records", ["station", "part"])
+        assert _state(db)[("P7", "Z")] == (3, 2)
+
 
 class TestReadJdbcValidation:
     def test_partition_col_requires_bounds(self, spark):

@@ -1105,6 +1105,59 @@ class TestReferencePruning:
             assert pr_state == full_state, (trial, state)
 
 
+class TestTransitionBatchEquivalence:
+    """The vectorized reference-mode hot path (_transition_batch) must
+    be bit-for-bit the _advance spec: same emitted rows (every column,
+    including shift_id/plan_date/qty_running), same new state — for
+    any counter sequence, any arrival order (it sorts internally), and
+    any starting state."""
+
+    def test_vectorized_path_matches_spec(self):
+        import random
+
+        from iotdatapipeline_spark.streaming.stateful import (
+            _FRESH_STATE,
+            _advance,
+            _transition_batch,
+        )
+
+        rng = random.Random(20260815)
+        for trial in range(300):
+            n = rng.randint(1, 40)
+            base = dt.datetime(2024, 3, 1, rng.choice([6, 7, 15, 23]), 50, 0)
+            rows = []
+            t = base
+            counter = rng.randint(0, 50)
+            for i in range(n):
+                counter = max(0, counter + rng.choice([-7, -3, -1, 0, 0, 1, 2, 5, 11]))
+                t = t + dt.timedelta(minutes=rng.choice([1, 5, 30, 240]))
+                rows.append({"ts": pd.Timestamp(t), "event_id": i, "counter": counter})
+            rng.shuffle(rows)  # _transition_batch must sort
+            pdf = pd.DataFrame(rows)
+            if rng.random() < 0.5:
+                state = _FRESH_STATE
+            else:
+                state = (rng.randint(0, 60), rng.choice([None, 5]), rng.randint(0, 9),
+                         rng.randint(0, 86399), True)
+            sorted_pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            spec_out, spec_state = _advance(7, "px", sorted_pdf, state, "reference")
+            got_pdf, got_state, got_ms = _transition_batch(7, "px", pdf, state, "reference")
+            assert got_state == spec_state, (trial, state)
+            assert got_ms == int(sorted_pdf["ts"].max().value) // 1_000_000
+            if not spec_out:
+                assert got_pdf is None, trial
+                continue
+            spec_pdf = pd.DataFrame(spec_out)
+            assert got_pdf is not None and len(got_pdf) == len(spec_pdf), trial
+            for col in spec_pdf.columns:
+                got_vals = got_pdf[col].tolist()
+                spec_vals = spec_pdf[col].tolist()
+                if col == "ts":
+                    got_vals = [pd.Timestamp(v) for v in got_vals]
+                    spec_vals = [pd.Timestamp(v) for v in spec_vals]
+                assert got_vals == spec_vals, (trial, col, state)
+
+
 class TestSinkTxnIsolation:
     """ADVICE r4 fixes: distinct queries must not dedupe each other's
     batches through a shared txn app id, and an empty first micro-batch
