@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,6 +314,68 @@ def stream_limpieza_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("station", "part")
         .agg(F.count(F.lit(1)).cast("long").alias("limpieza_count"))
     )
+
+
+#: T5 wall-clock gate parameters: silence gap and poll bounds (real
+#: elapsed time — the gap is engine latency headroom, not data).
+_T5W_GAP_MS = 2_000
+_T5W_DEADLINE_S = 180.0
+
+
+@register(
+    "stream_limpieza_wallclock",
+    "SELECT DISTINCT user_id AS station, event_type AS part FROM events",
+)
+def stream_limpieza_wallclock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 in the reference's LITERAL mode — wall-clock silence
+    (Prensas.py:663-677 measures real elapsed time): the whole replay
+    lands in one micro-batch, then the query keeps running no-data
+    batches on a real processing-time trigger until every key's
+    ProcessingTimeTimeout fires its one limpieza marker.
+
+    Wall-clock firing ORDER and TIMING are nondeterministic by nature,
+    but the fired SET is not: all data arrives in batch 0, so every key
+    goes silent together, every timer fires exactly once (state removed,
+    never re-created — the one-shot latch), and the distinct limpieza
+    keys must equal the distinct (station, part) key set — which is
+    the full value-hash oracle. The driver loop polls the sink until
+    the key count converges (bounded by a deadline), the same
+    stop-condition a live ``--follow`` supervisor applies; a deadline
+    miss returns the partial set and fails the gate loudly."""
+    work = tempfile.mkdtemp(prefix="iotdp_limpieza_wc_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=1)
+    n_keys = (
+        spark.read.parquet(replay).select("station", "part").distinct().count()
+    )
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    out = counter_state_machine(
+        stream, emit_mode="reference", timeout_ms=_T5W_GAP_MS, timeout_mode="processing"
+    )
+    sink = f"stream_limpieza_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    fired = (
+        spark.table(sink)
+        .filter(F.col("row_kind") == "limpieza")
+        .select("station", "part")
+        .distinct()
+    )
+    deadline = time.monotonic() + _T5W_DEADLINE_S
+    try:
+        while time.monotonic() < deadline:
+            if fired.count() >= n_keys:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return fired
 
 
 #: T2 gate parameters. The consumed set is the deterministic output of

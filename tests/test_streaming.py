@@ -1105,6 +1105,24 @@ class TestReferencePruning:
             assert pr_state == full_state, (trial, state)
 
 
+class TestLimpiezaWallclockGate:
+    def test_every_key_fires_exactly_once(self, spark, sf_small):
+        """T5 wall-clock mode (ProcessingTimeTimeout, real trigger):
+        the fired limpieza key set must equal the distinct key set —
+        each timer one-shot, none missed, none duplicated."""
+        from iotdatapipeline_spark.plans.streams import stream_limpieza_wallclock
+        from iotdatapipeline_spark.sources import load_table
+
+        fired = stream_limpieza_wallclock(spark, sf_small)
+        got = {(r["station"], r["part"]) for r in fired.collect()}
+        ev = load_table(spark, sf_small, "events")
+        expected = {
+            (r["user_id"], r["event_type"])
+            for r in ev.select("user_id", "event_type").distinct().collect()
+        }
+        assert got == expected
+
+
 class TestTransitionBatchEquivalence:
     """The vectorized reference-mode hot path (_transition_batch) must
     be bit-for-bit the _advance spec: same emitted rows (every column,
