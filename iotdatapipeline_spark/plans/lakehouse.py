@@ -126,3 +126,99 @@ def events_merge_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise RuntimeError(f"unexpected table history: {ops}")
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_changes",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT s.station AS station, s.part, s.ts_us, s.v_cents, s.version_id,
+           CASE WHEN b.station IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type
+    FROM s LEFT JOIN b ON s.station = b.station
+    WHERE b.station IS NULL
+       OR NOT (s.part    IS NOT DISTINCT FROM b.part
+           AND s.ts_us   IS NOT DISTINCT FROM b.ts_us
+           AND s.v_cents IS NOT DISTINCT FROM b.v_cents
+           AND s.version_id IS NOT DISTINCT FROM b.version_id)
+    """,
+)
+def events_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Delta CDF's read contract) over the
+    transactional table: CREATE the per-station dim from the odd-thirds
+    of events, MERGE-upsert the even-thirds source, then read
+    ``changes(1, 2)`` — one row per key whose presence or payload
+    changed between the two committed snapshots, tagged insert /
+    update_postimage with the post-merge image. The oracle recomputes
+    the same diff as pure set algebra (left join + null-safe column
+    compare). A change feed that misses a carried file, tags an
+    unchanged key, or emits the pre-image hash-mismatches.
+
+    Scale shape: state-diff CDC — two immutable snapshot scans plus one
+    co-partitioned full-outer join on the key, independent of how many
+    commits separate the versions."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_cdf_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"])
+    return table.changes(1, 2, ["station"]).select(
+        "station", "part", "ts_us", "v_cents", "version_id", "_change_type"
+    )
+
+
+@register(
+    "events_versioned_skipping",
+    """
+    SELECT user_id AS station,
+           max_by(event_type, event_id) AS part,
+           max_by(epoch_us(ts), event_id) AS ts_us,
+           max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+           CAST(max(event_id) AS BIGINT) AS version_id
+    FROM events WHERE user_id BETWEEN 0 AND 1 GROUP BY user_id
+    """,
+)
+def events_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping on manifest file-stats: the table is created
+    range-clustered on station (8 files, per-file [min, max] recorded
+    in the manifest at commit time), then ``scan`` with a narrow
+    station range must open only the file(s) whose recorded range
+    intersects — Delta/Iceberg min/max skipping on plain parquet. The
+    gate HARD-FAILS if pruning does not engage (kept == total), so a
+    regression that stops recording or consulting stats cannot pass,
+    and the returned rows are hash-checked against the plain filtered
+    oracle, so pruning can never drop a matching row.
+
+    Scale shape: a key-range query on a clustered 100 TB table reads
+    O(range) files; the manifest stats make the file list a driver-side
+    metadata decision, no footer reads at plan time."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r)
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_skip_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    kept, total = table.pruned_files({"station": (0, 1)})
+    if total > 1 and kept >= total:
+        raise RuntimeError(f"stats skipping did not engage: {kept}/{total} files kept")
+    return table.scan({"station": (0, 1)}).select(
+        "station", "part", "ts_us", "v_cents", "version_id"
+    )

@@ -54,6 +54,41 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction targeted."""
 
 
+def _canon(v):
+    """Canonicalize a stats/bound value for cross-source comparison:
+    JSON-native scalars pass through, datetimes/dates become ISO-8601
+    strings (lexicographic order == chronological order). Returns None
+    for types we refuse to compare — the caller must treat None as
+    "unknown" and keep the file (pruning must only ever be an
+    optimization, never a correctness hazard)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _range_intersects(file_range, lo, hi) -> bool:
+    """True unless the file's [min, max] provably misses [lo, hi].
+    Any missing/None/mistyped endpoint keeps the file (conservative)."""
+    if not file_range:
+        return True
+    fmin, fmax = _canon(file_range[0]), _canon(file_range[1])
+    lo, hi = _canon(lo), _canon(hi)
+    try:
+        if lo is not None and fmax is not None and fmax < lo:
+            return False
+        if hi is not None and fmin is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 class VersionedTable:
     """Versioned parquet table rooted at ``root`` (local/NFS path)."""
 
@@ -91,6 +126,7 @@ class VersionedTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         schema_json: str | None = None,
+        stats: dict | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -128,6 +164,12 @@ class VersionedTable:
             "cluster_by": list(cluster_by) if cluster_by else [],
             "txns": txns,
             "schema": schema_json,
+            # per-file column min/max (Delta's data-skipping stats):
+            # {file: {col: [min, max]}} — readers prune files whose
+            # range provably misses a predicate; absent entries mean
+            # "unknown, keep". Stats ride the manifest, so skipping
+            # needs no footer reads at plan time.
+            "stats": stats or {},
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -178,11 +220,70 @@ class VersionedTable:
         for part in sorted(os.listdir(stage)):
             if not part.endswith(".parquet"):
                 continue
+            # zero-row part files (empty partitions of the incoming
+            # frame) are dropped: they carry no data, no stats, and
+            # would accumulate one per micro-batch forever
+            if self._parquet_num_rows(os.path.join(stage, part)) == 0:
+                continue
             name = f"f-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(stage, part), os.path.join(self._data, name))
             names.append(name)
         shutil.rmtree(stage)
         return names
+
+    @staticmethod
+    def _parquet_num_rows(path: str) -> int:
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return -1  # unreadable footer: keep the file
+
+    def _collect_stats(
+        self, names: list[str], cols: Sequence[str] | None
+    ) -> dict:
+        """Per-file [min, max] for ``cols`` from the parquet footers the
+        write already produced — no data read, no Spark job. Columns
+        whose footer lacks usable stats are simply absent (readers keep
+        the file). Driver-side footer reads are bounded by the files of
+        ONE commit; on an object store this is the same O(files)
+        metadata pass every table format pays at commit time."""
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        stats: dict = {}
+        for name in names:
+            f_stats: dict = {}
+            try:
+                meta = pq.ParquetFile(os.path.join(self._data, name)).metadata
+            except Exception:
+                continue
+            schema = meta.schema.to_arrow_schema()
+            idx = {schema.names[i]: i for i in range(len(schema.names))}
+            for col in cols:
+                i = idx.get(col)
+                if i is None:
+                    continue
+                mins, maxs = [], []
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    s = meta.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                if not ok or not mins:
+                    continue
+                lo, hi = _canon(min(mins)), _canon(max(maxs))
+                if lo is None or hi is None:
+                    continue
+                f_stats[col] = [lo, hi]
+            if f_stats:
+                stats[name] = f_stats
+        return stats
 
     # ── public API ──────────────────────────────────────────────────────
 
@@ -207,6 +308,7 @@ class VersionedTable:
         self._try_commit(
             0, files, "create", cluster_by, txn_app, txn_version,
             schema_json=df.schema.json(),
+            stats=self._collect_stats(files, cluster_by),
         )
         return 1
 
@@ -229,6 +331,104 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in range(1, self.version() + 1)]
+
+    def scan(
+        self,
+        where: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read: ``where`` maps column → ``(lo, hi)``
+        inclusive bounds (either end ``None`` for open). Files whose
+        manifest [min, max] provably misses a bound are never opened —
+        Delta/Iceberg data skipping on the manifest stats written at
+        commit time — and the surviving files still get the real filter
+        applied, so the result is exactly ``snapshot().filter(...)``
+        regardless of stats quality. On a clustered table a narrow key
+        range reads O(range) files instead of O(table)."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        where = where or {}
+        stats = m.get("stats") or {}
+        keep = [
+            f
+            for f in m["files"]
+            if all(
+                _range_intersects((stats.get(f) or {}).get(c), lo, hi)
+                for c, (lo, hi) in where.items()
+            )
+        ]
+        if keep:
+            df = self.spark.read.parquet(*[os.path.join(self._data, f) for f in keep])
+        else:
+            schema_json = m.get("schema")
+            if schema_json is None:
+                raise ValueError(f"version {v} has no files and no recorded schema")
+            from pyspark.sql.types import StructType
+
+            df = self.spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
+    def pruned_files(self, where: dict[str, tuple], version: int | None = None) -> tuple[int, int]:
+        """(kept, total) file counts for a ``scan(where)`` — the
+        observable the skipping tests pin."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        stats = m.get("stats") or {}
+        kept = sum(
+            1
+            for f in m["files"]
+            if all(
+                _range_intersects((stats.get(f) or {}).get(c), lo, hi)
+                for c, (lo, hi) in where.items()
+            )
+        )
+        return kept, len(m["files"])
+
+    def changes(
+        self, v_from: int, v_to: int | None = None, keys: Sequence[str] | None = None
+    ) -> DataFrame:
+        """Change data feed between two committed versions: one row per
+        key whose presence or payload differs, tagged ``_change_type``
+        ∈ {insert, update_postimage, delete}. Inserts/updates carry the
+        ``v_to`` image, deletes the ``v_from`` image — Delta CDF's
+        read-side contract. Computed as a distributed full-outer join
+        of the two snapshots on ``keys`` (defaults to the manifest's
+        cluster_by) with a null-safe struct comparison of the non-key
+        columns; both snapshots are immutable file lists, so the diff
+        is reproducible forever. State-diff CDC, not log-replay: cost
+        is two scans + one co-partitioned join, independent of how many
+        commits separate the versions."""
+        v_to = self.version() if v_to is None else v_to
+        if keys is None:
+            keys = self._read_manifest(v_to).get("cluster_by") or []
+        keys = list(keys)
+        if not keys:
+            raise ValueError("changes() needs key columns (table has no cluster_by)")
+        old, new = self.snapshot(v_from), self.snapshot(v_to)
+        val_cols = [c for c in new.columns if c not in keys]
+        o = old.select(*keys, F.struct(*val_cols).alias("__old"))
+        n = new.select(*keys, F.struct(*val_cols).alias("__new"))
+        j = o.join(n, keys, "full_outer")
+        change = (
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update_postimage"))
+        )
+        img = F.coalesce(F.col("__new"), F.col("__old"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *keys,
+                *[img.getField(c).alias(c) for c in val_cols],
+                "_change_type",
+            )
+        )
 
     def merge_into(
         self,
@@ -278,19 +478,53 @@ class VersionedTable:
                 if seen is not None and int(seen[0]) >= int(txn_version):
                     return int(seen[1])  # already applied (batch replay)
             base_df = self.snapshot(base)
-            snap = base_df.withColumn("__file", F.input_file_name())
-            # exact file-level pruning: the collected result is the
-            # bounded list of touched FILES, never data rows.
-            # plain join (no forced broadcast): Catalyst/AQE broadcasts
-            # the key set when it is small — the common dim-merge case —
-            # and falls back to a shuffle join for huge sources
-            touched = {
-                os.path.basename(r["__file"])
-                for r in snap.join(src_keys, keys, "left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            }
+            # stats pre-prune (data skipping): files whose manifest
+            # [min, max] range provably misses the source's key bounds
+            # cannot hold a match, so the exact semi-join below never
+            # reads them AT ALL. Without this, the "which files are
+            # touched" probe scans the whole table — the step that
+            # turns a key-local MERGE into a full-table read at 100 TB.
+            stats = m.get("stats") or {}
+            candidates = list(m["files"])
+            stat_keys = [
+                k for k in keys if any(k in (stats.get(f) or {}) for f in candidates)
+            ]
+            if stat_keys:
+                bounds_row = src_keys.agg(
+                    *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(stat_keys)],
+                    *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(stat_keys)],
+                ).collect()[0]
+                candidates = [
+                    f
+                    for f in candidates
+                    if all(
+                        _range_intersects(
+                            (stats.get(f) or {}).get(k),
+                            bounds_row[f"lo_{i}"],
+                            bounds_row[f"hi_{i}"],
+                        )
+                        for i, k in enumerate(stat_keys)
+                    )
+                ]
+            # exact file-level pruning over the candidates: the
+            # collected result is the bounded list of touched FILES,
+            # never data rows. plain join (no forced broadcast):
+            # Catalyst/AQE broadcasts the key set when it is small —
+            # the common dim-merge case — and falls back to a shuffle
+            # join for huge sources
+            touched: set[str] = set()
+            if candidates:
+                cand_df = self.spark.read.parquet(
+                    *[os.path.join(self._data, f) for f in candidates]
+                )
+                snap = cand_df.withColumn("__file", F.input_file_name())
+                touched = {
+                    os.path.basename(r["__file"])
+                    for r in snap.join(src_keys, keys, "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
             cluster_by = m.get("cluster_by") or None
             untouched = [f for f in m["files"] if f not in touched]
             cols = base_df.columns  # parquet footer only, no job
@@ -321,6 +555,9 @@ class VersionedTable:
                 return base  # no-op merge
             if not ins_empty:
                 rewritten += self._write_files(ins)
+            stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
+            new_stats = {f: stats[f] for f in untouched if f in stats}
+            new_stats.update(self._collect_stats(rewritten, stat_cols))
             try:
                 self._try_commit(
                     base,
@@ -330,6 +567,7 @@ class VersionedTable:
                     txn_app,
                     txn_version,
                     schema_json=base_df.schema.json(),
+                    stats=new_stats,
                 )
                 return base + 1
             except CommitConflict:
@@ -354,7 +592,11 @@ class VersionedTable:
             cluster_by = m.get("cluster_by") or None
             files = self._write_files(self.snapshot(base), n_files, cluster_by)
             try:
-                self._try_commit(base, files, "optimize", cluster_by)
+                self._try_commit(
+                    base, files, "optimize", cluster_by,
+                    schema_json=m.get("schema"),
+                    stats=self._collect_stats(files, cluster_by),
+                )
                 return base + 1
             except CommitConflict:
                 continue

@@ -232,13 +232,13 @@ class TestOptimisticConcurrency:
         state = {"b_done": False}
 
         def racing_commit(base, files, op, cluster_by=None, txn_app=None,
-                          txn_version=None, schema_json=None):
+                          txn_version=None, schema_json=None, stats=None):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
             return real_try_commit(base, files, op, cluster_by, txn_app,
-                                   txn_version, schema_json)
+                                   txn_version, schema_json, stats)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -305,7 +305,7 @@ class TestOptimisticConcurrency:
         src = spark.createDataFrame([Row(k=1, v="x")])
 
         def always_conflict(base, files, op, cluster_by=None, txn_app=None,
-                            txn_version=None, schema_json=None):
+                            txn_version=None, schema_json=None, stats=None):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
@@ -335,3 +335,123 @@ class TestEmptyVersion:
         table.merge_into(spark.createDataFrame([Row(k=5, v="later")]), ["k"])
         assert table.snapshot(v_empty).count() == 0
         assert table.snapshot(1).count() == 20
+
+
+class TestDataSkipping:
+    """Manifest file-stats (per-file column [min, max] collected from
+    the parquet footers at commit time) and the readers built on them:
+    scan() prunes files a predicate provably misses, and merge_into
+    pre-prunes its touched-file probe so a key-local MERGE never even
+    READS the rest of the table — the step that would otherwise make
+    every merge a full-table scan at 100 TB."""
+
+    @pytest.fixture()
+    def clustered(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "skip"))
+        base = spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(1000)])
+        t.create(base, n_files=10, cluster_by=["k"])
+        return t
+
+    def test_create_records_stats(self, clustered):
+        m = clustered._read_manifest(1)
+        assert set(m["stats"]) == set(m["files"])
+        for rng in m["stats"].values():
+            lo, hi = rng["k"]
+            assert 0 <= lo <= hi <= 999
+
+    def test_scan_prunes_files_and_matches_filter(self, clustered):
+        kept, total = clustered.pruned_files({"k": (500, 549)})
+        assert total == 10 and kept <= 2
+        got = sorted(r["k"] for r in clustered.scan({"k": (500, 549)}).collect())
+        assert got == list(range(500, 550))
+
+    def test_scan_open_bounds(self, clustered):
+        got = sorted(r["k"] for r in clustered.scan({"k": (990, None)}).collect())
+        assert got == list(range(990, 1000))
+        kept, total = clustered.pruned_files({"k": (990, None)})
+        assert kept <= 2
+
+    def test_scan_without_stats_is_plain_filter(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "nostat"))
+        t.create(spark.createDataFrame([Row(k=i, v="x") for i in range(100)]), n_files=4)
+        # no cluster_by → no stats recorded; scan stays correct
+        assert t.scan({"k": (10, 19)}).count() == 10
+        kept, total = t.pruned_files({"k": (10, 19)})
+        assert kept == total  # conservative: nothing pruned
+
+    def test_merge_probe_skips_non_candidate_files(self, spark, clustered, monkeypatch):
+        """The touched-file semi-join must read only the stats
+        candidates: count the files the probe opens by intercepting
+        spark.read.parquet."""
+        opened: list[int] = []
+        real_reader = type(spark.read)
+        orig = real_reader.parquet
+
+        def counting(self, *paths):
+            opened.append(len(paths))
+            return orig(self, *paths)
+
+        monkeypatch.setattr(real_reader, "parquet", counting)
+        src = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(500, 550)])
+        clustered.merge_into(src, ["k"])
+        # the probe's candidate read must be far below the 10-file table
+        assert opened and min(opened) <= 2
+        got = dict((r["k"], r["v"]) for r in clustered.snapshot().collect())
+        assert got[510] == "u510" and got[0] == "base0" and len(got) == 1000
+
+    def test_merge_carries_stats_forward(self, spark, clustered):
+        src = spark.createDataFrame([Row(k=5, v="new5")])
+        clustered.merge_into(src, ["k"])
+        m2 = clustered._read_manifest(2)
+        # every file in v2 still has usable k-stats (untouched carried,
+        # rewritten recomputed), so the NEXT merge still pre-prunes
+        assert set(m2["stats"]) == set(m2["files"])
+        kept, total = clustered.pruned_files({"k": (0, 50)})
+        assert kept < total
+
+
+class TestChangeFeed:
+    """changes(v_from, v_to): state-diff CDC between two committed
+    snapshots — insert / update_postimage / delete with the correct
+    image side, reproducible forever because snapshots are immutable."""
+
+    def test_insert_update_delete_classified(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cdf"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(10)]),
+            n_files=2, cluster_by=["k"],
+        )
+        t.merge_into(spark.createDataFrame([Row(k=3, v="A3"), Row(k=42, v="new")]), ["k"])
+        t.merge_into(spark.createDataFrame([Row(k=7, v="x")]), ["k"], when_matched="delete")
+        ch = {r["k"]: r for r in t.changes(1, 3).collect()}
+        assert ch[3]["_change_type"] == "update_postimage" and ch[3]["v"] == "A3"
+        assert ch[42]["_change_type"] == "insert" and ch[42]["v"] == "new"
+        assert ch[7]["_change_type"] == "delete" and ch[7]["v"] == "a7"
+        assert set(ch) == {3, 42, 7}  # unchanged keys emit nothing
+
+    def test_changes_default_keys_and_latest(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cdf2"))
+        t.create(
+            spark.createDataFrame([Row(k=1, v="a")]), cluster_by=["k"]
+        )
+        t.merge_into(spark.createDataFrame([Row(k=1, v="b")]), ["k"])
+        ch = t.changes(1).collect()  # v_to=latest, keys from cluster_by
+        assert len(ch) == 1 and ch[0]["_change_type"] == "update_postimage"
+
+    def test_changes_requires_keys_without_cluster_by(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cdf3"))
+        t.create(spark.createDataFrame([Row(k=1, v="a")]))
+        with pytest.raises(ValueError):
+            t.changes(1, 1)
+
+    def test_null_safe_value_compare(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cdf4"))
+        t.create(
+            spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v=None)]),
+            cluster_by=["k"],
+        )
+        t.merge_into(spark.createDataFrame([(1, None)], "k bigint, v string"), ["k"])
+        ch = {r["k"]: r for r in t.changes(1).collect()}
+        # a→NULL is an update; NULL→NULL (untouched k=2) is NOT
+        assert set(ch) == {1}
+        assert ch[1]["_change_type"] == "update_postimage" and ch[1]["v"] is None
