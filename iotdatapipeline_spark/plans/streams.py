@@ -709,6 +709,104 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_chained_agg",
+    """
+    SELECT user_id AS station,
+           time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS counter_sum,
+           CAST(count(DISTINCT time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS n_5min_buckets
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def events_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (Spark's
+    multiple-stateful-operator support): a watermarked 5-minute
+    tumbling count/sum per station feeds a SECOND streaming aggregation
+    that rolls the finalized 5-minute windows up into 1-hour windows
+    via ``window(window_time(w5), '1 hour')`` — the pre-aggregation
+    cascade a 100 TB metrics pipeline runs so the wide window never
+    sees raw events (the stage-2 state is ~12× smaller than stage-1's,
+    and stage-1's map-side partial aggregation has already collapsed
+    the raw stream).
+
+    Exactness vs the batch oracle: the replay is event-time-ordered and
+    a sentinel reading (station −1, 26 h past the fixture's max ts) is
+    appended as the final file, so the flush batch's watermark is far
+    beyond every real window end — both operators finalize and emit ALL
+    real windows, and the sentinel's own (never-finalized) windows are
+    excluded by the station filter. The oracle is then the plain
+    two-level rollup: count(*) per hour = sum of the 5-min counts, and
+    the bucket count is the distinct 5-min buckets."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    work = tempfile.mkdtemp(prefix="iotdp_chain_")
+    replay = stage_replay_chunks(spark, sf_dir, os.path.join(work, "replay"), n_chunks=4)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    sentinel = pa.table(
+        {
+            "station": pa.array([-1], pa.int64()),
+            "part": pa.array(["sentinel"], pa.string()),
+            "ts": pa.array(
+                [max_ts + datetime.timedelta(hours=26)],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([-1], pa.int64()),
+            "value": pa.array([0.0], pa.float64()),
+            "counter": pa.array([0], pa.int64()),
+        }
+    )
+    sent_path = os.path.join(replay, "chunk-zz-sentinel.parquet")
+    pq.write_table(sentinel, sent_path)
+    newest = max(
+        os.path.getmtime(os.path.join(replay, f)) for f in os.listdir(replay)
+    )
+    os.utime(sent_path, (newest + 10, newest + 10))  # replay LAST (mtime order)
+
+    stream = readings_stream(spark, replay, max_files_per_trigger=1)
+    five_min = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("station", F.window("ts", "5 minutes").alias("w5"))
+        .agg(
+            F.count(F.lit(1)).alias("n5"),
+            F.sum("counter").cast("long").alias("c5"),
+        )
+    )
+    hourly = (
+        five_min.groupBy(
+            "station", F.window(F.window_time("w5"), "1 hour").alias("w1")
+        )
+        .agg(
+            F.sum("n5").cast("long").alias("n_events"),
+            F.sum("c5").cast("long").alias("counter_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_5min_buckets"),
+        )
+        .select(
+            "station",
+            F.col("w1.start").alias("hour_start"),
+            "n_events",
+            "counter_sum",
+            "n_5min_buckets",
+        )
+    )
+    sink = f"chain_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).filter(F.col("station") >= 0)
+
+
 #: stream-stream join gate: 6 h join window, 7 h watermark delay.
 #: Safety argument for exactness (why drained output = the batch
 #: interval join): the replay is event-time-ORDERED (stage_replay_chunks),

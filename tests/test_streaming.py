@@ -1226,3 +1226,44 @@ class TestSinkTxnIsolation:
         table = VersionedTable(spark, root)
         assert table.version() == 1
         assert {r["k"] for r in table.snapshot().collect()} == {1}
+
+
+class TestChainedStreamingAggregation:
+    """events_stream_chained_agg (plans/streams.py): two stateful
+    aggregations in ONE streaming query — a watermarked 5-minute window
+    rolled up into 1-hour windows via window(window_time(w5)). The
+    sentinel reading makes the flush batch's watermark pass every real
+    window end, so the drained output must equal the batch two-level
+    rollup exactly."""
+
+    def test_stream_equals_batch_rollup(self, spark, sf_small):
+        from iotdatapipeline_spark.plans.streams import QUERIES as SQ
+        from iotdatapipeline_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        got = {
+            (r["station"], r["hour_start"]): (
+                r["n_events"], r["counter_sum"], r["n_5min_buckets"]
+            )
+            for r in SQ["events_stream_chained_agg"](spark, sf_small).collect()
+        }
+        ev = load_table(spark, sf_small, "events")
+        want = {
+            (r["station"], r["hour_start"]): (
+                r["n_events"], r["counter_sum"], r["n_5min_buckets"]
+            )
+            for r in ev.groupBy(
+                F.col("user_id").alias("station"),
+                F.date_trunc("hour", "ts").alias("hour_start"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias("counter_sum"),
+                F.countDistinct(
+                    F.window("ts", "5 minutes").getField("start")
+                ).alias("n_5min_buckets"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert all(station >= 0 for station, _ in got)  # sentinel excluded
