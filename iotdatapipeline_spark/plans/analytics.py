@@ -1175,6 +1175,74 @@ def docs_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dsir_weights",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 8))::BIGINT % 256 AS f
+        FROM (SELECT doc_id, lang, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+              FROM t)
+    ),
+    r AS (SELECT f, count(*) AS rc FROM g GROUP BY f),
+    tt AS (SELECT f, count(*) AS tc FROM g WHERE lang = 'en' GROUP BY f),
+    sc AS (SELECT r.f, (1000 * (coalesce(tt.tc, 0) + 1)) // (r.rc + 1) AS s
+           FROM r LEFT JOIN tt ON r.f = tt.f)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(sc.s) AS BIGINT) AS dsir_weight
+    FROM g JOIN sc ON g.f = sc.f
+    GROUP BY g.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): featurize every
+    document as hashed word-bigrams folded into 256 buckets, estimate a
+    target distribution (here: the ``lang='en'`` slice stands in for
+    the high-quality target corpus) and the raw distribution over the
+    same buckets, and score each document by the importance of its
+    features under target-vs-raw. Integer-exact cousin of the paper's
+    log-likelihood ratio: per-bucket score is the Laplace-smoothed
+    scaled ratio ``(1000·(t+1)) div (r+1)`` and the document weight is
+    the SUM of its grams' scores (linearized rather than log-product,
+    so the DuckDB oracle hash-matches bit-for-bit — same reasoning as
+    docs_word_rarity). Downstream selection is top-k / threshold on
+    ``dsir_weight`` exactly as in the paper's resampling step.
+
+    Scale shape: explode to grams → 256-bucket aggregate (tiny) →
+    BROADCAST the 256-row score table back onto the gram stream →
+    per-doc aggregate. One real shuffle (doc_id agg); the bucket
+    distributions are map-side-combined into 256 rows regardless of
+    corpus size — this is why hashed-ngram DSIR runs at 100 TB while
+    an exact-vocabulary LM filter would not."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("__ws", words(F.col("text")))
+    from iotdatapipeline_spark.analytics.text import shingles_of_words
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10).cast("long") % 256
+    )
+    grams = docs.select(
+        "doc_id", "lang", F.explode(shingles_of_words(F.col("__ws"), 2)).alias("g")
+    ).select("doc_id", "lang", bucket.alias("f"))
+    raw = grams.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = grams.filter(F.col("lang") == "en").groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
+    scores = (
+        raw.join(tgt, "f", "left")
+        .select("f", F.expr("(1000 * (coalesce(tc, 0) + 1)) div (rc + 1)").alias("s"))
+    )
+    return (
+        grams.join(F.broadcast(scores), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("s").cast("long").alias("dsir_weight"),
+        )
+    )
+
+
+@register(
     "docs_pack_sequences",
     f"""
     WITH t AS (

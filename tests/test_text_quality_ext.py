@@ -316,3 +316,35 @@ class TestPrefixFilterCompleteness:
         }
         assert got == want
         assert len(want) > 0  # the fixture actually contains near-dups
+
+
+class TestDsirWeights:
+    """docs_dsir_weights: hashed-bigram importance weights, target =
+    the lang='en' slice. The weight must actually separate target-like
+    documents from the rest (the property DSIR selection relies on),
+    and the plan must broadcast the 256-row score table (no shuffle of
+    the gram stream against it)."""
+
+    def test_weights_separate_target_from_rest(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+        w = QUERIES["docs_dsir_weights"](spark, sf_small)
+        j = w.join(docs, "doc_id").select(
+            "lang", (F.col("dsir_weight") / F.col("n_grams")).alias("per_gram")
+        )
+        avg = {
+            r["lang"]: r["a"]
+            for r in j.groupBy("lang").agg(F.avg("per_gram").alias("a")).collect()
+        }
+        others = [v for k, v in avg.items() if k != "en"]
+        assert avg["en"] > max(others)  # target slice scores highest
+
+    def test_weights_positive_and_cover_all_docs(self, spark, sf_small):
+        w = QUERIES["docs_dsir_weights"](spark, sf_small)
+        n_docs = load_table(spark, sf_small, "documents").count()
+        rows = w.collect()
+        assert len(rows) == n_docs
+        assert all(r["dsir_weight"] > 0 and r["n_grams"] > 0 for r in rows)
+
+    def test_score_table_is_broadcast(self, spark, sf_small):
+        plan = _plan(QUERIES["docs_dsir_weights"](spark, sf_small))
+        assert "BroadcastHashJoin" in plan
