@@ -191,6 +191,7 @@ class VersionedTable:
         df: DataFrame,
         n_files: int | None = None,
         cluster_by: Sequence[str] | None = None,
+        prearranged: bool = False,
     ) -> list[str]:
         """Materialize ``df`` as immutable uniquely-named parquet files
         under ``data/``; returns their names. Uses a throwaway staging
@@ -205,7 +206,10 @@ class VersionedTable:
         as in any copy-on-write table format."""
         os.makedirs(self._data, exist_ok=True)
         stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex[:8]}")
-        if cluster_by:
+        if prearranged:
+            # caller already partitioned/sorted (e.g. z-order layout)
+            out = df
+        elif cluster_by:
             # clustering must never silently drop: without n_files,
             # keep the incoming parallelism but still range-partition
             out = df.repartitionByRange(
@@ -318,15 +322,26 @@ class VersionedTable:
         v = self.version() if version is None else version
         m = self._read_manifest(v)
         paths = [os.path.join(self._data, f) for f in m["files"]]
+        schema_json = m.get("schema")
         if not paths:
             # an all-rows merge-delete legitimately commits zero files;
             # the manifest's recorded schema keeps the version readable
-            schema_json = m.get("schema")
             if schema_json is None:
                 raise ValueError(f"version {v} has no files and no recorded schema")
             from pyspark.sql.types import StructType
 
             return self.spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+        if schema_json is not None:
+            # read through the manifest's schema: after schema evolution
+            # the carried (old-schema) files fill the added columns with
+            # null — the by-name fill the parquet reader does with an
+            # explicit schema; for non-evolved tables this is identical
+            # to the inferred read
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def history(self) -> list[dict]:
@@ -411,6 +426,14 @@ class VersionedTable:
             raise ValueError("changes() needs key columns (table has no cluster_by)")
         old, new = self.snapshot(v_from), self.snapshot(v_to)
         val_cols = [c for c in new.columns if c not in keys]
+        # across a schema-evolution boundary the older snapshot lacks
+        # the added columns: align by name with typed nulls so the
+        # struct compare sees "column appeared with a value" as an
+        # update, not a schema error
+        old_have = set(old.columns)
+        for fld in new.schema.fields:
+            if fld.name not in old_have:
+                old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         o = old.select(*keys, F.struct(*val_cols).alias("__old"))
         n = new.select(*keys, F.struct(*val_cols).alias("__new"))
         j = o.join(n, keys, "full_outer")
@@ -439,6 +462,7 @@ class VersionedTable:
         max_retries: int = 5,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """Copy-on-write MERGE: ``when_matched="update"`` replaces
         matched rows with the source row (K1/K2 upsert;
@@ -549,7 +573,32 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
-            ins = inserted.select(*cols)
+            if schema_evolution:
+                # evolved schema = base fields + source-only fields, in
+                # that order. Only the INSERT files are written in the
+                # evolved shape; carried and rewritten-kept files stay
+                # old-schema on disk and snapshot()'s explicit-schema
+                # read fills the added columns with null — Delta's
+                # mergeSchema semantics without rewriting history.
+                base_fields = list(base_df.schema.fields)
+                base_names = {f.name for f in base_fields}
+                evolved = base_fields + [
+                    f for f in source.schema.fields if f.name not in base_names
+                ]
+                aligned = inserted
+                have = set(inserted.columns)
+                for fld in evolved:
+                    if fld.name not in have:
+                        aligned = aligned.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                ins = aligned.select(*[f.name for f in evolved])
+                from pyspark.sql.types import StructType
+
+                committed_schema = StructType(evolved).json()
+            else:
+                ins = inserted.select(*cols)
+                committed_schema = base_df.schema.json()
             ins_empty = ins.isEmpty()  # one job, reused below
             if ins_empty and not touched:
                 return base  # no-op merge
@@ -566,7 +615,7 @@ class VersionedTable:
                     cluster_by,
                     txn_app,
                     txn_version,
-                    schema_json=base_df.schema.json(),
+                    schema_json=committed_schema,
                     stats=new_stats,
                 )
                 return base + 1
@@ -576,26 +625,51 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
 
-    def optimize(self, n_files: int, max_retries: int = 5) -> int:
+    def optimize(
+        self,
+        n_files: int,
+        zorder_by: Sequence[str] | None = None,
+        max_retries: int = 5,
+    ) -> int:
         """Compact the table into ``n_files`` files (range-clustered if
         the table is) as a new committed version — same data, new
         layout. The streaming sink accretes one small insert file per
         micro-batch with new keys; periodic OPTIMIZE keeps the file
         count bounded so scans and merge pruning stay effective.
         Concurrency-safe like any commit: a conflicting writer wins and
-        the compaction retries over the new snapshot."""
+        the compaction retries over the new snapshot.
+
+        ``zorder_by=(a, b)`` lays the files out along the Morton code
+        of two integer columns instead of the linear cluster order:
+        each file then covers a compact RECTANGLE of the (a, b) space,
+        so the manifest stats recorded for BOTH columns prune ``scan``
+        predicates on either — the lakehouse Z-ORDER BY, composed with
+        this table's manifest-stats skipping. Linear clustering prunes
+        only its leading column; that is the entire reason this knob
+        exists."""
+        from iotdatapipeline_spark.functions.zorder import morton_code
+
         for _ in range(max_retries):
             base = self.version()
             if base == 0:
                 raise ValueError("optimize target does not exist; create() it first")
             m = self._read_manifest(base)
             cluster_by = m.get("cluster_by") or None
-            files = self._write_files(self.snapshot(base), n_files, cluster_by)
+            snap = self.snapshot(base)
+            if zorder_by:
+                a, b = zorder_by
+                z = morton_code(F.col(a), F.col(b))
+                arranged = snap.repartitionByRange(n_files, z).sortWithinPartitions(z)
+                files = self._write_files(arranged, prearranged=True)
+                stat_cols = list(dict.fromkeys(list(zorder_by) + list(cluster_by or [])))
+            else:
+                files = self._write_files(snap, n_files, cluster_by)
+                stat_cols = cluster_by
             try:
                 self._try_commit(
                     base, files, "optimize", cluster_by,
                     schema_json=m.get("schema"),
-                    stats=self._collect_stats(files, cluster_by),
+                    stats=self._collect_stats(files, stat_cols),
                 )
                 return base + 1
             except CommitConflict:

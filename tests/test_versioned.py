@@ -455,3 +455,86 @@ class TestChangeFeed:
         # a→NULL is an update; NULL→NULL (untouched k=2) is NOT
         assert set(ch) == {1}
         assert ch[1]["_change_type"] == "update_postimage" and ch[1]["v"] is None
+
+
+class TestZOrderOptimize:
+    """optimize(zorder_by=(a, b)): Morton-code layout composed with the
+    manifest-stats skipping — after the rewrite, scan() predicates on
+    EITHER column must prune files (linear clustering prunes only its
+    leading column, which is the entire point of the knob)."""
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "zo"))
+        rows = [(a, b, a * 64 + b) for a in range(64) for b in range(64)]
+        df = spark.createDataFrame(rows, "a bigint, b bigint, payload bigint")
+        t.create(df, n_files=16, cluster_by=["a"])
+        # linearly clustered on a: predicates on b cannot prune
+        kept_b, total = t.pruned_files({"b": (0, 7)})
+        assert kept_b == total
+        v = t.optimize(16, zorder_by=("a", "b"))
+        assert v == 2
+        kept_a, total = t.pruned_files({"a": (0, 7)})
+        kept_b, _ = t.pruned_files({"b": (0, 7)})
+        assert kept_a < total and kept_b < total  # both dims now prune
+        # correctness unchanged: scan == filter, full data intact
+        got = sorted(r["payload"] for r in t.scan({"a": (0, 7), "b": (0, 7)}).collect())
+        assert got == sorted(a * 64 + b for a in range(8) for b in range(8))
+        assert t.snapshot().count() == 64 * 64
+
+    def test_zorder_preserves_cluster_by_for_merges(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "zo2"))
+        df = spark.createDataFrame(
+            [(a, b, 0) for a in range(32) for b in range(32)],
+            "a bigint, b bigint, payload bigint",
+        )
+        t.create(df, n_files=8, cluster_by=["a"])
+        t.optimize(8, zorder_by=("a", "b"))
+        # the manifest still records cluster_by, and a key-local merge
+        # still pre-prunes on the recorded a-stats
+        src = spark.createDataFrame([(0, 0, 99)], "a bigint, b bigint, payload bigint")
+        t.merge_into(src, ["a", "b"])
+        got = {(r["a"], r["b"]): r["payload"] for r in t.snapshot().collect()}
+        assert got[(0, 0)] == 99 and got[(31, 31)] == 0 and len(got) == 32 * 32
+
+
+class TestSchemaEvolution:
+    """merge_into(schema_evolution=True): source-only columns join the
+    table schema; carried old-schema files read back with typed nulls
+    (Delta mergeSchema semantics without rewriting history)."""
+
+    def test_added_column_null_backfilled(self, spark, table):
+        src = spark.createDataFrame(
+            [(3, "new3", 42), (99, "new99", 7)], "k bigint, v string, extra bigint"
+        )
+        table.merge_into(src, ["k"], schema_evolution=True)
+        snap = table.snapshot()
+        assert snap.columns == ["k", "v", "extra"]
+        got = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+        assert got[3] == ("new3", 42) and got[99] == ("new99", 7)
+        assert got[0] == ("base0", None)  # carried file: typed null
+        assert len(got) == 21
+
+    def test_without_flag_extra_columns_dropped(self, spark, table):
+        src = spark.createDataFrame([(3, "new3", 42)], "k bigint, v string, extra bigint")
+        table.merge_into(src, ["k"])
+        assert table.snapshot().columns == ["k", "v"]
+
+    def test_next_merge_and_time_travel_after_evolution(self, spark, table):
+        src = spark.createDataFrame([(1, "x", 5)], "k bigint, v string, extra bigint")
+        table.merge_into(src, ["k"], schema_evolution=True)
+        # v1 time travel still shows the pre-evolution schema
+        assert table.snapshot(1).columns == ["k", "v"]
+        # a later non-evolving merge must supply the evolved schema
+        src2 = spark.createDataFrame([(2, "y", 6)], "k bigint, v string, extra bigint")
+        table.merge_into(src2, ["k"])
+        got = {r["k"]: r["extra"] for r in table.snapshot().collect()}
+        assert got[1] == 5 and got[2] == 6 and got[0] is None
+
+    def test_changes_across_evolution_boundary(self, spark, table):
+        src = spark.createDataFrame([(1, "x", 5)], "k bigint, v string, extra bigint")
+        table.merge_into(src, ["k"], schema_evolution=True)
+        ch = {r["k"]: r for r in table.changes(1, 2, ["k"]).collect()}
+        # only the touched key changes; null-backfilled carried rows
+        # must NOT read as updates
+        assert set(ch) == {1}
+        assert ch[1]["_change_type"] == "update_postimage" and ch[1]["extra"] == 5
