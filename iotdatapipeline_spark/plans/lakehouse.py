@@ -187,6 +187,54 @@ def events_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_zorder_scan",
+    """
+    WITH r AS (
+        SELECT user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) % 512 AS vbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM events GROUP BY user_id, CAST(floor(value * 100) AS BIGINT) % 512
+    )
+    SELECT station, vbucket, n, id_sum
+    FROM r WHERE station BETWEEN 0 AND 9 AND vbucket BETWEEN 0 AND 63
+    """,
+)
+def events_versioned_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER BY through the transactional table: a (station, vbucket)
+    aggregate is committed linearly clustered, re-laid-out with
+    ``optimize(zorder_by=("station", "vbucket"))``, then scanned with a
+    RECTANGLE predicate on both dimensions. The gate hard-fails unless
+    the z-ordered manifest stats prune files on BOTH columns — the
+    property linear clustering cannot deliver (its trailing column's
+    per-file range spans everything) — and the returned rows hash-check
+    against the plain filtered oracle, so the layout rewrite can never
+    change query results.
+
+    Scale shape: this is the standing layout decision for 2-D-selective
+    workloads on a 100 TB fact table — each file owns a compact
+    rectangle of the key space, so min/max skipping works for
+    predicates on either column or both."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("user_id").alias("station"),
+        (F.floor(F.col("value") * 100).cast("long") % 512).alias("vbucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_zorder_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(agg, n_files=16, cluster_by=["station"])
+    table.optimize(16, zorder_by=("station", "vbucket"))
+    where = {"station": (0, 9), "vbucket": (0, 63)}
+    kept, total = table.pruned_files(where)
+    if total > 1 and kept >= total:
+        raise RuntimeError(f"z-order skipping did not engage: {kept}/{total} files kept")
+    return table.scan(where).select("station", "vbucket", "n", "id_sum")
+
+
+@register(
     "events_versioned_skipping",
     """
     SELECT user_id AS station,
