@@ -603,7 +603,19 @@ class VersionedTable:
             if ins_empty and not touched:
                 return base  # no-op merge
             if not ins_empty:
-                rewritten += self._write_files(ins)
+                if cluster_by:
+                    # keep the INSERT files clustered too: without this
+                    # every merge appends one unclustered file per
+                    # source partition (measured: 32 tiny files per
+                    # micro-batch), and future merges/scans cannot
+                    # prune them. File count follows the merge's own
+                    # locality (like the kept-rewrite), with optimize()
+                    # as the long-run compactor.
+                    rewritten += self._write_files(
+                        ins, n_files=max(1, len(touched)), cluster_by=cluster_by
+                    )
+                else:
+                    rewritten += self._write_files(ins)
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = {f: stats[f] for f in untouched if f in stats}
             new_stats.update(self._collect_stats(rewritten, stat_cols))

@@ -208,11 +208,35 @@ class TestModelBased:
                             model[r.k] = r.v  # not-matched inserts
             got = dict(_rows(t.snapshot()))
             assert got == model, f"step {step} ({op}): {got} != {model}"
+            # stats-pruned scan must equal the model filter at every
+            # intermediate version, whatever layout the ops produced
+            lo, hi = sorted(rng.sample(range(35), 2))
+            scan_got = dict(_rows(t.scan({"k": (lo, hi)})))
+            assert scan_got == {k: v for k, v in model.items() if lo <= k <= hi}, (
+                f"step {step} ({op}) scan[{lo},{hi}]"
+            )
             snapshots.append(dict(model))
         # time travel replays the whole history
         assert t.version() == len(snapshots)
         for v, expect in enumerate(snapshots, start=1):
             assert dict(_rows(t.snapshot(v))) == expect
+        # change feed between every adjacent pair must replay the model
+        # deltas (insert/update/delete classification + images)
+        for v in range(1, len(snapshots)):
+            prev, cur = snapshots[v - 1], snapshots[v]
+            expect_ch = {}
+            for k in set(prev) | set(cur):
+                if k not in prev:
+                    expect_ch[k] = ("insert", cur[k])
+                elif k not in cur:
+                    expect_ch[k] = ("delete", prev[k])
+                elif prev[k] != cur[k]:
+                    expect_ch[k] = ("update_postimage", cur[k])
+            got_ch = {
+                r["k"]: (r["_change_type"], r["v"])
+                for r in t.changes(v, v + 1, ["k"]).collect()
+            }
+            assert got_ch == expect_ch, f"changes({v},{v + 1})"
 
 
 class TestOptimisticConcurrency:
