@@ -709,6 +709,102 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plc_oracle(stations: int, ticks: int, registers: int) -> str:
+    from iotdatapipeline_spark.sources.plc_source import oracle_sql
+
+    return oracle_sql(stations, ticks, registers)
+
+
+@register(
+    "plc_source_scan",
+    _plc_oracle(40, 10, 6),
+)
+def plc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLC register map read through a REAL custom Spark source
+    (Python DataSource API): ``spark.read.format("plcsim")`` plans one
+    input partition per station range and each partition materializes
+    its registers independently — the S1 batched block read
+    (Prensas.py:506-509) as a first-class pluggable connector rather
+    than a file stand-in. The md5-derived register words are
+    engine-reproducible, so the oracle REGENERATES the source's entire
+    output in SQL and the driver value-hashes a custom connector
+    end-to-end. Dimensions are fixed (40×10×6) — the source is the
+    device simulation, not a view over sf_dir."""
+    from iotdatapipeline_spark.sources.plc_source import register_plcsim
+
+    register_plcsim(spark)
+    return (
+        spark.read.format("plcsim")
+        .option("stations", 40)
+        .option("ticks", 10)
+        .option("registers", 6)
+        .load()
+    )
+
+
+@register(
+    "plc_stream_totals",
+    f"""
+    SELECT station, CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(word) AS BIGINT) AS word_sum
+    FROM ({_plc_oracle(20, 8, 4)}) GROUP BY station
+    """,
+)
+def plc_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom source in STREAMING mode: tick-counter offsets,
+    ``ticks_per_batch=2`` rate limiting (4 micro-batches for the 8
+    ticks), checkpointed commits. The drain loop polls the sink until
+    the deterministic total row count lands — each tick is delivered
+    exactly once by the [start, end) offset contract, so the drained
+    set (not its batch boundaries) is deterministic and the per-station
+    totals carry a full value-hash oracle."""
+    import time as _time
+
+    from iotdatapipeline_spark.sources.plc_source import register_plcsim
+
+    register_plcsim(spark)
+    stations, ticks, registers = 20, 8, 4
+    expected = stations * ticks * registers
+    work = tempfile.mkdtemp(prefix="iotdp_plcstream_")
+    sink = f"plc_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("plcsim")
+        .option("stations", stations)
+        .option("ticks", ticks)
+        .option("registers", registers)
+        .option("ticks_per_batch", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(sink).count() >= expected:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table(sink).count()
+    if got != expected:
+        raise RuntimeError(f"stream drained {got} rows, expected {expected}")
+    return (
+        spark.table(sink)
+        .groupBy("station")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum("word").cast("long").alias("word_sum"),
+        )
+    )
+
+
 @register(
     "events_stream_chained_agg",
     """
