@@ -709,6 +709,104 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dbapi_sink_roundtrip",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 2 = 1 AND user_id % 3 = 0 GROUP BY user_id
+    )
+    SELECT coalesce(s.station, b.station) AS station,
+           coalesce(s.part, b.part) AS part,
+           coalesce(s.ts_us, b.ts_us) AS ts_us,
+           coalesce(s.v_cents, b.v_cents) AS v_cents,
+           coalesce(s.version_id, b.version_id) AS version_id
+    FROM b FULL JOIN s ON b.station = s.station
+    """,
+)
+def dbapi_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational MERGE executor behind Spark's WRITER protocol
+    (``df.write.format("dbapi")``): the per-station dim from the even
+    events is written (insert path), then the odd-events latest for
+    stations ≡ 0 (mod 3) is written again (ON CONFLICT update path) —
+    K1/K2 against a real DBAPI database through a pluggable sink
+    instead of foreachPartition plumbing. The final table is read back
+    and hash-checked against the full-join-coalesce oracle, so a
+    writer that drops a partition, double-applies non-idempotently, or
+    breaks the MERGE spelling mismatches. sqlite3 here; the dialect
+    option retargets SQL Server / DB2 / MySQL (the reference's actual
+    pyodbc targets, Prensas.py:166-170, 128-133).
+
+    Scale shape: one connection + one transaction per TASK with
+    executemany batching; the read-back is a bounded dim (one row per
+    station) — the write path itself never collects."""
+    import sqlite3
+
+    from iotdatapipeline_spark.sources.dbapi import register_dbapi_sink
+
+    register_dbapi_sink(spark)
+    r = _dbapi_readings(spark, sf_dir)
+    base = _dbapi_latest(r.filter(F.col("event_id") % 2 == 0))
+    upd = _dbapi_latest(
+        r.filter((F.col("event_id") % 2 == 1) & (F.col("station") % 3 == 0))
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="iotdp_dbapi_sink_"), "plant.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE records (station INTEGER PRIMARY KEY, part TEXT,"
+        " ts_us INTEGER, v_cents INTEGER, version_id INTEGER)"
+    )
+    con.commit()
+    con.close()
+    for frame in (base, upd):
+        (
+            frame.write.format("dbapi")
+            .option("conn", db)
+            .option("table", "records")
+            .option("keys", "station")
+            .mode("append")
+            .save()
+        )
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        "SELECT station, part, ts_us, v_cents, version_id FROM records"
+    ).fetchall()
+    con.close()
+    return spark.createDataFrame(
+        rows, "station bigint, part string, ts_us bigint, v_cents bigint, version_id bigint"
+    )
+
+
+def _dbapi_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("station"),
+        F.col("event_type").alias("part"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        "event_id",
+    )
+
+
+def _dbapi_latest(df: DataFrame) -> DataFrame:
+    return df.groupBy("station").agg(
+        F.max_by(F.struct("part", "ts_us", "v_cents"), F.col("event_id")).alias("__s"),
+        F.max("event_id").cast("long").alias("version_id"),
+    ).select("station", "__s.part", "__s.ts_us", "__s.v_cents", "version_id")
+
+
 def _plc_oracle(stations: int, ticks: int, registers: int) -> str:
     from iotdatapipeline_spark.sources.plc_source import oracle_sql
 

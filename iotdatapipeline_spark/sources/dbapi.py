@@ -295,3 +295,100 @@ def dbapi_upsert_foreach_batch(
         dbapi_upsert(latest, connect, table, key_cols, **kwargs)
 
     return apply
+
+
+# ── The upsert executor behind Spark's writer commit protocol ───────────────
+
+
+def _dbapi_writer_classes():
+    """Late import: pyspark.sql.datasource exists on Spark 4 only."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, n_rows: int):
+            self.n_rows = n_rows
+
+    class DBAPIUpsertWriter(DataSourceWriter):
+        """Per-task MERGE into the DBAPI target: one connection + one
+        transaction per task, ``executemany`` in ``batch_size`` chunks
+        — the dbapi_upsert executor re-hosted on Spark's writer
+        protocol. Task-failure semantics are the idempotent-upsert
+        contract (standard for non-transactional relational sinks): a
+        retried task re-applies ON CONFLICT rows it already wrote, and
+        since the source frame must be key-unique (same contract as
+        merge_into / dbapi_upsert), the retry converges to the same
+        final state; abort() therefore has nothing to undo."""
+
+        def __init__(self, options, columns):
+            self.module = options.get("module", "sqlite3")
+            self.conn = options["conn"]
+            self.table = options["table"]
+            self.keys = [k.strip() for k in options["keys"].split(",")]
+            self.dialect = options.get("dialect", "onconflict")
+            self.batch_size = int(options.get("batch_size", 1000))
+            self.columns = columns
+
+        def _connect(self):
+            kwargs = {"timeout": 30.0} if self.module == "sqlite3" else {}
+            return ConnectFactory(self.module, self.conn, **kwargs)()
+
+        def write(self, iterator):
+            sql = upsert_sql(self.table, self.columns, self.keys, dialect=self.dialect)
+            n = 0
+            it = iter(iterator)
+            while True:
+                chunk = list(itertools.islice(it, self.batch_size))
+                if not chunk:
+                    break
+                data = [tuple(row[c] for c in self.columns) for row in chunk]
+                for attempt in range(6):
+                    try:
+                        con = self._connect()
+                        try:
+                            con.cursor().executemany(sql, data)
+                            con.commit()
+                        finally:
+                            con.close()
+                        break
+                    except Exception:
+                        if attempt == 5:
+                            raise
+                        time.sleep(0.05 * (2**attempt))
+                n += len(data)
+            return _Done(n)
+
+        def commit(self, messages):
+            # per-task transactions already committed; nothing global
+            pass
+
+        def abort(self, messages):
+            # idempotent-upsert contract: completed task writes are
+            # convergent, not poisonous — the job retry re-applies
+            pass
+
+    class DBAPISinkDataSource(DataSource):
+        """``format("dbapi")`` write path: df.write.format("dbapi")
+        .option("conn", ...).option("table", ...).option("keys", ...)
+        .mode("append").save() — MERGE semantics via the dialect's
+        upsert statement (options: module, dialect, batch_size)."""
+
+        @classmethod
+        def name(cls):
+            return "dbapi"
+
+        def schema(self):  # write-only source; schema comes from the frame
+            return "ok string"
+
+        def writer(self, schema, overwrite):
+            return DBAPIUpsertWriter(self.options, [f.name for f in schema.fields])
+
+    return DBAPISinkDataSource
+
+
+def register_dbapi_sink(spark) -> None:
+    """Idempotent registration of the ``dbapi`` writer format."""
+    spark.dataSource.register(_dbapi_writer_classes())

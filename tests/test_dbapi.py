@@ -264,3 +264,55 @@ class TestForeachBatchExecutor:
         # within-batch last-write-wins by ts; retry idempotent
         assert st[("P1", "A")] == (20, 3)
         assert st[("P2", "B")] == (7, 8)
+
+
+class TestDataSourceWriter:
+    """The dbapi writer format (sources/dbapi.py::register_dbapi_sink):
+    Spark's writer commit protocol hosting the same idempotent-upsert
+    executor as dbapi_upsert."""
+
+    @pytest.fixture()
+    def db(self, tmp_path):
+        import sqlite3
+
+        path = str(tmp_path / "sink.db")
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+        con.commit()
+        con.close()
+        return path
+
+    def _readback(self, path):
+        import sqlite3
+
+        con = sqlite3.connect(path)
+        rows = dict(con.execute("SELECT k, v FROM t").fetchall())
+        con.close()
+        return rows
+
+    def test_multipartition_insert_then_upsert(self, spark, db):
+        from iotdatapipeline_spark.sources.dbapi import register_dbapi_sink
+
+        register_dbapi_sink(spark)
+        base = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(200)], "k bigint, v string"
+        ).repartition(8)
+        opts = {"conn": db, "table": "t", "keys": "k"}
+        base.write.format("dbapi").options(**opts).mode("append").save()
+        assert self._readback(db) == {i: f"a{i}" for i in range(200)}
+        upd = spark.createDataFrame([(7, "NEW"), (300, "ins")], "k bigint, v string")
+        upd.write.format("dbapi").options(**opts).mode("append").save()
+        got = self._readback(db)
+        assert got[7] == "NEW" and got[300] == "ins" and len(got) == 201
+
+    def test_rewrite_is_idempotent(self, spark, db):
+        """The retry contract: re-applying the same key-unique frame
+        converges to the same state (what makes task retries safe)."""
+        from iotdatapipeline_spark.sources.dbapi import register_dbapi_sink
+
+        register_dbapi_sink(spark)
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+        opts = {"conn": db, "table": "t", "keys": "k"}
+        for _ in range(3):
+            df.write.format("dbapi").options(**opts).mode("append").save()
+        assert self._readback(db) == {1: "x", 2: "y"}
