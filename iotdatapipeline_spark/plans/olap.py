@@ -542,6 +542,46 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_variant",
+    """
+    SELECT user_id AS station,
+           CAST(sum(CASE WHEN event_id % 97 <> 0
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_total,
+           CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``try_parse_json`` → open-schema variant column, typed extraction
+    with ``try_variant_get`` — schema-on-read WITHOUT declaring the
+    payload schema up front (the from_json twin, events_props_json,
+    needs one). Malformed payloads are injected (every 97th event's
+    JSON is truncated) to pin the try-parse null path: bad documents
+    count, they never poison the aggregate. All JVM-side, binary
+    variant encoding — at 100 TB the variant column scans as compact
+    binary instead of re-parsed strings."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 97 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(payload)
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(F.col("user_id").alias("station"), v.alias("v"), k.alias("k"))
+        .groupBy("station")
+        .agg(
+            F.sum("k").cast("long").alias("k_total"),
+            F.count("v").cast("long").alias("n_parsed"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "events_type_pivot",
     """
     SELECT user_id AS station,
