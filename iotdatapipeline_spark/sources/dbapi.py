@@ -304,6 +304,7 @@ def _dbapi_writer_classes():
     """Late import: pyspark.sql.datasource exists on Spark 4 only."""
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamWriter,
         DataSourceWriter,
         WriterCommitMessage,
     )
@@ -370,11 +371,29 @@ def _dbapi_writer_classes():
             # convergent, not poisonous — the job retry re-applies
             pass
 
+    class DBAPIUpsertStreamWriter(DBAPIUpsertWriter, DataSourceStreamWriter):
+        """The same per-task MERGE under the STREAMING writer protocol
+        (``writeStream.format("dbapi")``): exactly-once end state via
+        idempotent upsert — a replayed micro-batch (sink write
+        committed, offset commit lost) re-applies the same key-unique
+        rows and converges, the same argument as
+        dbapi_upsert_foreach_batch and the K1 parquet sinks. commit /
+        abort receive the batchId; there is nothing transactional to
+        finalize per batch, by design."""
+
+        def commit(self, messages, batchId):
+            pass
+
+        def abort(self, messages, batchId):
+            pass
+
     class DBAPISinkDataSource(DataSource):
-        """``format("dbapi")`` write path: df.write.format("dbapi")
-        .option("conn", ...).option("table", ...).option("keys", ...)
-        .mode("append").save() — MERGE semantics via the dialect's
-        upsert statement (options: module, dialect, batch_size)."""
+        """``format("dbapi")`` write path, batch AND streaming:
+        df.write.format("dbapi").option("conn", ...).option("table",
+        ...).option("keys", ...).mode("append").save(), or
+        writeStream.format("dbapi") with a checkpoint — MERGE semantics
+        via the dialect's upsert statement (options: module, dialect,
+        batch_size)."""
 
         @classmethod
         def name(cls):
@@ -385,6 +404,9 @@ def _dbapi_writer_classes():
 
         def writer(self, schema, overwrite):
             return DBAPIUpsertWriter(self.options, [f.name for f in schema.fields])
+
+        def streamWriter(self, schema, overwrite):
+            return DBAPIUpsertStreamWriter(self.options, [f.name for f in schema.fields])
 
     return DBAPISinkDataSource
 

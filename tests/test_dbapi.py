@@ -316,3 +316,43 @@ class TestDataSourceWriter:
         for _ in range(3):
             df.write.format("dbapi").options(**opts).mode("append").save()
         assert self._readback(db) == {1: "x", 2: "y"}
+
+    def test_streaming_writer_end_to_end(self, spark, db, tmp_path):
+        """writeStream.format('dbapi'): the replay stream's per-batch
+        latest rows land in the database via the streaming writer
+        protocol; the final table equals the batch latest-per-key."""
+        from iotdatapipeline_spark.sources.dbapi import register_dbapi_sink
+
+        register_dbapi_sink(spark)
+        # 3 replay files -> 3 micro-batches of (k, v) rows
+        src_dir = tmp_path / "replay"
+        src_dir.mkdir()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i in range(3):
+            rows = [(k, f"b{i}-{k}") for k in range(i, 10 + i)]
+            pq.write_table(
+                pa.table({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+                str(src_dir / f"c{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("k bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            stream.writeStream.format("dbapi")
+            .option("conn", db)
+            .option("table", "t")
+            .option("keys", "k")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = self._readback(db)
+        assert len(got) == 12  # keys 0..11
+        # file order is mtime-based here (written sequentially), so the
+        # last writer for overlapping keys is the latest batch
+        assert got[11] == "b2-11" and got[0] == "b0-0"

@@ -311,7 +311,8 @@ class TestRegistryContract:
                                           "pos", "bands", "b", "a", "s", "w", "sizes",
                                           "inter", "s1", "s2", "rowhash", "agg", "mult",
                                           "readings", "ex", "probes", "assign", "cp",
-                                          "cd", "qdist", "qp", "ad", "ap", "g", "e2"}
+                                          "cd", "qdist", "qp", "ad", "ap", "g", "e2",
+                                          "generate_series"}
             leftover = {t for t in unknown if not t.islower() or len(t) > 12}
             assert not leftover, f"{name}: suspicious tables {leftover}"
 
