@@ -187,6 +187,53 @@ def events_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_evolution",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents
+        FROM events WHERE event_id % 3 = 0 AND user_id % 4 = 0 GROUP BY user_id
+    )
+    SELECT coalesce(s.station, b.station) AS station,
+           coalesce(s.part, b.part) AS part,
+           coalesce(s.ts_us, b.ts_us) AS ts_us,
+           s.v_cents AS v_cents
+    FROM b FULL JOIN s ON b.station = s.station
+    """,
+)
+def events_versioned_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the transactional table: the base dim
+    is created WITHOUT the money column, then a source carrying the
+    extra ``v_cents`` merges with ``schema_evolution=True`` — the
+    evolved schema is committed, carried old-schema files read back
+    with typed nulls (Delta mergeSchema semantics without rewriting
+    history), and ONLY the merged stations have values. The oracle is
+    the full-join-coalesce with the source's column null for
+    non-merged keys; a read path that drops the added column, fills
+    the wrong default, or rewrites carried files mismatches."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).select(
+        "station", "part", "ts_us"
+    )
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 4 == 0))
+    ).select("station", "part", "ts_us", "v_cents")
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_evo_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"], schema_evolution=True)
+    return table.snapshot().select("station", "part", "ts_us", "v_cents")
+
+
+@register(
     "events_versioned_zorder_scan",
     """
     WITH r AS (
