@@ -167,6 +167,9 @@ SECONDARY = [
     "docs_incremental_neardup",
     "embeddings_knn_bruteforce",
     "docs_global_shuffle",
+    # round-6 families: importance weighting and the VARIANT path
+    "docs_dsir_weights",
+    "events_props_variant",
 ]
 
 #: Tiny-scale warmup dir (codegen cache priming; see module docstring).
