@@ -92,6 +92,37 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_table(args: argparse.Namespace) -> int:
+    from iotdatapipeline_spark.session import get_spark
+    from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+    spark = get_spark("iotdatapipeline-table")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = VersionedTable(spark, args.root)
+    if args.action == "history":
+        for m in t.history():
+            files, stats = m["files"], m.get("stats") or {}
+            print(
+                f"v{m['version']:>4}  {m['op']:<14} files={len(files):<4}"
+                f" stats={len(stats):<4} cluster_by={m.get('cluster_by') or '-'}"
+            )
+    elif args.action == "show":
+        t.snapshot(args.version).show(args.rows, truncate=False)
+    elif args.action == "optimize":
+        z = tuple(args.zorder_by.split(",")) if args.zorder_by else None
+        v = t.optimize(args.n_files, zorder_by=z)
+        print(f"committed v{v} (optimize{' z-order ' + str(z) if z else ''})")
+    elif args.action == "vacuum":
+        removed = t.vacuum(retention_s=args.retention)
+        print(f"removed {len(removed)} orphaned files")
+    elif args.action == "changes":
+        if args.version is None:
+            print("changes requires --version (the from-version)", file=sys.stderr)
+            return 2
+        t.changes(args.version, args.to_version).show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m iotdatapipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -117,6 +148,17 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--rows", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
+
+    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / changes")
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "changes"])
+    tb.add_argument("root")
+    tb.add_argument("--version", type=int, default=None, help="show: snapshot version; changes: from-version")
+    tb.add_argument("--to-version", type=int, default=None, help="changes: to-version (default latest)")
+    tb.add_argument("--n-files", type=int, default=32)
+    tb.add_argument("--zorder-by", default=None, help="optimize: comma-separated column pair")
+    tb.add_argument("--retention", type=float, default=3600.0)
+    tb.add_argument("--rows", type=int, default=20)
+    tb.set_defaults(fn=_cmd_table)
 
     args = ap.parse_args(argv)
     return args.fn(args)

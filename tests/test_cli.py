@@ -30,3 +30,43 @@ class TestCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "r_name" in out and "AFRICA" in out
+
+    def test_table_subcommand_admin_cycle(self, spark, tmp_path, capsys):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "t")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(50)]),
+            n_files=4, cluster_by=["k"],
+        )
+        t.merge_into(spark.createDataFrame([Row(k=3, v="B")]), ["k"])
+
+        assert main(["table", "history", root]) == 0
+        out = capsys.readouterr().out
+        assert "create" in out and "merge:update" in out
+
+        assert main(["table", "changes", root, "--version", "1"]) == 0
+        out = capsys.readouterr().out
+        assert "update_postimage" in out
+
+        assert main(["table", "optimize", root, "--n-files", "2"]) == 0
+        assert "committed v3" in capsys.readouterr().out
+
+        assert main(["table", "show", root, "--rows", "3"]) == 0
+        assert "|" in capsys.readouterr().out
+
+        assert main(["table", "vacuum", root, "--retention", "0"]) == 0
+        assert "orphaned" in capsys.readouterr().out
+
+    def test_table_changes_requires_version(self, spark, tmp_path, capsys):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "t2")
+        VersionedTable(spark, root).create(spark.createDataFrame([Row(k=1, v="a")]))
+        assert main(["table", "changes", root]) == 2
+        assert "requires --version" in capsys.readouterr().err
