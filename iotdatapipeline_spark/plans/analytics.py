@@ -131,6 +131,81 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_quality_classifier",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+               {_sql_stop_filter('text', LANG_STOPWORDS['en'])} AS stop_hits,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_words,
+               (1000 * stop_hits) // n_words AS stop_density_x1000,
+               (1000 * n_uniq) // n_words AS uniq_x1000,
+               (100 * n_letter_chars) // n_words AS mwl_x100
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(3 * stop_density_x1000 + 2 * uniq_x1000
+                - abs(mwl_x100 - 500)
+                - CASE WHEN n_words < 20 THEN 2000 ELSE 0 END AS BIGINT) AS score,
+           CASE WHEN 3 * stop_density_x1000 + 2 * uniq_x1000
+                     - abs(mwl_x100 - 500)
+                     - CASE WHEN n_words < 20 THEN 2000 ELSE 0 END >= 1000
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM f
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the fastText-filter shape of
+    CCNet/RefinedWeb): a fixed linear model over integer document
+    features — stopword density, lexical diversity (distinct-word
+    ratio), mean word length penalty, and a short-document prior —
+    applied as one zero-shuffle projection with a keep/drop decision
+    threshold. The weights stand in for a trained model's (inference
+    is the at-scale workload; training happens offline on a sample);
+    every feature is an exact integer ratio, so the score and the
+    decision boundary hash-match across engines.
+
+    Scale shape: pure per-row projection — no shuffle at all; the
+    filter runs at scan speed on 100 TB, which is exactly why
+    classifier filtering is the first pass of a corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("__ws", words(F.col("text")))
+    t = F.col("text")
+    nw = F.array_size(F.col("__ws")).cast("long")
+    uniq = F.array_size(F.array_distinct(F.col("__ws"))).cast("long")
+    stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    letters = F.length(F.regexp_replace(t, " ", "")).cast("long")
+    feats = docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        uniq.alias("n_uniq"),
+        stop.alias("stop_hits"),
+        letters.alias("n_letter_chars"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("div(1000 * stop_hits, n_words)").alias("stop_density_x1000"),
+        F.expr("div(1000 * n_uniq, n_words)").alias("uniq_x1000"),
+        F.expr("div(100 * n_letter_chars, n_words)").alias("mwl_x100"),
+    )
+    score = (
+        3 * F.col("stop_density_x1000")
+        + 2 * F.col("uniq_x1000")
+        - F.abs(F.col("mwl_x100") - 500)
+        - F.when(F.col("n_words") < 20, 2000).otherwise(0)
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        score.alias("score"),
+        F.when(score >= 1000, "keep").otherwise("drop").alias("label"),
+    )
+
+
 def _langid_sql() -> str:
     hits = ",\n               ".join(
         f"{_sql_stop_filter('lower(text)', sw)} AS {lang}_hits" for lang, sw in LANG_STOPWORDS.items()

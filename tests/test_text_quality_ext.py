@@ -348,3 +348,20 @@ class TestDsirWeights:
     def test_score_table_is_broadcast(self, spark, sf_small):
         plan = _plan(QUERIES["docs_dsir_weights"](spark, sf_small))
         assert "BroadcastHashJoin" in plan
+
+
+class TestQualityClassifier:
+    """docs_quality_classifier: fixed linear model over integer
+    features — must be a pure projection (no shuffle: the filter runs
+    at scan speed) with a non-degenerate decision boundary."""
+
+    def test_zero_shuffle_projection(self, spark, sf_small):
+        plan = _plan(QUERIES["docs_quality_classifier"](spark, sf_small))
+        assert "Exchange" not in plan
+
+    def test_boundary_is_exercised(self, spark, sf_small):
+        rows = QUERIES["docs_quality_classifier"](spark, sf_small).collect()
+        labels = {r["label"] for r in rows}
+        assert labels == {"keep", "drop"}  # both sides of the threshold
+        for r in rows:
+            assert (r["score"] >= 1000) == (r["label"] == "keep")
