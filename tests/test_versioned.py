@@ -562,3 +562,57 @@ class TestSchemaEvolution:
         # must NOT read as updates
         assert set(ch) == {1}
         assert ch[1]["_change_type"] == "update_postimage" and ch[1]["extra"] == 5
+
+
+class TestRangeIntersectsProperties:
+    """_range_intersects is the function data skipping TRUSTS: if it
+    ever returns False for a file that could hold a matching row, scan
+    and merge silently lose data. Property: against a brute-force
+    check over integer ranges it must never under-keep; on mixed or
+    unknown types it must always keep."""
+
+    def test_never_prunes_a_matching_file(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from iotdatapipeline_spark.sources.versioned import _range_intersects
+
+        ints = st.integers(-50, 50)
+        opt = st.one_of(st.none(), ints)
+
+        @settings(max_examples=500, deadline=None)
+        @given(fmin=ints, fmax=ints, lo=opt, hi=opt)
+        def prop(fmin, fmax, lo, hi):
+            if fmin > fmax:
+                fmin, fmax = fmax, fmin
+            exists_match = any(
+                (lo is None or x >= lo) and (hi is None or x <= hi)
+                for x in range(fmin, fmax + 1)
+            )
+            got = _range_intersects([fmin, fmax], lo, hi)
+            if exists_match:
+                assert got, (fmin, fmax, lo, hi)
+
+        prop()
+
+    def test_unknown_or_mixed_types_always_keep(self):
+        from iotdatapipeline_spark.sources.versioned import _range_intersects
+
+        assert _range_intersects(None, 1, 2)
+        assert _range_intersects([], 1, 2)
+        assert _range_intersects([1, 2], "a", "z")  # mixed types: keep
+        assert _range_intersects(["a", "z"], 1, 2)
+        assert _range_intersects([True, True], 0, 1)  # bools canon to None
+        assert _range_intersects([1, 2], None, None)
+
+    def test_datetime_canon_orders_chronologically(self):
+        import datetime
+
+        from iotdatapipeline_spark.sources.versioned import _canon, _range_intersects
+
+        a = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        b = datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
+        c = datetime.datetime(2024, 1, 1, 0, 0, 1)
+        assert _canon(a) < _canon(b) < _canon(c)  # iso strings sort right
+        assert not _range_intersects([a, b], c, None)  # provably misses
+        assert _range_intersects([a, c], b, b)
