@@ -1301,12 +1301,14 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", "lang", F.explode(shingles_of_words(F.col("__ws"), 2)).alias("g")
     ).select("doc_id", "lang", bucket.alias("f"))
-    raw = grams.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = grams.filter(F.col("lang") == "en").groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
-    scores = (
-        raw.join(tgt, "f", "left")
-        .select("f", F.expr("(1000 * (coalesce(tc, 0) + 1)) div (rc + 1)").alias("s"))
+    # BOTH distributions from one pass over the gram stream
+    # (conditional count) — raw and target as separate aggregates
+    # would re-explode and re-hash the corpus a second time
+    dist = grams.groupBy("f").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count_if(F.col("lang") == "en").alias("tc"),
     )
+    scores = dist.select("f", F.expr("(1000 * (tc + 1)) div (rc + 1)").alias("s"))
     return (
         grams.join(F.broadcast(scores), "f")
         .groupBy("doc_id")
