@@ -187,6 +187,125 @@ def events_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_cdf_stream",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    v2_state AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station, part, ts_us, v_cents, version_id,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM b
+    UNION ALL
+    SELECT s.station, s.part, s.ts_us, s.v_cents, s.version_id,
+           CASE WHEN b.station IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM s LEFT JOIN b ON s.station = b.station
+    WHERE b.station IS NULL
+       OR NOT (s.part IS NOT DISTINCT FROM b.part
+           AND s.ts_us IS NOT DISTINCT FROM b.ts_us
+           AND s.v_cents IS NOT DISTINCT FROM b.v_cents
+           AND s.version_id IS NOT DISTINCT FROM b.version_id)
+    UNION ALL
+    SELECT station, part, ts_us, v_cents, version_id,
+           'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+    FROM v2_state WHERE station % 7 = 0
+    """,
+)
+def events_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING the change feed (Delta's ``readChangeFeed`` streaming
+    mode on this table format): the cow gate's three-commit history
+    (create → upsert → delete) is replayed through
+    ``readStream.format("versioned_cdf")`` — the offset is the table
+    VERSION, each micro-batch emits one commit's state-diff tagged
+    insert / update_postimage / delete with its ``_commit_version``,
+    and a restarted query resumes from the checkpointed version. The
+    drained stream must equal the three per-version diffs the oracle
+    reconstructs relationally — a feed that skips a commit, re-emits
+    one, or tags the wrong image mismatches.
+
+    Scale bound (documented on the reader): rows-per-batch is the
+    CHURN of one commit, never table size; the driver-side prefetch is
+    the Simple-reader contract, matched to CDC feeds whose per-commit
+    deltas are bounded — exactly the streaming-sink regime."""
+    import time as _time
+
+    from iotdatapipeline_spark.sources.versioned import (
+        cdf_schema_ddl,
+        register_versioned_cdf,
+    )
+
+    register_versioned_cdf(spark)
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_cdfs_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"])
+    dele = table.snapshot().filter(F.col("station") % 7 == 0)
+    table.merge_into(dele, ["station"], when_matched="delete")
+    n_versions = table.version()
+
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="iotdp_cdfs_run_")
+    sink = f"cdf_stream_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("keys", "station")
+        .option("schema_ddl", cdf_schema_ddl(table))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            done = spark.table(sink).agg(F.max("_commit_version")).collect()[0][0]
+            if done is not None and done >= n_versions:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(sink).select(
+        "station", "part", "ts_us", "v_cents", "version_id",
+        "_change_type", "_commit_version",
+    )
+
+
+@register(
     "events_versioned_evolution",
     """
     WITH b AS (

@@ -714,3 +714,100 @@ class VersionedTable:
                 os.remove(path)
                 removed.append(f)
         return removed
+
+
+# ── Streaming the change feed ────────────────────────────────────────────────
+
+
+def _cdf_stream_reader_class():
+    """Late import: pyspark.sql.datasource exists on Spark 4 only."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
+        """Change-data-feed STREAM over a VersionedTable: the offset is
+        the table VERSION, each micro-batch emits ``changes(start,
+        end)`` rows tagged with the commit version — Delta's
+        ``readChangeFeed`` streaming mode on this repo's table format.
+        Offsets derive from the checkpointed start (monotone across
+        restarts by construction, same contract as the plcsim reader);
+        a replayed batch re-diffs the same two IMMUTABLE snapshots, so
+        retries are bit-identical.
+
+        Driver-side prefetch bound: the Simple reader materializes each
+        batch on the driver, so rows-per-batch is bounded by the CHURN
+        between adjacent commits (one version step per batch), not by
+        table size — the same operating envelope as the streaming
+        sink's per-batch source. A full-history first batch can be
+        avoided by starting from ``starting_version``."""
+
+        def __init__(self, options):
+            self.root = options["root"]
+            self.keys = [k.strip() for k in options["keys"].split(",")]
+            self.start_v = int(options.get("starting_version", 0))
+
+        def _table(self):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            return VersionedTable(spark, self.root)
+
+        def initialOffset(self):
+            return {"v": self.start_v}
+
+        def read(self, start):
+            t = self._table()
+            v0 = int(start["v"])
+            cur = t.version()
+            if cur <= v0:
+                return iter([]), {"v": v0}
+            v1 = v0 + 1  # one commit per micro-batch: bounded, ordered
+            rows = self._diff_rows(t, v0, v1)
+            return iter(rows), {"v": v1}
+
+        def readBetweenOffsets(self, start, end):
+            t = self._table()
+            return iter(self._diff_rows(t, int(start["v"]), int(end["v"])))
+
+        def _diff_rows(self, t: "VersionedTable", v0: int, v1: int):
+            if v0 == 0:
+                # the creation commit: every row is an insert
+                base = t.snapshot(v1).withColumn("_change_type", F.lit("insert"))
+            else:
+                base = t.changes(v0, v1, self.keys)
+            out = base.withColumn("_commit_version", F.lit(v1).cast("long"))
+            return [tuple(r) for r in out.collect()]
+
+        def commit(self, end):
+            pass
+
+    class VersionedCDFDataSource(DataSource):
+        """``format("versioned_cdf")``: readStream of a VersionedTable's
+        change feed. Options: ``root``, ``keys`` (comma-separated),
+        ``schema_ddl`` (the emitted row schema: table columns +
+        ``_change_type string, _commit_version bigint``),
+        ``starting_version``."""
+
+        @classmethod
+        def name(cls):
+            return "versioned_cdf"
+
+        def schema(self):
+            return self.options["schema_ddl"]
+
+        def simpleStreamReader(self, schema):
+            return VersionedCDFStreamReader(self.options)
+
+    return VersionedCDFDataSource
+
+
+def register_versioned_cdf(spark) -> None:
+    """Idempotent registration of the ``versioned_cdf`` stream format."""
+    spark.dataSource.register(_cdf_stream_reader_class())
+
+
+def cdf_schema_ddl(table: "VersionedTable") -> str:
+    """The DDL string a ``versioned_cdf`` stream of ``table`` emits."""
+    parts = []
+    for f in table.snapshot().schema.fields:
+        parts.append(f"{f.name} {f.dataType.simpleString()}")
+    return ", ".join(parts) + ", _change_type string, _commit_version bigint"

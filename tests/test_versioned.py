@@ -616,3 +616,84 @@ class TestRangeIntersectsProperties:
         assert _canon(a) < _canon(b) < _canon(c)  # iso strings sort right
         assert not _range_intersects([a, b], c, None)  # provably misses
         assert _range_intersects([a, c], b, b)
+
+
+class TestCDFStream:
+    """readStream.format('versioned_cdf'): the change feed as a
+    stream — version-offset protocol, per-commit batches, checkpoint
+    restart resumes at the committed version (no re-emit, no skip)."""
+
+    def _start(self, spark, root, ddl, ckpt, out):
+        return (
+            spark.readStream.format("versioned_cdf")
+            .option("root", root)
+            .option("keys", "k")
+            .option("schema_ddl", ddl)
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    @staticmethod
+    def _drained(spark, out, want_version):
+        import os
+
+        if not os.path.isdir(os.path.join(out, "_spark_metadata")):
+            return None
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:
+            return None
+        vs = [r["_commit_version"] for r in rows]
+        return rows if vs and max(vs) >= want_version else None
+
+    def test_restart_resumes_without_reemit(self, spark, tmp_path):
+        import time
+
+        from iotdatapipeline_spark.sources.versioned import (
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+
+        register_versioned_cdf(spark)
+        root = str(tmp_path / "t")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(6)]),
+            n_files=2, cluster_by=["k"],
+        )
+        t.merge_into(spark.createDataFrame([Row(k=1, v="B")]), ["k"])
+        ddl, ckpt, out = cdf_schema_ddl(t), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+        q = self._start(spark, root, ddl, ckpt, out)
+        deadline = time.time() + 60
+        while time.time() < deadline and self._drained(spark, out, 2) is None:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        # a third commit lands while the stream is DOWN
+        t.merge_into(spark.createDataFrame([Row(k=0, v="x")]), ["k"], when_matched="delete")
+
+        q = self._start(spark, root, ddl, ckpt, out)
+        deadline = time.time() + 60
+        rows = None
+        while time.time() < deadline:
+            rows = self._drained(spark, out, 3)
+            if rows is not None:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        assert rows is not None
+        by_v = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append((r["k"], r["v"], r["_change_type"]))
+        assert sorted(by_v) == [1, 2, 3]
+        assert sorted(by_v[1]) == [(i, f"a{i}", "insert") for i in range(6)]  # once, not twice
+        assert by_v[2] == [(1, "B", "update_postimage")]
+        assert by_v[3] == [(0, "a0", "delete")]
