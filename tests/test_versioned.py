@@ -697,3 +697,47 @@ class TestCDFStream:
         assert sorted(by_v[1]) == [(i, f"a{i}", "insert") for i in range(6)]  # once, not twice
         assert by_v[2] == [(1, "B", "update_postimage")]
         assert by_v[3] == [(0, "a0", "delete")]
+
+    def test_live_tailing_picks_up_new_commits(self, spark, tmp_path):
+        """Commits landing WHILE the stream runs are emitted without a
+        restart — live CDC tailing, the steady-state deployment mode."""
+        import time
+
+        from iotdatapipeline_spark.sources.versioned import (
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+
+        register_versioned_cdf(spark)
+        root = str(tmp_path / "lt")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v="a") for i in range(4)]),
+            n_files=1, cluster_by=["k"],
+        )
+        ddl, ckpt, out = cdf_schema_ddl(t), str(tmp_path / "ckpt"), str(tmp_path / "out")
+        q = self._start(spark, root, ddl, ckpt, out)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and self._drained(spark, out, 1) is None:
+                time.sleep(0.2)
+            # two commits land while the query is LIVE
+            t.merge_into(spark.createDataFrame([Row(k=1, v="B")]), ["k"])
+            t.merge_into(spark.createDataFrame([Row(k=2, v="x")]), ["k"], when_matched="delete")
+            deadline = time.time() + 60
+            rows = None
+            while time.time() < deadline:
+                rows = self._drained(spark, out, 3)
+                if rows is not None:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        assert rows is not None
+        by_v = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append((r["k"], r["v"], r["_change_type"]))
+        assert by_v[2] == [(1, "B", "update_postimage")]
+        assert by_v[3] == [(2, "a", "delete")]
+        assert len(by_v[1]) == 4
