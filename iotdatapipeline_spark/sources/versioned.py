@@ -54,20 +54,57 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction targeted."""
 
 
+def _session_tz():
+    """The active Spark session's ``spark.sql.session.timeZone`` as a
+    tzinfo, or None when unknown. Cheap enough to resolve per call —
+    it is only consulted for naive-datetime canonicalization."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
 def _canon(v):
     """Canonicalize a stats/bound value for cross-source comparison:
     JSON-native scalars pass through, datetimes/dates become ISO-8601
     strings (lexicographic order == chronological order). Returns None
     for types we refuse to compare — the caller must treat None as
     "unknown" and keep the file (pruning must only ever be an
-    optimization, never a correctness hazard)."""
+    optimization, never a correctness hazard).
+
+    Datetimes are normalized to UTC before formatting: parquet footer
+    stats for Spark-written timestamps arrive tz-aware (UTC), while
+    ``collect()`` bounds arrive naive in the SESSION timezone —
+    comparing their raw isoformats lexicographically would be
+    semantically wrong for any non-UTC session and could over-prune
+    (drop matches) in merge_into. Tz-aware values convert to UTC and
+    drop the offset; naive values are localized with the session
+    timezone first. A naive value whose session timezone cannot be
+    resolved returns None (keep the file — conservative)."""
     import datetime
 
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None).isoformat()
+        tz = _session_tz()
+        if tz is None:
+            return None
+        return (
+            v.replace(tzinfo=tz)
+            .astimezone(datetime.timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat()
+        )
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None
 
@@ -116,6 +153,38 @@ class VersionedTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    def _read_data(self, m: dict, files: Sequence[str]) -> DataFrame:
+        """Read ``files`` THROUGH the manifest's recorded schema.
+
+        Every data read inside the table must go through here: after
+        schema_evolution the table holds mixed-schema files, and an
+        inferred read lets Spark pick one arbitrary (UUID-random,
+        sorted-first) file's footer as THE schema — evolved columns
+        then silently vanish or lose values depending on which file
+        wins. The explicit schema does a by-name read that fills
+        missing columns with null, so old-schema and evolved files
+        coexist losslessly; for non-evolved tables it is identical to
+        the inferred read (minus one footer probe)."""
+        paths = [os.path.join(self._data, f) for f in files]
+        schema_json = m.get("schema")
+        if not paths:
+            if schema_json is None:
+                raise ValueError(
+                    f"version {m.get('version')} has no files and no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     def _try_commit(
         self,
@@ -321,28 +390,10 @@ class VersionedTable:
         just reading an older manifest's file list."""
         v = self.version() if version is None else version
         m = self._read_manifest(v)
-        paths = [os.path.join(self._data, f) for f in m["files"]]
-        schema_json = m.get("schema")
-        if not paths:
-            # an all-rows merge-delete legitimately commits zero files;
-            # the manifest's recorded schema keeps the version readable
-            if schema_json is None:
-                raise ValueError(f"version {v} has no files and no recorded schema")
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
-        if schema_json is not None:
-            # read through the manifest's schema: after schema evolution
-            # the carried (old-schema) files fill the added columns with
-            # null — the by-name fill the parquet reader does with an
-            # explicit schema; for non-evolved tables this is identical
-            # to the inferred read
-            from pyspark.sql.types import StructType
-
-            return self.spark.read.schema(
-                StructType.fromJson(json.loads(schema_json))
-            ).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        # an all-rows merge-delete legitimately commits zero files; the
+        # manifest's recorded schema keeps the version readable, and the
+        # explicit-schema read makes evolved tables lossless (_read_data)
+        return self._read_data(m, m["files"])
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in range(1, self.version() + 1)]
@@ -372,15 +423,10 @@ class VersionedTable:
                 for c, (lo, hi) in where.items()
             )
         ]
-        if keep:
-            df = self.spark.read.parquet(*[os.path.join(self._data, f) for f in keep])
-        else:
-            schema_json = m.get("schema")
-            if schema_json is None:
-                raise ValueError(f"version {v} has no files and no recorded schema")
-            from pyspark.sql.types import StructType
-
-            df = self.spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+        # manifest-schema read: on an evolved table an inferred read of
+        # the pruned file subset could pick an old-schema footer and
+        # drop the evolved column, diverging from snapshot().filter()
+        df = self._read_data(m, keep)
         for c, (lo, hi) in where.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -538,9 +584,9 @@ class VersionedTable:
             # join for huge sources
             touched: set[str] = set()
             if candidates:
-                cand_df = self.spark.read.parquet(
-                    *[os.path.join(self._data, f) for f in candidates]
-                )
+                # manifest-schema read (_read_data): candidates can mix
+                # old-schema and evolved files after schema_evolution
+                cand_df = self._read_data(m, candidates)
                 snap = cand_df.withColumn("__file", F.input_file_name())
                 touched = {
                     os.path.basename(r["__file"])
@@ -555,9 +601,12 @@ class VersionedTable:
             rewritten: list[str] = []
             touched_df = None
             if touched:
-                touched_df = self.spark.read.parquet(
-                    *[os.path.join(self._data, f) for f in touched]
-                )
+                # manifest-schema read: when a merge touches BOTH an
+                # old-schema and an evolved file, an inferred read that
+                # picked the old footer would rewrite the kept rows of
+                # the evolved file WITHOUT their evolved-column values —
+                # permanent data loss committed into the new version
+                touched_df = self._read_data(m, sorted(touched))
                 kept = touched_df.join(src_keys, keys, "left_anti")
                 rewritten += self._write_files(
                     kept, n_files=max(1, len(touched)), cluster_by=cluster_by

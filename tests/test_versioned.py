@@ -554,6 +554,47 @@ class TestSchemaEvolution:
         got = {r["k"]: r["extra"] for r in table.snapshot().collect()}
         assert got[1] == 5 and got[2] == 6 and got[0] is None
 
+    def test_merge_straddling_old_and_evolved_files_is_lossless(self, spark, table):
+        """Regression: a merge whose touched set contains BOTH an
+        old-schema file and an evolved file must rewrite the kept rows
+        of the evolved file WITH their evolved-column values. With an
+        inferred-schema read of the touched files, Spark could pick the
+        old file's footer as THE schema and silently drop 'extra' from
+        every kept row — permanent data loss in the committed version."""
+        # v2: evolve — k=3 updated in place, k=99 inserted, both carry extra
+        src1 = spark.createDataFrame(
+            [(3, "new3", 42), (99, "new99", 7)], "k bigint, v string, extra bigint"
+        )
+        table.merge_into(src1, ["k"], schema_evolution=True)
+        # v3: touch k=99 (lives in an evolved insert file) and k=0
+        # (lives in an old-schema base file) but NOT k=3 — if k=3 shares
+        # a file with k=99 its kept row is rewritten and must keep 42
+        src2 = spark.createDataFrame(
+            [(99, "touch99", 8), (0, "touch0", 9)], "k bigint, v string, extra bigint"
+        )
+        table.merge_into(src2, ["k"])
+        got = {r["k"]: (r["v"], r["extra"]) for r in table.snapshot().collect()}
+        assert got[3] == ("new3", 42)  # untouched key in a touched file
+        assert got[99] == ("touch99", 8) and got[0] == ("touch0", 9)
+        assert got[1] == ("base1", None)
+        assert len(got) == 21
+
+    def test_scan_on_evolved_table_matches_snapshot_filter(self, spark, table):
+        """scan() must read through the manifest schema too: on an
+        evolved table the pruned read must never lose the evolved
+        column to an arbitrary old-schema footer."""
+        src = spark.createDataFrame(
+            [(3, "new3", 42), (99, "new99", 7)], "k bigint, v string, extra bigint"
+        )
+        table.merge_into(src, ["k"], schema_evolution=True)
+        got = table.scan({"k": (None, None)})
+        assert got.columns == ["k", "v", "extra"]
+        want = sorted(
+            (r["k"], r["v"], r["extra"]) for r in table.snapshot().collect()
+        )
+        assert sorted((r["k"], r["v"], r["extra"]) for r in got.collect()) == want
+        assert (42,) in {(r["extra"],) for r in got.collect()}
+
     def test_changes_across_evolution_boundary(self, spark, table):
         src = spark.createDataFrame([(1, "x", 5)], "k bigint, v string, extra bigint")
         table.merge_into(src, ["k"], schema_evolution=True)
@@ -605,7 +646,9 @@ class TestRangeIntersectsProperties:
         assert _range_intersects([True, True], 0, 1)  # bools canon to None
         assert _range_intersects([1, 2], None, None)
 
-    def test_datetime_canon_orders_chronologically(self):
+    def test_datetime_canon_orders_chronologically(self, spark):
+        # naive datetimes canonicalize through the session timezone
+        # (UTC here), so an active session is required
         import datetime
 
         from iotdatapipeline_spark.sources.versioned import _canon, _range_intersects
@@ -616,6 +659,39 @@ class TestRangeIntersectsProperties:
         assert _canon(a) < _canon(b) < _canon(c)  # iso strings sort right
         assert not _range_intersects([a, b], c, None)  # provably misses
         assert _range_intersects([a, c], b, b)
+
+    def test_datetime_canon_normalizes_timezones(self, spark, monkeypatch):
+        """Footer stats are tz-aware UTC; collect() bounds are naive
+        session-local. Both must canonicalize to the SAME UTC string or
+        merge pruning could drop matching files. Also: a naive value
+        with no resolvable session tz must canon to None (keep-file)."""
+        import datetime
+
+        import iotdatapipeline_spark.sources.versioned as vmod
+
+        utc = datetime.timezone.utc
+        aware = datetime.datetime(2024, 6, 1, 12, 0, 0, tzinfo=utc)
+        naive_utc = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        assert vmod._canon(aware) == vmod._canon(naive_utc)
+
+        # a non-UTC offset-aware stat converts, not string-compares
+        plus2 = datetime.timezone(datetime.timedelta(hours=2))
+        aware2 = datetime.datetime(2024, 6, 1, 14, 0, 0, tzinfo=plus2)
+        assert vmod._canon(aware2) == vmod._canon(naive_utc)
+
+        # non-UTC session tz: naive values localize through it
+        from zoneinfo import ZoneInfo
+
+        monkeypatch.setattr(vmod, "_session_tz", lambda: ZoneInfo("America/New_York"))
+        ny_naive = datetime.datetime(2024, 6, 1, 8, 0, 0)  # EDT = UTC-4
+        assert vmod._canon(ny_naive) == vmod._canon(aware)
+
+        # unresolvable session tz → None → conservative keep
+        monkeypatch.setattr(vmod, "_session_tz", lambda: None)
+        assert vmod._canon(naive_utc) is None
+        assert vmod._range_intersects(
+            [naive_utc, naive_utc], datetime.datetime(2030, 1, 1), None
+        )
 
 
 class TestCDFStream:
