@@ -101,7 +101,7 @@ def _cmd_table(args: argparse.Namespace) -> int:
     t = VersionedTable(spark, args.root)
     if args.action == "history":
         for m in t.history():
-            files, stats = m["files"], m.get("stats") or {}
+            files, stats = m["files"], t._stats_of(m)
             print(
                 f"v{m['version']:>4}  {m['op']:<14} files={len(files):<4}"
                 f" stats={len(stats):<4} cluster_by={m.get('cluster_by') or '-'}"

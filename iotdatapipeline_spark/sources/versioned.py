@@ -141,14 +141,52 @@ class VersionedTable:
         return os.path.join(self._log, f"v{version:010d}.json")
 
     def version(self) -> int:
-        """Latest committed version (0 = table does not exist yet)."""
-        if not os.path.isdir(self._log):
-            return 0
-        versions = [
-            int(f[1:11]) for f in os.listdir(self._log)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions, default=0)
+        """Latest committed version (0 = table does not exist yet).
+
+        O(1) in commit count via the ``_log/_last`` checkpoint pointer
+        (Delta's ``_last_checkpoint``): the pointer is written AFTER
+        every successful commit, so it can only LAG (crashed writer,
+        concurrent committer) — a bounded forward probe of
+        ``exists(v+1)`` closes the gap. Without the pointer this
+        degraded to a listdir of every manifest ever committed —
+        linear in table age, the first thing to fall over on a
+        1000-commit streaming table. A missing/corrupt pointer falls
+        back to one listdir, so pre-pointer tables stay readable."""
+        ptr = os.path.join(self._log, "_last")
+        v = 0
+        try:
+            with open(ptr) as f:
+                v = int(f.read().strip())
+            if v > 0 and not os.path.exists(self._manifest_path(v)):
+                raise ValueError("stale pointer: manifest missing")
+        except (FileNotFoundError, ValueError, OSError):
+            if not os.path.isdir(self._log):
+                return 0
+            versions = [
+                int(f[1:11]) for f in os.listdir(self._log)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+            v = max(versions, default=0)
+        # pointer (or a racing lister) may lag the true head: probe
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
+
+    def _advance_pointer(self, version: int) -> None:
+        """Best-effort post-commit update of ``_log/_last`` (atomic
+        replace; losing the race or crashing here only leaves the
+        pointer lagging, which version()'s forward probe absorbs)."""
+        ptr = os.path.join(self._log, "_last")
+        tmp = os.path.join(self._log, f".ptr-{uuid.uuid4().hex[:12]}")
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, ptr)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
@@ -212,7 +250,17 @@ class VersionedTable:
         ``txn_app``/``txn_version`` (Delta's txn protocol): each commit
         carries forward a per-app latest-txn map so idempotence checks
         are O(1) reads of the latest manifest, not a scan of history.
-        """
+
+        Per-file min/max stats do NOT ride the JSON manifest: they go
+        to a parquet SIDECAR (``_log/s{N}-*.parquet``, one row per
+        (file, column) range) written before the commit point and
+        referenced by name. At gate scale this is cosmetic; at 100 TB
+        with millions of files an inline-stats manifest is megabytes of
+        JSON parsed on the driver per plan — the Delta-without-
+        checkpoints failure mode. The sidecar is columnar, loads via
+        pyarrow, and can be read/filtered by executors. The manifest
+        itself stays the small atomic commit record (file list, schema,
+        txns, sidecar pointer)."""
         os.makedirs(self._log, exist_ok=True)
         txns: dict = {}
         if base_version > 0:
@@ -225,6 +273,10 @@ class VersionedTable:
                 schema_json = base_m.get("schema")
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
+        stats_file = None
+        if stats:
+            stats_file = f"s{base_version + 1:010d}-{uuid.uuid4().hex[:12]}.parquet"
+            self._write_stats_sidecar(stats_file, stats)
         manifest = {
             "version": base_version + 1,
             "base": base_version,
@@ -233,12 +285,10 @@ class VersionedTable:
             "cluster_by": list(cluster_by) if cluster_by else [],
             "txns": txns,
             "schema": schema_json,
-            # per-file column min/max (Delta's data-skipping stats):
-            # {file: {col: [min, max]}} — readers prune files whose
-            # range provably misses a predicate; absent entries mean
-            # "unknown, keep". Stats ride the manifest, so skipping
-            # needs no footer reads at plan time.
-            "stats": stats or {},
+            # data-skipping stats live in the parquet sidecar named
+            # here; readers go through _stats_of (which also accepts
+            # legacy inline-"stats" manifests)
+            "stats_file": stats_file,
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -249,9 +299,64 @@ class VersionedTable:
         try:
             os.link(tmp, path)  # atomic commit point
         except FileExistsError as exc:
+            if stats_file is not None:
+                try:
+                    os.unlink(os.path.join(self._log, stats_file))
+                except OSError:
+                    pass
             raise CommitConflict(f"version {base_version + 1} already committed") from exc
         finally:
             os.unlink(tmp)
+        self._advance_pointer(base_version + 1)
+
+    def _write_stats_sidecar(self, name: str, stats: dict) -> None:
+        """One row per (file, column): JSON-encoded lo/hi preserve the
+        canonicalized type (int/float/str) across the parquet round
+        trip."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files, cols, los, his = [], [], [], []
+        for f, f_stats in stats.items():
+            for c, (lo, hi) in f_stats.items():
+                files.append(f)
+                cols.append(c)
+                los.append(json.dumps(lo))
+                his.append(json.dumps(hi))
+        tbl = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "col": pa.array(cols, pa.string()),
+                "lo_json": pa.array(los, pa.string()),
+                "hi_json": pa.array(his, pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(self._log, name))
+
+    def _stats_of(self, m: dict) -> dict:
+        """Data-skipping stats of a manifest: loads the parquet sidecar
+        (or returns legacy inline stats) as {file: {col: [lo, hi]}}."""
+        inline = m.get("stats")
+        if inline:
+            return inline
+        name = m.get("stats_file")
+        if not name:
+            return {}
+        import pyarrow.parquet as pq
+
+        try:
+            tbl = pq.read_table(os.path.join(self._log, name))
+        except Exception:
+            return {}  # unreadable sidecar: no pruning, still correct
+        out: dict = {}
+        for f, c, lo, hi in zip(
+            tbl["file"].to_pylist(),
+            tbl["col"].to_pylist(),
+            tbl["lo_json"].to_pylist(),
+            tbl["hi_json"].to_pylist(),
+        ):
+            out.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
+        return out
 
     # ── data-file plumbing ──────────────────────────────────────────────
 
@@ -414,7 +519,7 @@ class VersionedTable:
         v = self.version() if version is None else version
         m = self._read_manifest(v)
         where = where or {}
-        stats = m.get("stats") or {}
+        stats = self._stats_of(m)
         keep = [
             f
             for f in m["files"]
@@ -439,7 +544,7 @@ class VersionedTable:
         observable the skipping tests pin."""
         v = self.version() if version is None else version
         m = self._read_manifest(v)
-        stats = m.get("stats") or {}
+        stats = self._stats_of(m)
         kept = sum(
             1
             for f in m["files"]
@@ -554,7 +659,7 @@ class VersionedTable:
             # reads them AT ALL. Without this, the "which files are
             # touched" probe scans the whole table — the step that
             # turns a key-local MERGE into a full-table read at 100 TB.
-            stats = m.get("stats") or {}
+            stats = self._stats_of(m)
             candidates = list(m["files"])
             stat_keys = [
                 k for k in keys if any(k in (stats.get(f) or {}) for f in candidates)

@@ -378,10 +378,13 @@ class TestDataSkipping:
 
     def test_create_records_stats(self, clustered):
         m = clustered._read_manifest(1)
-        assert set(m["stats"]) == set(m["files"])
-        for rng in m["stats"].values():
+        stats = clustered._stats_of(m)
+        assert set(stats) == set(m["files"])
+        for rng in stats.values():
             lo, hi = rng["k"]
             assert 0 <= lo <= hi <= 999
+        # stats live in the parquet sidecar, not the JSON commit record
+        assert m.get("stats_file") and not m.get("stats")
 
     def test_scan_prunes_files_and_matches_filter(self, clustered):
         kept, total = clustered.pruned_files({"k": (500, 549)})
@@ -429,9 +432,111 @@ class TestDataSkipping:
         m2 = clustered._read_manifest(2)
         # every file in v2 still has usable k-stats (untouched carried,
         # rewritten recomputed), so the NEXT merge still pre-prunes
-        assert set(m2["stats"]) == set(m2["files"])
+        assert set(clustered._stats_of(m2)) == set(m2["files"])
         kept, total = clustered.pruned_files({"k": (0, 50)})
         assert kept < total
+
+
+class TestManifestCheckpointing:
+    """version() must be O(1) in commit count (the _last pointer), and
+    per-file stats must ride a parquet sidecar, not the JSON manifest —
+    the two metadata paths that otherwise degrade linearly with table
+    age / file count (Delta-without-checkpoints failure mode)."""
+
+    def test_version_does_not_listdir_once_pointer_exists(self, spark, table, monkeypatch):
+        import iotdatapipeline_spark.sources.versioned as vmod
+
+        assert table.version() == 1  # pointer written by create()
+
+        def boom(path):
+            raise AssertionError(f"listdir({path}) called with pointer present")
+
+        monkeypatch.setattr(vmod.os, "listdir", boom)
+        assert table.version() == 1
+
+    def test_stale_pointer_probes_forward(self, spark, table):
+        src = spark.createDataFrame([Row(k=0, v="u0")])
+        table.merge_into(src, ["k"])
+        # simulate a crash-between-commit-and-pointer: pointer lags at 1
+        with open(os.path.join(table._log, "_last"), "w") as f:
+            f.write("1")
+        assert table.version() == 2
+
+    def test_missing_pointer_falls_back_to_listdir(self, spark, table):
+        os.unlink(os.path.join(table._log, "_last"))
+        assert table.version() == 1
+        # corrupt pointer too
+        with open(os.path.join(table._log, "_last"), "w") as f:
+            f.write("not-a-number")
+        assert table.version() == 1
+
+    def test_legacy_inline_stats_manifest_still_prunes(self, spark, tmp_path):
+        """Pre-sidecar tables (inline "stats" in the manifest JSON)
+        must keep pruning — _stats_of accepts both layouts."""
+        t = VersionedTable(spark, str(tmp_path / "legacy"))
+        base = spark.createDataFrame([Row(k=i, v="x") for i in range(100)])
+        t.create(base, n_files=4, cluster_by=["k"])
+        m = t._read_manifest(1)
+        # rewrite the manifest in the legacy inline layout
+        m["stats"] = t._stats_of(m)
+        sidecar = m.pop("stats_file")
+        os.unlink(os.path.join(t._log, sidecar))
+        with open(t._manifest_path(1), "w") as f:
+            import json
+
+            json.dump(m, f)
+        kept, total = t.pruned_files({"k": (0, 10)})
+        assert kept < total
+        assert sorted(r["k"] for r in t.scan({"k": (0, 10)}).collect()) == list(range(11))
+
+    def test_metadata_latency_flat_in_commit_count(self, spark, tmp_path):
+        """Synthetic 1000-commit table: version() + scan-planning cost
+        must not scan the whole log. Manifests are synthesized directly
+        (the metadata layer under test needs no Spark jobs), with one
+        real data file hardlinked under 1000 names to give the head
+        manifest a 1000-file listing with sidecar stats."""
+        import json
+        import time
+
+        t = VersionedTable(spark, str(tmp_path / "big"))
+        t.create(spark.createDataFrame([Row(k=0, v="seed")]), n_files=1)
+        seed_file = t._read_manifest(1)["files"][0]
+        # hardlink the one real parquet under 1000 names
+        names = []
+        for i in range(1000):
+            name = f"f-syn{i:05d}.parquet"
+            os.link(
+                os.path.join(t._data, seed_file), os.path.join(t._data, name)
+            )
+            names.append(name)
+        # synthesize 999 intermediate manifests + a 1000-file head with
+        # a sidecar claiming disjoint k-ranges per file
+        m1 = t._read_manifest(1)
+        for v in range(2, 1001):
+            m = dict(m1, version=v, base=v - 1, op="synthetic")
+            with open(t._manifest_path(v), "w") as f:
+                json.dump(m, f)
+        stats = {n: {"k": [i * 10, i * 10 + 9]} for i, n in enumerate(names)}
+        t._write_stats_sidecar("s-head.parquet", stats)
+        head = dict(
+            m1, version=1001, base=1000, op="synthetic-head", files=sorted(names),
+            stats_file="s-head.parquet", cluster_by=["k"],
+        )
+        with open(t._manifest_path(1001), "w") as f:
+            json.dump(head, f)
+        t._advance_pointer(1001)
+
+        t0 = time.perf_counter()
+        for _ in range(50):
+            assert t.version() == 1001
+        version_50 = time.perf_counter() - t0
+        assert version_50 < 0.5, f"50 version() calls took {version_50:.3f}s"
+
+        t0 = time.perf_counter()
+        kept, total = t.pruned_files({"k": (500, 509)})
+        prune_once = time.perf_counter() - t0
+        assert (kept, total) == (1, 1000)
+        assert prune_once < 1.0, f"pruning 1000-file sidecar took {prune_once:.3f}s"
 
 
 class TestChangeFeed:
