@@ -424,7 +424,13 @@ def events_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a key-range query on a clustered 100 TB table reads
     O(range) files; the manifest stats make the file list a driver-side
-    metadata decision, no footer reads at plan time."""
+    metadata decision, no footer reads at plan time.
+
+    The gate drives BOTH predicate forms — the structured dict and the
+    ordinary SQL string (``scan("station BETWEEN 0 AND 1")``, bounds
+    extracted by the conjunctive-range parser) — and hard-fails unless
+    they prune identically, so the no-plumbing path can never silently
+    regress to a full scan."""
     r = _readings(spark, sf_dir)
     base = _latest_per_station(r)
     root = os.path.join(tempfile.mkdtemp(prefix="iotdp_skip_"), "tbl")
@@ -433,6 +439,11 @@ def events_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, total = table.pruned_files({"station": (0, 1)})
     if total > 1 and kept >= total:
         raise RuntimeError(f"stats skipping did not engage: {kept}/{total} files kept")
-    return table.scan({"station": (0, 1)}).select(
+    kept_sql, total_sql = table.pruned_files("station BETWEEN 0 AND 1")
+    if (kept_sql, total_sql) != (kept, total):
+        raise RuntimeError(
+            f"SQL-string pruning diverged: {kept_sql}/{total_sql} vs {kept}/{total}"
+        )
+    return table.scan("station BETWEEN 0 AND 1").select(
         "station", "part", "ts_us", "v_cents", "version_id"
     )

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
@@ -107,6 +108,152 @@ def _canon(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     return None
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(
+        '(?:[^']|'')*'                 # quoted string literal
+      | [A-Za-z_][A-Za-z_0-9.]*        # identifier / keyword
+      | \d+\.\d+ | \.\d+ | \d+         # number
+      | >= | <= | <> | != | = | > | < | \( | \) | ,
+      | \S                             # anything else: bail marker
+    )""",
+    re.VERBOSE,
+)
+
+
+def _parse_literal(toks: list[str]):
+    """(ok, value) for a literal token run: NUMBER, 'string' (date-like
+    strings become date/datetime so stats comparison is semantic, not
+    lexicographic), or DATE/TIMESTAMP 'x'. Anything else → (False, _)."""
+    import datetime
+
+    if len(toks) == 2 and toks[0].upper() in ("DATE", "TIMESTAMP") and toks[1].startswith("'"):
+        toks = toks[1:]
+    if len(toks) != 1:
+        return False, None
+    t = toks[0]
+    if re.fullmatch(r"\d+", t):
+        return True, int(t)
+    if re.fullmatch(r"\d+\.\d+|\.\d+", t):
+        return True, float(t)
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        s = t[1:-1].replace("''", "'")
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+            return True, datetime.date.fromisoformat(s)
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?", s):
+            return True, datetime.datetime.fromisoformat(s)
+        return True, s
+    return False, None
+
+
+def _extract_ranges(predicate: str) -> dict[str, tuple]:
+    """Conjunctive [lo, hi] column bounds recognized in a SQL predicate
+    string — the file-pruning side of ``scan(where="...")``. STRICTLY
+    an under-approximation: a conjunct we cannot read contributes no
+    bound (that file set stays un-pruned), any OR/NOT disables pruning
+    wholesale, and strict inequalities widen to inclusive bounds. The
+    full predicate is ALWAYS applied to the surviving rows, so a parser
+    miss costs I/O, never correctness. Recognized per conjunct:
+    ``col <op> literal`` / ``literal <op> col`` (op ∈ >=, >, <=, <, =)
+    and ``col BETWEEN a AND b``; literals are numbers, strings, and
+    DATE/TIMESTAMP values."""
+    toks = _TOKEN_RE.findall(predicate)
+    upper = [t.upper() for t in toks]
+    if "OR" in upper or "NOT" in upper:
+        return {}
+    # split top-level AND conjuncts; an AND directly following a
+    # BETWEEN (same depth) belongs to the BETWEEN, not the conjunction
+    conjuncts: list[list[str]] = [[]]
+    depth = 0
+    between_pending = 0
+    for t in toks:
+        u = t.upper()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth = max(0, depth - 1)
+        if u == "AND" and depth == 0:
+            if between_pending > 0:
+                between_pending -= 1
+                conjuncts[-1].append(t)
+            else:
+                conjuncts.append([])
+            continue
+        if u == "BETWEEN" and depth == 0:
+            between_pending += 1
+        conjuncts[-1].append(t)
+
+    def tighten(cur, lo, hi):
+        c_lo, c_hi = cur
+        if lo is not None:
+            try:
+                c_lo = lo if c_lo is None else max(c_lo, lo)
+            except TypeError:
+                pass  # incomparable: keep the existing (still-valid) bound
+        if hi is not None:
+            try:
+                c_hi = hi if c_hi is None else min(c_hi, hi)
+            except TypeError:
+                pass
+        return (c_lo, c_hi)
+
+    ident = re.compile(r"[A-Za-z_][A-Za-z_0-9.]*")
+    keywords = {"AND", "OR", "NOT", "BETWEEN", "DATE", "TIMESTAMP", "IS", "NULL",
+                "LIKE", "IN", "TRUE", "FALSE"}
+    ranges: dict[str, tuple] = {}
+    for c in conjuncts:
+        # strip one layer of fully-enclosing parens
+        while len(c) >= 2 and c[0] == "(" and c[-1] == ")":
+            depth = 0
+            enclosing = True
+            for i, t in enumerate(c):
+                depth += t == "("
+                depth -= t == ")"
+                if depth == 0 and i < len(c) - 1:
+                    enclosing = False
+                    break
+            if not enclosing:
+                break
+            c = c[1:-1]
+        if not c:
+            continue
+
+        def is_col(t):
+            return ident.fullmatch(t) and t.upper() not in keywords
+
+        got = None  # (col, lo, hi)
+        if len(c) >= 3 and is_col(c[0]) and c[1] in (">=", ">", "<=", "<", "="):
+            ok, v = _parse_literal(c[2:])
+            if ok:
+                op = c[1]
+                got = (
+                    c[0],
+                    v if op in (">=", ">", "=") else None,
+                    v if op in ("<=", "<", "=") else None,
+                )
+        elif len(c) >= 3 and is_col(c[-1]) and c[-2] in (">=", ">", "<=", "<", "="):
+            ok, v = _parse_literal(c[:-2])
+            if ok:
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}[c[-2]]
+                got = (
+                    c[-1],
+                    v if op in (">=", ">", "=") else None,
+                    v if op in ("<=", "<", "=") else None,
+                )
+        elif len(c) >= 5 and is_col(c[0]) and c[1].upper() == "BETWEEN":
+            body = c[2:]
+            for i, t in enumerate(body):
+                if t.upper() == "AND":
+                    ok1, lo = _parse_literal(body[:i])
+                    ok2, hi = _parse_literal(body[i + 1:])
+                    if ok1 and ok2:
+                        got = (c[0], lo, hi)
+                    break
+        if got is not None:
+            col, lo, hi = got
+            ranges[col] = tighten(ranges.get(col, (None, None)), lo, hi)
+    return ranges
 
 
 def _range_intersects(file_range, lo, hi) -> bool:
@@ -503,35 +650,46 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in range(1, self.version() + 1)]
 
-    def scan(
-        self,
-        where: dict[str, tuple] | None = None,
-        version: int | None = None,
-    ) -> DataFrame:
-        """Stats-pruned read: ``where`` maps column → ``(lo, hi)``
-        inclusive bounds (either end ``None`` for open). Files whose
-        manifest [min, max] provably misses a bound are never opened —
-        Delta/Iceberg data skipping on the manifest stats written at
-        commit time — and the surviving files still get the real filter
-        applied, so the result is exactly ``snapshot().filter(...)``
-        regardless of stats quality. On a clustered table a narrow key
-        range reads O(range) files instead of O(table)."""
-        v = self.version() if version is None else version
-        m = self._read_manifest(v)
-        where = where or {}
+    def _keep_files(self, m: dict, ranges: dict[str, tuple]) -> list[str]:
+        """Files of manifest ``m`` whose stats ranges intersect every
+        bound in ``ranges`` (missing stats keep the file)."""
         stats = self._stats_of(m)
-        keep = [
+        return [
             f
             for f in m["files"]
             if all(
                 _range_intersects((stats.get(f) or {}).get(c), lo, hi)
-                for c, (lo, hi) in where.items()
+                for c, (lo, hi) in ranges.items()
             )
         ]
+
+    def scan(
+        self,
+        where: dict[str, tuple] | str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read. ``where`` is either the structured form —
+        column → ``(lo, hi)`` inclusive bounds (``None`` = open end) —
+        or an ordinary SQL predicate STRING (``"ts BETWEEN x AND y AND
+        station = 's'"``): conjunctive range predicates are extracted
+        for file pruning (:func:`_extract_ranges`, strictly an
+        under-approximation) and the FULL predicate is applied to the
+        surviving rows, so ``scan(s)`` ≡ ``snapshot().filter(s)`` with
+        fewer files opened — no caller-side bound plumbing. Files whose
+        manifest [min, max] provably misses a bound are never opened —
+        Delta/Iceberg data skipping on the manifest stats written at
+        commit time. On a clustered table a narrow key range reads
+        O(range) files instead of O(table)."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        if isinstance(where, str):
+            df = self._read_data(m, self._keep_files(m, _extract_ranges(where)))
+            return df.filter(F.expr(where))
+        where = where or {}
         # manifest-schema read: on an evolved table an inferred read of
         # the pruned file subset could pick an old-schema footer and
         # drop the evolved column, diverging from snapshot().filter()
-        df = self._read_data(m, keep)
+        df = self._read_data(m, self._keep_files(m, where))
         for c, (lo, hi) in where.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -539,21 +697,16 @@ class VersionedTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
-    def pruned_files(self, where: dict[str, tuple], version: int | None = None) -> tuple[int, int]:
+    def pruned_files(
+        self, where: dict[str, tuple] | str, version: int | None = None
+    ) -> tuple[int, int]:
         """(kept, total) file counts for a ``scan(where)`` — the
-        observable the skipping tests pin."""
+        observable the skipping tests pin. Accepts the same dict or
+        SQL-string predicate forms as ``scan``."""
         v = self.version() if version is None else version
         m = self._read_manifest(v)
-        stats = self._stats_of(m)
-        kept = sum(
-            1
-            for f in m["files"]
-            if all(
-                _range_intersects((stats.get(f) or {}).get(c), lo, hi)
-                for c, (lo, hi) in where.items()
-            )
-        )
-        return kept, len(m["files"])
+        ranges = _extract_ranges(where) if isinstance(where, str) else where
+        return len(self._keep_files(m, ranges)), len(m["files"])
 
     def changes(
         self, v_from: int, v_to: int | None = None, keys: Sequence[str] | None = None

@@ -539,6 +539,63 @@ class TestManifestCheckpointing:
         assert prune_once < 1.0, f"pruning 1000-file sidecar took {prune_once:.3f}s"
 
 
+class TestSqlPredicateScan:
+    """scan(where="<SQL predicate>"): conjunctive ranges are extracted
+    for file pruning and the FULL predicate filters the survivors, so
+    the result always equals snapshot().filter(...) — a parser miss can
+    only cost I/O, never rows."""
+
+    def test_extract_ranges_forms(self):
+        import datetime
+
+        from iotdatapipeline_spark.sources.versioned import _extract_ranges as ex
+
+        assert ex("k >= 500 AND k <= 549") == {"k": (500, 549)}
+        assert ex("k BETWEEN 500 AND 549") == {"k": (500, 549)}
+        assert ex("500 <= k AND 549 >= k") == {"k": (500, 549)}
+        assert ex("k = 42") == {"k": (42, 42)}
+        assert ex("k > 10") == {"k": (10, None)}  # widened to inclusive
+        assert ex("v LIKE 'x%' AND k <= 5") == {"k": (None, 5)}
+        assert ex("(k >= 5) AND (k <= 9)") == {"k": (5, 9)}
+        assert ex("k >= 5 AND ts BETWEEN '2024-01-01' AND '2024-02-01'") == {
+            "k": (5, None),
+            "ts": (datetime.date(2024, 1, 1), datetime.date(2024, 2, 1)),
+        }
+        got = ex("ts >= TIMESTAMP '2024-06-01 12:00:00'")
+        assert got == {"ts": (datetime.datetime(2024, 6, 1, 12, 0, 0), None)}
+        assert ex("name = 'it''s'") == {"name": ("it's", "it's")}
+        # disjunction / negation anywhere disables pruning wholesale
+        assert ex("k >= 5 OR k <= 2") == {}
+        assert ex("NOT (k = 5)") == {}
+        # tightening across repeated conjuncts
+        assert ex("k >= 3 AND k >= 7 AND k <= 20 AND k <= 15") == {"k": (7, 15)}
+
+    def test_string_scan_matches_filter_and_prunes(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "sqlscan"))
+        base = spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(1000)])
+        t.create(base, n_files=10, cluster_by=["k"])
+        pred = "k BETWEEN 500 AND 549 AND v LIKE 'base5%'"
+        kept, total = t.pruned_files(pred)
+        assert total == 10 and kept <= 2
+        # identical pruning to the hand-built dict form
+        assert kept == t.pruned_files({"k": (500, 549)})[0]
+        from pyspark.sql import functions as F
+
+        want = sorted(r["k"] for r in t.snapshot().filter(F.expr(pred)).collect())
+        got = sorted(r["k"] for r in t.scan(pred).collect())
+        assert got == want == list(range(500, 550))
+
+    def test_string_scan_with_or_is_correct_but_unpruned(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "sqlscan_or"))
+        base = spark.createDataFrame([Row(k=i, v=f"b{i}") for i in range(100)])
+        t.create(base, n_files=4, cluster_by=["k"])
+        pred = "k <= 3 OR k >= 96"
+        kept, total = t.pruned_files(pred)
+        assert kept == total  # conservative: no pruning under OR
+        got = sorted(r["k"] for r in t.scan(pred).collect())
+        assert got == [0, 1, 2, 3, 96, 97, 98, 99]
+
+
 class TestChangeFeed:
     """changes(v_from, v_to): state-diff CDC between two committed
     snapshots — insert / update_postimage / delete with the correct
