@@ -245,10 +245,13 @@ def events_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs relationally — a feed that skips a commit, re-emits
     one, or tags the wrong image mismatches.
 
-    Scale bound (documented on the reader): rows-per-batch is the
-    CHURN of one commit, never table size; the driver-side prefetch is
-    the Simple-reader contract, matched to CDC feeds whose per-commit
-    deltas are bounded — exactly the streaming-sink regime."""
+    Scale shape: fully distributed — each commit's diff is computed as
+    a Spark job at planning time and spilled to parquet, partitions map
+    one-per-spill-file, and executors stream them back as Arrow
+    batches; no diff row ever materializes in the planning process, so
+    a bulk commit (backfill, wide MERGE) scales with cluster I/O, not
+    driver memory (pinned by the bulk-commit test in
+    tests/test_versioned.py)."""
     import time as _time
 
     from iotdatapipeline_spark.sources.versioned import (

@@ -1028,71 +1028,155 @@ class VersionedTable:
 
 def _cdf_stream_reader_class():
     """Late import: pyspark.sql.datasource exists on Spark 4 only."""
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-    class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
+    class VersionedCDFStreamReader(DataSourceStreamReader):
         """Change-data-feed STREAM over a VersionedTable: the offset is
-        the table VERSION, each micro-batch emits ``changes(start,
-        end)`` rows tagged with the commit version — Delta's
-        ``readChangeFeed`` streaming mode on this repo's table format.
-        Offsets derive from the checkpointed start (monotone across
-        restarts by construction, same contract as the plcsim reader);
-        a replayed batch re-diffs the same two IMMUTABLE snapshots, so
-        retries are bit-identical.
+        the table VERSION, each micro-batch emits the state diff of the
+        commits in ``(start, end]`` tagged with their commit version —
+        Delta's ``readChangeFeed`` streaming mode on this repo's table
+        format. Replays are bit-identical because each diff is computed
+        from two IMMUTABLE snapshots.
 
-        Driver-side prefetch bound: the Simple reader materializes each
-        batch on the driver, so rows-per-batch is bounded by the CHURN
-        between adjacent commits (one version step per batch), not by
-        table size — the same operating envelope as the streaming
-        sink's per-batch source. A full-history first batch can be
-        avoided by starting from ``starting_version``."""
+        DISTRIBUTED data path (no driver materialization): at PLANNING
+        time each pending commit's diff is computed as an ordinary
+        Spark job (the same ``changes()`` full-outer join every batch
+        reader uses) and written to a parquet SPILL under
+        ``<root>/_cdf_spill/v{N}`` — rows flow executor→executor→disk,
+        never through this process. ``partitions()`` then returns one
+        input partition PER SPILL FILE, and ``read()`` runs on
+        EXECUTORS, streaming its file back as Arrow record batches via
+        pyarrow. A bulk commit (backfill, wide MERGE) therefore scales
+        with cluster I/O, not driver memory — the failure mode of the
+        previous driver-collect reader. Spills are deleted on
+        ``commit()`` (their versions are checkpointed and will never be
+        replanned); a replay after restart re-plans ``partitions()``,
+        which regenerates any missing spill deterministically.
+
+        Batch pacing: one commit per micro-batch by default
+        (``max_versions_per_batch``); the catch-up batch after a
+        restart may span several commits — each still spills and tags
+        separately, so per-partition work stays bounded by one
+        commit's churn."""
 
         def __init__(self, options):
             self.root = options["root"]
             self.keys = [k.strip() for k in options["keys"].split(",")]
             self.start_v = int(options.get("starting_version", 0))
+            self.ddl = options["schema_ddl"]
+            self.spill_root = options.get(
+                "spill_dir", os.path.join(self.root, "_cdf_spill")
+            )
+            self.step = int(options.get("max_versions_per_batch", 1))
+            self._planned_end: int | None = None
 
-        def _table(self):
+        # ── planning side (driver): Spark jobs allowed ────────────────
+        def _spark(self):
             from pyspark.sql import SparkSession
 
-            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-            return VersionedTable(spark, self.root)
+            return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+        def _table(self):
+            return VersionedTable(self._spark(), self.root)
 
         def initialOffset(self):
             return {"v": self.start_v}
 
-        def read(self, start):
-            t = self._table()
-            v0 = int(start["v"])
-            cur = t.version()
-            if cur <= v0:
-                return iter([]), {"v": v0}
-            v1 = v0 + 1  # one commit per micro-batch: bounded, ordered
-            rows = self._diff_rows(t, v0, v1)
-            return iter(rows), {"v": v1}
+        def latestOffset(self):
+            cur = self._table().version()
+            if self._planned_end is not None:
+                cur = min(cur, self._planned_end + self.step)
+            return {"v": cur}
 
-        def readBetweenOffsets(self, start, end):
-            t = self._table()
-            return iter(self._diff_rows(t, int(start["v"]), int(end["v"])))
+        def _spill_dir(self, v: int) -> str:
+            return os.path.join(self.spill_root, f"v{v:010d}")
 
-        def _diff_rows(self, t: "VersionedTable", v0: int, v1: int):
-            if v0 == 0:
-                # the creation commit: every row is an insert
-                base = t.snapshot(v1).withColumn("_change_type", F.lit("insert"))
+        def _spill_version(self, t: "VersionedTable", v: int) -> str:
+            """Materialize commit ``v``'s diff as parquet in DECLARED
+            schema order (the emitted row layout must match schema_ddl
+            exactly — ``changes()`` returns keys first, which silently
+            misfields any table whose keys are not a schema prefix).
+            Idempotent: an existing complete spill (immutable-snapshot
+            diff) is reused."""
+            out_dir = self._spill_dir(v)
+            if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+                return out_dir
+            spark = self._spark()
+            from pyspark.sql.types import StructType
+
+            cols = [f.name for f in StructType.fromDDL(self.ddl).fields]
+            if v == 1:
+                base = t.snapshot(1).withColumn("_change_type", F.lit("insert"))
             else:
-                base = t.changes(v0, v1, self.keys)
-            out = base.withColumn("_commit_version", F.lit(v1).cast("long"))
-            return [tuple(r) for r in out.collect()]
+                base = t.changes(v - 1, v, self.keys)
+            out = base.withColumn("_commit_version", F.lit(v).cast("long")).select(*cols)
+            out.write.mode("overwrite").parquet(out_dir)
+            return out_dir
+
+        def partitions(self, start, end):
+            v0, v1 = int(start["v"]), int(end["v"])
+            self._planned_end = v1
+            t = self._table()
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            arrow_schema = to_arrow_schema(StructType.fromDDL(self.ddl))
+            parts = []
+            for v in range(v0 + 1, v1 + 1):
+                d = self._spill_version(t, v)
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".parquet"):
+                        parts.append(
+                            InputPartition(
+                                {"path": os.path.join(d, f), "schema": arrow_schema}
+                            )
+                        )
+            if not parts:  # engine requires ≥1 partition per batch
+                parts = [InputPartition({"path": None, "schema": None})]
+            return parts
+
+        # ── executor side: pyarrow only, no SparkSession ──────────────
+        def read(self, partition):
+            path = partition.value["path"]
+            if path is None:
+                return
+            import pyarrow.parquet as pq
+
+            want = partition.value["schema"]
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches():
+                try:
+                    import pyarrow as pa
+
+                    tbl = pa.Table.from_batches([batch]).cast(want)
+                    yield from tbl.to_batches()
+                except Exception:
+                    # type-shape mismatch: fall back to row tuples and
+                    # let Spark's converters coerce field-by-field
+                    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                    yield from (tuple(r) for r in zip(*cols))
 
         def commit(self, end):
-            pass
+            """Batches up to ``end`` are checkpointed: their spills can
+            never be replanned, so reclaim them."""
+            v1 = int(end["v"])
+            if not os.path.isdir(self.spill_root):
+                return
+            for d in os.listdir(self.spill_root):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= v1:
+                    shutil.rmtree(os.path.join(self.spill_root, d), ignore_errors=True)
+
+        def stop(self):
+            shutil.rmtree(self.spill_root, ignore_errors=True)
 
     class VersionedCDFDataSource(DataSource):
         """``format("versioned_cdf")``: readStream of a VersionedTable's
         change feed. Options: ``root``, ``keys`` (comma-separated),
         ``schema_ddl`` (the emitted row schema: table columns +
         ``_change_type string, _commit_version bigint``),
-        ``starting_version``."""
+        ``starting_version``, ``max_versions_per_batch``, ``spill_dir``
+        (defaults to ``<root>/_cdf_spill``; point it elsewhere when the
+        table root is read-only to the streaming job)."""
 
         @classmethod
         def name(cls):
@@ -1101,7 +1185,7 @@ def _cdf_stream_reader_class():
         def schema(self):
             return self.options["schema_ddl"]
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return VersionedCDFStreamReader(self.options)
 
     return VersionedCDFDataSource

@@ -979,3 +979,112 @@ class TestCDFStream:
         assert by_v[2] == [(1, "B", "update_postimage")]
         assert by_v[3] == [(2, "a", "delete")]
         assert len(by_v[1]) == 4
+
+    def test_bulk_commit_never_materializes_rows_in_planner(self, spark, tmp_path, monkeypatch):
+        """Scale gate for the distributed reader: a bulk commit (20k-row
+        churn, ≥100× the other stream tests) must flow PLANNER →
+        parquet spill → per-file executor partitions, with DataFrame
+        row materialization (collect/toPandas/toLocalIterator) FORBIDDEN
+        in the planning process for the whole plan+read cycle. The old
+        SimpleDataSourceStreamReader collect()ed every diff row on the
+        driver — one backfill commit away from OOM."""
+        from iotdatapipeline_spark.sources.versioned import (
+            _cdf_stream_reader_class,
+            cdf_schema_ddl,
+        )
+        from pyspark.sql import DataFrame
+
+        root = str(tmp_path / "bulk")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(20000)]),
+            n_files=4, cluster_by=["k"],
+        )
+        # bulk commit: update every even key (10k updates) + 10k inserts
+        src = spark.createDataFrame(
+            [Row(k=i, v="B") for i in range(0, 20000, 2)]
+            + [Row(k=i, v="n") for i in range(20000, 30000)]
+        )
+        t.merge_into(src, ["k"])
+
+        ds_cls = _cdf_stream_reader_class()
+        reader = ds_cls(
+            options={"root": root, "keys": "k", "schema_ddl": cdf_schema_ddl(t)}
+        ).streamReader(None)
+
+        def boom(self, *a, **kw):
+            raise AssertionError("driver-side row materialization in CDF planning")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        monkeypatch.setattr(DataFrame, "toPandas", boom)
+        monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
+        # shrink AQE's target partition size so the 20k-row diff spills
+        # as several files (at real scale data volume does this; the
+        # test proves multi-file planning, not just the 1-file case)
+        shrink = {
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+            "spark.sql.files.maxPartitionBytes": "64KB",
+        }
+        old = {k: spark.conf.get(k) for k in shrink}
+        for k, v in shrink.items():
+            spark.conf.set(k, v)
+        try:
+            assert reader.latestOffset() == {"v": 2}
+            parts = reader.partitions({"v": 1}, {"v": 2})
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+        # the diff spilled across multiple files → multiple partitions
+        assert len(parts) > 1, f"bulk diff produced {len(parts)} partition(s)"
+        import pyarrow as pa
+
+        n = 0
+        for p in parts:
+            for out in reader.read(p):
+                assert isinstance(out, pa.RecordBatch), type(out)
+                n += out.num_rows
+        assert n == 20000  # 10k update_postimage + 10k insert
+        # commit reclaims the spill
+        reader.commit({"v": 2})
+        import os as _os
+
+        assert not _os.path.isdir(reader._spill_dir(2))
+
+    def test_keys_not_a_schema_prefix_lands_in_right_columns(self, spark, tmp_path):
+        """Regression: changes() returns key columns FIRST; the emitted
+        rows must still follow schema_ddl's declared (native) order.
+        With the key column second in the table schema, a keys-first
+        row layout would silently swap fields."""
+        from iotdatapipeline_spark.sources.versioned import (
+            _cdf_stream_reader_class,
+            cdf_schema_ddl,
+        )
+
+        root = str(tmp_path / "order")
+        t = VersionedTable(spark, root)
+        # key column k is NOT the first table column
+        t.create(
+            spark.createDataFrame(
+                [("x0", 0, 100), ("x1", 1, 101)], "label string, k bigint, amt bigint"
+            ),
+            n_files=1, cluster_by=["k"],
+        )
+        t.merge_into(
+            spark.createDataFrame([("y1", 1, 999)], "label string, k bigint, amt bigint"),
+            ["k"],
+        )
+        ddl = cdf_schema_ddl(t)
+        assert ddl.startswith("label string, k bigint, amt bigint")
+        reader = _cdf_stream_reader_class()(
+            options={"root": root, "keys": "k", "schema_ddl": ddl}
+        ).streamReader(None)
+        rows = []
+        for p in reader.partitions({"v": 0}, {"v": 2}):
+            for out in reader.read(p):
+                rows += out.to_pylist() if hasattr(out, "to_pylist") else [out]
+        got = {(r["_commit_version"], r["k"]): r for r in rows}
+        assert got[(1, 0)]["label"] == "x0" and got[(1, 0)]["amt"] == 100
+        assert got[(2, 1)]["label"] == "y1" and got[(2, 1)]["amt"] == 999
+        assert got[(2, 1)]["_change_type"] == "update_postimage"
+        reader.stop()
