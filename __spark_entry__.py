@@ -39,9 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    "dq_events_profile",  # r5: oracle sum(CASE) cast to BIGINT (r4 verdict item 1)
-    "station_distinct_users_hll",  # r5: HLL → md5 KMV, now oracle-paired (item 2)
-    "cycle_time_approx_percentiles",  # r5: KLL → histogram type-1 quantile, oracle-paired
+    # r8: the six lakehouse gates round 7 restructured (all reads now go
+    # through the manifest schema via _read_data; CDF stream rewritten as a
+    # partition-planning DataSourceStreamReader; skipping gate hard-fails
+    # unless SQL-string pruning matches dict pruning) need fresh driver
+    # rows — the r6 rows tested the pre-change code (VERDICT r7 item 1).
+    "events_versioned_skipping",
+    "events_versioned_cdf_stream",
+    "events_merge_upsert_cow",
+    "events_versioned_changes",
+    "events_versioned_evolution",
+    "events_versioned_zorder_scan",
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without

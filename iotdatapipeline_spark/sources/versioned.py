@@ -256,17 +256,49 @@ def _extract_ranges(predicate: str) -> dict[str, tuple]:
     return ranges
 
 
+_DATE_CANON = re.compile(r"\d{4}-\d{2}-\d{2}")
+_DATETIME_CANON = re.compile(r"\d{4}-\d{2}-\d{2}T.*")
+
+
+def _canon_comparable(a, b) -> bool:
+    """False when one canon is a bare date ('YYYY-MM-DD') and the other
+    a datetime ('...T...'): their lexicographic order is NOT their SQL
+    order. SQL compares a date bound against a timestamp column by
+    casting the date to (session-tz) MIDNIGHT, so ``ts <= '2024-01-01'``
+    admits ``2024-01-01T00:00:00`` — but lexicographically
+    '2024-01-01' < '2024-01-01T00:00:00' and the file holding exactly
+    midnight would be pruned; under a non-UTC session tz the over-prune
+    window widens to the full offset (stats canonicalize to UTC, the
+    cast does not). Incomparable ⇒ the caller keeps the file."""
+    if not (isinstance(a, str) and isinstance(b, str)):
+        return True
+    a_date, b_date = _DATE_CANON.fullmatch(a), _DATE_CANON.fullmatch(b)
+    a_dt, b_dt = _DATETIME_CANON.fullmatch(a), _DATETIME_CANON.fullmatch(b)
+    return not ((a_date and b_dt) or (a_dt and b_date))
+
+
 def _range_intersects(file_range, lo, hi) -> bool:
     """True unless the file's [min, max] provably misses [lo, hi].
-    Any missing/None/mistyped endpoint keeps the file (conservative)."""
+    Any missing/None/mistyped/shape-incomparable endpoint keeps the
+    file (conservative)."""
     if not file_range:
         return True
     fmin, fmax = _canon(file_range[0]), _canon(file_range[1])
     lo, hi = _canon(lo), _canon(hi)
     try:
-        if lo is not None and fmax is not None and fmax < lo:
+        if (
+            lo is not None
+            and fmax is not None
+            and _canon_comparable(fmax, lo)
+            and fmax < lo
+        ):
             return False
-        if hi is not None and fmin is not None and fmin > hi:
+        if (
+            hi is not None
+            and fmin is not None
+            and _canon_comparable(fmin, hi)
+            and fmin > hi
+        ):
             return False
     except TypeError:
         return True
@@ -1064,8 +1096,18 @@ def _cdf_stream_reader_class():
             self.keys = [k.strip() for k in options["keys"].split(",")]
             self.start_v = int(options.get("starting_version", 0))
             self.ddl = options["schema_ddl"]
-            self.spill_root = options.get(
-                "spill_dir", os.path.join(self.root, "_cdf_spill")
+            # Per-reader default spill namespace: two streams tailing
+            # the SAME table must not share spill paths, or the stream
+            # that is further ahead commit()-reclaims files the slower
+            # stream's already-planned partitions still reference
+            # (executor FileNotFoundError until a restart re-plans).
+            # A reader is constructed once per query run; after a
+            # restart the new reader's partitions() regenerates any
+            # needed spill deterministically in its fresh namespace.
+            # Passing spill_dir explicitly opts out (caller owns
+            # isolation then, e.g. a read-only table root).
+            self.spill_root = options.get("spill_dir") or os.path.join(
+                self.root, "_cdf_spill", f"q-{uuid.uuid4().hex[:12]}"
             )
             self.step = int(options.get("max_versions_per_batch", 1))
             self._planned_end: int | None = None
@@ -1143,16 +1185,24 @@ def _cdf_stream_reader_class():
             import pyarrow.parquet as pq
 
             want = partition.value["schema"]
-            pf = pq.ParquetFile(path)
-            for batch in pf.iter_batches():
-                try:
-                    import pyarrow as pa
+            # Spark's Python data source worker rejects a partition
+            # that mixes pyarrow RecordBatches and plain tuples, and
+            # pa cast is data-dependent (a later batch of the same
+            # file can overflow where the first cast fine) — so decide
+            # the output mode ONCE PER FILE: cast the whole file, and
+            # only on failure fall back to tuple emission for every
+            # batch. A spill part file is one slice of one commit's
+            # diff (bounded by write partitioning), so materializing
+            # it for the cast attempt is executor-memory safe.
+            import pyarrow as pa
 
-                    tbl = pa.Table.from_batches([batch]).cast(want)
-                    yield from tbl.to_batches()
-                except Exception:
-                    # type-shape mismatch: fall back to row tuples and
-                    # let Spark's converters coerce field-by-field
+            tbl = pq.read_table(path)
+            try:
+                yield from tbl.cast(want).to_batches()
+            except Exception:
+                # type-shape mismatch: row tuples for the WHOLE file,
+                # letting Spark's converters coerce field-by-field
+                for batch in tbl.to_batches():
                     cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
                     yield from (tuple(r) for r in zip(*cols))
 

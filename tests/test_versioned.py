@@ -855,6 +855,53 @@ class TestRangeIntersectsProperties:
             [naive_utc, naive_utc], datetime.datetime(2030, 1, 1), None
         )
 
+    def test_date_bound_vs_datetime_stats_is_incomparable(self, spark):
+        """A date canon ('2024-01-01') sorts lexicographically BEFORE
+        the datetime canon of its own midnight ('2024-01-01T00:00:00'),
+        but SQL casts the date bound to midnight and ADMITS that row —
+        so pruning must treat the mixed shapes as incomparable (keep
+        the file), never compare them. Regression for the
+        scan("ts <= '2024-01-01'") silent-row-loss hazard."""
+        import datetime
+
+        from iotdatapipeline_spark.sources.versioned import _range_intersects
+
+        midnight = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        d = datetime.date(2024, 1, 1)
+        # file min == midnight of the date bound: ts <= DATE must keep it
+        assert _range_intersects([midnight, midnight], None, d)
+        # and the mirror: ts >= DATE vs a file whose max is midnight
+        assert _range_intersects([midnight, midnight], d, None)
+        # date stats vs datetime bound: same rule, keep
+        assert _range_intersects([d, d], midnight, None)
+        assert _range_intersects([d, d], None, midnight)
+        # same-shape comparisons still prune
+        assert not _range_intersects(
+            [datetime.date(2024, 1, 2), datetime.date(2024, 1, 3)], None, d
+        )
+        assert not _range_intersects(
+            [midnight, midnight], datetime.datetime(2024, 1, 1, 0, 0, 1), None
+        )
+
+    def test_string_scan_date_bound_on_timestamp_column(self, spark, tmp_path):
+        """End-to-end form of the hazard: a file whose ts-min is exactly
+        midnight of the predicate's date literal must survive pruning,
+        so scan(str) ≡ snapshot().filter(str)."""
+        import datetime
+
+        t = VersionedTable(spark, str(tmp_path / "datescan"))
+        rows = [
+            Row(k=i, ts=datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(hours=i))
+            for i in range(48)
+        ]
+        t.create(spark.createDataFrame(rows), n_files=4, cluster_by=["ts"])
+        from pyspark.sql import functions as F
+
+        pred = "ts <= '2024-01-01'"
+        want = sorted(r["k"] for r in t.snapshot().filter(F.expr(pred)).collect())
+        got = sorted(r["k"] for r in t.scan(pred).collect())
+        assert got == want == [0]  # only the exact-midnight row qualifies
+
 
 class TestCDFStream:
     """readStream.format('versioned_cdf'): the change feed as a
@@ -1088,3 +1135,41 @@ class TestCDFStream:
         assert got[(2, 1)]["label"] == "y1" and got[(2, 1)]["amt"] == 999
         assert got[(2, 1)]["_change_type"] == "update_postimage"
         reader.stop()
+
+    def test_concurrent_readers_do_not_reclaim_each_others_spills(self, spark, tmp_path):
+        """Two streams tailing the SAME table must not share spill
+        paths: with a shared default dir, the stream that is further
+        ahead commit()-reclaims files the slower stream's already-
+        planned partitions still reference (executor
+        FileNotFoundError). The default spill namespace is per-reader,
+        so A's commit and even A's stop leave B's planned partitions
+        readable."""
+        from iotdatapipeline_spark.sources.versioned import (
+            _cdf_stream_reader_class,
+            cdf_schema_ddl,
+        )
+
+        root = str(tmp_path / "twostreams")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(20)]),
+            n_files=2, cluster_by=["k"],
+        )
+        t.merge_into(spark.createDataFrame([Row(k=1, v="B")]), ["k"])
+
+        ds_cls = _cdf_stream_reader_class()
+        opts = {"root": root, "keys": "k", "schema_ddl": cdf_schema_ddl(t)}
+        a = ds_cls(options=dict(opts)).streamReader(None)
+        b = ds_cls(options=dict(opts)).streamReader(None)
+        assert a.spill_root != b.spill_root  # per-reader namespace
+
+        parts_b = b.partitions({"v": 0}, {"v": 2})  # B plans first...
+        a.partitions({"v": 0}, {"v": 2})
+        a.commit({"v": 2})  # ...A races ahead and reclaims ITS spills
+        a.stop()
+        rows = 0
+        for p in parts_b:  # B's planned partitions must still read
+            for out in b.read(p):
+                rows += out.num_rows if hasattr(out, "num_rows") else 1
+        assert rows == 21  # 20 v1 inserts + 1 v2 update_postimage
+        b.stop()
