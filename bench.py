@@ -178,6 +178,22 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 REPS = 3
 
 
+#: Queries whose cost lives in the FINAL projection (row-local scoring
+#: folds with no aggregate above them): a bare count() lets
+#: ColumnPruning drop exactly the work being measured, so these are
+#: timed under a noop write, which computes every output column.
+FULL_COMPUTE = {"docs_dsir_weights"}
+
+
+def spark_action(name, df):
+    """The timed action for a query: count() (the historical protocol)
+    unless the query is projection-cost-dominated, where count() would
+    measure a plan with the scoring expressions pruned out."""
+    if name in FULL_COMPUTE:
+        return lambda: df.write.format("noop").mode("overwrite").save()
+    return df.count
+
+
 def median_time(fn, reps: int = REPS) -> float:
     samples = []
     for _ in range(reps):
@@ -211,19 +227,20 @@ def main() -> None:
     # metadata caches — all one-time costs, outside the timed region
     for name in names:
         if os.path.isdir(WARMUP_SF_DIR):
-            QUERIES[name](spark, WARMUP_SF_DIR).count()
+            spark_action(name, QUERIES[name](spark, WARMUP_SF_DIR))()
         # two target-SF warm executions: the JVM JIT promotes the
         # generated code to its top compilation tier on the second-or-
         # third run of a plan (measured 1.5-2x between run 2 and run 4
         # on ~100 ms queries), and steady-state is what both engines
-        # are being measured at
-        QUERIES[name](spark, sf_dir).count()
-        QUERIES[name](spark, sf_dir).count()
+        # are being measured at (warm with the SAME action that is
+        # timed — a count() warm compiles a projection-pruned plan)
+        spark_action(name, QUERIES[name](spark, sf_dir))()
+        spark_action(name, QUERIES[name](spark, sf_dir))()
 
     timings: dict[str, float] = {}
     for name in names:
         df = QUERIES[name](spark, sf_dir)
-        timings[name] = median_time(df.count)
+        timings[name] = median_time(spark_action(name, df))
     total = round(sum(timings.values()), 3)
 
     # same-host DuckDB oracle baseline, identical warm/median protocol
@@ -270,9 +287,9 @@ def main() -> None:
     for name in [n for n in SECONDARY if n in QUERIES]:
         try:
             if os.path.isdir(WARMUP_SF_DIR):
-                QUERIES[name](spark, WARMUP_SF_DIR).count()
-            QUERIES[name](spark, sf_dir).count()
-            sec[name] = median_time(QUERIES[name](spark, sf_dir).count)
+                spark_action(name, QUERIES[name](spark, WARMUP_SF_DIR))()
+            spark_action(name, QUERIES[name](spark, sf_dir))()
+            sec[name] = median_time(spark_action(name, QUERIES[name](spark, sf_dir)))
         except Exception:  # never lose the headline line to a secondary
             continue
     if sec:
@@ -364,8 +381,8 @@ def crossover_bench(spark, src_dir: str) -> dict:
     names = [n for n in CROSSOVER_QUERIES if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        QUERIES[name](spark, xdir).count()  # warm
-        timings[name] = median_time(QUERIES[name](spark, xdir).count)
+        spark_action(name, QUERIES[name](spark, xdir))()  # warm
+        timings[name] = median_time(spark_action(name, QUERIES[name](spark, xdir)))
     duck: dict[str, float] = {}
     con = duckdb.connect()
     con.sql(f"SET threads TO {cpus}")
@@ -423,8 +440,8 @@ def scaling_point(spark, src_dir: str, tiles: int = 40) -> dict:
     names = [n for n in SCALING_QUERIES if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        QUERIES[name](spark, xdir).count()  # warm
-        timings[name] = median_time(QUERIES[name](spark, xdir).count)
+        spark_action(name, QUERIES[name](spark, xdir))()  # warm
+        timings[name] = median_time(spark_action(name, QUERIES[name](spark, xdir)))
     duck: dict[str, float] = {}
     con = duckdb.connect()
     con.sql(f"SET threads TO {cpus}")

@@ -1286,36 +1286,87 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_word_rarity). Downstream selection is top-k / threshold on
     ``dsir_weight`` exactly as in the paper's resampling step.
 
-    Scale shape: explode to grams → 256-bucket aggregate (tiny) →
-    BROADCAST the 256-row score table back onto the gram stream →
-    per-doc aggregate. One real shuffle (doc_id agg); the bucket
-    distributions are map-side-combined into 256 rows regardless of
-    corpus size — this is why hashed-ngram DSIR runs at 100 TB while
-    an exact-vocabulary LM filter would not."""
+    Scale shape — the model is TINY, so stop shuffling the corpus:
+    pass 1 explodes the (integer) bucket stream into a 256-key
+    hash aggregate (map-side-combined to ≤256 rows per task) and
+    COLLECTS the 256 Laplace scores to the driver — bounded at 256
+    rows regardless of corpus size, the same bounded-scalar pattern
+    as the BPE merge loop. Pass 2 then scores every document with a
+    PURE ROW-LOCAL expression — transform the gram array to buckets,
+    fold through a 256-literal score array — zero shuffle, zero join,
+    zero explode. Profiling at x10 (tools/bench_dsir_ab.py) showed
+    the old join shape spent its time in the string explode (0.6 s)
+    and the doc_id shuffle of 2.7 M gram rows (1.2 s), NOT in md5
+    (0.08 s): the per-doc aggregate never needed to leave the row.
+    This is also why hashed-ngram DSIR runs at 100 TB: the only
+    cluster-wide data movement is 256 partial counts per task."""
     docs = load_table(spark, sf_dir, "documents").withColumn("__ws", words(F.col("text")))
-    from iotdatapipeline_spark.analytics.text import shingles_of_words
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10).cast("long") % 256
-    )
-    grams = docs.select(
-        "doc_id", "lang", F.explode(shingles_of_words(F.col("__ws"), 2)).alias("g")
-    ).select("doc_id", "lang", bucket.alias("f"))
-    # BOTH distributions from one pass over the gram stream
-    # (conditional count) — raw and target as separate aggregates
-    # would re-explode and re-hash the corpus a second time
-    dist = grams.groupBy("f").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.count_if(F.col("lang") == "en").alias("tc"),
-    )
-    scores = dist.select("f", F.expr("(1000 * (tc + 1)) div (rc + 1)").alias("s"))
-    return (
-        grams.join(F.broadcast(scores), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("s").cast("long").alias("dsir_weight"),
+    def bucket(g):
+        return (
+            F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % 256
         )
+
+    cnt = F.greatest(F.array_size("__ws") - F.lit(1), F.lit(1))
+    # pass 1: explode gram INDICES and build/hash each gram as a plain
+    # row projection — slice/array_join/md5 all stay inside
+    # whole-stage codegen. (Exploding a transform()-built shingle
+    # array instead pays interpreted HOF evaluation per gram: measured
+    # 0.95 s vs 0.63 s at x10, tools/bench_dsir_ab.py.) Both
+    # distributions come out of one 256-key hash aggregate,
+    # map-side-combined to ≤256 rows per task.
+    dist = (
+        docs.select("lang", "__ws", F.explode(F.sequence(F.lit(1), cnt)).alias("i"))
+        .select(
+            "lang",
+            bucket(F.array_join(F.slice("__ws", F.col("i"), 2), " ")).alias("f"),
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count_if(F.col("lang") == "en").alias("tc"),
+        )
+    )
+    # fold the ≤256 scores into ONE row holding a bucket→score map and
+    # broadcast it under every document row (cross join with a 1-row
+    # build side). This keeps the whole query LAZY — no driver-side
+    # model collect at plan-build time — while the per-doc scoring
+    # stays row-local: zero shuffle of the corpus, zero explode on the
+    # scoring pass, one 256-entry broadcast.
+    # dense ARRAY, not a map: Spark's GetMapValue is a LINEAR scan of
+    # the entries (no hash index), so a 256-entry map lookup per gram
+    # costs ~128 comparisons; element_at on an array is O(1)
+    model = F.broadcast(
+        dist.select(
+            "f", F.expr("(1000 * (tc + 1)) div (rc + 1)").alias("s")
+        )
+        .agg(F.map_from_entries(F.collect_list(F.struct("f", "s"))).alias("m0"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m0"), i.cast("bigint")), F.lit(0).cast("long")
+                ),
+            ).alias("m")
+        )
+    )
+    # pass 2: row-local scoring — fold the gram indices through the
+    # score map. __ws is a materialized column, so slice() inside the
+    # lambda is O(gram), not the O(words²) embedded-split hazard (see
+    # shingles_of_words docstring). Every bucket a document hashes to
+    # exists in the map (same corpus built it).
+    return docs.crossJoin(model).select(
+        "doc_id",
+        cnt.cast("long").alias("n_grams"),
+        F.aggregate(
+            F.sequence(F.lit(1), cnt),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.element_at(
+                F.col("m"),
+                (bucket(F.array_join(F.slice("__ws", i, 2), " ")) + 1).cast("int"),
+            ),
+        ).alias("dsir_weight"),
     )
 
 

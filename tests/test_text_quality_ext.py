@@ -345,9 +345,15 @@ class TestDsirWeights:
         assert len(rows) == n_docs
         assert all(r["dsir_weight"] > 0 and r["n_grams"] > 0 for r in rows)
 
-    def test_score_table_is_broadcast(self, spark, sf_small):
+    def test_model_is_broadcast_and_scoring_is_row_local(self, spark, sf_small):
+        """r8 shape: the 256-score model folds to ONE row and broadcasts
+        under every document (nested-loop join with a 1-row build
+        side); the scoring pass itself must shuffle NOTHING — the only
+        exchanges in the plan belong to the 256-key distribution
+        aggregate, never to a doc_id repartitioning of the corpus."""
         plan = _plan(QUERIES["docs_dsir_weights"](spark, sf_small))
-        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning(doc_id" not in plan
 
 
 class TestQualityClassifier:

@@ -50,8 +50,10 @@ def main() -> int:
         if name not in QUERIES:
             print(f"SKIP {name}: not registered", flush=True)
             continue
-        QUERIES[name](spark, xdir).count()  # warm
-        s = median_time(QUERIES[name](spark, xdir).count)
+        from bench import spark_action
+
+        spark_action(name, QUERIES[name](spark, xdir))()  # warm
+        s = median_time(spark_action(name, QUERIES[name](spark, xdir)))
         d = err = None
         if name in ORACLE:
             try:
