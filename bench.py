@@ -178,20 +178,26 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 REPS = 3
 
 
-#: Queries whose cost lives in the FINAL projection (row-local scoring
-#: folds with no aggregate above them): a bare count() lets
-#: ColumnPruning drop exactly the work being measured, so these are
-#: timed under a noop write, which computes every output column.
-FULL_COMPUTE = {"docs_dsir_weights"}
+#: Timed action protocol. Round 8 finding: a bare count() lets the
+#: optimizer PRUNE every expression that feeds only aggregate VALUES
+#: (not grouping keys) and every final projection — e.g.
+#: events_props_variant's JSON parse vanishes from the counted plan
+#: (0.93 s counted vs 1.62 s real at x40), q1's sums cost −23%, and
+#: docs_dsir_weights' scoring fold measured 0.14 s vs 1.36 s real.
+#: The DuckDB oracle side always computes full results, so count()
+#: flattered the Spark column. The default action is now a `noop`
+#: write — computes every output column, discards rows, pays no
+#: driver transfer (the fair analog of DuckDB's fetchall).
+#: SPARK_GRAFT_BENCH_ACTION=count restores the historical protocol
+#: for round-over-round continuity checks.
+BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
 
 
 def spark_action(name, df):
-    """The timed action for a query: count() (the historical protocol)
-    unless the query is projection-cost-dominated, where count() would
-    measure a plan with the scoring expressions pruned out."""
-    if name in FULL_COMPUTE:
-        return lambda: df.write.format("noop").mode("overwrite").save()
-    return df.count
+    """The timed action for a query under the selected protocol."""
+    if BENCH_ACTION == "count":
+        return df.count
+    return lambda: df.write.format("noop").mode("overwrite").save()
 
 
 def median_time(fn, reps: int = REPS) -> float:
