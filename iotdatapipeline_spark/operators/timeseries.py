@@ -138,13 +138,27 @@ def resample_interpolate(
 
     Returns ``key, out_ts, value_col``.
 
-    Shape: identical to ``resample_ffill`` plus one extra window pass
-    — the backward (prev) and forward (next) scans share the same
-    per-key partitioning, so the whole operator is still: one
-    grid-cell top-1 (WindowGroupLimit before the shuffle), one
-    generated spine, one key-equi join, two window passes over one
-    exchange.  Nothing is quadratic in gap length: a k-bucket gap is
-    k rows filled by the same two window columns.
+    Shape (r8): every shuffle stays on the OBSERVATIONS, never on the
+    grid.  The previous shape generated the full key×bucket spine
+    (|keys|·|span| rows), shuffled it through a left join against the
+    observations, and ran two ignore-nulls window passes over it —
+    at sf0.1 that is ~9 M shuffled+sorted rows to fill a 60 k-row
+    observation set (3.9 s, 6.2× DuckDB, honest-protocol r8 bench).
+    Now each observation carries its successor via one lead() window
+    over the per-key obs stream, and the grid rows are GENERATED by
+    exploding sequence(obs, next_obs − step) with the interpolation
+    formula as a plain projection — whole-stage codegen, zero shuffle
+    past the (small) obs table.  Leading/trailing null spans come from
+    a per-key min/max of the observed buckets crossed with the 1-row
+    global bounds.  A k-bucket gap is k generated rows from one
+    segment row; nothing is quadratic in gap length, and at 100 TB
+    the shuffled bytes track the sensor-reading count, not
+    keys × calendar span.
+
+    A bucket whose top-1 reading has a NULL value is treated as
+    UNOBSERVED (interpolated across, never a boundary) — same
+    semantics as the ignore-nulls window formulation and the DuckDB
+    oracle.
     """
     ev = df.withColumn("_b", F.date_trunc(trunc_unit, F.col(ts_col)))
     order = [F.desc(c) for c in tiebreak_cols]
@@ -152,53 +166,74 @@ def resample_interpolate(
     obs = (
         ev.withColumn("_rn", F.row_number().over(w_rn))
         .filter(F.col("_rn") == 1)
-        .select(F.col(key).alias("_obs_key"), F.col("_b"), value_col)
+        .select(key, "_b", value_col)
+        .filter(F.col(value_col).isNotNull())
     )
     bounds = ev.agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("_h0"),
         F.date_trunc(trunc_unit, F.max(ts_col)).alias("_h1"),
     )
-    spine = (
+    # one segment per observation: [this bucket, next bucket) — the
+    # last observation emits just its own bucket
+    w_lead = Window.partitionBy(key).orderBy("_b")
+    seg = obs.withColumn("_nb", F.lead("_b").over(w_lead)).withColumn(
+        "_nv", F.lead(value_col).over(w_lead)
+    )
+    grid = F.when(
+        F.col("_nb").isNotNull(),
+        F.expr(f"sequence(_b, _nb - interval {step}, interval {step})"),
+    ).otherwise(F.array(F.col("_b")))
+    e = F.unix_timestamp(F.col(out_ts))
+    pt = F.unix_timestamp(F.col("_b"))
+    nt = F.unix_timestamp(F.col("_nb"))
+    interp = F.col(value_col) + F.floor(
+        (F.col("_nv") - F.col(value_col)).cast("double")
+        * (e - pt).cast("double")
+        / (nt - pt).cast("double")
+    ).cast("long")
+    body = seg.select(
+        key, value_col, "_nv", "_b", "_nb", F.explode(grid).alias(out_ts)
+    ).select(
+        key,
+        out_ts,
+        F.when(F.col(out_ts) == F.col("_b"), F.col(value_col))
+        .otherwise(interp)
+        .cast("long")
+        .alias(value_col),
+    )
+    # leading/trailing NULL spans (and keys with no non-null
+    # observation at all): generated from per-key span bounds, never
+    # from a full spine
+    span = obs.groupBy(key).agg(F.min("_b").alias("_fb"), F.max("_b").alias("_lb"))
+    empty = F.expr("CAST(array() AS array<timestamp>)")
+    edges = (
         ev.select(key)
         .distinct()
+        .join(span, key, "left")
         .crossJoin(F.broadcast(bounds))
         .select(
             key,
-            F.explode(F.expr(f"sequence(_h0, _h1, interval {step})")).alias(out_ts),
+            F.explode(
+                F.concat(
+                    F.when(
+                        F.col("_fb").isNull(),
+                        F.expr(f"sequence(_h0, _h1, interval {step})"),
+                    )
+                    .when(
+                        F.col("_fb") > F.col("_h0"),
+                        F.expr(f"sequence(_h0, _fb - interval {step}, interval {step})"),
+                    )
+                    .otherwise(empty),
+                    F.when(
+                        F.col("_fb").isNotNull() & (F.col("_lb") < F.col("_h1")),
+                        F.expr(f"sequence(_lb + interval {step}, _h1, interval {step})"),
+                    ).otherwise(empty),
+                )
+            ).alias(out_ts),
+            F.lit(None).cast("long").alias(value_col),
         )
     )
-    joined = spine.join(
-        obs,
-        (spine[key] == obs["_obs_key"]) & (spine[out_ts] == obs["_b"]),
-        "left",
-    ).select(key, out_ts, value_col)
-    w_back = (
-        Window.partitionBy(key)
-        .orderBy(out_ts)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_fwd = (
-        Window.partitionBy(key)
-        .orderBy(out_ts)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    e = F.unix_timestamp(F.col(out_ts))
-    obs_ts = F.when(F.col(value_col).isNotNull(), e)
-    filled = (
-        joined.withColumn("_pv", F.last(value_col, ignorenulls=True).over(w_back))
-        .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(w_back))
-        .withColumn("_nv", F.first(value_col, ignorenulls=True).over(w_fwd))
-        .withColumn("_nt", F.first(obs_ts, ignorenulls=True).over(w_fwd))
-    )
-    interp = F.col("_pv") + F.floor(
-        (F.col("_nv") - F.col("_pv")).cast("double")
-        * (e - F.col("_pt")).cast("double")
-        / (F.col("_nt") - F.col("_pt")).cast("double")
-    ).cast("long")
-    out_val = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
-        F.when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), interp)
-    )
-    return filled.select(key, out_ts, out_val.cast("long").alias(value_col))
+    return body.unionByName(edges)
 
 
 def ordered_funnel(
