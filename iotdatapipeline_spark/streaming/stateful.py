@@ -181,8 +181,16 @@ def _transition_batch(
     pandas formulation cost ~1.9 ms/group (sort_values + itertuples +
     DataFrame-from-dicts); this one is ~10× cheaper, which matters at
     60 k key-group invocations per micro-batch."""
-    ts64 = pdf["ts"].to_numpy()
-    ts_ns = ts64.astype("datetime64[ns]").astype(np.int64)
+    # tz-aware through pandas, not numpy: np.astype('datetime64[ns]')
+    # on tz-aware values is deprecated (raises on future numpy); naive
+    # input localizes as UTC, which matches the session timezone the
+    # pipeline pins, so both arrival forms yield identical epochs
+    ts_ns = (
+        pd.to_datetime(pdf["ts"], utc=True)
+        .dt.tz_localize(None)
+        .to_numpy()
+        .astype(np.int64)
+    )
     order = np.lexsort((pdf["event_id"].to_numpy(), ts_ns))
     ts_ns = ts_ns[order]
     max_ts_ms = int(ts_ns[-1]) // 1_000_000
@@ -246,7 +254,7 @@ def _transition_batch(
     arrays = [
         np.full(n, station, dtype="int64"),
         np.full(n, part, dtype=object),
-        ts64[order][idx].astype("datetime64[ns]"),
+        ts_ns[idx].astype("datetime64[ns]"),
         cnt[idx],
         np.asarray(prevs, dtype="int64"),
         np.asarray(deltas, dtype="int64"),
