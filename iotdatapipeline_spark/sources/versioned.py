@@ -308,11 +308,19 @@ def _range_intersects(file_range, lo, hi) -> bool:
 class VersionedTable:
     """Versioned parquet table rooted at ``root`` (local/NFS path)."""
 
+    #: a referenced-files checkpoint is rolled up every this many commits
+    CKPT_EVERY = 32
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
+        # committed manifests are immutable, so parsed JSON is cached for
+        # the lifetime of this handle: snapshot/scan/history/vacuum on a
+        # warm handle hit disk once per version ever (manifests are small
+        # commit records — stats live in the parquet sidecar)
+        self._manifest_cache: dict[int, dict] = {}
 
     # ── log plumbing ────────────────────────────────────────────────────
 
@@ -368,8 +376,69 @@ class VersionedTable:
                 pass
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        m = self._manifest_cache.get(version)
+        if m is None:
+            with open(self._manifest_path(version)) as f:
+                m = json.load(f)
+            self._manifest_cache[version] = m
+        return m
+
+    # ── referenced-files checkpoint ─────────────────────────────────────
+    #
+    # vacuum() needs the union of data files referenced by ANY committed
+    # version.  Reading every manifest is O(commit count) — fine at gate
+    # scale, the Delta-without-checkpoints failure mode on a long-lived
+    # streaming table (100k commits a week is normal at 1 s micro-batches).
+    # Every CKPT_EVERY commits the committer rolls the union forward into
+    # ``_log/_ckpt`` (previous checkpoint + the ≤CKPT_EVERY manifests since
+    # it), so a cold vacuum reads ONE checkpoint plus the tail: O(K), not
+    # O(versions).  The checkpoint is derived data — best-effort, written
+    # after the commit point, atomic-replaced; missing or stale only means
+    # falling back toward more manifest reads, never wrong answers.
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self._log, "_ckpt")
+
+    def _read_ckpt(self) -> tuple[int, set[str]]:
+        """(checkpoint version, referenced files) — (0, ∅) if absent or
+        unusable.  A checkpoint claiming a version beyond the head (torn
+        copy of a foreign log, clock games) is ignored."""
+        try:
+            with open(self._ckpt_path()) as f:
+                c = json.load(f)
+            v = int(c["version"])
+            if v < 1 or not os.path.exists(self._manifest_path(v)):
+                return 0, set()
+            return v, set(c["referenced"])
+        except (FileNotFoundError, ValueError, KeyError, OSError, TypeError):
+            return 0, set()
+
+    def _referenced_files(self, head: int) -> set[str]:
+        """Union of data files referenced by versions 1..head, using the
+        checkpoint for the prefix when available."""
+        base_v, referenced = self._read_ckpt()
+        if base_v > head:  # checkpoint ahead of our view — rebuild
+            base_v, referenced = 0, set()
+        for v in range(base_v + 1, head + 1):
+            referenced |= set(self._read_manifest(v)["files"])
+        return referenced
+
+    def _maybe_write_ckpt(self, version: int) -> None:
+        if version % self.CKPT_EVERY != 0:
+            return
+        try:
+            referenced = self._referenced_files(version)
+            tmp = os.path.join(self._log, f".ckpt-{uuid.uuid4().hex[:12]}")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": version, "referenced": sorted(referenced)}, f
+                )
+            os.replace(tmp, self._ckpt_path())
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except (OSError, UnboundLocalError):
+                pass
 
     def _read_data(self, m: dict, files: Sequence[str]) -> DataFrame:
         """Read ``files`` THROUGH the manifest's recorded schema.
@@ -487,6 +556,7 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
         self._advance_pointer(base_version + 1)
+        self._maybe_write_ckpt(base_version + 1)
 
     def _write_stats_sidecar(self, name: str, stats: dict) -> None:
         """One row per (file, column): JSON-encoded lo/hi preserve the
@@ -680,6 +750,11 @@ class VersionedTable:
         return self._read_data(m, m["files"])
 
     def history(self) -> list[dict]:
+        """Every commit record, oldest first.  Inherently O(versions) —
+        it RETURNS one record per version — but each manifest is a small
+        JSON commit record (stats live in the sidecar) and the parsed
+        form is cached on the handle, so repeated calls are memory-speed
+        and a long-lived handle pays disk once per version ever."""
         return [self._read_manifest(v) for v in range(1, self.version() + 1)]
 
     def _keep_files(self, m: dict, ranges: dict[str, tuple]) -> list[str]:
@@ -1039,12 +1114,14 @@ class VersionedTable:
         commit, so an unreferenced file younger than the horizon may
         belong to a transaction that is about to commit — deleting it
         would corrupt that version. Only files older than the horizon
-        are removed; pass 0 only when no writer can be active."""
+        are removed; pass 0 only when no writer can be active.
+
+        The referenced-file set comes from the ``_log/_ckpt`` rollup
+        plus the ≤CKPT_EVERY manifests committed since it — O(K) reads
+        on an arbitrarily old table, not O(versions)."""
         import time
 
-        referenced: set[str] = set()
-        for v in range(1, self.version() + 1):
-            referenced |= set(self._read_manifest(v)["files"])
+        referenced = self._referenced_files(self.version())
         cutoff = time.time() - retention_s
         removed = []
         for f in os.listdir(self._data) if os.path.isdir(self._data) else []:

@@ -167,6 +167,43 @@ class TestTimeTravelAndVacuum:
         assert os.path.exists(orphan)
         assert table.vacuum(retention_s=0) == ["f-young.parquet"]
 
+    def test_vacuum_is_checkpointed_not_o_versions(self, tmp_path, monkeypatch):
+        """On a 70-commit table a COLD handle's vacuum must read only
+        the ≤CKPT_EVERY manifests after the ``_log/_ckpt`` rollup — not
+        all 70 — and still protect every file any version references
+        (including files referenced only by pre-checkpoint manifests)."""
+        root = str(tmp_path / "tbl")
+        t = VersionedTable(None, root)  # metadata-only: no Spark reads
+        os.makedirs(t._data)
+        n = 70  # > 2 × CKPT_EVERY(32) → checkpoint at v64
+        for v in range(1, n + 1):
+            name = f"f-{v:04d}.parquet"
+            with open(os.path.join(t._data, name), "wb") as f:
+                f.write(b"d")
+            t._try_commit(v - 1, [name], "append")
+        assert os.path.exists(t._ckpt_path())
+        ckpt_v, ckpt_files = t._read_ckpt()
+        assert ckpt_v == 64 and len(ckpt_files) == 64
+
+        orphan = os.path.join(t._data, "f-orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        cold = VersionedTable(None, root)
+        reads: list[int] = []
+        orig = VersionedTable._read_manifest
+        monkeypatch.setattr(
+            VersionedTable,
+            "_read_manifest",
+            lambda self, v: (reads.append(v), orig(self, v))[1],
+        )
+        assert cold.vacuum(retention_s=0) == ["f-orphan.parquet"]
+        assert reads and max(reads) == n and min(reads) > ckpt_v
+        assert len(set(reads)) <= VersionedTable.CKPT_EVERY
+        # every referenced file — pre- and post-checkpoint — survived
+        assert sorted(os.listdir(t._data)) == [
+            f"f-{v:04d}.parquet" for v in range(1, n + 1)
+        ]
+
 
 class TestModelBased:
     @pytest.mark.slow
