@@ -170,6 +170,10 @@ SECONDARY = [
     # round-6 families: importance weighting and the VARIANT path
     "docs_dsir_weights",
     "events_props_variant",
+    # round-8: parse-once ingest twin of the variant path — the timed
+    # action is the steady-state typed scan; the one-off shred ingest
+    # happens at plan-build (documented in BASELINE.md r8)
+    "events_props_shredded",
 ]
 
 #: Tiny-scale warmup dir (codegen cache priming; see module docstring).

@@ -357,3 +357,29 @@ class TestSessionizationShuffleReuse:
             .toString()
         )
         assert plan.count("Exchange") == 1, plan
+
+
+class TestPropsShredded:
+    def test_matches_reparse_path_and_is_scan_only(self, spark, sf_small):
+        """events_props_shredded: the parse-once ingest must reproduce
+        the re-parse-every-query gate bit-for-bit (including the
+        injected truncation rows surviving as n_bad), the steady-state
+        plan must contain NO json/variant expression (the parse
+        happened at ingest), and a second call must reuse version 1."""
+        import hashlib
+        import os
+        import shutil
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        digest = hashlib.md5(os.path.abspath(sf_small).encode()).hexdigest()[:12]
+        shutil.rmtree(f"/tmp/sparkgraft_shredded/{digest}", ignore_errors=True)
+
+        got = {tuple(r) for r in QUERIES["events_props_shredded"](spark, sf_small).collect()}
+        want = {tuple(r) for r in QUERIES["events_props_variant"](spark, sf_small).collect()}
+        assert got == want and got
+
+        df = QUERIES["events_props_shredded"](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "parse_json" not in plan and "variant" not in plan, plan
+        assert VersionedTable(spark, f"/tmp/sparkgraft_shredded/{digest}").version() == 1
