@@ -404,6 +404,61 @@ def events_versioned_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_dv_delete",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events GROUP BY user_id
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM b WHERE NOT (station % 3 = 0) AND NOT (v_cents < 2500)
+    """,
+)
+def events_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (r8): two stacked
+    ``delete_where`` commits — an arbitrary SQL predicate
+    (``station % 3 = 0``) and a structured range (``v_cents < 2500``)
+    — must make the rows disappear from the committed snapshot while
+    the DATA FILE SET STAYS BYTE-IDENTICAL across all three versions
+    (the gate hard-fails if any delete rewrote, added, or dropped a
+    data file, and hard-fails if no DV mapping was committed). The
+    returned frame is the final snapshot read through the DV
+    anti-join; the oracle recomputes both deletes as plain WHERE NOT
+    filters, so a DV that misses a row, resurrects one, or mis-
+    addresses a physical position hash-mismatches.
+
+    Scale shape: copy-on-write rewrites every touched file — correct
+    but O(touched bytes); the DV path writes O(deleted rows) and
+    defers materialization to the next optimize/merge rewrite, which
+    is the Delta/Iceberg-v2 answer for sparse deletes on a 100 TB
+    table. Time travel still sees version 1 intact (asserted)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r)
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_dv_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    files_v1 = table.history()[0]["files"]
+    n_before = table.snapshot(1).count()
+    table.delete_where("station % 3 = 0")
+    table.delete_where({"v_cents": (None, 2499)})
+    m = table.history()[-1]
+    ops = [h["op"] for h in table.history()]
+    if ops != ["create", "delete", "delete"]:
+        raise RuntimeError(f"unexpected table history: {ops}")
+    if m["files"] != files_v1:
+        raise RuntimeError("deletion-vector delete rewrote the data file set")
+    if not m.get("dvs"):
+        raise RuntimeError("no deletion vectors committed")
+    if table.snapshot(1).count() != n_before:
+        raise RuntimeError("time travel to the pre-delete version lost rows")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
     "events_versioned_skipping",
     """
     SELECT user_id AS station,

@@ -420,7 +420,13 @@ class VersionedTable:
         if base_v > head:  # checkpoint ahead of our view — rebuild
             base_v, referenced = 0, set()
         for v in range(base_v + 1, head + 1):
-            referenced |= set(self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            referenced |= set(m["files"])
+            # DV parquet lives in data/ too and older versions' time
+            # travel needs it — a DV is referenced as long as any
+            # manifest maps a data file to it
+            for dv_list in (m.get("dvs") or {}).values():
+                referenced |= set(dv_list)
         return referenced
 
     def _maybe_write_ckpt(self, version: int) -> None:
@@ -440,7 +446,9 @@ class VersionedTable:
             except (OSError, UnboundLocalError):
                 pass
 
-    def _read_data(self, m: dict, files: Sequence[str]) -> DataFrame:
+    def _read_data(
+        self, m: dict, files: Sequence[str], with_file: bool = False
+    ) -> DataFrame:
         """Read ``files`` THROUGH the manifest's recorded schema.
 
         Every data read inside the table must go through here: after
@@ -461,16 +469,70 @@ class VersionedTable:
                 )
             from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
+            empty = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
+            if with_file:
+                empty = empty.withColumn("__file", F.lit(None).cast("string"))
+            return empty
         if schema_json is not None:
             from pyspark.sql.types import StructType
 
-            return self.spark.read.schema(
+            df = self.spark.read.schema(
                 StructType.fromJson(json.loads(schema_json))
             ).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
+        dvs = m.get("dvs") or {}
+        cols = df.columns + (["__file"] if with_file else [])
+        if any(f in dvs for f in files):
+            # merge-on-read: subtract deletion-vector positions without
+            # touching the data files (see delete_where). The helper
+            # columns must be materialized straight off the scan —
+            # Spark's hidden _metadata column does not survive a join
+            # (and neither does input_file_name(): callers needing file
+            # identity pass with_file=True instead of re-deriving it).
+            df = self._with_pos(df).join(
+                self._dv_rows(m, files), ["__file", "__pos"], "left_anti"
+            ).select(*cols)
+        elif with_file:
+            df = self._with_pos(df).select(*cols)
+        return df
+
+    @staticmethod
+    def _with_pos(df: DataFrame) -> DataFrame:
+        """Attach (__file, __pos): parquet file basename + physical row
+        index — the coordinates deletion vectors address. Must be
+        called on the raw file-source frame (the _metadata column is
+        only resolvable there)."""
+        return df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    def _dv_rows(self, m: dict, files: Sequence[str]) -> DataFrame:
+        """Deleted (__file, __pos) pairs recorded for ``files`` in
+        manifest ``m`` — empty frame when none. DV parquet may cover
+        files outside the selection; extraneous rows never match the
+        anti-join, and the file filter below keeps the build side
+        minimal (Catalyst broadcasts it when small — the common case;
+        a mass delete falls back to a shuffled anti-join, which is the
+        right plan for it)."""
+        dvs = m.get("dvs") or {}
+        sel = [f for f in files if f in dvs]
+        names = sorted({d for f in sel for d in dvs[f]})
+        if not names:
+            return self.spark.createDataFrame([], "__file string, __pos bigint")
+        dv = self.spark.read.schema("file string, pos bigint").parquet(
+            *[os.path.join(self._data, d) for d in names]
+        )
+        # no distinct: duplicate (file, pos) rows (a position re-deleted
+        # by a later DV) are harmless on an anti-join build side, and
+        # deduplication would cost a shuffle
+        return dv.filter(F.col("file").isin(sel)).select(
+            F.col("file").alias("__file"), F.col("pos").alias("__pos")
+        )
 
     def _try_commit(
         self,
@@ -482,6 +544,8 @@ class VersionedTable:
         txn_version: int | None = None,
         schema_json: str | None = None,
         stats: dict | None = None,
+        dvs: dict[str, list[str]] | None = None,
+        stats_file_ref: str | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -521,8 +585,12 @@ class VersionedTable:
                 schema_json = base_m.get("schema")
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
-        stats_file = None
-        if stats:
+        # stats_file_ref: reuse an existing sidecar by name — sidecars
+        # are immutable, so a commit whose file set (and therefore file
+        # stats) is unchanged (delete_where) points at its base's
+        # sidecar instead of rewriting identical bytes
+        stats_file = stats_file_ref
+        if stats and stats_file is None:
             stats_file = f"s{base_version + 1:010d}-{uuid.uuid4().hex[:12]}.parquet"
             self._write_stats_sidecar(stats_file, stats)
         manifest = {
@@ -537,6 +605,9 @@ class VersionedTable:
             # here; readers go through _stats_of (which also accepts
             # legacy inline-"stats" manifests)
             "stats_file": stats_file,
+            # merge-on-read deletes: data file -> DV parquet names whose
+            # (file, pos) rows are subtracted at read (delete_where)
+            "dvs": dvs or {},
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -547,7 +618,9 @@ class VersionedTable:
         try:
             os.link(tmp, path)  # atomic commit point
         except FileExistsError as exc:
-            if stats_file is not None:
+            # clean up a sidecar THIS attempt wrote; never a reused one
+            # (the base version still references it)
+            if stats_file is not None and stats_file_ref is None:
                 try:
                     os.unlink(os.path.join(self._log, stats_file))
                 except OSError:
@@ -615,6 +688,7 @@ class VersionedTable:
         n_files: int | None = None,
         cluster_by: Sequence[str] | None = None,
         prearranged: bool = False,
+        prefix: str = "f",
     ) -> list[str]:
         """Materialize ``df`` as immutable uniquely-named parquet files
         under ``data/``; returns their names. Uses a throwaway staging
@@ -652,7 +726,7 @@ class VersionedTable:
             # would accumulate one per micro-batch forever
             if self._parquet_num_rows(os.path.join(stage, part)) == 0:
                 continue
-            name = f"f-{uuid.uuid4().hex}.parquet"
+            name = f"{prefix}-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(stage, part), os.path.join(self._data, name))
             names.append(name)
         shutil.rmtree(stage)
@@ -950,11 +1024,15 @@ class VersionedTable:
             touched: set[str] = set()
             if candidates:
                 # manifest-schema read (_read_data): candidates can mix
-                # old-schema and evolved files after schema_evolution
-                cand_df = self._read_data(m, candidates)
-                snap = cand_df.withColumn("__file", F.input_file_name())
+                # old-schema and evolved files after schema_evolution.
+                # with_file=True: file identity comes from the read
+                # itself (input_file_name() cannot resolve once the DV
+                # anti-join makes the frame multi-source), and only
+                # LIVE rows probe — a file whose every matching row is
+                # DV-deleted is correctly not touched
+                snap = self._read_data(m, candidates, with_file=True)
                 touched = {
-                    os.path.basename(r["__file"])
+                    r["__file"]
                     for r in snap.join(src_keys, keys, "left_semi")
                     .select("__file")
                     .distinct()
@@ -1033,6 +1111,11 @@ class VersionedTable:
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = {f: stats[f] for f in untouched if f in stats}
             new_stats.update(self._collect_stats(rewritten, stat_cols))
+            # rewritten files were read THROUGH their DVs (_read_data),
+            # so the rewrite materializes pending deletes and the new
+            # files start DV-free; untouched files keep their mappings
+            m_dvs = m.get("dvs") or {}
+            new_dvs = {f: list(m_dvs[f]) for f in untouched if f in m_dvs}
             try:
                 self._try_commit(
                     base,
@@ -1043,6 +1126,7 @@ class VersionedTable:
                     txn_version,
                     schema_json=committed_schema,
                     stats=new_stats,
+                    dvs=new_dvs,
                 )
                 return base + 1
             except CommitConflict:
@@ -1050,6 +1134,104 @@ class VersionedTable:
                 # vacuum(); re-read the new snapshot and re-apply
                 continue
         raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
+
+    def delete_where(
+        self,
+        where: dict[str, tuple] | str,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read DELETE via deletion vectors: rows matching
+        ``where`` disappear from every subsequent read WITHOUT
+        rewriting any data file. ``where`` takes the same dict /
+        SQL-string predicate forms as :meth:`scan`.
+
+        Copy-on-write (``merge_into(when_matched="delete")``) rewrites
+        every file containing a matched key — correct, but at 100 TB a
+        delete touching 1 row in each of 10k files rewrites 10k files.
+        This is the Delta/Iceberg-v2 alternative: the delete commits a
+        DV parquet of ``(file, pos)`` coordinates (physical row index
+        via ``_metadata.row_index``) and readers subtract them with an
+        anti-join (:meth:`_read_data`) — write cost tracks the DELETED
+        ROWS, not the touched bytes. The trade is a read-side join until
+        the next ``optimize()``/merge rewrite materializes the deletes
+        and clears the file's DV list; repeated deletes stack DV files
+        per data file (readers union them), which the same compaction
+        bounds.
+
+        Commit semantics match every other writer: stats-pruned
+        candidate files, existing DVs applied BEFORE matching (a row
+        already deleted is not re-recorded), optimistic-concurrency
+        retry on :class:`CommitConflict`, orphaned DV parquet from a
+        lost race reclaimed by ``vacuum()``. Time travel holds: each
+        manifest carries its own ``dvs`` map, so ``snapshot(v)`` before
+        the delete still sees the rows. Returns the committed version
+        (the unchanged current version when nothing matched)."""
+        if isinstance(where, str):
+            ranges, cond = _extract_ranges(where), F.expr(where)
+        else:
+            ranges = where
+            cond = F.lit(True)
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    cond = cond & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(c) <= F.lit(hi))
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("delete_where target does not exist; create() it first")
+            m = self._read_manifest(base)
+            candidates = self._keep_files(m, ranges)
+            if not candidates:
+                return base  # predicate provably matches nothing
+            paths = [os.path.join(self._data, f) for f in candidates]
+            schema_json = m.get("schema")
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                raw = self.spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                ).parquet(*paths)
+            else:
+                raw = self.spark.read.parquet(*paths)
+            live = self._with_pos(raw).join(
+                self._dv_rows(m, candidates), ["__file", "__pos"], "left_anti"
+            )
+            hits = live.filter(cond).select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            # cluster DV rows by data-file name so each DV part covers a
+            # narrow name range — the footer stats below then attach
+            # each DV to few data files instead of every candidate
+            dv_names = self._write_files(hits, cluster_by=["file"], prefix="dv")
+            if not dv_names:
+                return base  # nothing matched (zero-row parts dropped)
+            dv_stats = self._collect_stats(dv_names, ["file"])
+            new_dvs = {f: list(v) for f, v in (m.get("dvs") or {}).items()}
+            for d in dv_names:
+                rng = (dv_stats.get(d) or {}).get("file")
+                for f in candidates:
+                    if rng is None or (rng[0] <= f <= rng[1]):
+                        new_dvs.setdefault(f, []).append(d)
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    "delete",
+                    m.get("cluster_by") or None,
+                    schema_json=schema_json,
+                    # file set unchanged -> file stats unchanged: point
+                    # at the base's immutable sidecar (or carry legacy
+                    # inline stats); DV subtraction only narrows ranges,
+                    # so pruning stays a safe over-approximation
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs=new_dvs,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"delete_where gave up after {max_retries} conflicts")
 
     def optimize(
         self,

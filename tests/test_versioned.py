@@ -292,14 +292,12 @@ class TestOptimisticConcurrency:
         real_try_commit = table._try_commit
         state = {"b_done": False}
 
-        def racing_commit(base, files, op, cluster_by=None, txn_app=None,
-                          txn_version=None, schema_json=None, stats=None):
+        def racing_commit(base, files, op, *args, **kwargs):
             if not state["b_done"]:
                 state["b_done"] = True
                 # B sneaks in and wins the version A is targeting
                 table.merge_into(b_src, ["k"])
-            return real_try_commit(base, files, op, cluster_by, txn_app,
-                                   txn_version, schema_json, stats)
+            return real_try_commit(base, files, op, *args, **kwargs)
 
         table._try_commit = racing_commit
         v = table.merge_into(a_src, ["k"])
@@ -365,8 +363,7 @@ class TestOptimisticConcurrency:
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
-        def always_conflict(base, files, op, cluster_by=None, txn_app=None,
-                            txn_version=None, schema_json=None, stats=None):
+        def always_conflict(*args, **kwargs):
             raise CommitConflict("nope")
 
         table._try_commit = always_conflict
@@ -1210,3 +1207,79 @@ class TestCDFStream:
                 rows += out.num_rows if hasattr(out, "num_rows") else 1
         assert rows == 21  # 20 v1 inserts + 1 v2 update_postimage
         b.stop()
+
+
+class TestDeletionVectors:
+    """Merge-on-read deletes (delete_where, r8): rows vanish while the
+    data file set stays byte-identical; DVs compose, never resurrect
+    through merges, materialize on optimize, and survive vacuum."""
+
+    def test_delete_removes_rows_without_touching_files(self, table):
+        files_v1 = table.history()[0]["files"]
+        v = table.delete_where("k % 3 = 0")
+        assert v == 2
+        got = dict(_rows(table.snapshot()))
+        assert set(got) == {i for i in range(20) if i % 3 != 0}
+        m = table.history()[-1]
+        assert m["op"] == "delete"
+        assert m["files"] == files_v1  # no data file rewritten
+        assert m["dvs"] and set(m["dvs"]) <= set(m["files"])
+
+    def test_time_travel_sees_predelete_rows(self, table):
+        table.delete_where("k % 3 = 0")
+        assert len(_rows(table.snapshot(1))) == 20
+        assert len(_rows(table.snapshot(2))) == 13
+
+    def test_redelete_same_predicate_is_noop(self, table):
+        v = table.delete_where("k % 3 = 0")
+        # every matching row already carries a DV -> nothing to record
+        assert table.delete_where("k % 3 = 0") == v
+        assert table.version() == v
+
+    def test_stacked_deletes_compose(self, table):
+        table.delete_where("k % 3 = 0")
+        table.delete_where({"k": (10, None)})
+        got = {k for k, _ in _rows(table.snapshot())}
+        assert got == {i for i in range(10) if i % 3 != 0}
+        # scan must agree with snapshot().filter under DVs
+        assert _rows(table.scan({"k": (4, 8)})) == [
+            (i, f"base{i}") for i in (4, 5, 7, 8)
+        ]
+
+    def test_merge_does_not_resurrect_and_drops_rewritten_dvs(self, spark, table):
+        table.delete_where("k % 3 = 0")
+        src = spark.createDataFrame([Row(k=1, v="z1"), Row(k=6, v="z6")])
+        table.merge_into(src, ["k"])
+        got = dict(_rows(table.snapshot()))
+        # k=6 was DV-deleted; the merge source legitimately re-inserts it
+        assert got[1] == "z1" and got[6] == "z6"
+        assert set(got) == {i for i in range(20) if i % 3 != 0} | {6}
+        m = table.history()[-1]
+        assert set(m["dvs"]) <= set(m["files"])  # no dangling DV mapping
+
+    def test_optimize_materializes_deletes(self, table):
+        table.delete_where("k % 3 = 0")
+        before = _rows(table.snapshot())
+        table.optimize(n_files=2)
+        m = table.history()[-1]
+        assert m["op"] == "optimize" and not m["dvs"]
+        assert _rows(table.snapshot()) == before
+
+    def test_vacuum_retains_referenced_dv_files(self, table):
+        table.delete_where("k % 3 = 0")
+        removed = table.vacuum(retention_s=0)
+        assert removed == []
+        assert len(_rows(table.snapshot())) == 13  # DVs still applied
+        # an orphaned DV (lost commit race) IS reclaimed
+        orphan = os.path.join(table._data, "dv-deadbeef.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"x")
+        assert "dv-deadbeef.parquet" in table.vacuum(retention_s=0)
+
+    def test_changes_reports_dv_deletes(self, table):
+        v1 = table.version()
+        v2 = table.delete_where("k % 3 = 0")
+        ch = table.changes(v1, v2, keys=["k"])
+        deleted = {r["k"] for r in ch.filter("_change_type = 'delete'").collect()}
+        assert deleted == {i for i in range(20) if i % 3 == 0}
+        assert ch.count() == len(deleted)  # no spurious updates
