@@ -61,6 +61,17 @@ class TestCli:
         assert main(["table", "vacuum", root, "--retention", "0"]) == 0
         assert "orphaned" in capsys.readouterr().out
 
+        assert main(["table", "delete", root, "--where", "k % 10 = 0"]) == 0
+        assert "deletion-vector delete" in capsys.readouterr().out
+        assert t.snapshot().filter("k % 10 = 0").count() == 0
+        # no matching rows left -> no-op, no new version
+        v = t.version()
+        assert main(["table", "delete", root, "--where", "k % 10 = 0"]) == 0
+        assert "nothing committed" in capsys.readouterr().out
+        assert t.version() == v
+        assert main(["table", "delete", root]) == 2
+        assert "requires --where" in capsys.readouterr().err
+
     def test_table_changes_requires_version(self, spark, tmp_path, capsys):
         from pyspark.sql import Row
 
