@@ -120,6 +120,12 @@ def _cmd_table(args: argparse.Namespace) -> int:
             print("changes requires --version (the from-version)", file=sys.stderr)
             return 2
         t.changes(args.version, args.to_version).show(args.rows, truncate=False)
+    elif args.action == "restore":
+        if args.version is None:
+            print("restore requires --version", file=sys.stderr)
+            return 2
+        v = t.restore(args.version)
+        print(f"committed v{v} (restore of v{args.version})")
     elif args.action == "delete":
         if not args.where:
             print("delete requires --where (SQL predicate)", file=sys.stderr)
@@ -159,8 +165,8 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
 
-    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / changes / delete")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "changes", "delete"])
+    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / changes / delete / restore")
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "changes", "delete", "restore"])
     tb.add_argument("--where", default=None, help="delete: SQL predicate (merge-on-read deletion vectors)")
     tb.add_argument("root")
     tb.add_argument("--version", type=int, default=None, help="show: snapshot version; changes: from-version")

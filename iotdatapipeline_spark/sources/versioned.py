@@ -1135,6 +1135,41 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
 
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """RESTORE: commit a NEW version whose state replays ``version``
+        — file list, deletion-vector map, schema and stats all come
+        from the old manifest (by reference: data files are immutable
+        and the stats sidecar is reused by name, so a restore moves no
+        bytes). History stays append-only — the bad commits remain
+        inspectable and time travel through them still works — and
+        every committed version's files are vacuum-protected, so the
+        restored state is always intact. The per-app txn map carries
+        forward from the CURRENT head (not the restore point): a
+        replayed micro-batch that was applied before the incident must
+        still be recognized as applied after it."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("restore target does not exist; create() it first")
+            if not 1 <= version <= base:
+                raise ValueError(f"cannot restore to v{version}; table is at v{base}")
+            m = self._read_manifest(version)
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"restore:{version}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore gave up after {max_retries} conflicts")
+
     def delete_where(
         self,
         where: dict[str, tuple] | str,

@@ -72,6 +72,13 @@ class TestCli:
         assert main(["table", "delete", root]) == 2
         assert "requires --where" in capsys.readouterr().err
 
+        n_now = t.snapshot().count()
+        assert main(["table", "restore", root, "--version", "1"]) == 0
+        assert "restore of v1" in capsys.readouterr().out
+        assert t.snapshot().count() == 50 != n_now
+        assert main(["table", "restore", root]) == 2
+        assert "requires --version" in capsys.readouterr().err
+
     def test_table_changes_requires_version(self, spark, tmp_path, capsys):
         from pyspark.sql import Row
 

@@ -1283,3 +1283,40 @@ class TestDeletionVectors:
         deleted = {r["k"] for r in ch.filter("_change_type = 'delete'").collect()}
         assert deleted == {i for i in range(20) if i % 3 == 0}
         assert ch.count() == len(deleted)  # no spurious updates
+
+
+class TestRestore:
+    def test_restore_replays_old_state_appending_history(self, spark, table):
+        table.merge_into(spark.createDataFrame([Row(k=3, v="bad3"), Row(k=99, v="bad99")]), ["k"])
+        table.delete_where("k % 2 = 0")
+        assert len(_rows(table.snapshot())) < 20
+        v = table.restore(1)
+        assert v == 4
+        assert _rows(table.snapshot()) == [(i, f"base{i}") for i in range(20)]
+        ops = [m["op"] for m in table.history()]
+        assert ops == ["create", "merge:update", "delete", "restore:1"]
+        # the bad versions stay inspectable
+        assert dict(_rows(table.snapshot(2)))[3] == "bad3"
+
+    def test_restore_of_dv_version_reapplies_dvs(self, table):
+        table.delete_where("k % 3 = 0")          # v2 with DVs
+        table.optimize(n_files=2)                # v3 materializes them
+        table.restore(2)                         # back to DV state
+        assert {k for k, _ in _rows(table.snapshot())} == {
+            i for i in range(20) if i % 3 != 0
+        }
+        assert table.history()[-1]["dvs"]        # DV map restored
+        assert table.vacuum(retention_s=0) == [] # v3's files still referenced
+
+    def test_restore_bounds_checked(self, table):
+        with pytest.raises(ValueError, match="cannot restore"):
+            table.restore(5)
+        with pytest.raises(ValueError, match="cannot restore"):
+            table.restore(0)
+
+    def test_restore_preserves_txn_idempotence(self, spark, table):
+        src = spark.createDataFrame([Row(k=1, v="txn1")])
+        v = table.merge_into(src, ["k"], txn_app="etl", txn_version=7)
+        table.restore(1)
+        # batch 7 was applied pre-restore; a replay must still no-op
+        assert table.merge_into(src, ["k"], txn_app="etl", txn_version=7) == v
