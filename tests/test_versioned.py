@@ -1320,3 +1320,74 @@ class TestRestore:
         table.restore(1)
         # batch 7 was applied pre-restore; a replay must still no-op
         assert table.merge_into(src, ["k"], txn_app="etl", txn_version=7) == v
+
+
+class TestDVStreamAndPruning:
+    def test_cdf_stream_emits_dv_deletes(self, spark, tmp_path):
+        """A delete_where commit must flow through the STREAMING change
+        feed exactly like a COW delete: one micro-batch of
+        _change_type='delete' rows tagged with the delete's commit
+        version — the DV anti-join happens inside the snapshot diff the
+        planner spills, so the reader needs no DV awareness."""
+        import time
+
+        from iotdatapipeline_spark.sources.versioned import (
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+
+        register_versioned_cdf(spark)
+        root = str(tmp_path / "dvs")
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(6)]),
+            n_files=2, cluster_by=["k"],
+        )
+        t.delete_where("k % 2 = 0")
+        ddl, ckpt, out = cdf_schema_ddl(t), str(tmp_path / "ck"), str(tmp_path / "out")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", root).option("keys", "k").option("schema_ddl", ddl)
+            .load()
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline, rows = time.time() + 90, None
+            while time.time() < deadline:
+                try:
+                    got = spark.read.parquet(out).collect()
+                except Exception:
+                    got = []
+                if any(r["_commit_version"] == 2 for r in got):
+                    rows = got
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        assert rows is not None
+        v2 = sorted((r["k"], r["_change_type"]) for r in rows if r["_commit_version"] == 2)
+        assert v2 == [(0, "delete"), (2, "delete"), (4, "delete")]
+
+    def test_dv_attachment_respects_stats_pruning(self, spark, tmp_path):
+        """On a clustered table a range delete must attach DV files only
+        to the stats-pruned candidates — files whose [min,max] provably
+        miss the predicate carry NO DV mapping (their reads stay plain
+        parquet scans, no anti-join)."""
+        t = VersionedTable(spark, str(tmp_path / "cl"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(1000)]),
+            n_files=10, cluster_by=["k"],
+        )
+        m1 = t._read_manifest(1)
+        stats = t._stats_of(m1)
+        t.delete_where({"k": (100, 149)})
+        m2 = t._read_manifest(2)
+        assert {k for k, _ in _rows(t.snapshot())} == set(range(1000)) - set(range(100, 150))
+        for f in m2["dvs"]:
+            lo, hi = stats[f]["k"]
+            assert lo <= 149 and hi >= 100, f"DV attached to non-candidate file {f}"
+        assert 0 < len(m2["dvs"]) < len(m2["files"])
