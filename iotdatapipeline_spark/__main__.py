@@ -104,7 +104,8 @@ def _cmd_table(args: argparse.Namespace) -> int:
             files, stats = m["files"], t._stats_of(m)
             print(
                 f"v{m['version']:>4}  {m['op']:<14} files={len(files):<4}"
-                f" stats={len(stats):<4} cluster_by={m.get('cluster_by') or '-'}"
+                f" stats={len(stats):<4} dvs={len(m.get('dvs') or {}):<4}"
+                f" cluster_by={m.get('cluster_by') or '-'}"
             )
     elif args.action == "show":
         t.snapshot(args.version).show(args.rows, truncate=False)

@@ -1391,3 +1391,31 @@ class TestDVStreamAndPruning:
             lo, hi = stats[f]["k"]
             assert lo <= 149 and hi >= 100, f"DV attached to non-candidate file {f}"
         assert 0 < len(m2["dvs"]) < len(m2["files"])
+
+
+class TestDVConcurrency:
+    def test_delete_retries_past_racing_merge_and_both_land(self, spark, table):
+        """A merge that wins the version a delete_where targeted must
+        not lose either effect: the delete retries on CommitConflict
+        against the NEW snapshot (re-pruning, re-locating positions in
+        the merge's rewritten files) and both commits land."""
+        real = table._try_commit
+        state = {"raced": False}
+
+        def racing(base, files, op, *args, **kwargs):
+            if op == "delete" and not state["raced"]:
+                state["raced"] = True
+                table.merge_into(
+                    spark.createDataFrame([Row(k=3, v="RACED")]), ["k"]
+                )
+            return real(base, files, op, *args, **kwargs)
+
+        table._try_commit = racing
+        v = table.delete_where("k % 2 = 0")
+        table._try_commit = real
+        assert v == 3  # delete landed AFTER the merge
+        got = dict(_rows(table.snapshot()))
+        assert set(got) == {i for i in range(20) if i % 2 == 1}
+        assert got[3] == "RACED"  # the racing merge's effect survives
+        ops = [m["op"] for m in table.history()]
+        assert ops == ["create", "merge:update", "delete"]
