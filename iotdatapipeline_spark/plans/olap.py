@@ -621,9 +621,21 @@ def events_props_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from iotdatapipeline_spark.sources.versioned import VersionedTable
+    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key = source path + a (name, size, mtime) fingerprint of the
+    # events parquet, so a REGENERATED dataset at the same path gets a
+    # fresh shred instead of a stale table (and a stale hash mismatch)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    parts = (
+        sorted(os.listdir(ev_path)) if os.path.isdir(ev_path) else [ev_path]
+    )
+    fp = [os.path.abspath(sf_dir)]
+    for p in parts:
+        full = os.path.join(ev_path, p) if os.path.isdir(ev_path) else p
+        st = os.stat(full)
+        fp.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(fp).encode()).hexdigest()[:12]
     root = f"/tmp/sparkgraft_shredded/{digest}"
     t = VersionedTable(spark, root)
     if t.version() == 0:
@@ -639,8 +651,13 @@ def events_props_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             t.create(shredded, cluster_by=["station"])
-        except ValueError:
-            pass  # lost the create race: another builder committed v1
+        except (ValueError, CommitConflict):
+            # lost the create race: a concurrent builder committed v1
+            # first (ValueError from the version()!=0 pre-check when it
+            # landed before ours started; CommitConflict from the
+            # atomic manifest link when both wrote) — either way v1
+            # exists and holds the identical deterministic shred
+            pass
     s = t.snapshot()
     return s.groupBy("station").agg(
         F.sum("k").cast("long").alias("k_total"),

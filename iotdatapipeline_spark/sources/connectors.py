@@ -126,7 +126,8 @@ class MCClient:
             except Exception as e:
                 last = e
                 self.close()
-                time.sleep(0.1 * (2**attempt))
+                if attempt < self.retries:  # no sleep after the final failure
+                    time.sleep(0.1 * (2**attempt))
         raise last
 
 
@@ -157,31 +158,50 @@ class PLCLiveStreamReader(SimpleDataSourceStreamReader):
         devices = [d.strip() for d in options.get("devices", "").split(",") if d.strip()]
         if not devices:
             raise ValueError('plclive requires devices="D100,D101,..."')
-        self.hosts: list[tuple[str, int]] = []
+        # (raw token, ip, port): the EMITTED host value is the raw
+        # token the user configured, so two endpoints sharing an IP
+        # ("10.0.0.1:5007,10.0.0.1:5010") stay distinguishable in the
+        # output and in the per-endpoint client cache
+        self.hosts: list[tuple[str, str, int]] = []
         for h in hosts:
             ip, _, port = h.partition(":")
-            self.hosts.append((ip, int(port) if port else 5007))
+            self.hosts.append((h, ip, int(port) if port else 5007))
         self.devices = devices
         self.plctype = options.get("plctype", "Q")
         self.timeout_s = float(options.get("timeout_s", 5.0))
         self.retries = int(options.get("retries", 2))
-        self._clients: dict[str, MCClient] = {}
+        self._clients: dict[tuple[str, int], MCClient] = {}
 
     def _client(self, ip: str, port: int) -> MCClient:
-        if ip not in self._clients:
-            self._clients[ip] = MCClient(
+        key = (ip, port)
+        if key not in self._clients:
+            self._clients[key] = MCClient(
                 ip, port, plctype=self.plctype, timeout_s=self.timeout_s, retries=self.retries
             )
-        return self._clients[ip]
+        return self._clients[key]
 
     def _poll(self, tick: int) -> list[tuple]:
-        rows: list[tuple] = []
-        for ip, port in self.hosts:
+        """One tick: every host polled CONCURRENTLY (one thread per
+        host, mirroring the reference's per-IP reader tasks) so a dead
+        host's retry/timeout budget never delays the live hosts' rows —
+        the tick costs max(host latencies), not their sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(entry):
+            raw, ip, port = entry
             try:
                 words = self._client(ip, port).read_words(self.devices)
             except Exception:
                 words = [None] * len(self.devices)
-            rows.extend((ip, tick, d, None if w is None else int(w)) for d, w in zip(self.devices, words))
+            return [
+                (raw, tick, d, None if w is None else int(w))
+                for d, w in zip(self.devices, words)
+            ]
+
+        rows: list[tuple] = []
+        with ThreadPoolExecutor(max_workers=len(self.hosts)) as ex:
+            for host_rows in ex.map(one, self.hosts):
+                rows.extend(host_rows)
         return rows
 
     def initialOffset(self):

@@ -447,7 +447,11 @@ class VersionedTable:
                 pass
 
     def _read_data(
-        self, m: dict, files: Sequence[str], with_file: bool = False
+        self,
+        m: dict,
+        files: Sequence[str],
+        with_file: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read ``files`` THROUGH the manifest's recorded schema.
 
@@ -472,8 +476,10 @@ class VersionedTable:
             empty = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-            if with_file:
+            if with_file or with_pos:
                 empty = empty.withColumn("__file", F.lit(None).cast("string"))
+            if with_pos:
+                empty = empty.withColumn("__pos", F.lit(None).cast("bigint"))
             return empty
         if schema_json is not None:
             from pyspark.sql.types import StructType
@@ -484,18 +490,22 @@ class VersionedTable:
         else:
             df = self.spark.read.parquet(*paths)
         dvs = m.get("dvs") or {}
-        cols = df.columns + (["__file"] if with_file else [])
+        cols = df.columns
+        if with_pos:
+            cols = cols + ["__file", "__pos"]
+        elif with_file:
+            cols = cols + ["__file"]
         if any(f in dvs for f in files):
             # merge-on-read: subtract deletion-vector positions without
             # touching the data files (see delete_where). The helper
             # columns must be materialized straight off the scan —
             # Spark's hidden _metadata column does not survive a join
             # (and neither does input_file_name(): callers needing file
-            # identity pass with_file=True instead of re-deriving it).
+            # identity pass with_file/with_pos instead of re-deriving).
             df = self._with_pos(df).join(
                 self._dv_rows(m, files), ["__file", "__pos"], "left_anti"
             ).select(*cols)
-        elif with_file:
+        elif with_file or with_pos:
             df = self._with_pos(df).select(*cols)
         return df
 
@@ -1219,19 +1229,11 @@ class VersionedTable:
             candidates = self._keep_files(m, ranges)
             if not candidates:
                 return base  # predicate provably matches nothing
-            paths = [os.path.join(self._data, f) for f in candidates]
-            schema_json = m.get("schema")
-            if schema_json is not None:
-                from pyspark.sql.types import StructType
-
-                raw = self.spark.read.schema(
-                    StructType.fromJson(json.loads(schema_json))
-                ).parquet(*paths)
-            else:
-                raw = self.spark.read.parquet(*paths)
-            live = self._with_pos(raw).join(
-                self._dv_rows(m, candidates), ["__file", "__pos"], "left_anti"
-            )
+            # manifest-schema read with existing DVs applied (a row
+            # already deleted is not re-recorded) and the (file, pos)
+            # coordinates exposed — all three invariants owned by
+            # _read_data, not re-implemented here
+            live = self._read_data(m, candidates, with_pos=True)
             hits = live.filter(cond).select(
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
@@ -1254,7 +1256,7 @@ class VersionedTable:
                     list(m["files"]),
                     "delete",
                     m.get("cluster_by") or None,
-                    schema_json=schema_json,
+                    schema_json=m.get("schema"),
                     # file set unchanged -> file stats unchanged: point
                     # at the base's immutable sidecar (or carry legacy
                     # inline stats); DV subtraction only narrows ranges,

@@ -131,12 +131,14 @@ class TestPLCLiveStreamReader:
         assert end0 == {"tick": 1}
         _, end1 = r.read(end0)
         assert end1 == {"tick": 2}
-        # one poll cycle = every host × every device, correct port
+        # one poll cycle = every host × every device, correct port; the
+        # host column carries the RAW configured token so endpoints
+        # sharing an IP stay distinguishable
         assert {(h, t, d) for h, t, d, _ in rows0} == {
             ("10.0.0.1", 0, "D100"),
             ("10.0.0.1", 0, "D101"),
-            ("10.0.0.2", 0, "D100"),
-            ("10.0.0.2", 0, "D101"),
+            ("10.0.0.2:5010", 0, "D100"),
+            ("10.0.0.2:5010", 0, "D101"),
         }
         ports = {p.host: p.port for p in _FakeType3E.instances}
         assert ports == {"10.0.0.1": 5007, "10.0.0.2": 5010}
@@ -151,7 +153,15 @@ class TestPLCLiveStreamReader:
         for h, _t, d, w in rows:
             by_host.setdefault(h, []).append(w)
         assert by_host["10.0.0.1"] == [None, None]  # outage visible
-        assert all(w is not None for w in by_host["10.0.0.2"])  # others flow
+        assert all(w is not None for w in by_host["10.0.0.2:5010"])  # others flow
+
+    def test_same_ip_different_ports_get_distinct_clients(self, fake_pymc):
+        r = PLCLiveStreamReader({"hosts": "10.0.0.1:5007,10.0.0.1:5010", "devices": "D1"})
+        rows, _ = r.read({"tick": 0})
+        hosts = {h for h, _t, _d, _w in rows}
+        assert hosts == {"10.0.0.1:5007", "10.0.0.1:5010"}
+        ports = sorted(p.port for p in _FakeType3E.instances)
+        assert ports == [5007, 5010]  # two clients, both endpoints polled
 
     def test_replay_repolls_every_tick(self, fake_pymc):
         r = PLCLiveStreamReader({"hosts": "10.0.0.1", "devices": "D1"})
