@@ -1004,27 +1004,7 @@ class VersionedTable:
             # touched" probe scans the whole table — the step that
             # turns a key-local MERGE into a full-table read at 100 TB.
             stats = self._stats_of(m)
-            candidates = list(m["files"])
-            stat_keys = [
-                k for k in keys if any(k in (stats.get(f) or {}) for f in candidates)
-            ]
-            if stat_keys:
-                bounds_row = src_keys.agg(
-                    *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(stat_keys)],
-                    *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(stat_keys)],
-                ).collect()[0]
-                candidates = [
-                    f
-                    for f in candidates
-                    if all(
-                        _range_intersects(
-                            (stats.get(f) or {}).get(k),
-                            bounds_row[f"lo_{i}"],
-                            bounds_row[f"hi_{i}"],
-                        )
-                        for i, k in enumerate(stat_keys)
-                    )
-                ]
+            candidates = self._candidates_by_key_bounds(m, src_keys, keys)
             # exact file-level pruning over the candidates: the
             # collected result is the bounded list of touched FILES,
             # never data rows. plain join (no forced broadcast):
@@ -1237,38 +1217,111 @@ class VersionedTable:
             hits = live.filter(cond).select(
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
-            # cluster DV rows by data-file name so each DV part covers a
-            # narrow name range — the footer stats below then attach
-            # each DV to few data files instead of every candidate
-            dv_names = self._write_files(hits, cluster_by=["file"], prefix="dv")
-            if not dv_names:
-                return base  # nothing matched (zero-row parts dropped)
-            dv_stats = self._collect_stats(dv_names, ["file"])
-            new_dvs = {f: list(v) for f, v in (m.get("dvs") or {}).items()}
-            for d in dv_names:
-                rng = (dv_stats.get(d) or {}).get("file")
-                for f in candidates:
-                    if rng is None or (rng[0] <= f <= rng[1]):
-                        new_dvs.setdefault(f, []).append(d)
             try:
-                self._try_commit(
-                    base,
-                    list(m["files"]),
-                    "delete",
-                    m.get("cluster_by") or None,
-                    schema_json=m.get("schema"),
-                    # file set unchanged -> file stats unchanged: point
-                    # at the base's immutable sidecar (or carry legacy
-                    # inline stats); DV subtraction only narrows ranges,
-                    # so pruning stays a safe over-approximation
-                    stats=None if m.get("stats_file") else (m.get("stats") or None),
-                    stats_file_ref=m.get("stats_file"),
-                    dvs=new_dvs,
-                )
-                return base + 1
+                return self._commit_dv_delete(base, m, candidates, hits)
             except CommitConflict:
                 continue
         raise CommitConflict(f"delete_where gave up after {max_retries} conflicts")
+
+    def delete_matching(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        max_retries: int = 5,
+    ) -> int:
+        """Keyed merge-on-read DELETE (Iceberg's "equality delete"):
+        every table row whose key tuple appears in ``source`` gets a
+        deletion-vector entry — no data file rewritten. This is the
+        DV twin of ``merge_into(when_matched="delete")`` for the
+        delete-only case (the reference's limpieza reset-by-key,
+        Prensas.py:216-223 shape): COW rewrites every file holding a
+        matched key; this writes O(matched rows). Same pruning as the
+        merge probe (source key bounds vs manifest stats skip files
+        that cannot hold a match), same existing-DV subtraction, same
+        optimistic-concurrency retry. Returns the committed version
+        (unchanged when nothing matched)."""
+        keys = list(keys)
+        src_keys = source.select(*keys).distinct()
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("delete_matching target does not exist; create() it first")
+            m = self._read_manifest(base)
+            candidates = self._candidates_by_key_bounds(m, src_keys, keys)
+            if not candidates:
+                return base  # no file can hold a matching key
+            live = self._read_data(m, candidates, with_pos=True)
+            hits = live.join(src_keys, keys, "left_semi").select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            try:
+                return self._commit_dv_delete(base, m, candidates, hits)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"delete_matching gave up after {max_retries} conflicts")
+
+    def _candidates_by_key_bounds(
+        self, m: dict, src_keys: DataFrame, keys: Sequence[str]
+    ) -> list[str]:
+        """Files of manifest ``m`` whose stats ranges can intersect the
+        source's key bounds — the stats pre-prune shared by the MERGE
+        touched-file probe and keyed DV deletes: a file whose recorded
+        [min, max] provably misses every source key is never read."""
+        stats = self._stats_of(m)
+        candidates = list(m["files"])
+        stat_keys = [k for k in keys if any(k in (stats.get(f) or {}) for f in candidates)]
+        if not stat_keys:
+            return candidates
+        bounds_row = src_keys.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(stat_keys)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(stat_keys)],
+        ).collect()[0]
+        return [
+            f
+            for f in candidates
+            if all(
+                _range_intersects(
+                    (stats.get(f) or {}).get(k),
+                    bounds_row[f"lo_{i}"],
+                    bounds_row[f"hi_{i}"],
+                )
+                for i, k in enumerate(stat_keys)
+            )
+        ]
+
+    def _commit_dv_delete(self, base: int, m: dict, candidates: list[str], hits: DataFrame) -> int:
+        """Write ``hits`` (file, pos) as DV parquet, attach each DV to
+        the candidate files its name-range stats cover, and commit a
+        ``delete`` version with the data file set — and therefore the
+        stats sidecar — unchanged (reused by reference; DV subtraction
+        only narrows value ranges, so pruning stays a safe
+        over-approximation). Returns the new version, or ``base``
+        unchanged when ``hits`` is empty; raises CommitConflict for
+        the caller's retry loop."""
+        # cluster DV rows by data-file name so each DV part covers a
+        # narrow name range — the footer stats below then attach each
+        # DV to few data files instead of every candidate
+        dv_names = self._write_files(hits, cluster_by=["file"], prefix="dv")
+        if not dv_names:
+            return base  # nothing matched (zero-row parts dropped)
+        dv_stats = self._collect_stats(dv_names, ["file"])
+        new_dvs = {f: list(v) for f, v in (m.get("dvs") or {}).items()}
+        for d in dv_names:
+            rng = (dv_stats.get(d) or {}).get("file")
+            for f in candidates:
+                if rng is None or (rng[0] <= f <= rng[1]):
+                    new_dvs.setdefault(f, []).append(d)
+        self._try_commit(
+            base,
+            list(m["files"]),
+            "delete",
+            m.get("cluster_by") or None,
+            schema_json=m.get("schema"),
+            stats=None if m.get("stats_file") else (m.get("stats") or None),
+            stats_file_ref=m.get("stats_file"),
+            dvs=new_dvs,
+        )
+        return base + 1
 
     def optimize(
         self,

@@ -1419,3 +1419,52 @@ class TestDVConcurrency:
         assert got[3] == "RACED"  # the racing merge's effect survives
         ops = [m["op"] for m in table.history()]
         assert ops == ["create", "merge:update", "delete"]
+
+
+class TestDeleteMatching:
+    """Keyed DV deletes (equality deletes): the DV twin of
+    merge_into(when_matched='delete') for the delete-only case."""
+
+    def test_keyed_delete_no_rewrite(self, spark, table):
+        src = spark.createDataFrame([Row(k=k) for k in (2, 5, 11, 999)])
+        files_v1 = table.history()[0]["files"]
+        v = table.delete_matching(src, ["k"])
+        assert v == 2
+        got = {k for k, _ in _rows(table.snapshot())}
+        assert got == set(range(20)) - {2, 5, 11}  # 999 never existed
+        m = table.history()[-1]
+        assert m["op"] == "delete" and m["files"] == files_v1 and m["dvs"]
+
+    def test_no_match_is_noop(self, spark, table):
+        src = spark.createDataFrame([Row(k=777)])
+        assert table.delete_matching(src, ["k"]) == 1
+        assert table.version() == 1
+
+    def test_key_bounds_prune_on_clustered_table(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "km"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(1000)]),
+            n_files=10, cluster_by=["k"],
+        )
+        stats = t._stats_of(t._read_manifest(1))
+        src = spark.createDataFrame([Row(k=k) for k in range(120, 130)])
+        t.delete_matching(src, ["k"])
+        m = t._read_manifest(2)
+        # DVs only on the file(s) whose range covers 120..129
+        for f in m["dvs"]:
+            lo, hi = stats[f]["k"]
+            assert lo <= 129 and hi >= 120
+        assert 0 < len(m["dvs"]) < len(m["files"])
+        assert {k for k, _ in _rows(t.snapshot())} == set(range(1000)) - set(range(120, 130))
+
+    def test_equivalent_to_cow_merge_delete_effect(self, spark, table):
+        """Same end state as the COW formulation (delete-only source,
+        no inserts), minus the file rewrites."""
+        src = spark.createDataFrame([Row(k=k, v="x") for k in range(0, 20, 4)])
+        table.delete_matching(src.select("k"), ["k"])
+        dv_state = _rows(table.snapshot())
+        t2_rows = [Row(k=i, v=f"base{i}") for i in range(20)]
+        t2 = VersionedTable(spark, table.root + "_cow")
+        t2.create(spark.createDataFrame(t2_rows), n_files=4)
+        t2.merge_into(src.filter("k < 20"), ["k"], when_matched="delete")
+        assert dv_state == _rows(t2.snapshot())
