@@ -634,7 +634,7 @@ def events_props_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts:
         full = os.path.join(ev_path, p) if os.path.isdir(ev_path) else p
         st = os.stat(full)
-        fp.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+        fp.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     digest = hashlib.md5("|".join(fp).encode()).hexdigest()[:12]
     root = f"/tmp/sparkgraft_shredded/{digest}"
     t = VersionedTable(spark, root)

@@ -171,6 +171,15 @@ class PLCLiveStreamReader(SimpleDataSourceStreamReader):
         self.timeout_s = float(options.get("timeout_s", 5.0))
         self.retries = int(options.get("retries", 2))
         self._clients: dict[tuple[str, int], MCClient] = {}
+        # Two raw tokens can alias one endpoint ("10.0.0.1,10.0.0.1:5007")
+        # and they share one MCClient — a Type3E socket is NOT thread-safe,
+        # so per-endpoint locks serialize both client creation and use
+        # while distinct endpoints still poll fully concurrently.
+        import threading
+
+        self._locks: dict[tuple[str, int], threading.Lock] = {
+            key: threading.Lock() for key in {(ip, port) for _, ip, port in self.hosts}
+        }
 
     def _client(self, ip: str, port: int) -> MCClient:
         key = (ip, port)
@@ -190,7 +199,8 @@ class PLCLiveStreamReader(SimpleDataSourceStreamReader):
         def one(entry):
             raw, ip, port = entry
             try:
-                words = self._client(ip, port).read_words(self.devices)
+                with self._locks[(ip, port)]:
+                    words = self._client(ip, port).read_words(self.devices)
             except Exception:
                 words = [None] * len(self.devices)
             return [
@@ -280,7 +290,18 @@ def mssql_connect_factory(
         dbapi_upsert(df, fac, "registros", ["id"], dialect="tsql")
 
     The factory only stores the connection STRING; pyodbc imports on
-    the executor (``[mssql]`` extra must be installed cluster-wide)."""
+    the executor (``[mssql]`` extra must be installed cluster-wide).
+
+    Encryption note: the default ``ODBC Driver 18 for SQL Server``
+    enforces ``Encrypt=yes`` (a behavior change from Driver 17, which
+    the reference deployment uses). Against a plant SQL Server without
+    a trusted TLS certificate the connection FAILS at connect time —
+    pass ``Encrypt="no"`` or ``TrustServerCertificate="yes"`` via
+    ``**extra`` (or ``driver="ODBC Driver 17 for SQL Server"``) to
+    match the reference deployment's plaintext/self-signed setup::
+
+        mssql_connect_factory(host, db, uid, pwd, TrustServerCertificate="yes")
+    """
     parts = [f"DRIVER={{{driver}}}", f"SERVER={server}", f"DATABASE={database}", f"UID={uid}", f"PWD={pwd}"]
     parts += [f"{k}={v}" for k, v in extra.items()]
     return ConnectFactory("pyodbc", ";".join(parts) + ";")

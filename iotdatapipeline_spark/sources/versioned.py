@@ -540,9 +540,15 @@ class VersionedTable:
         # no distinct: duplicate (file, pos) rows (a position re-deleted
         # by a later DV) are harmless on an anti-join build side, and
         # deduplication would cost a shuffle
-        return dv.filter(F.col("file").isin(sel)).select(
-            F.col("file").alias("__file"), F.col("pos").alias("__pos")
-        )
+        covered = {f for f in dvs if any(d in names for d in dvs[f])}
+        if covered - set(sel):
+            # some DV rows target unselected files — restrict via a
+            # broadcast semi-join against the selected names (NOT a
+            # literal IN list: at the many-thousand-file scale this
+            # module targets, embedding every name bloats the plan)
+            sel_df = self.spark.createDataFrame([(s,) for s in sel], "file string")
+            dv = dv.join(F.broadcast(sel_df), "file", "left_semi")
+        return dv.select(F.col("file").alias("__file"), F.col("pos").alias("__pos"))
 
     def _try_commit(
         self,
@@ -1123,7 +1129,7 @@ class VersionedTable:
                 # orphaned files from the failed attempt are cleaned by
                 # vacuum(); re-read the new snapshot and re-apply
                 continue
-        raise CommitConflict(f"merge_into gave up after {max_retries} conflicts")
+        raise CommitConflict(f"merge_into on {self.root} gave up after {max_retries} conflicts")
 
     def restore(self, version: int, max_retries: int = 5) -> int:
         """RESTORE: commit a NEW version whose state replays ``version``
@@ -1158,7 +1164,7 @@ class VersionedTable:
                 return base + 1
             except CommitConflict:
                 continue
-        raise CommitConflict(f"restore gave up after {max_retries} conflicts")
+        raise CommitConflict(f"restore on {self.root} gave up after {max_retries} conflicts")
 
     def delete_where(
         self,
@@ -1221,7 +1227,7 @@ class VersionedTable:
                 return self._commit_dv_delete(base, m, candidates, hits)
             except CommitConflict:
                 continue
-        raise CommitConflict(f"delete_where gave up after {max_retries} conflicts")
+        raise CommitConflict(f"delete_where on {self.root} gave up after {max_retries} conflicts")
 
     def delete_matching(
         self,
@@ -1258,7 +1264,7 @@ class VersionedTable:
                 return self._commit_dv_delete(base, m, candidates, hits)
             except CommitConflict:
                 continue
-        raise CommitConflict(f"delete_matching gave up after {max_retries} conflicts")
+        raise CommitConflict(f"delete_matching on {self.root} gave up after {max_retries} conflicts")
 
     def _candidates_by_key_bounds(
         self, m: dict, src_keys: DataFrame, keys: Sequence[str]
@@ -1372,7 +1378,7 @@ class VersionedTable:
                 return base + 1
             except CommitConflict:
                 continue
-        raise CommitConflict(f"optimize gave up after {max_retries} conflicts")
+        raise CommitConflict(f"optimize on {self.root} gave up after {max_retries} conflicts")
 
     def vacuum(self, retention_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO committed manifest —

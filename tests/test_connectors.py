@@ -163,6 +163,43 @@ class TestPLCLiveStreamReader:
         ports = sorted(p.port for p in _FakeType3E.instances)
         assert ports == [5007, 5010]  # two clients, both endpoints polled
 
+    def test_aliased_endpoint_polls_serialized_on_one_client(self, fake_pymc):
+        # '10.0.0.1,10.0.0.1:5007' — two raw tokens, ONE endpoint. Both
+        # rows must emit (raw tokens stay distinguishable) but the
+        # shared non-thread-safe client must never see overlapping
+        # reads: the per-endpoint lock serializes the two poll threads.
+        overlaps = []
+        import threading
+
+        active = {"n": 0}
+        guard = threading.Lock()
+        orig = _FakeType3E.randomread
+
+        def traced(self, word_devices, dword_devices):
+            with guard:
+                active["n"] += 1
+                if active["n"] > 1:
+                    overlaps.append(list(word_devices))
+            try:
+                import time as _t
+
+                _t.sleep(0.01)
+                return orig(self, word_devices, dword_devices)
+            finally:
+                with guard:
+                    active["n"] -= 1
+
+        _FakeType3E.randomread = traced
+        try:
+            r = PLCLiveStreamReader({"hosts": "10.0.0.1,10.0.0.1:5007", "devices": "D1"})
+            rows, _ = r.read({"tick": 0})
+            hosts = {h for h, _t, _d, _w in rows}
+            assert hosts == {"10.0.0.1", "10.0.0.1:5007"}
+            assert len(_FakeType3E.instances) == 1  # one shared client
+            assert not overlaps  # no concurrent use of the shared socket
+        finally:
+            _FakeType3E.randomread = orig
+
     def test_replay_repolls_every_tick(self, fake_pymc):
         r = PLCLiveStreamReader({"hosts": "10.0.0.1", "devices": "D1"})
         rows = list(r.readBetweenOffsets({"tick": 3}, {"tick": 6}))
