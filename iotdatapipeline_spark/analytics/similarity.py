@@ -296,6 +296,36 @@ def neardup_pairs(
     return scored.filter(F.col("cos_x1e6") >= min_cos_x1e6)
 
 
+def pq_subvectors(
+    vectors: DataFrame,
+    *,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Slice each vector into ``m`` equal scaled-integer subvectors —
+    the shared front end of PQ training (whole corpus), encoding, and
+    steady-state query LUT building (a handful of probe rows). Output:
+    (id, s, sv: array<long>), m rows per input vector."""
+    d_expr = F.array_size(F.col(vec_col))
+    ints = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)).alias("__v"),
+        (d_expr / m).cast("int").alias("__dsub"),
+    )
+    return ints.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "__v",
+        "__dsub",
+    ).select(
+        F.col(id_col),
+        "s",
+        F.slice(F.col("__v"), F.col("s") * F.col("__dsub") + 1, F.col("__dsub")).alias("sv"),
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     *,
@@ -319,22 +349,7 @@ def pq_codebooks(
     ``iters`` assignment rounds. Both deterministic bit-for-bit, so the
     whole training trajectory is oracle-checkable like the k-means
     gate."""
-    d_expr = F.array_size(F.col(vec_col))
-    ints = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)).alias("__v"),
-        (d_expr / m).cast("int").alias("__dsub"),
-    )
-    sub = ints.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        "__v",
-        "__dsub",
-    ).select(
-        F.col(id_col),
-        "s",
-        F.slice(F.col("__v"), F.col("s") * F.col("__dsub") + 1, F.col("__dsub")).alias("sv"),
-    )
+    sub = pq_subvectors(corpus, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
     w0 = Window.partitionBy("s").orderBy(id_col)
     cents = (
         sub.withColumn("__rn", F.row_number().over(w0))
@@ -434,10 +449,141 @@ def pq_adc_topk(
     sub, cents = pq_codebooks(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
     )
-
     codes = pq_encode(sub, cents, id_col)
-    lut = pq_query_lut(sub, cents, queries, id_col)
+    return pq_adc_search(
+        codes, cents, queries, k=k, m=m, id_col=id_col, vec_col=vec_col, scale=scale
+    )
 
+
+def pq_pack_codebooks(cents: DataFrame) -> DataFrame:
+    """Collapse the (s, cid, c) codebook rows into ONE row holding a
+    flat array of centroid subvectors indexed by ``s·ksub + cid`` —
+    the broadcastable form the packed ADC search folds against (the
+    1-row broadcast-fold shape of docs_dsir_weights). m·ksub·d_sub
+    longs total (here 4·8·16 = 512), constant in corpus size."""
+    e = F.struct("s", "cid", "c").alias("e")
+    return cents.select(e).groupBy().agg(
+        F.transform(F.array_sort(F.collect_list("e")), lambda x: x["c"]).alias("cbs")
+    )
+
+
+def pq_pack_codes(codes: DataFrame, id_col: str = "nid") -> DataFrame:
+    """Collapse the long-format (nid, s, code) encoding into one
+    ``array<int>`` per vector ordered by subspace — the compressed
+    corpus row the packed ADC search scans (m codes ≈ m bytes per
+    vector, the RAM-resident billion-scale layout)."""
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda x: x["code"].cast("int")
+        ).alias("codes")
+    )
+
+
+def pq_adc_search_packed(
+    codes_arr: DataFrame,
+    cbs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """ADC search over the PACKED materialized index — the minimal
+    steady-state plan. Inputs: ``codes_arr`` (nid, codes: array<int>)
+    from :func:`pq_pack_codes`; ``cbs`` — the 1-row packed codebook
+    from :func:`pq_pack_codebooks`; ``queries`` — raw vectors.
+
+    Shape: the 1-row codebook broadcast-folds against the probe rows
+    (each query computes its full m·ksub LUT in ONE projection — no
+    explode, no join, no shuffle); the per-query LUT rows broadcast
+    against the code scan, where the estimated distance is an exact
+    integer fold ``Σ_s lut[s·ksub + code_s]`` computed ROW-LOCALLY —
+    the (qid, nid) aggregation of the long-format path disappears
+    entirely. The only exchange left is the per-query top-k, over
+    already-scored 3-column candidate rows (on a cluster, IVF
+    pre-pruning — embeddings_ivfpq_topk — bounds that candidate set).
+    Both folds are labeled broadcast folds: 1 codebook row, |queries|
+    LUT rows."""
+    d_expr = F.array_size(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)).alias("__qv"),
+        (d_expr / m).cast("int").alias("__dsub"),
+    )
+    # 1-row broadcast codebook fold: per query, one projection builds
+    # the whole LUT (exact integer sq-L2 of each centroid subvector
+    # against the query's matching slice)
+    lut_entry = lambda cvec, idx: F.aggregate(  # noqa: E731
+        F.zip_with(
+            cvec,
+            F.slice(
+                F.col("__qv"),
+                F.floor(idx / F.lit(ksub)).cast("int") * F.col("__dsub") + 1,
+                F.col("__dsub"),
+            ),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(F.broadcast(cbs)).select(
+        "qid", F.transform(F.col("cbs"), lut_entry).alias("__lut")
+    )
+    # per-query LUT broadcast fold against the code scan: distance is
+    # a row-local integer fold over the m stored codes
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.col("__lut"), (s * F.lit(ksub) + c + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes_arr.crossJoin(F.broadcast(lut))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dist.alias("dist_est"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_est"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
+    )
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Steady-state ADC search over an ALREADY-TRAINED PQ index —
+    the path a production user runs per query, with training and
+    encoding amortized into an ingest (see the
+    ``embeddings_pq_index_topk`` gate, which persists ``codes`` and
+    ``cents`` in a VersionedTable). Inputs: ``codes`` (nid, s, code) —
+    the compressed corpus; ``cents`` (s, cid, c) — the m·ksub
+    codebooks; ``queries`` — raw vectors. The per-query work is: slice
+    the probe vectors (m rows each), one broadcast join to the
+    codebooks for the exact-integer LUT (m·ksub rows per query), one
+    broadcast LUT join against the codes scan, one hash aggregate, one
+    per-query top-k — no shuffle wider than the scored candidates,
+    nothing recomputed from the corpus."""
+    qsub = pq_subvectors(queries, m=m, id_col=id_col, vec_col=vec_col, scale=scale).select(
+        F.col(id_col).alias("qid"), "s", F.col("sv").alias("qsv")
+    )
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "qid", "s", "cid", _sub_sq_dist("qsv", "c").alias("dpart")
+    )
     est = (
         codes.alias("cd")
         .join(

@@ -2486,6 +2486,76 @@ def embeddings_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, m=4, ksub=8, iters=2)
 
 
+@register("embeddings_pq_index_topk", None)
+def embeddings_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with a MATERIALIZED index — the production shape of
+    ``embeddings_pq_topk``. That gate (kept, secondary) re-trains
+    codebooks and re-encodes the corpus inside every query: 11
+    exchanges / 9 scans, ~1.0-1.7 s at sf0.1 with ±35% session swing
+    (BASELINE.md r8) — a real user never retrains PQ per search. Here
+    the ingest pays training+encoding ONCE into a VersionedTable
+    (codebooks first, then codes — deterministic, so concurrent
+    builders commute; the ``events_props_shredded`` pattern), and the
+    registered query is the steady state: slice the 5 probe vectors,
+    broadcast-join the 32 stored codebooks for the LUT, one broadcast
+    ADC join over the stored codes, one aggregate, one top-k.
+
+    The oracle is the FULL training pipeline SQL (identical to
+    embeddings_pq_topk's): DuckDB retrains from scratch and the
+    results must match bit-for-bit, so the gate hash-verifies the
+    ingest round-trip end-to-end — stored codebooks and codes are
+    exactly what training produces.
+
+    100 TB: codes are m·log2(ksub) bits/vector (a 25 B row for a
+    256 B embedding); the ADC scan reads ONLY the code table, the
+    codebooks broadcast, and re-ingest is triggered by the dataset
+    fingerprint — the Faiss IVFPQ build/search split expressed as two
+    lakehouse tables."""
+    from iotdatapipeline_spark.analytics.similarity import (
+        pq_adc_search_packed,
+        pq_codebooks,
+        pq_encode,
+        pq_pack_codebooks,
+        pq_pack_codes,
+        pq_subvectors,
+    )
+    from iotdatapipeline_spark.plans.materialize import dataset_fingerprint, materialize_once
+
+    digest = dataset_fingerprint(sf_dir, "embeddings")
+    root = f"/tmp/sparkgraft_pqindex/{digest}"
+
+    def build_cents() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, cents = pq_codebooks(emb, m=4, ksub=8, iters=2)
+        return cents
+
+    # long-format codebooks first (reusable by any consumer), then the
+    # two packed search tables derived from STORED inputs — training
+    # never re-runs once the cents table exists, and builders commute
+    cents_t = materialize_once(spark, f"{root}/cents", build_cents)
+    cents = cents_t.snapshot().select("s", "cid", "c")
+    cbs_t = materialize_once(spark, f"{root}/cbs", lambda: pq_pack_codebooks(cents))
+
+    def build_codes() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return pq_pack_codes(pq_encode(pq_subvectors(emb, m=4), cents))
+
+    codes_t = materialize_once(spark, f"{root}/codes", build_codes)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_search_packed(
+        codes_t.snapshot().select("nid", "codes"),
+        cbs_t.snapshot().select("cbs"),
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        m=4,
+        ksub=8,
+    )
+
+
+ORACLE["embeddings_pq_index_topk"] = ORACLE["embeddings_pq_topk"]
+
+
 def _pq_recall_sql() -> str:
     """Compose the PQ oracle with an exact integer-L2 top-3 — recall of
     the compressed (4-code ADC) search against the uncompressed scan."""

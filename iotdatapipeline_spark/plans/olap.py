@@ -618,46 +618,24 @@ def events_props_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands under /tmp keyed by the source dir, version-1-once;
     concurrent builders race safely on the versioned commit (loser
     sees version()!=0 and reads)."""
-    import hashlib
-    import os
+    from iotdatapipeline_spark.plans.materialize import dataset_fingerprint, materialize_once
 
-    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
-
-    # cache key = source path + a (name, size, mtime) fingerprint of the
-    # events parquet, so a REGENERATED dataset at the same path gets a
-    # fresh shred instead of a stale table (and a stale hash mismatch)
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    parts = (
-        sorted(os.listdir(ev_path)) if os.path.isdir(ev_path) else [ev_path]
-    )
-    fp = [os.path.abspath(sf_dir)]
-    for p in parts:
-        full = os.path.join(ev_path, p) if os.path.isdir(ev_path) else p
-        st = os.stat(full)
-        fp.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    digest = hashlib.md5("|".join(fp).encode()).hexdigest()[:12]
-    root = f"/tmp/sparkgraft_shredded/{digest}"
-    t = VersionedTable(spark, root)
-    if t.version() == 0:
+    def build_shred() -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         payload = F.when(
             F.col("event_id") % 97 == 0, F.substring("props", 1, 3)
         ).otherwise(F.col("props"))
         v = F.try_parse_json(payload)
-        shredded = ev.select(
+        return ev.select(
             F.col("user_id").alias("station"),
             v.isNotNull().alias("parsed"),
             F.try_variant_get(v, "$.k", "bigint").alias("k"),
         )
-        try:
-            t.create(shredded, cluster_by=["station"])
-        except (ValueError, CommitConflict):
-            # lost the create race: a concurrent builder committed v1
-            # first (ValueError from the version()!=0 pre-check when it
-            # landed before ours started; CommitConflict from the
-            # atomic manifest link when both wrote) — either way v1
-            # exists and holds the identical deterministic shred
-            pass
+
+    digest = dataset_fingerprint(sf_dir, "events")
+    t = materialize_once(
+        spark, f"/tmp/sparkgraft_shredded/{digest}", build_shred, cluster_by=["station"]
+    )
     s = t.snapshot()
     return s.groupBy("station").agg(
         F.sum("k").cast("long").alias("k_total"),

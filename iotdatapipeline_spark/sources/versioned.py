@@ -964,13 +964,24 @@ class VersionedTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         schema_evolution: bool = False,
+        strategy: str = "cow",
     ) -> int:
-        """Copy-on-write MERGE: ``when_matched="update"`` replaces
-        matched rows with the source row (K1/K2 upsert;
-        ``when_not_matched`` is always INSERT), ``"delete"`` removes
-        matched rows (K5's reset-by-delete shape). Returns the
-        committed version. Retries the whole read-apply-commit cycle on
-        :class:`CommitConflict` — optimistic concurrency.
+        """MERGE: ``when_matched="update"`` replaces matched rows with
+        the source row (K1/K2 upsert; ``when_not_matched`` is always
+        INSERT), ``"delete"`` removes matched rows (K5's
+        reset-by-delete shape). Returns the committed version. Retries
+        the whole read-apply-commit cycle on :class:`CommitConflict` —
+        optimistic concurrency.
+
+        ``strategy`` picks the physical write: ``"cow"``
+        (copy-on-write, default) rewrites every file holding a matched
+        key — zero read-side overhead afterwards, right when updates
+        cluster with the file layout; ``"mor"`` (merge-on-read) writes
+        deletion-vector entries for the matched preimages and APPENDS
+        the postimages in one commit — O(changed rows) write cost,
+        right for scattered keys on a large table (see
+        :meth:`_merge_into_mor` for the measured trade). Both commit
+        the identical logical snapshot.
 
         ``txn_app``/``txn_version`` make the merge EXACTLY-ONCE under
         replay — Delta's txn protocol: each commit carries a per-app
@@ -989,9 +1000,15 @@ class VersionedTable:
         the same."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be passed together")
         keys = list(keys)
+        if strategy == "mor":
+            return self._merge_into_mor(
+                source, keys, when_matched, max_retries, txn_app, txn_version, schema_evolution
+            )
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
             base = self.version()
@@ -1061,32 +1078,9 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
-            if schema_evolution:
-                # evolved schema = base fields + source-only fields, in
-                # that order. Only the INSERT files are written in the
-                # evolved shape; carried and rewritten-kept files stay
-                # old-schema on disk and snapshot()'s explicit-schema
-                # read fills the added columns with null — Delta's
-                # mergeSchema semantics without rewriting history.
-                base_fields = list(base_df.schema.fields)
-                base_names = {f.name for f in base_fields}
-                evolved = base_fields + [
-                    f for f in source.schema.fields if f.name not in base_names
-                ]
-                aligned = inserted
-                have = set(inserted.columns)
-                for fld in evolved:
-                    if fld.name not in have:
-                        aligned = aligned.withColumn(
-                            fld.name, F.lit(None).cast(fld.dataType)
-                        )
-                ins = aligned.select(*[f.name for f in evolved])
-                from pyspark.sql.types import StructType
-
-                committed_schema = StructType(evolved).json()
-            else:
-                ins = inserted.select(*cols)
-                committed_schema = base_df.schema.json()
+            ins, committed_schema = self._align_insert(
+                base_df, source, inserted, schema_evolution
+            )
             ins_empty = ins.isEmpty()  # one job, reused below
             if ins_empty and not touched:
                 return base  # no-op merge
@@ -1130,6 +1124,138 @@ class VersionedTable:
                 # vacuum(); re-read the new snapshot and re-apply
                 continue
         raise CommitConflict(f"merge_into on {self.root} gave up after {max_retries} conflicts")
+
+    @staticmethod
+    def _align_insert(
+        base_df: DataFrame, source: DataFrame, inserted: DataFrame, schema_evolution: bool
+    ) -> tuple[DataFrame, str]:
+        """Align the INSERT frame to the committed schema; returns
+        ``(ins, committed_schema_json)``. With ``schema_evolution`` the
+        committed schema = base fields + source-only fields, in that
+        order — only the insert files are written in the evolved shape;
+        existing files stay old-schema on disk and the explicit-schema
+        read fills the added columns with null (Delta's mergeSchema
+        semantics without rewriting history). Without it the insert is
+        projected to the base columns. Shared by the COW and
+        merge-on-read merge paths."""
+        if schema_evolution:
+            base_fields = list(base_df.schema.fields)
+            base_names = {f.name for f in base_fields}
+            evolved = base_fields + [
+                f for f in source.schema.fields if f.name not in base_names
+            ]
+            aligned = inserted
+            have = set(inserted.columns)
+            for fld in evolved:
+                if fld.name not in have:
+                    aligned = aligned.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+            ins = aligned.select(*[f.name for f in evolved])
+            from pyspark.sql.types import StructType
+
+            return ins, StructType(evolved).json()
+        return inserted.select(*base_df.columns), base_df.schema.json()
+
+    def _merge_into_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        max_retries: int,
+        txn_app: str | None,
+        txn_version: int | None,
+        schema_evolution: bool,
+    ) -> int:
+        """Merge-on-read MERGE (``strategy="mor"``): ONE commit that
+        (a) writes deletion-vector entries for every matched live row
+        — killing the preimages without rewriting their files — and
+        (b) appends the postimage/insert rows as new files. The COW
+        path rewrites every file containing a matched key; for the
+        scattered-key upsert (the reference's K1 shape, Prensas.py:
+        216-223 — every tick updates a different key) that is O(touched
+        bytes) where this is O(changed rows): the r8 delete measurement
+        (scattered 1% → 64/64 files, 36.3 MB COW vs 0.051 MB DV)
+        applies with equal force here (r9 trade table in BASELINE.md).
+
+        Semantics match the COW merge exactly — same key-bounds file
+        pruning, existing DVs applied before matching, txn exactly-once
+        map, optimistic-concurrency retry, schema evolution — and the
+        snapshot after either path is identical, so CDF (``changes()``,
+        a snapshot diff) emits the same insert/update rows across it.
+        The trade is the read-side DV anti-join until ``optimize()`` or
+        a COW merge materializes the pending deletes."""
+        src_keys = source.select(*keys).distinct()
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("merge_into target does not exist; create() it first")
+            m = self._read_manifest(base)
+            if txn_app is not None:
+                seen = (m.get("txns") or {}).get(txn_app)
+                if seen is not None and int(seen[0]) >= int(txn_version):
+                    return int(seen[1])  # already applied (batch replay)
+            cluster_by = m.get("cluster_by") or None
+            base_df = self.snapshot(base)
+            candidates = self._candidates_by_key_bounds(m, src_keys, keys)
+            live = None
+            if candidates:
+                # live rows only (existing DVs subtracted): a row already
+                # deleted must not be re-recorded in a new DV
+                live = self._read_data(m, candidates, with_pos=True)
+            if when_matched == "update":
+                inserted = source
+            else:
+                # delete matched; still insert the not-matched source rows
+                if live is not None:
+                    matched_keys = live.join(src_keys, keys, "left_semi").select(*keys).distinct()
+                    inserted = source.join(matched_keys, keys, "left_anti")
+                else:
+                    inserted = source
+            ins, committed_schema = self._align_insert(
+                base_df, source, inserted, schema_evolution
+            )
+            new_dvs = None
+            if live is not None:
+                hits = live.join(src_keys, keys, "left_semi").select(
+                    F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                )
+                new_dvs = self._build_dvs(m, candidates, hits)
+            appended: list[str] = []
+            ins_empty = ins.isEmpty()
+            if ins_empty and new_dvs is None:
+                return base  # no-op merge
+            if not ins_empty:
+                # clustered like the COW insert path so future merges/
+                # scans can prune the appended files; zero-row parts of
+                # a small source are dropped by _write_files
+                appended = self._write_files(ins, cluster_by=cluster_by)
+            stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
+            new_stats = dict(self._stats_of(m))
+            new_stats.update(self._collect_stats(appended, stat_cols))
+            dvs_map = (
+                new_dvs
+                if new_dvs is not None
+                else {f: list(v) for f, v in (m.get("dvs") or {}).items()}
+            )
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]) + appended,
+                    f"merge:{when_matched}:mor",
+                    cluster_by,
+                    txn_app,
+                    txn_version,
+                    schema_json=committed_schema,
+                    stats=new_stats,
+                    dvs=dvs_map,
+                )
+                return base + 1
+            except CommitConflict:
+                # orphaned DV/data files from the failed attempt are
+                # cleaned by vacuum(); re-read and re-apply
+                continue
+        raise CommitConflict(
+            f"merge_into(mor) on {self.root} gave up after {max_retries} conflicts"
+        )
 
     def restore(self, version: int, max_retries: int = 5) -> int:
         """RESTORE: commit a NEW version whose state replays ``version``
@@ -1295,6 +1421,27 @@ class VersionedTable:
             )
         ]
 
+    def _build_dvs(self, m: dict, candidates: list[str], hits: DataFrame) -> dict | None:
+        """Write ``hits`` (file, pos) as DV parquet and return the
+        manifest's dvs map with each new DV attached to the candidate
+        files its name-range stats cover — or ``None`` when nothing
+        matched (zero-row parts dropped). Shared by the DV deletes and
+        the merge-on-read upsert."""
+        # cluster DV rows by data-file name so each DV part covers a
+        # narrow name range — the footer stats below then attach each
+        # DV to few data files instead of every candidate
+        dv_names = self._write_files(hits, cluster_by=["file"], prefix="dv")
+        if not dv_names:
+            return None
+        dv_stats = self._collect_stats(dv_names, ["file"])
+        new_dvs = {f: list(v) for f, v in (m.get("dvs") or {}).items()}
+        for d in dv_names:
+            rng = (dv_stats.get(d) or {}).get("file")
+            for f in candidates:
+                if rng is None or (rng[0] <= f <= rng[1]):
+                    new_dvs.setdefault(f, []).append(d)
+        return new_dvs
+
     def _commit_dv_delete(self, base: int, m: dict, candidates: list[str], hits: DataFrame) -> int:
         """Write ``hits`` (file, pos) as DV parquet, attach each DV to
         the candidate files its name-range stats cover, and commit a
@@ -1304,19 +1451,9 @@ class VersionedTable:
         over-approximation). Returns the new version, or ``base``
         unchanged when ``hits`` is empty; raises CommitConflict for
         the caller's retry loop."""
-        # cluster DV rows by data-file name so each DV part covers a
-        # narrow name range — the footer stats below then attach each
-        # DV to few data files instead of every candidate
-        dv_names = self._write_files(hits, cluster_by=["file"], prefix="dv")
-        if not dv_names:
-            return base  # nothing matched (zero-row parts dropped)
-        dv_stats = self._collect_stats(dv_names, ["file"])
-        new_dvs = {f: list(v) for f, v in (m.get("dvs") or {}).items()}
-        for d in dv_names:
-            rng = (dv_stats.get(d) or {}).get("file")
-            for f in candidates:
-                if rng is None or (rng[0] <= f <= rng[1]):
-                    new_dvs.setdefault(f, []).append(d)
+        new_dvs = self._build_dvs(m, candidates, hits)
+        if new_dvs is None:
+            return base  # nothing matched
         self._try_commit(
             base,
             list(m["files"]),

@@ -359,6 +359,69 @@ class TestSessionizationShuffleReuse:
         assert plan.count("Exchange") == 1, plan
 
 
+class TestPQIndex:
+    def test_matches_fresh_train_and_is_steady_state(self, spark, sf_small):
+        """embeddings_pq_index_topk: the materialized-index search must
+        reproduce the retrain-per-query gate bit-for-bit (training is
+        deterministic, so stored codebooks/codes ARE what training
+        produces), a second call must reuse the version-1 tables, and
+        the steady-state plan must be index-scan-shaped: no kmeans
+        retraining (bounded exchange count vs the 11-exchange retrain
+        plan) and scans over the index root, not repeated corpus
+        passes."""
+        import os
+        import shutil
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        shutil.rmtree("/tmp/sparkgraft_pqindex", ignore_errors=True)
+
+        got = {tuple(r) for r in QUERIES["embeddings_pq_index_topk"](spark, sf_small).collect()}
+        want = {tuple(r) for r in QUERIES["embeddings_pq_topk"](spark, sf_small).collect()}
+        assert got == want and got
+
+        df = QUERIES["embeddings_pq_index_topk"](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 4, plan
+        assert "sparkgraft_pqindex" in plan
+        # one index materialized, version-1-once across both calls
+        roots = os.listdir("/tmp/sparkgraft_pqindex")
+        assert len(roots) == 1
+        for sub in ("cents", "cbs", "codes"):
+            t = VersionedTable(spark, f"/tmp/sparkgraft_pqindex/{roots[0]}/{sub}")
+            assert t.version() == 1, sub
+
+    def test_packed_search_equals_long_format_search(self, spark, sf_small):
+        """pq_adc_search_packed (row-local fold over packed codes) and
+        pq_adc_search (long-format broadcast LUT join) are two physical
+        plans for the same ADC math — results must be identical."""
+        from iotdatapipeline_spark.analytics.similarity import (
+            pq_adc_search,
+            pq_adc_search_packed,
+            pq_codebooks,
+            pq_encode,
+            pq_pack_codebooks,
+            pq_pack_codes,
+        )
+        from iotdatapipeline_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        sub, cents = pq_codebooks(emb, m=4, ksub=8, iters=2)
+        codes = pq_encode(sub, cents)
+        long_form = {
+            tuple(r) for r in pq_adc_search(codes, cents, queries, k=3, m=4).collect()
+        }
+        packed = {
+            tuple(r)
+            for r in pq_adc_search_packed(
+                pq_pack_codes(codes), pq_pack_codebooks(cents), queries, k=3, m=4, ksub=8
+            ).collect()
+        }
+        assert packed == long_form and packed
+
+
 class TestPropsShredded:
     def test_matches_reparse_path_and_is_scan_only(self, spark, sf_small):
         """events_props_shredded: the parse-once ingest must reproduce
