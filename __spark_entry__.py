@@ -39,17 +39,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    # r8: the six lakehouse gates round 7 restructured (all reads now go
-    # through the manifest schema via _read_data; CDF stream rewritten as a
-    # partition-planning DataSourceStreamReader; skipping gate hard-fails
-    # unless SQL-string pruning matches dict pruning) need fresh driver
-    # rows — the r6 rows tested the pre-change code (VERDICT r7 item 1).
-    "events_versioned_skipping",
-    "events_versioned_cdf_stream",
+    # r9: queries over code paths restructured this round. The DV read
+    # path changed (_dv_rows literal-IN -> broadcast semi-join; the
+    # _commit_dv_delete/_build_dvs refactor), merge_into gained the
+    # strategy param and the _align_insert factoring, changes() gained
+    # include_preimages, events_props_shredded moved onto the shared
+    # plans/materialize.py helper, and pq_adc_topk was refactored onto
+    # the shared pq_adc_search — each needs a fresh driver row on the
+    # new code.
+    "events_versioned_dv_delete",
     "events_merge_upsert_cow",
     "events_versioned_changes",
-    "events_versioned_evolution",
-    "events_versioned_zorder_scan",
+    "events_versioned_cdf_stream",
+    "events_props_shredded",
+    "embeddings_pq_topk",
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without

@@ -459,6 +459,103 @@ def events_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_dv_upsert",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM merged WHERE station % 7 <> 0
+    """,
+)
+def events_versioned_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT via deletion vectors (r9, verdict r8 item
+    3): the SAME three-step pipeline as ``events_merge_upsert_cow`` —
+    CREATE, MERGE-upsert the even-thirds %5 source, MERGE-delete the
+    %7 stations — but with ``strategy="mor"``: each merge is ONE
+    commit writing DV entries for the matched preimages plus appended
+    postimage files, never rewriting a data file. Identical oracle to
+    the COW gate (the logical snapshot must be the same set-algebra
+    result); the gate additionally hard-fails if either merge rewrote
+    or dropped a pre-existing data file (append-only file sets — the
+    property that makes MOR O(changed rows)), if no DV mapping was
+    committed, if time travel to v1 lost rows, or if the CDF across
+    the MOR upsert fails to pair update_pre/postimages. A final
+    ``compact_dv_stacked`` materializes the stacked DVs and must not
+    change the snapshot (never-resurrect through targeted compaction).
+
+    Scale shape: the reference's K1 record-update (Prensas.py:216-223)
+    updates a scattered key every tick; COW rewrites every touched
+    file (r8 measured 64/64 files, 36.3 MB for a scattered 1% delete)
+    where this writes O(changed rows) (0.051 MB same shape) — the
+    Delta DV / Iceberg-v2 answer at 100 TB. The read tax (DV
+    anti-join) is bounded by dv_stacking + compact_dv_stacked."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_dvu_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    files_v1 = set(table.history()[0]["files"])
+    n_v1 = table.snapshot(1).count()
+    v2 = table.merge_into(src, ["station"], strategy="mor")
+    if v2 > 1:
+        m2 = table.history()[-1]
+        if not files_v1 <= set(m2["files"]):
+            raise RuntimeError("MOR upsert rewrote or dropped a base data file")
+        # CDF across the MOR commit: every update must carry a paired
+        # pre/postimage (insert-only sources at tiny SFs yield zero
+        # updates — pairing still holds vacuously)
+        ch = table.changes(1, v2, keys=["station"], include_preimages=True)
+        kinds = dict(ch.groupBy("_change_type").count().collect())
+        if kinds.get("update_preimage", 0) != kinds.get("update_postimage", 0):
+            raise RuntimeError(f"unpaired update images across MOR: {kinds}")
+    dele = table.snapshot().filter(F.col("station") % 7 == 0)
+    pre_files = set(table.history()[-1]["files"])
+    v3 = table.merge_into(dele, ["station"], when_matched="delete", strategy="mor")
+    if v3 > v2 and not pre_files <= set(table.history()[-1]["files"]):
+        raise RuntimeError("MOR delete rewrote or dropped a data file")
+    ops = [m["op"] for m in table.history()]
+    allowed = ("create", "merge:update:mor", "merge:delete:mor")
+    if ops[0] != "create" or not all(op in allowed for op in ops):
+        raise RuntimeError(f"unexpected table history: {ops}")
+    if any(op != "create" for op in ops) and not table.history()[-1].get("dvs"):
+        raise RuntimeError("no deletion vectors committed by the MOR merges")
+    if table.snapshot(1).count() != n_v1:
+        raise RuntimeError("time travel to the pre-merge version lost rows")
+    before = table.snapshot()
+    expected = {tuple(x) for x in before.collect()}
+    table.compact_dv_stacked(threshold=1)
+    got = {tuple(x) for x in table.snapshot().collect()}
+    if got != expected:
+        raise RuntimeError("compact_dv_stacked changed the snapshot")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
     "events_versioned_skipping",
     """
     SELECT user_id AS station,

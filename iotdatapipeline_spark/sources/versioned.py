@@ -906,7 +906,11 @@ class VersionedTable:
         return len(self._keep_files(m, ranges)), len(m["files"])
 
     def changes(
-        self, v_from: int, v_to: int | None = None, keys: Sequence[str] | None = None
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        keys: Sequence[str] | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Change data feed between two committed versions: one row per
         key whose presence or payload differs, tagged ``_change_type``
@@ -918,7 +922,14 @@ class VersionedTable:
         columns; both snapshots are immutable file lists, so the diff
         is reproducible forever. State-diff CDC, not log-replay: cost
         is two scans + one co-partitioned join, independent of how many
-        commits separate the versions."""
+        commits separate the versions.
+
+        ``include_preimages=True`` additionally emits one
+        ``update_preimage`` row (the ``v_from`` image) per update —
+        Delta CDF's full four-type contract, needed by consumers that
+        reverse or audit updates. Works identically across COW and
+        merge-on-read commits: the diff reads snapshots, which already
+        subtract deletion vectors."""
         v_to = self.version() if v_to is None else v_to
         if keys is None:
             keys = self._read_manifest(v_to).get("cluster_by") or []
@@ -944,15 +955,20 @@ class VersionedTable:
             .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update_postimage"))
         )
         img = F.coalesce(F.col("__new"), F.col("__old"))
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                *keys,
-                *[img.getField(c).alias(c) for c in val_cols],
-                "_change_type",
-            )
+        tagged = j.withColumn("_change_type", change).filter(F.col("_change_type").isNotNull())
+        post = tagged.select(
+            *keys,
+            *[img.getField(c).alias(c) for c in val_cols],
+            "_change_type",
         )
+        if not include_preimages:
+            return post
+        pre = tagged.filter(F.col("_change_type") == "update_postimage").select(
+            *keys,
+            *[F.col("__old").getField(c).alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return post.unionByName(pre)
 
     def merge_into(
         self,
@@ -1516,6 +1532,64 @@ class VersionedTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"optimize on {self.root} gave up after {max_retries} conflicts")
+
+    def dv_stacking(self, version: int | None = None) -> dict[str, int]:
+        """Per-file deletion-vector stack depth in the given (default
+        current) manifest — the read-tax observable: every stacked DV
+        is one more parquet a reader of that file unions into its
+        anti-join build until a rewrite materializes the deletes.
+        Empty dict = no pending DVs. Feed the depths to
+        :meth:`compact_dv_stacked` (or watch them in ``history()``'s
+        ``dvs`` maps) to keep the merge-on-read read tax bounded."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        return {f: len(v_) for f, v_ in (m.get("dvs") or {}).items()}
+
+    def compact_dv_stacked(self, threshold: int = 4, max_retries: int = 5) -> int:
+        """Targeted DV materialization: rewrite ONLY the files whose DV
+        stack depth >= ``threshold``, reading them through their DVs
+        (pending deletes materialize, the new files start DV-free) and
+        carrying every other file — and its stats — by reference.
+        Returns the new version, or the current one unchanged when no
+        file crosses the threshold, so it is safe to call after every
+        N merge-on-read commits as an auto-compaction hook. Full
+        ``optimize()`` also clears DVs but rewrites the WHOLE table;
+        this is O(stacked files), the right cost when deletes cluster
+        on hot files."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("compact_dv_stacked target does not exist; create() it first")
+            m = self._read_manifest(base)
+            dvs = m.get("dvs") or {}
+            current = set(m["files"])
+            sel = sorted(f for f, v in dvs.items() if f in current and len(v) >= threshold)
+            if not sel:
+                return base  # nothing stacked deep enough
+            cluster_by = m.get("cluster_by") or None
+            live = self._read_data(m, sel)  # DVs applied: deletes materialize
+            rewritten = self._write_files(live, n_files=max(1, len(sel)), cluster_by=cluster_by)
+            untouched = [f for f in m["files"] if f not in set(sel)]
+            stats = self._stats_of(m)
+            new_stats = {f: stats[f] for f in untouched if f in stats}
+            new_stats.update(self._collect_stats(rewritten, cluster_by))
+            new_dvs = {f: list(v) for f, v in dvs.items() if f in set(untouched)}
+            try:
+                self._try_commit(
+                    base,
+                    untouched + rewritten,
+                    "optimize:dv",
+                    cluster_by,
+                    schema_json=m.get("schema"),
+                    stats=new_stats,
+                    dvs=new_dvs,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"compact_dv_stacked on {self.root} gave up after {max_retries} conflicts"
+        )
 
     def vacuum(self, retention_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO committed manifest —

@@ -1468,3 +1468,156 @@ class TestDeleteMatching:
         t2.create(spark.createDataFrame(t2_rows), n_files=4)
         t2.merge_into(src.filter("k < 20"), ["k"], when_matched="delete")
         assert dv_state == _rows(t2.snapshot())
+
+
+class TestMergeOnReadUpsert:
+    """merge_into(strategy='mor'): one commit = DV entries for matched
+    preimages + appended postimage files. Same logical snapshot as COW,
+    O(changed rows) write cost; CDF, time travel, txn replay, stacking
+    observability and targeted compaction all hold across it."""
+
+    def test_same_snapshot_as_cow_pure_append(self, spark, table):
+        src = spark.createDataFrame(
+            [Row(k=3, v="new3"), Row(k=7, v="new7"), Row(k=99, v="new99")]
+        )
+        files_v1 = table.history()[0]["files"]
+        v = table.merge_into(src, ["k"], strategy="mor")
+        assert v == 2
+        got = dict(_rows(table.snapshot()))
+        assert got[3] == "new3" and got[7] == "new7" and got[99] == "new99"
+        assert got[0] == "base0" and len(got) == 21
+        m = table.history()[-1]
+        assert m["op"] == "merge:update:mor"
+        # pure append: every v1 file carried byte-identically, plus inserts
+        assert set(files_v1) <= set(m["files"])
+        assert len(m["files"]) > len(files_v1)
+        assert m["dvs"] and set(m["dvs"]) <= set(files_v1)
+
+    def test_cow_and_mor_snapshots_identical(self, spark, table):
+        src = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(0, 30, 2)])
+        table.merge_into(src, ["k"], strategy="mor")
+        mor_state = _rows(table.snapshot())
+        t2 = VersionedTable(spark, table.root + "_cow")
+        t2.create(spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(20)]), n_files=4)
+        t2.merge_into(src, ["k"])
+        assert mor_state == _rows(t2.snapshot())
+
+    def test_mor_delete_mode(self, spark, table):
+        src = spark.createDataFrame([Row(k=3, v="x"), Row(k=99, v="new99")])
+        files_v1 = table.history()[0]["files"]
+        table.merge_into(src, ["k"], when_matched="delete", strategy="mor")
+        got = dict(_rows(table.snapshot()))
+        assert 3 not in got and got[99] == "new99" and len(got) == 20
+        m = table.history()[-1]
+        assert m["op"] == "merge:delete:mor"
+        assert set(files_v1) <= set(m["files"])
+
+    def test_insert_only_mor_appends_without_dvs(self, spark, table):
+        src = spark.createDataFrame([Row(k=100, v="n100"), Row(k=101, v="n101")])
+        before_dvs = table.history()[-1].get("dvs") or {}
+        table.merge_into(src, ["k"], strategy="mor")
+        m = table.history()[-1]
+        assert (m.get("dvs") or {}) == before_dvs  # nothing matched: no DV
+        assert len(_rows(table.snapshot())) == 22
+
+    def test_empty_source_is_noop(self, spark, table):
+        src = spark.createDataFrame([], "k int, v string")
+        assert table.merge_into(src, ["k"], strategy="mor") == 1
+        assert table.version() == 1
+
+    def test_repeated_mor_upserts_same_key(self, spark, table):
+        for i in range(3):
+            table.merge_into(spark.createDataFrame([Row(k=5, v=f"gen{i}")]), ["k"], strategy="mor")
+        got = dict(_rows(table.snapshot()))
+        assert got[5] == "gen2" and len(got) == 20  # exactly one live row
+
+    def test_time_travel_sees_preimage(self, spark, table):
+        table.merge_into(spark.createDataFrame([Row(k=5, v="post")]), ["k"], strategy="mor")
+        assert dict(_rows(table.snapshot(1)))[5] == "base5"
+        assert dict(_rows(table.snapshot(2)))[5] == "post"
+
+    def test_cdf_across_mor_with_preimages(self, spark, table):
+        src = spark.createDataFrame([Row(k=5, v="post5"), Row(k=99, v="new99")])
+        v1 = table.version()
+        v2 = table.merge_into(src, ["k"], strategy="mor")
+        ch = table.changes(v1, v2, keys=["k"], include_preimages=True)
+        by_type = {
+            (r["_change_type"], r["k"]): r["v"] for r in ch.collect()
+        }
+        assert by_type[("update_preimage", 5)] == "base5"
+        assert by_type[("update_postimage", 5)] == "post5"
+        assert by_type[("insert", 99)] == "new99"
+        assert len(by_type) == 3
+        # default call keeps the historical three-type contract
+        assert table.changes(v1, v2, keys=["k"]).count() == 2
+
+    def test_txn_exactly_once(self, spark, table):
+        src = spark.createDataFrame([Row(k=5, v="batch7")])
+        v = table.merge_into(src, ["k"], strategy="mor", txn_app="stream", txn_version=7)
+        again = table.merge_into(
+            spark.createDataFrame([Row(k=5, v="replayed")]), ["k"],
+            strategy="mor", txn_app="stream", txn_version=7,
+        )
+        assert again == v and table.version() == v
+        assert dict(_rows(table.snapshot()))[5] == "batch7"
+
+    def test_schema_evolution_mor(self, spark, table):
+        src = spark.createDataFrame([Row(k=5, v="post5", extra=11)])
+        table.merge_into(src, ["k"], strategy="mor", schema_evolution=True)
+        snap = table.snapshot()
+        got = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+        assert got[5] == ("post5", 11)
+        assert got[0] == ("base0", None)  # old files null-backfilled
+
+    def test_mor_then_optimize_materializes(self, spark, table):
+        table.merge_into(spark.createDataFrame([Row(k=5, v="post")]), ["k"], strategy="mor")
+        before = _rows(table.snapshot())
+        table.optimize(n_files=2)
+        m = table.history()[-1]
+        assert not m["dvs"]
+        assert _rows(table.snapshot()) == before
+
+
+class TestDVStackingAndCompaction:
+    """dv_stacking observability + compact_dv_stacked: N sequential DV
+    commits stack; targeted compaction rewrites only the stacked files,
+    clears their DV lists, and never changes the snapshot."""
+
+    def test_stacking_depth_reported_and_bounded_by_compaction(self, spark, table):
+        for k in (1, 4, 7, 10, 13):
+            table.delete_matching(spark.createDataFrame([Row(k=k)]), ["k"])
+        depths = table.dv_stacking()
+        assert depths and max(depths.values()) >= 2  # stacks grew
+        before = _rows(table.snapshot())
+        v = table.compact_dv_stacked(threshold=2)
+        assert v == table.version()
+        m = table.history()[-1]
+        assert m["op"] == "optimize:dv"
+        after_depths = table.dv_stacking()
+        assert all(d < 2 for d in after_depths.values()) or not after_depths
+        assert _rows(table.snapshot()) == before  # nothing resurrected/lost
+
+    def test_below_threshold_is_noop(self, spark, table):
+        table.delete_matching(spark.createDataFrame([Row(k=1)]), ["k"])
+        v = table.version()
+        assert table.compact_dv_stacked(threshold=99) == v
+        assert table.version() == v
+
+    def test_compaction_rewrites_only_stacked_files(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "stk"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(1000)]),
+            n_files=10, cluster_by=["k"],
+        )
+        # repeatedly delete keys in ONE file's range -> only it stacks
+        for k in (120, 121, 122):
+            t.delete_matching(spark.createDataFrame([Row(k=k)]), ["k"])
+        files_before = set(t.history()[-1]["files"])
+        stacked = {f for f, d in t.dv_stacking().items() if d >= 3}
+        assert stacked
+        t.compact_dv_stacked(threshold=3)
+        m = t.history()[-1]
+        carried = files_before - stacked
+        assert carried <= set(m["files"])  # non-stacked carried by reference
+        assert not (stacked & set(m["files"]))  # stacked files rewritten away
+        assert {k for k, _ in _rows(t.snapshot())} == set(range(1000)) - {120, 121, 122}
