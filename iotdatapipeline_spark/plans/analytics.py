@@ -987,14 +987,15 @@ def embeddings_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embeddings_ivf_recall"] = _ivf_recall_sql()
 
 
-def _neardup_blocked_sql(n_probe: int = 1) -> str:
-    """Blocked near-dup pair SQL, parameterized by probe width: each
-    vector joins its ``n_probe`` nearest IVF buckets; candidate pairs
-    are DISTINCT (id1, id2) BEFORE scoring so a pair sharing several
-    probed buckets is scored once (identical cosine either way, but
-    dedup-first keeps the float summation identical across engines)."""
+def _neardup_blocked_sql(n_probe: int = 1, n_cents: int = 8) -> str:
+    """Blocked near-dup pair SQL, parameterized by probe width and
+    centroid count: each vector joins its ``n_probe`` nearest IVF
+    buckets of ``n_cents``; candidate pairs are DISTINCT (id1, id2)
+    BEFORE scoring so a pair sharing several probed buckets is scored
+    once (identical cosine either way, but dedup-first keeps the float
+    summation identical across engines)."""
     return f"""
-    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {n_cents}),
     ap AS (
         SELECT e.vec_id, cid,
                unnest(e.embedding)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
@@ -2773,11 +2774,12 @@ def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_semantic_neardup",
-    f"""
+def _semantic_neardup_sql(n_cents: int = 8) -> str:
+    """SemDeDup oracle, parameterized by IVF bucket count: blocked
+    cosine candidates cross-verified by exact 3-gram Jaccard."""
+    return f"""
     WITH {_SHINGLES_SQL},
-    sem AS (SELECT * FROM ({_neardup_blocked_sql(1)}) s0),
+    sem AS (SELECT * FROM ({_neardup_blocked_sql(1, n_cents)}) s0),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     iv AS (
         SELECT s.id1, s.id2, count(*) AS inter
@@ -2795,25 +2797,21 @@ def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN iv ON iv.id1 = s.id1 AND iv.id2 = s.id2
       JOIN sizes z1 ON z1.doc_id = s.id1
       JOIN sizes z2 ON z2.doc_id = s.id2
-    """,
-)
-def docs_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic deduplication with lexical cross-verification (the
-    SemDeDup pattern, Abbas et al. 2023): candidate duplicate pairs
-    come from EMBEDDING similarity (IVF-bucket-blocked cosine — finds
-    paraphrases exact n-grams miss), and each candidate is then
-    checked against exact word-3-gram Jaccard, labeling pairs as
-    lexically confirmed duplicates vs semantic-only neighbors. The
-    documents and embeddings fixtures share one id space, so the two
-    modalities join directly; at scale the Jaccard verify runs only on
-    the (tiny) semantic candidate set, never on the corpus."""
+    """
+
+
+def _semantic_neardup_plan(spark: SparkSession, sf_dir: str, n_cents: int) -> DataFrame:
+    """Shared Spark plan for the SemDeDup gates (see
+    docs_semantic_neardup's docstring for semantics)."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
     assigned = ivf_assign(emb, cents).select("vec_id", "centroid_id")
-    pairs = neardup_pairs(emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000)
+    pairs = neardup_pairs(
+        emb.join(assigned, "vec_id"), block_col="centroid_id", min_cos_x1e6=350_000
+    )
 
     sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -2839,6 +2837,36 @@ def docs_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jx >= 500).alias("lexical_confirmed"),
         )
     )
+
+
+@register("docs_semantic_neardup_scaled", _semantic_neardup_sql(64))
+def docs_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale SemDeDup shape (r9, verdict r8 item 5): identical
+    pipeline to ``docs_semantic_neardup`` with the IVF bucket count
+    raised 8 → 64. The 8-bucket gate's within-bucket pair scan is
+    Σ_b n_b² with n_b = N/8 — quadratic in N at FIXED bucket count,
+    which is why its sf4 spot blew the budget on BOTH engines (r2).
+    Real IVF sizes k ∝ N (bounded bucket size ⇒ linear total pair
+    work); this gate IS that knob, and its x10 row is the at-scale
+    evidence the 8-bucket gate could never record (BASELINE.md r9).
+    The 8-bucket twin stays registered: same code path, denser buckets
+    — more candidate recall at small N."""
+    return _semantic_neardup_plan(spark, sf_dir, 64)
+
+
+@register("docs_semantic_neardup", _semantic_neardup_sql(8))
+def docs_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication with lexical cross-verification (the
+    SemDeDup pattern, Abbas et al. 2023): candidate duplicate pairs
+    come from EMBEDDING similarity (IVF-bucket-blocked cosine — finds
+    paraphrases exact n-grams miss), and each candidate is then
+    checked against exact word-3-gram Jaccard, labeling pairs as
+    lexically confirmed duplicates vs semantic-only neighbors. The
+    documents and embeddings fixtures share one id space, so the two
+    modalities join directly; at scale the Jaccard verify runs only on
+    the (tiny) semantic candidate set, never on the corpus. For the
+    at-scale bucket sizing see ``docs_semantic_neardup_scaled``."""
+    return _semantic_neardup_plan(spark, sf_dir, 8)
 
 
 @register(
