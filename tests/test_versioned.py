@@ -360,6 +360,78 @@ class TestOptimisticConcurrency:
         assert all(got[1000 + i] == f"writer{i}" for i in range(4))
         assert got[0] == "base0" and len(got) == 24
 
+    def test_cross_process_writers_race_and_both_land(self, spark, table):
+        """The O_EXCL claim is the lakehouse's foundation, and in-process
+        threads share one CPython/JVM — this pins it ACROSS PROCESSES:
+        two subprocess Spark sessions merge into the same table, each
+        pausing at a filesystem barrier immediately before its FIRST
+        commit attempt so both link against the same base version.
+        Exactly one wins version 2; the loser must retry against the
+        new snapshot and land version 3; both effects present."""
+        import subprocess
+        import sys
+        import textwrap
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        barrier_dir = os.path.dirname(table.root)
+        script = textwrap.dedent(
+            """
+            import os, sys, time
+            root, tag, other, barrier = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+            from pyspark.sql import SparkSession, Row
+            spark = (
+                SparkSession.builder.master("local[2]")
+                .config("spark.sql.shuffle.partitions", "2")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            from iotdatapipeline_spark.sources.versioned import VersionedTable
+            orig = VersionedTable._try_commit
+            state = {"first": True}
+            def patched(self, *a, **kw):
+                if state["first"]:
+                    state["first"] = False
+                    open(os.path.join(barrier, f"ready_{tag}"), "w").close()
+                    deadline = time.time() + 60
+                    while not os.path.exists(os.path.join(barrier, f"ready_{other}")):
+                        if time.time() > deadline:
+                            raise RuntimeError("barrier timeout")
+                        time.sleep(0.01)
+                return orig(self, *a, **kw)
+            VersionedTable._try_commit = patched
+            t = VersionedTable(spark, root)
+            src = spark.createDataFrame(
+                [Row(k=int(tag) * 100 + i, v=f"proc{tag}") for i in range(3)]
+            )
+            v = t.merge_into(src, ["k"], max_retries=10)
+            print(f"COMMITTED {tag} {v}", flush=True)
+            spark.stop()
+            """
+        )
+        env = dict(os.environ, PYTHONPATH=here + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, table.root, tag, other, barrier_dir],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for tag, other in (("7", "9"), ("9", "7"))
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"writer failed:\n{out}\n{err[-2000:]}"
+        versions = sorted(
+            int(line.split()[2])
+            for out, _ in outs
+            for line in out.splitlines()
+            if line.startswith("COMMITTED")
+        )
+        assert versions == [2, 3]  # one won the race, one retried and landed
+        fresh = VersionedTable(spark, table.root)  # re-probe manifests
+        got = dict(_rows(fresh.snapshot()))
+        assert all(got[700 + i] == "proc7" for i in range(3))
+        assert all(got[900 + i] == "proc9" for i in range(3))
+        assert len(got) == 26 and got[0] == "base0"
+
     def test_gives_up_after_max_retries(self, spark, table):
         src = spark.createDataFrame([Row(k=1, v="x")])
 
