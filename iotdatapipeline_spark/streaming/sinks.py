@@ -80,16 +80,33 @@ def upsert_foreach_batch(path: str, keys: Sequence[str]):
     return apply
 
 
-def versioned_upsert_foreach_batch(root: str, keys: Sequence[str], txn_app: str | None = None):
+def versioned_upsert_foreach_batch(
+    root: str,
+    keys: Sequence[str],
+    txn_app: str | None = None,
+    strategy: str = "cow",
+    compact_dv_threshold: int | None = None,
+):
     """K1/K2 executor against the transactional MERGE target
     (sources/versioned.py): each micro-batch becomes one committed
-    copy-on-write MERGE — only the files holding matched keys are
-    rewritten, the commit is atomic, and concurrent writers (another
-    stream, a batch backfill) are serialized by optimistic concurrency
-    instead of clobbering each other the way whole-table overwrite
-    would. This is the executor a production deployment keeps; the
-    plain-parquet ``upsert_foreach_batch`` is the zero-infrastructure
-    fallback.
+    MERGE — atomic, and concurrent writers (another stream, a batch
+    backfill) are serialized by optimistic concurrency instead of
+    clobbering each other the way whole-table overwrite would. This is
+    the executor a production deployment keeps; the plain-parquet
+    ``upsert_foreach_batch`` is the zero-infrastructure fallback.
+
+    ``strategy``: ``"cow"`` (default) rewrites only the files holding
+    matched keys; ``"mor"`` commits deletion-vector preimage kills +
+    postimage appends — O(changed rows) per batch, the right cost for
+    the reference's per-tick scattered-key updates (K1, Prensas.py:
+    216-223) where every micro-batch touches a different key in every
+    file. With ``"mor"``, pass ``compact_dv_threshold=N`` to run
+    :meth:`~.versioned.VersionedTable.compact_dv_stacked` after each
+    merge: a no-op until some file stacks N DVs, then a targeted
+    rewrite of just the stacked files — bounding the read tax without
+    a scheduled optimize job. (The compaction is its own commit and is
+    intentionally NOT txn-deduped: replaying it is harmless — it
+    converges to no-op.)
 
     ``txn_app`` is the Delta ``txnAppId`` convention: the idempotence
     check dedupes on (txn_app, batch_id), so every logically distinct
@@ -128,7 +145,9 @@ def versioned_upsert_foreach_batch(root: str, keys: Sequence[str], txn_app: str 
                 return
             except (CommitConflict, ValueError):
                 pass  # another writer created the table first — merge
-        table.merge_into(latest, keys, txn_app=app, txn_version=batch_id)
+        table.merge_into(latest, keys, txn_app=app, txn_version=batch_id, strategy=strategy)
+        if strategy == "mor" and compact_dv_threshold is not None:
+            table.compact_dv_stacked(threshold=compact_dv_threshold)
 
     return apply
 

@@ -626,6 +626,49 @@ class TestSinks:
         assert table.version() == 3
         assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
 
+    def test_versioned_upsert_sink_mor_with_auto_compaction(self, spark, tmp_path):
+        """The MOR sink shape for K1's per-tick scattered updates: each
+        batch commits DV preimage kills + postimage appends (no file
+        rewrites), the snapshot matches the COW sink bit-for-bit, the
+        txn replay contract holds, and compact_dv_threshold bounds the
+        DV stack depth via targeted auto-compaction."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt_mor")
+        sink = versioned_upsert_foreach_batch(
+            root, ["k"], txn_app="q", strategy="mor", compact_dv_threshold=2
+        )
+        batches = [
+            [(1, 5, "a"), (2, 5, "b")],
+            [(2, 9, "b2"), (3, 9, "c")],
+            [(2, 10, "b3"), (3, 11, "c2")],
+            [(2, 12, "b4"), (1, 12, "a2")],
+        ]
+        for i, rows in enumerate(batches):
+            sink(spark.createDataFrame(rows, "k int, ts int, v string"), i)
+        table = VersionedTable(spark, root)
+        got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+        assert got == {1: "a2", 2: "b4", 3: "c2"}
+        ops = [m["op"] for m in table.history()]
+        assert ops[0] == "create"
+        assert set(ops[1:]) <= {"merge:update:mor", "optimize:dv"}
+        assert "optimize:dv" in ops  # the threshold fired at least once
+        depths = table.dv_stacking()
+        assert all(d < 2 for d in depths.values()) or not depths
+        # replayed batch (same batch_id): exactly-once, snapshot stable
+        v = table.version()
+        sink(spark.createDataFrame(batches[-1], "k int, ts int, v string"), 3)
+        assert table.version() == v
+        assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
+        # same end state as the COW sink over the same batches
+        root2 = str(tmp_path / "vt_cow")
+        cow = versioned_upsert_foreach_batch(root2, ["k"], txn_app="q")
+        for i, rows in enumerate(batches):
+            cow(spark.createDataFrame(rows, "k int, ts int, v string"), i)
+        cow_got = {r["k"]: r["v"] for r in VersionedTable(spark, root2).snapshot().collect()}
+        assert cow_got == got
+
 
 @pytest.mark.slow
 class TestTransformWithStateBackend:
