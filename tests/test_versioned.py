@@ -1693,3 +1693,36 @@ class TestDVStackingAndCompaction:
         assert carried <= set(m["files"])  # non-stacked carried by reference
         assert not (stacked & set(m["files"]))  # stacked files rewritten away
         assert {k for k, _ in _rows(t.snapshot())} == set(range(1000)) - {120, 121, 122}
+
+
+class TestMorConflictOrphans:
+    def test_failed_mor_attempt_orphans_reclaimed_by_vacuum(self, spark, table):
+        """A MOR merge that loses its first commit race leaves that
+        attempt's appended postimage files AND DV parquet orphaned;
+        the retry lands, and vacuum reclaims exactly the orphans —
+        never a file referenced by any committed version."""
+        orig = type(table)._try_commit
+        state = {"failed": False}
+
+        def fail_once(self, *a, **kw):
+            if not state["failed"]:
+                state["failed"] = True
+                raise CommitConflict("simulated race loss")
+            return orig(self, *a, **kw)
+
+        table._try_commit = fail_once.__get__(table)
+        src = spark.createDataFrame([Row(k=3, v="post3"), Row(k=99, v="new99")])
+        v = table.merge_into(src, ["k"], strategy="mor", max_retries=3)
+        assert v == 2 and state["failed"]
+        all_files = set(os.listdir(table._data))
+        referenced = set()
+        for m in table.history():
+            referenced |= set(m["files"])
+            for dv_list in (m.get("dvs") or {}).values():
+                referenced |= set(dv_list)
+        orphans = all_files - referenced
+        assert orphans  # the failed attempt left files behind
+        removed = set(table.vacuum(retention_s=0))
+        assert removed == orphans
+        got = dict(_rows(table.snapshot()))
+        assert got[3] == "post3" and got[99] == "new99" and len(got) == 21
