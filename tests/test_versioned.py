@@ -207,13 +207,16 @@ class TestTimeTravelAndVacuum:
 
 class TestModelBased:
     @pytest.mark.slow
-    @pytest.mark.parametrize("seed", [7, 91])
+    @pytest.mark.parametrize("seed", [7, 91, 1009])
     def test_random_op_sequence_matches_dict_model(self, spark, tmp_path, seed):
         """Model-based check of the whole table protocol: a random
-        sequence of upserts / deletes / optimizes applied both to the
-        VersionedTable and to a plain-dict model must agree on every
-        intermediate snapshot, and time travel must replay the model's
-        full history."""
+        sequence of COW upserts/deletes, merge-on-read upserts/deletes,
+        predicate and keyed DV deletes, targeted DV compactions, and
+        optimizes applied both to the VersionedTable and to a plain-dict
+        model must agree on every intermediate snapshot, and time travel
+        must replay the model's full history — whatever mix of
+        copy-on-write rewrites and stacked deletion vectors the ops
+        produced."""
         import random
 
         rng = random.Random(seed)
@@ -225,19 +228,37 @@ class TestModelBased:
             cluster_by=["k"],
         )
         snapshots = [dict(model)]
-        for step in range(8):
-            op = rng.choice(["upsert", "delete", "optimize"])
+        ops = [
+            "upsert", "delete", "optimize",
+            "mor_upsert", "mor_delete", "dv_delete_where", "delete_matching", "compact_dv",
+        ]
+        for step in range(12):
+            op = rng.choice(ops)
             if op == "optimize":
                 t.optimize(n_files=rng.randint(1, 4))
+            elif op == "compact_dv":
+                t.compact_dv_stacked(threshold=rng.randint(1, 2))
+                # pure layout op: may or may not commit (no stacked
+                # files -> no-op); model unchanged either way
+            elif op == "dv_delete_where":
+                m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+                t.delete_where(f"k % {m} = {r}")
+                model = {k: v for k, v in model.items() if k % m != r}
+            elif op == "delete_matching":
+                ks = rng.sample(range(35), rng.randint(1, 5))
+                t.delete_matching(spark.createDataFrame([Row(k=k) for k in ks]), ["k"])
+                for k in ks:
+                    model.pop(k, None)  # keyed delete: no inserts
             else:
                 ks = rng.sample(range(35), rng.randint(1, 5))
                 rows = [Row(k=k, v=f"s{step}-{k}") for k in ks]
                 src = spark.createDataFrame(rows)
-                if op == "upsert":
-                    t.merge_into(src, ["k"])
+                strategy = "mor" if op.startswith("mor_") else "cow"
+                if op.endswith("upsert"):
+                    t.merge_into(src, ["k"], strategy=strategy)
                     model.update({r.k: r.v for r in rows})
                 else:
-                    t.merge_into(src, ["k"], when_matched="delete")
+                    t.merge_into(src, ["k"], when_matched="delete", strategy=strategy)
                     for r in rows:
                         if r.k in model:
                             del model[r.k]
@@ -252,7 +273,12 @@ class TestModelBased:
             assert scan_got == {k: v for k, v in model.items() if lo <= k <= hi}, (
                 f"step {step} ({op}) scan[{lo},{hi}]"
             )
-            snapshots.append(dict(model))
+            # an op that committed nothing (empty DV hits, no stacked
+            # files) must not have burned a version
+            if t.version() == len(snapshots):
+                assert model == snapshots[-1], f"step {step} ({op}): silent no-op lost a change"
+            else:
+                snapshots.append(dict(model))
         # time travel replays the whole history
         assert t.version() == len(snapshots)
         for v, expect in enumerate(snapshots, start=1):
