@@ -180,8 +180,11 @@ SECONDARY = [
     # happens at plan-build (documented in BASELINE.md r8)
     "events_props_shredded",
     # round-9: the retrain-per-query PQ path, demoted from the headline
-    # when the materialized-index twin took the slot (BASELINE.md r9)
+    # when the materialized-index twin took the slot (BASELINE.md r9),
+    # and the materialized IVFPQ composition (stored inverted file +
+    # packed codes — the full production index shape)
     "embeddings_pq_topk",
+    "embeddings_ivfpq_index_topk",
 ]
 
 #: Tiny-scale warmup dir (codegen cache priming; see module docstring).

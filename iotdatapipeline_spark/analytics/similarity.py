@@ -490,6 +490,7 @@ def pq_adc_search_packed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search over the PACKED materialized index — the minimal
     steady-state plan. Inputs: ``codes_arr`` (nid, codes: array<int>)
@@ -506,7 +507,13 @@ def pq_adc_search_packed(
     already-scored 3-column candidate rows (on a cluster, IVF
     pre-pruning — embeddings_ivfpq_topk — bounds that candidate set).
     Both folds are labeled broadcast folds: 1 codebook row, |queries|
-    LUT rows."""
+    LUT rows.
+
+    ``candidates`` (qid, nid) restricts scoring to an IVF-pruned pair
+    set instead of the exhaustive code scan — the materialized IVFPQ
+    composition (``embeddings_ivfpq_index_topk``): each candidate row
+    joins its code row once, its query's LUT broadcasts, and the
+    scored set IS the candidate set."""
     d_expr = F.array_size(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -542,11 +549,19 @@ def pq_adc_search_packed(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = (
-        codes_arr.crossJoin(F.broadcast(lut))
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", dist.alias("dist_est"))
-    )
+    if candidates is not None:
+        scored = (
+            candidates.join(codes_arr, "nid")
+            .join(F.broadcast(lut), "qid")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", dist.alias("dist_est"))
+        )
+    else:
+        scored = (
+            codes_arr.crossJoin(F.broadcast(lut))
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", dist.alias("dist_est"))
+        )
     w = Window.partitionBy("qid").orderBy(F.asc("dist_est"), F.asc("nid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

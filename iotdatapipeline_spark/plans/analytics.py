@@ -2512,8 +2512,31 @@ def embeddings_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks broadcast, and re-ingest is triggered by the dataset
     fingerprint — the Faiss IVFPQ build/search split expressed as two
     lakehouse tables."""
+    from iotdatapipeline_spark.analytics.similarity import pq_adc_search_packed
+
+    _, cbs_t, codes_t = _pq_index_tables(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_search_packed(
+        codes_t.snapshot().select("nid", "codes"),
+        cbs_t.snapshot().select("cbs"),
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        m=4,
+        ksub=8,
+    )
+
+
+ORACLE["embeddings_pq_index_topk"] = ORACLE["embeddings_pq_topk"]
+
+
+def _pq_index_tables(spark: SparkSession, sf_dir: str):
+    """Materialize (once, fingerprint-keyed, race-safe) and return the
+    packed PQ index tables: ``(root, cbs_t, codes_t)``. Long-format
+    codebooks land first (reusable by any consumer), then the two
+    packed search tables derived from STORED inputs — training never
+    re-runs once the cents table exists, and builders commute. Shared
+    by embeddings_pq_index_topk and embeddings_ivfpq_index_topk."""
     from iotdatapipeline_spark.analytics.similarity import (
-        pq_adc_search_packed,
         pq_codebooks,
         pq_encode,
         pq_pack_codebooks,
@@ -2530,9 +2553,6 @@ def embeddings_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, cents = pq_codebooks(emb, m=4, ksub=8, iters=2)
         return cents
 
-    # long-format codebooks first (reusable by any consumer), then the
-    # two packed search tables derived from STORED inputs — training
-    # never re-runs once the cents table exists, and builders commute
     cents_t = materialize_once(spark, f"{root}/cents", build_cents)
     cents = cents_t.snapshot().select("s", "cid", "c")
     cbs_t = materialize_once(spark, f"{root}/cbs", lambda: pq_pack_codebooks(cents))
@@ -2542,19 +2562,68 @@ def embeddings_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pq_pack_codes(pq_encode(pq_subvectors(emb, m=4), cents))
 
     codes_t = materialize_once(spark, f"{root}/codes", build_codes)
+    return root, cbs_t, codes_t
 
+
+@register("embeddings_ivfpq_index_topk", None)
+def embeddings_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF-PQ — the full production index shape (what a
+    Faiss IVFPQ build/search split does), composed from TWO stored
+    structures under one fingerprint root: the packed PQ tables (shared
+    with ``embeddings_pq_index_topk``) and the INVERTED FILE (nid →
+    coarse bucket, clustered by bucket so a probe's scan prunes to its
+    buckets' files). ``embeddings_ivfpq_topk`` (kept) recomputes BOTH
+    per query — coarse assignment of the whole corpus AND codebook
+    training+encoding; here the steady state is: assign the 5 probe
+    vectors to their 2 nearest coarse buckets (8-row broadcast),
+    semi-join the stored inverted file for the candidate set, and
+    ADC-score ONLY the candidates row-locally against the stored
+    packed codes. Same full-pipeline DuckDB oracle as the live gate —
+    bit-identical results verify both stored structures end-to-end.
+
+    100 TB: the query never scans the corpus — candidates are
+    O(probed-bucket sizes), scoring reads only those rows of the code
+    table (clustered inverted file ⇒ file-pruned), and the LUT/codebook
+    folds broadcast. This is the composition that keeps billion-vector
+    search interactive."""
+    from iotdatapipeline_spark.analytics.similarity import ivf_assign, pq_adc_search_packed
+    from iotdatapipeline_spark.plans.materialize import materialize_once
+
+    root, cbs_t, codes_t = _pq_index_tables(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    cents8 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    ivf_t = materialize_once(
+        spark,
+        f"{root}/ivf",
+        lambda: ivf_assign(emb, cents8).select(F.col("vec_id").alias("nid"), "centroid_id"),
+        cluster_by=["centroid_id"],
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    probes = ivf_assign(queries, cents8, n_probe=2).select(
+        F.col("vec_id").alias("qid"), "centroid_id"
+    )
+    cand = (
+        probes.join(ivf_t.snapshot(), "centroid_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
     return pq_adc_search_packed(
         codes_t.snapshot().select("nid", "codes"),
         cbs_t.snapshot().select("cbs"),
-        emb.filter(F.col("vec_id") < 5),
+        queries,
         k=3,
         m=4,
         ksub=8,
+        candidates=cand,
     )
 
 
-ORACLE["embeddings_pq_index_topk"] = ORACLE["embeddings_pq_topk"]
+# oracle assigned after embeddings_ivfpq_topk's registration below
+# (same full-pipeline SQL — the stored structures must reproduce the
+# live composition bit-for-bit)
 
 
 def _pq_recall_sql() -> str:
@@ -2772,6 +2841,9 @@ def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
     )
+
+
+ORACLE["embeddings_ivfpq_index_topk"] = ORACLE["embeddings_ivfpq_topk"]
 
 
 def _semantic_neardup_sql(n_cents: int = 8) -> str:

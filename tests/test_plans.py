@@ -391,6 +391,31 @@ class TestPQIndex:
             t = VersionedTable(spark, f"/tmp/sparkgraft_pqindex/{roots[0]}/{sub}")
             assert t.version() == 1, sub
 
+    def test_ivfpq_index_matches_live_composition(self, spark, sf_small):
+        """embeddings_ivfpq_index_topk: the stored inverted file +
+        packed codes must reproduce the live-composed IVFPQ gate
+        bit-for-bit, the ivf table must share the PQ index root and be
+        version-1-once, and the candidate-restricted plan must stay
+        index-shaped (bounded exchanges, no corpus re-assignment)."""
+        import os
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        got = {
+            tuple(r) for r in QUERIES["embeddings_ivfpq_index_topk"](spark, sf_small).collect()
+        }
+        want = {tuple(r) for r in QUERIES["embeddings_ivfpq_topk"](spark, sf_small).collect()}
+        assert got == want and got
+
+        df = QUERIES["embeddings_ivfpq_index_topk"](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 6, plan
+        assert "sparkgraft_pqindex" in plan
+        roots = os.listdir("/tmp/sparkgraft_pqindex")
+        assert len(roots) == 1
+        t = VersionedTable(spark, f"/tmp/sparkgraft_pqindex/{roots[0]}/ivf")
+        assert t.version() == 1
+
     def test_packed_search_equals_long_format_search(self, spark, sf_small):
         """pq_adc_search_packed (row-local fold over packed codes) and
         pq_adc_search (long-format broadcast LUT join) are two physical
