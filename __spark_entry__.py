@@ -53,6 +53,12 @@ _RETEST = [
     "events_versioned_cdf_stream",
     "events_props_shredded",
     "embeddings_pq_topk",
+    # r9 cont.: pq_codebooks gained the pq_subvectors factoring (these
+    # two compose it) and the SemDeDup gate moved onto the shared
+    # _semantic_neardup_plan builder
+    "embeddings_pq_recall",
+    "embeddings_ivfpq_topk",
+    "docs_semantic_neardup",
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without
