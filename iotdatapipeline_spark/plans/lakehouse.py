@@ -459,6 +459,73 @@ def events_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_column_mapping",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT coalesce(s.station, b.station) AS station,
+           coalesce(s.part, b.part) AS part,
+           coalesce(s.v_cents, b.v_cents) AS value_cents,
+           coalesce(s.version_id, b.version_id) AS version_id
+    FROM b FULL JOIN s ON b.station = s.station
+    """,
+)
+def events_versioned_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (r9): ALTER RENAME + DROP without rewriting a
+    byte, then a MERGE through the renamed schema. CREATE the
+    per-station dim (odd-thirds, 8 clustered files), RENAME
+    ``v_cents -> value_cents``, DROP ``ts_us``, then MERGE-upsert the
+    even-thirds %5 source expressed in the NEW logical schema — the
+    appended/rewritten files store PHYSICAL names, so a reader of any
+    version sees exactly that version's logical columns. The gate
+    hard-fails if either ALTER touched the data file set, if the
+    manifest lost the mapping/retired records, or if time travel to v1
+    shows the new names. Oracle: the same set algebra with the rename
+    applied in the projection — values must be bit-identical, proving
+    the mapped write/read round-trip loses nothing.
+
+    100 TB: a rename on a petabyte table is one manifest commit plus an
+    O(files) stats-sidecar re-key — data, DV files and layout carried
+    by reference (Delta/Iceberg column mapping; files keep physical
+    names forever, ``optimize`` clears the debt)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_cmap_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    files_v1 = table.history()[0]["files"]
+    table.rename_column("v_cents", "value_cents")
+    table.drop_column("ts_us")
+    m = table.history()[-1]
+    if m["files"] != files_v1:
+        raise RuntimeError("ALTER rewrote the data file set")
+    if m.get("col_map") != {"value_cents": "v_cents"} or m.get("retired_cols") != ["ts_us"]:
+        raise RuntimeError(f"mapping not recorded: {m.get('col_map')}/{m.get('retired_cols')}")
+    if "v_cents" not in table.snapshot(1).columns:
+        raise RuntimeError("time travel lost the pre-rename schema")
+    src = (
+        _latest_per_station(
+            r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+        )
+        .select("station", "part", F.col("v_cents").alias("value_cents"), "version_id")
+    )
+    table.merge_into(src, ["station"])
+    return table.snapshot().select("station", "part", "value_cents", "version_id")
+
+
+@register(
     "events_versioned_dv_upsert",
     """
     WITH b AS (

@@ -481,12 +481,21 @@ class VersionedTable:
             if with_pos:
                 empty = empty.withColumn("__pos", F.lit(None).cast("bigint"))
             return empty
+        cmap = m.get("col_map") or {}
         if schema_json is not None:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            df = self.spark.read.schema(
-                StructType.fromJson(json.loads(schema_json))
-            ).parquet(*paths)
+            logical = StructType.fromJson(json.loads(schema_json))
+            if cmap:
+                # files store PHYSICAL names (stable across renames —
+                # Delta column mapping's contract): read physically,
+                # alias back to the logical schema afterwards
+                physical = StructType(
+                    [StructField(cmap.get(f.name, f.name), f.dataType, f.nullable) for f in logical]
+                )
+            else:
+                physical = logical
+            df = self.spark.read.schema(physical).parquet(*paths)
         else:
             df = self.spark.read.parquet(*paths)
         dvs = m.get("dvs") or {}
@@ -507,7 +516,49 @@ class VersionedTable:
             ).select(*cols)
         elif with_file or with_pos:
             df = self._with_pos(df).select(*cols)
+        if cmap and schema_json is not None:
+            rev = {p: l for l, p in cmap.items()}
+            df = df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
         return df
+
+    @staticmethod
+    def _to_physical(df: DataFrame, m: dict) -> DataFrame:
+        """Rename a LOGICAL-named frame to the manifest's physical
+        column names before writing — every data file must carry
+        physical names so renames/drops never require rewrites. No-op
+        for unmapped tables."""
+        cmap = m.get("col_map") or {}
+        if not cmap:
+            return df
+        return df.select(*[F.col(c).alias(cmap.get(c, c)) for c in df.columns])
+
+    def _write_files_mapped(
+        self,
+        df: DataFrame,
+        m: dict,
+        n_files: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+    ) -> list[str]:
+        """_write_files for LOGICAL-named table rows under a mapped
+        manifest: translates both the frame and the clustering columns
+        to physical names. Identity when the table has no mapping."""
+        cmap = m.get("col_map") or {}
+        pcluster = [cmap.get(c, c) for c in cluster_by] if cluster_by else None
+        return self._write_files(self._to_physical(df, m), n_files=n_files, cluster_by=pcluster)
+
+    def _collect_stats_mapped(self, names: list[str], cols: Sequence[str] | None, m: dict) -> dict:
+        """_collect_stats over freshly-written PHYSICAL files, re-keyed
+        to LOGICAL column names so the stats sidecar (and therefore
+        pruning lookups) stay logical-named end to end."""
+        cmap = m.get("col_map") or {}
+        if not cmap or not cols:
+            return self._collect_stats(names, cols)
+        phys = [cmap.get(c, c) for c in cols]
+        rev = {p: l for l, p in cmap.items()}
+        raw = self._collect_stats(names, phys)
+        return {
+            f: {rev.get(c, c): v for c, v in s.items()} for f, s in raw.items()
+        }
 
     @staticmethod
     def _with_pos(df: DataFrame) -> DataFrame:
@@ -562,6 +613,8 @@ class VersionedTable:
         stats: dict | None = None,
         dvs: dict[str, list[str]] | None = None,
         stats_file_ref: str | None = None,
+        col_map: dict[str, str] | None = None,
+        retired: list[str] | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -599,6 +652,13 @@ class VersionedTable:
                 # that commits zero files still leaves a readable
                 # (empty) version instead of bricking the table
                 schema_json = base_m.get("schema")
+            # column mapping carries forward unless the committer sets
+            # it explicitly (None = inherit; {} / [] = explicit reset,
+            # e.g. optimize rewriting every file under logical names)
+            if col_map is None:
+                col_map = base_m.get("col_map") or {}
+            if retired is None:
+                retired = base_m.get("retired_cols") or []
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
         # stats_file_ref: reuse an existing sidecar by name — sidecars
@@ -624,6 +684,13 @@ class VersionedTable:
             # merge-on-read deletes: data file -> DV parquet names whose
             # (file, pos) rows are subtracted at read (delete_where)
             "dvs": dvs or {},
+            # column mapping (rename/drop without rewrites): logical
+            # column name -> physical name in the parquet files; absent
+            # entries are identity. retired_cols = physical names of
+            # dropped columns (guards re-add resurrection until an
+            # optimize clears the mapping debt).
+            "col_map": col_map or {},
+            "retired_cols": retired or [],
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -1080,8 +1147,8 @@ class VersionedTable:
                 # permanent data loss committed into the new version
                 touched_df = self._read_data(m, sorted(touched))
                 kept = touched_df.join(src_keys, keys, "left_anti")
-                rewritten += self._write_files(
-                    kept, n_files=max(1, len(touched)), cluster_by=cluster_by
+                rewritten += self._write_files_mapped(
+                    kept, m, n_files=max(1, len(touched)), cluster_by=cluster_by
                 )
             if when_matched == "update":
                 inserted = source
@@ -1095,7 +1162,7 @@ class VersionedTable:
                 else:
                     inserted = source
             ins, committed_schema = self._align_insert(
-                base_df, source, inserted, schema_evolution
+                base_df, source, inserted, schema_evolution, m.get("retired_cols") or ()
             )
             ins_empty = ins.isEmpty()  # one job, reused below
             if ins_empty and not touched:
@@ -1109,14 +1176,14 @@ class VersionedTable:
                     # prune them. File count follows the merge's own
                     # locality (like the kept-rewrite), with optimize()
                     # as the long-run compactor.
-                    rewritten += self._write_files(
-                        ins, n_files=max(1, len(touched)), cluster_by=cluster_by
+                    rewritten += self._write_files_mapped(
+                        ins, m, n_files=max(1, len(touched)), cluster_by=cluster_by
                     )
                 else:
-                    rewritten += self._write_files(ins)
+                    rewritten += self._write_files_mapped(ins, m)
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = {f: stats[f] for f in untouched if f in stats}
-            new_stats.update(self._collect_stats(rewritten, stat_cols))
+            new_stats.update(self._collect_stats_mapped(rewritten, stat_cols, m))
             # rewritten files were read THROUGH their DVs (_read_data),
             # so the rewrite materializes pending deletes and the new
             # files start DV-free; untouched files keep their mappings
@@ -1143,7 +1210,11 @@ class VersionedTable:
 
     @staticmethod
     def _align_insert(
-        base_df: DataFrame, source: DataFrame, inserted: DataFrame, schema_evolution: bool
+        base_df: DataFrame,
+        source: DataFrame,
+        inserted: DataFrame,
+        schema_evolution: bool,
+        retired: Sequence[str] = (),
     ) -> tuple[DataFrame, str]:
         """Align the INSERT frame to the committed schema; returns
         ``(ins, committed_schema_json)``. With ``schema_evolution`` the
@@ -1157,9 +1228,18 @@ class VersionedTable:
         if schema_evolution:
             base_fields = list(base_df.schema.fields)
             base_names = {f.name for f in base_fields}
-            evolved = base_fields + [
-                f for f in source.schema.fields if f.name not in base_names
-            ]
+            added = [f for f in source.schema.fields if f.name not in base_names]
+            clash = [f.name for f in added if f.name in set(retired)]
+            if clash:
+                # a dropped column's physical name still lives in the
+                # old files — re-adding it by name would resurrect the
+                # old values on read. optimize() rewrites everything
+                # under logical names and clears the retired set.
+                raise ValueError(
+                    f"cannot re-add dropped column(s) {clash} via schema evolution; "
+                    "run optimize() first to clear the column-mapping debt"
+                )
+            evolved = base_fields + added
             aligned = inserted
             have = set(inserted.columns)
             for fld in evolved:
@@ -1227,7 +1307,7 @@ class VersionedTable:
                 else:
                     inserted = source
             ins, committed_schema = self._align_insert(
-                base_df, source, inserted, schema_evolution
+                base_df, source, inserted, schema_evolution, m.get("retired_cols") or ()
             )
             new_dvs = None
             if live is not None:
@@ -1243,10 +1323,10 @@ class VersionedTable:
                 # clustered like the COW insert path so future merges/
                 # scans can prune the appended files; zero-row parts of
                 # a small source are dropped by _write_files
-                appended = self._write_files(ins, cluster_by=cluster_by)
+                appended = self._write_files_mapped(ins, m, cluster_by=cluster_by)
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = dict(self._stats_of(m))
-            new_stats.update(self._collect_stats(appended, stat_cols))
+            new_stats.update(self._collect_stats_mapped(appended, stat_cols, m))
             dvs_map = (
                 new_dvs
                 if new_dvs is not None
@@ -1302,11 +1382,124 @@ class VersionedTable:
                     stats=None if m.get("stats_file") else (m.get("stats") or None),
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    # the restored state's column mapping, not the
+                    # current head's (a restore across a rename must
+                    # bring the old logical names back)
+                    col_map=m.get("col_map") or {},
+                    retired=m.get("retired_cols") or [],
                 )
                 return base + 1
             except CommitConflict:
                 continue
         raise CommitConflict(f"restore on {self.root} gave up after {max_retries} conflicts")
+
+    def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ... RENAME COLUMN without touching a data byte —
+        column mapping, the Delta/Iceberg contract: files keep their
+        PHYSICAL column names forever; the manifest maps logical →
+        physical, readers alias on scan, writers translate on write.
+        The one O(files) cost is re-keying the stats sidecar to the new
+        logical name (pruning lookups stay logical end-to-end); the
+        data files, DV files and row contents are carried by reference.
+        Time travel before the rename sees the old name (each manifest
+        owns its mapping); ``restore`` across a rename brings the old
+        names back. Returns the committed version."""
+        from pyspark.sql.types import StructField, StructType
+
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("rename_column target does not exist; create() it first")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            cmap = dict(m.get("col_map") or {})
+            cmap[new] = cmap.pop(old, old)
+            new_schema = StructType(
+                [
+                    StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            ).json()
+            cluster_by = [new if c == old else c for c in (m.get("cluster_by") or [])] or None
+            stats = {
+                f: {(new if c == old else c): v for c, v in fs.items()}
+                for f, fs in self._stats_of(m).items()
+            }
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:rename:{old}->{new}",
+                    cluster_by,
+                    schema_json=new_schema,
+                    stats=stats or None,
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    col_map=cmap,
+                    retired=list(m.get("retired_cols") or []),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rename_column on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ... DROP COLUMN without rewrites: the column
+        leaves the logical schema and the stats; its PHYSICAL name is
+        recorded in ``retired_cols`` so a later schema-evolution merge
+        cannot silently resurrect the old values by re-adding the same
+        name (it raises until an ``optimize()`` rewrite clears the
+        mapping debt — the documented REORG contract). Dropping a
+        cluster_by column or the last column is an error. Time travel
+        before the drop still sees the column."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("drop_column target does not exist; create() it first")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"no such column {name!r} (have {names})")
+            if name in (m.get("cluster_by") or []):
+                raise ValueError(f"cannot drop cluster_by column {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            cmap = dict(m.get("col_map") or {})
+            phys = cmap.pop(name, name)
+            retired = list(m.get("retired_cols") or []) + [phys]
+            new_schema = StructType([f for f in schema.fields if f.name != name]).json()
+            stats = {
+                f: {c: v for c, v in fs.items() if c != name}
+                for f, fs in self._stats_of(m).items()
+            }
+            stats = {f: fs for f, fs in stats.items() if fs}
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:drop:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=new_schema,
+                    stats=stats or None,
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    col_map=cmap,
+                    retired=retired,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_column on {self.root} gave up after {max_retries} conflicts"
+        )
 
     def delete_where(
         self,
@@ -1523,10 +1716,14 @@ class VersionedTable:
                 files = self._write_files(snap, n_files, cluster_by)
                 stat_cols = cluster_by
             try:
+                # a full rewrite lands every row under its LOGICAL name:
+                # the column mapping and its retired-name debt reset
                 self._try_commit(
                     base, files, "optimize", cluster_by,
                     schema_json=m.get("schema"),
                     stats=self._collect_stats(files, stat_cols),
+                    col_map={},
+                    retired=[],
                 )
                 return base + 1
             except CommitConflict:
@@ -1568,11 +1765,13 @@ class VersionedTable:
                 return base  # nothing stacked deep enough
             cluster_by = m.get("cluster_by") or None
             live = self._read_data(m, sel)  # DVs applied: deletes materialize
-            rewritten = self._write_files(live, n_files=max(1, len(sel)), cluster_by=cluster_by)
+            rewritten = self._write_files_mapped(
+                live, m, n_files=max(1, len(sel)), cluster_by=cluster_by
+            )
             untouched = [f for f in m["files"] if f not in set(sel)]
             stats = self._stats_of(m)
             new_stats = {f: stats[f] for f in untouched if f in stats}
-            new_stats.update(self._collect_stats(rewritten, cluster_by))
+            new_stats.update(self._collect_stats_mapped(rewritten, cluster_by, m))
             new_dvs = {f: list(v) for f, v in dvs.items() if f in set(untouched)}
             try:
                 self._try_commit(

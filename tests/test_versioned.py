@@ -1752,3 +1752,111 @@ class TestMorConflictOrphans:
         assert removed == orphans
         got = dict(_rows(table.snapshot()))
         assert got[3] == "post3" and got[99] == "new99" and len(got) == 21
+
+
+class TestColumnMapping:
+    """rename_column / drop_column via column mapping: zero data bytes
+    move; files keep physical names forever, readers alias, writers
+    translate, optimize clears the mapping debt."""
+
+    def test_rename_no_rewrite_values_intact(self, spark, table):
+        files_v1 = table.history()[0]["files"]
+        v = table.rename_column("v", "val")
+        assert v == 2
+        m = table.history()[-1]
+        assert m["files"] == files_v1  # not a byte rewritten
+        assert m["col_map"] == {"val": "v"}
+        snap = table.snapshot()
+        assert snap.columns == ["k", "val"]
+        assert sorted((r["k"], r["val"]) for r in snap.collect()) == [
+            (i, f"base{i}") for i in range(20)
+        ]
+
+    def test_time_travel_and_restore_across_rename(self, spark, table):
+        table.rename_column("v", "val")
+        assert table.snapshot(1).columns == ["k", "v"]  # old manifest, old name
+        table.restore(1)
+        assert table.snapshot().columns == ["k", "v"]  # names came back
+        assert len(_rows(table.snapshot())) == 20
+
+    def test_merge_after_rename_cow_and_mor(self, spark, table):
+        table.rename_column("v", "val")
+        for strat in ("cow", "mor"):
+            src = spark.createDataFrame([Row(k=3, val=f"{strat}3"), Row(k=100, val=f"{strat}100")])
+            table.merge_into(src, ["k"], strategy=strat)
+            got = {r["k"]: r["val"] for r in table.snapshot().collect()}
+            assert got[3] == f"{strat}3" and got[100] == f"{strat}100"
+            assert got[0] == "base0"
+        # the appended files stored the PHYSICAL name: a fresh handle
+        # (no cached state) must read them back through the mapping
+        fresh = VersionedTable(spark, table.root)
+        assert fresh.snapshot().columns == ["k", "val"]
+
+    def test_rename_clustered_column_keeps_pruning(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cm"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(1000)]),
+            n_files=10, cluster_by=["k"],
+        )
+        t.rename_column("k", "key")
+        assert t._read_manifest(t.version())["cluster_by"] == ["key"]
+        kept, total = t.pruned_files({"key": (100, 150)})
+        assert kept < total  # stats re-keyed: pruning still engages
+        got = {r["key"] for r in t.scan({"key": (100, 150)}).collect()}
+        assert got == set(range(100, 151))
+        # merges still prune + cluster on the renamed key
+        t.merge_into(spark.createDataFrame([Row(key=120, v="z")]), ["key"])
+        assert {r["v"] for r in t.scan({"key": (120, 120)}).collect()} == {"z"}
+
+    def test_drop_column_and_resurrection_guard(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "dc"))
+        t.create(spark.createDataFrame([Row(k=i, v=f"a{i}", w=i * 2) for i in range(10)]))
+        t.drop_column("w")
+        snap = t.snapshot()
+        assert snap.columns == ["k", "v"]
+        assert t.snapshot(1).columns == ["k", "v", "w"]  # time travel intact
+        m = t.history()[-1]
+        assert m["retired_cols"] == ["w"] and m["files"] == t.history()[0]["files"]
+        # re-adding the dropped name via evolution must NOT resurrect
+        src = spark.createDataFrame([Row(k=1, v="x", w=999)])
+        with pytest.raises(ValueError, match="re-add"):
+            t.merge_into(src, ["k"], schema_evolution=True)
+        # optimize clears the debt; then the re-add is safe
+        t.optimize(n_files=2)
+        assert t.history()[-1]["retired_cols"] == []
+        t.merge_into(src, ["k"], schema_evolution=True)
+        got = {r["k"]: r["w"] for r in t.snapshot().collect()}
+        assert got[1] == 999 and got[2] is None  # old rows NOT resurrected
+
+    def test_drop_guards(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "dg"))
+        t.create(
+            spark.createDataFrame([Row(k=1, v="a")]), cluster_by=["k"]
+        )
+        with pytest.raises(ValueError, match="cluster_by"):
+            t.drop_column("k")
+        with pytest.raises(ValueError, match="already exists"):
+            t.rename_column("v", "k")
+        with pytest.raises(ValueError, match="no such column"):
+            t.rename_column("zz", "y")
+
+    def test_rename_then_dv_delete_and_cdf(self, spark, table):
+        table.rename_column("v", "val")
+        table.delete_where("k % 5 = 0")
+        got = {k for k, _ in sorted((r["k"], r["val"]) for r in table.snapshot().collect())}
+        assert got == {i for i in range(20) if i % 5 != 0}
+        ch = table.changes(2, 3, keys=["k"])
+        assert {r["k"] for r in ch.collect()} == {0, 5, 10, 15}
+        assert ch.columns == ["k", "val", "_change_type"]
+
+    def test_chained_renames(self, spark, table):
+        table.rename_column("v", "val")
+        table.rename_column("val", "value")
+        m = table.history()[-1]
+        assert m["col_map"] == {"value": "v"}  # maps to the ORIGINAL physical name
+        assert table.snapshot().columns == ["k", "value"]
+        assert len(_rows_kv(table.snapshot(), "value")) == 20
+
+
+def _rows_kv(df, vcol):
+    return sorted((r["k"], r[vcol]) for r in df.collect())
