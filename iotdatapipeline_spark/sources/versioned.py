@@ -1004,6 +1004,20 @@ class VersionedTable:
         if not keys:
             raise ValueError("changes() needs key columns (table has no cluster_by)")
         old, new = self.snapshot(v_from), self.snapshot(v_to)
+        # across a RENAME boundary the same physical column carries two
+        # logical names: align the old snapshot to v_to's logical names
+        # by PHYSICAL identity (the column-mapping contract), so a
+        # renamed-but-unchanged row is not misreported as updated
+        cmap_from = self._read_manifest(v_from).get("col_map") or {}
+        cmap_to = self._read_manifest(v_to).get("col_map") or {}
+        if cmap_from or cmap_to:
+            to_logical = {cmap_to.get(c, c): c for c in new.columns}
+            old = old.select(
+                *[
+                    F.col(c).alias(to_logical.get(cmap_from.get(c, c), c))
+                    for c in old.columns
+                ]
+            )
         val_cols = [c for c in new.columns if c not in keys]
         # across a schema-evolution boundary the older snapshot lacks
         # the added columns: align by name with typed nulls so the

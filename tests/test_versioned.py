@@ -1849,6 +1849,18 @@ class TestColumnMapping:
         assert {r["k"] for r in ch.collect()} == {0, 5, 10, 15}
         assert ch.columns == ["k", "val", "_change_type"]
 
+    def test_cdf_across_rename_reports_only_real_changes(self, spark, table):
+        """changes() across a rename boundary must align columns by
+        PHYSICAL identity: a renamed-but-untouched row is NOT an
+        update; real updates report under the v_to (new) name."""
+        table.rename_column("v", "val")  # v2
+        table.merge_into(spark.createDataFrame([Row(k=3, val="post3")]), ["k"])  # v3
+        ch = table.changes(1, 3, keys=["k"])  # spans the rename
+        got = {(r["k"], r["_change_type"], r["val"]) for r in ch.collect()}
+        assert got == {(3, "update_postimage", "post3")}  # only the real change
+        # rename-only span: zero changes
+        assert table.changes(1, 2, keys=["k"]).count() == 0
+
     def test_chained_renames(self, spark, table):
         table.rename_column("v", "val")
         table.rename_column("val", "value")
