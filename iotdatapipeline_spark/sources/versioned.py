@@ -1463,6 +1463,50 @@ class VersionedTable:
             f"rename_column on {self.root} gave up after {max_retries} conflicts"
         )
 
+    def add_column(self, name: str, dtype: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ... ADD COLUMN (nullable, manifest-only): the
+        column joins the logical schema; existing files simply lack it
+        and the explicit-schema read fills null — the same contract as
+        schema-evolution merges, as a standalone DDL. Re-adding a
+        DROPPED name raises until ``optimize()`` clears the retired
+        set (resurrection guard). ``dtype`` is a Spark DDL type string
+        ("bigint", "string", ...)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("add_column target does not exist; create() it first")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name in [f.name for f in schema.fields]:
+                raise ValueError(f"column {name!r} already exists")
+            if name in (m.get("retired_cols") or []):
+                raise ValueError(
+                    f"cannot re-add dropped column {name!r}; run optimize() first "
+                    "to clear the column-mapping debt"
+                )
+            new_schema = StructType(
+                list(schema.fields) + [StructField(name, _parse_datatype_string(dtype), True)]
+            ).json()
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:add:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=new_schema,
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"add_column on {self.root} gave up after {max_retries} conflicts"
+        )
+
     def drop_column(self, name: str, max_retries: int = 5) -> int:
         """ALTER TABLE ... DROP COLUMN without rewrites: the column
         leaves the logical schema and the stats; its PHYSICAL name is

@@ -1872,3 +1872,30 @@ class TestColumnMapping:
 
 def _rows_kv(df, vcol):
     return sorted((r["k"], r[vcol]) for r in df.collect())
+
+
+class TestAddColumn:
+    def test_add_column_null_backfilled_then_writable(self, spark, table):
+        files_v1 = table.history()[0]["files"]
+        v = table.add_column("score", "bigint")
+        assert v == 2
+        m = table.history()[-1]
+        assert m["files"] == files_v1  # manifest-only
+        snap = table.snapshot()
+        assert snap.columns == ["k", "v", "score"]
+        assert all(r["score"] is None for r in snap.collect())
+        table.merge_into(spark.createDataFrame([Row(k=3, v="x", score=7)]), ["k"])
+        got = {r["k"]: r["score"] for r in table.snapshot().collect()}
+        assert got[3] == 7 and got[0] is None
+        # time travel: v1 has no score column
+        assert table.snapshot(1).columns == ["k", "v"]
+
+    def test_add_guards(self, spark, table):
+        with pytest.raises(ValueError, match="already exists"):
+            table.add_column("v", "string")
+        table.add_column("tmp", "int")
+        table.drop_column("tmp")
+        with pytest.raises(ValueError, match="re-add"):
+            table.add_column("tmp", "int")
+        table.optimize(n_files=2)
+        assert table.add_column("tmp", "int") > 0  # debt cleared
