@@ -55,6 +55,29 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction targeted."""
 
 
+class ConstraintViolation(Exception):
+    """A write contained rows that definitively violate a table CHECK
+    constraint (SQL-standard semantics: NULL/unknown passes)."""
+
+
+def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
+    """ALTERing a column a CHECK constraint references would silently
+    break (rename) or orphan (drop) the stored expression — refuse,
+    like Delta; drop the constraint first."""
+    import re as _re
+
+    hits = [
+        n
+        for n, expr in (m.get("constraints") or {}).items()
+        if _re.search(rf"\b{_re.escape(col)}\b", expr)
+    ]
+    if hits:
+        raise ValueError(
+            f"cannot {action} column {col!r}: referenced by CHECK constraint(s) "
+            f"{sorted(hits)}; drop_constraint first"
+        )
+
+
 def _session_tz():
     """The active Spark session's ``spark.sql.session.timeZone`` as a
     tzinfo, or None when unknown. Cheap enough to resolve per call —
@@ -615,6 +638,7 @@ class VersionedTable:
         stats_file_ref: str | None = None,
         col_map: dict[str, str] | None = None,
         retired: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -659,6 +683,8 @@ class VersionedTable:
                 col_map = base_m.get("col_map") or {}
             if retired is None:
                 retired = base_m.get("retired_cols") or []
+            if constraints is None:
+                constraints = base_m.get("constraints") or {}
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
         # stats_file_ref: reuse an existing sidecar by name — sidecars
@@ -691,6 +717,9 @@ class VersionedTable:
             # optimize clears the mapping debt).
             "col_map": col_map or {},
             "retired_cols": retired or [],
+            # CHECK constraints: name -> SQL expression; every writer
+            # validates its NEW rows before committing (add_constraint)
+            "constraints": constraints or {},
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -1179,6 +1208,8 @@ class VersionedTable:
                 base_df, source, inserted, schema_evolution, m.get("retired_cols") or ()
             )
             ins_empty = ins.isEmpty()  # one job, reused below
+            if not ins_empty:
+                self._check_constraints(ins, m)
             if ins_empty and not touched:
                 return base  # no-op merge
             if not ins_empty:
@@ -1334,6 +1365,7 @@ class VersionedTable:
             if ins_empty and new_dvs is None:
                 return base  # no-op merge
             if not ins_empty:
+                self._check_constraints(ins, m)
                 # clustered like the COW insert path so future merges/
                 # scans can prune the appended files; zero-row parts of
                 # a small source are dropped by _write_files
@@ -1407,6 +1439,93 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"restore on {self.root} gave up after {max_retries} conflicts")
 
+    def add_constraint(self, name: str, expr: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): from this
+        version on, every writer validates its NEW rows against
+        ``expr`` (a SQL boolean expression over logical column names)
+        and raises :class:`ConstraintViolation` instead of committing
+        definitively-false rows — SQL-standard semantics, so NULL
+        (unknown) passes. Like Delta, the EXISTING data must already
+        satisfy the constraint or this raises. One manifest commit;
+        no data moves."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("add_constraint target does not exist; create() it first")
+            m = self._read_manifest(base)
+            cons = dict(m.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            bad = self.snapshot(base).filter(F.expr(expr).eqNullSafe(F.lit(False)))
+            if not bad.isEmpty():
+                raise ConstraintViolation(
+                    f"existing rows violate CHECK {name!r} ({expr}) on {self.root}"
+                )
+            cons[name] = expr
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:constraint:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    constraints=cons,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"add_constraint on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 5) -> int:
+        """Remove a CHECK constraint (manifest-only commit)."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("drop_constraint target does not exist; create() it first")
+            m = self._read_manifest(base)
+            cons = dict(m.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(f"no such constraint {name!r} (have {sorted(cons)})")
+            del cons[name]
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:unconstraint:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    constraints=cons,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_constraint on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def _check_constraints(self, df: DataFrame, m: dict) -> None:
+        """Raise :class:`ConstraintViolation` if any NEW row
+        definitively violates a table CHECK constraint. One combined
+        filter job for all constraints (not one per constraint)."""
+        cons = m.get("constraints") or {}
+        if not cons:
+            return
+        viol = F.lit(False)
+        for expr in cons.values():
+            viol = viol | F.expr(expr).eqNullSafe(F.lit(False))
+        if not df.filter(viol).isEmpty():
+            raise ConstraintViolation(
+                f"write violates CHECK constraint(s) {sorted(cons)} on {self.root}"
+            )
+
     def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:
         """ALTER TABLE ... RENAME COLUMN without touching a data byte —
         column mapping, the Delta/Iceberg contract: files keep their
@@ -1431,6 +1550,7 @@ class VersionedTable:
                 raise ValueError(f"no such column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            _guard_constraint_refs(m, old, "rename")
             cmap = dict(m.get("col_map") or {})
             cmap[new] = cmap.pop(old, old)
             new_schema = StructType(
@@ -1531,6 +1651,7 @@ class VersionedTable:
                 raise ValueError(f"cannot drop cluster_by column {name!r}")
             if len(names) == 1:
                 raise ValueError("cannot drop the last column")
+            _guard_constraint_refs(m, name, "drop")
             cmap = dict(m.get("col_map") or {})
             phys = cmap.pop(name, name)
             retired = list(m.get("retired_cols") or []) + [phys]

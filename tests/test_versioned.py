@@ -1899,3 +1899,63 @@ class TestAddColumn:
             table.add_column("tmp", "int")
         table.optimize(n_files=2)
         assert table.add_column("tmp", "int") > 0  # debt cleared
+
+
+class TestCheckConstraints:
+    def test_writers_enforce_after_add(self, spark, table):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        table.add_constraint("k_bounds", "k >= 0 AND k < 1000")
+        v = table.version()
+        # valid write (both strategies) passes
+        table.merge_into(spark.createDataFrame([Row(k=500, v="ok")]), ["k"])
+        table.merge_into(spark.createDataFrame([Row(k=501, v="ok2")]), ["k"], strategy="mor")
+        # violating write refuses, table untouched
+        for strat in ("cow", "mor"):
+            with pytest.raises(ConstraintViolation, match="k_bounds"):
+                table.merge_into(
+                    spark.createDataFrame([Row(k=-5, v="bad")]), ["k"], strategy=strat
+                )
+        got = dict(_rows(table.snapshot()))
+        assert -5 not in got and got[500] == "ok" and got[501] == "ok2"
+        assert table.version() == v + 2  # only the two valid merges committed
+
+    def test_null_is_unknown_and_passes(self, spark, table):
+        table.add_constraint("v_nonempty", "v <> ''")
+        table.merge_into(spark.createDataFrame([Row(k=50, v=None)], "k int, v string"), ["k"])
+        assert dict(_rows(table.snapshot()))[50] is None  # NULL passed (SQL CHECK)
+
+    def test_existing_violations_block_add(self, spark, table):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        with pytest.raises(ConstraintViolation, match="existing rows"):
+            table.add_constraint("impossible", "k > 5")
+        assert table.version() == 1  # nothing committed
+
+    def test_drop_constraint_reopens_writes(self, spark, table):
+        table.add_constraint("k_bounds", "k < 100")
+        table.drop_constraint("k_bounds")
+        table.merge_into(spark.createDataFrame([Row(k=5000, v="big")]), ["k"])
+        assert 5000 in dict(_rows(table.snapshot()))
+
+    def test_alter_guards_constraint_refs(self, spark, table):
+        table.add_constraint("k_bounds", "k >= 0")
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            table.rename_column("k", "key")
+        table.add_constraint("v_len", "length(v) < 50")
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            table.drop_column("v")
+        # unreferenced column still alterable
+        table.add_column("w", "int")
+        table.rename_column("w", "w2")
+
+    def test_streaming_sink_inherits_enforcement(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation, VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "cons")
+        sink = versioned_upsert_foreach_batch(root, ["k"], txn_app="q")
+        sink(spark.createDataFrame([(1, 5, "a")], "k int, ts int, v string"), 0)
+        VersionedTable(spark, root).add_constraint("pos", "k > 0")
+        with pytest.raises(ConstraintViolation):
+            sink(spark.createDataFrame([(-1, 6, "bad")], "k int, ts int, v string"), 1)
