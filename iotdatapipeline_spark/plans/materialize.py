@@ -56,13 +56,19 @@ def materialize_once(
     the expensive derivation). Returns the table, version >= 1."""
     t = VersionedTable(spark, root)
     if t.version() == 0:
+        # build() runs OUTSIDE the race-loss handler: a ValueError
+        # raised by the caller's derivation is a genuine build failure
+        # and must propagate, not read as a lost create race
+        df = build()
         try:
-            t.create(build(), cluster_by=list(cluster_by) if cluster_by else None)
+            t.create(df, cluster_by=list(cluster_by) if cluster_by else None)
         except (ValueError, CommitConflict):
             # lost the create race: a concurrent builder committed v1
             # first (ValueError from the version()!=0 pre-check when it
             # landed before ours started; CommitConflict from the
             # atomic manifest link when both wrote) — either way v1
-            # exists and holds the identical deterministic derivation
-            pass
+            # exists and holds the identical deterministic derivation,
+            # UNLESS no winner actually committed, which is a real error
+            if t.version() == 0:
+                raise
     return t

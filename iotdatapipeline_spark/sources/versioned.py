@@ -63,19 +63,37 @@ class ConstraintViolation(Exception):
 def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
     """ALTERing a column a CHECK constraint references would silently
     break (rename) or orphan (drop) the stored expression — refuse,
-    like Delta; drop the constraint first."""
+    like Delta; drop the constraint first. Matching is CASE-INSENSITIVE
+    because Spark resolves identifiers case-insensitively: a constraint
+    written ``V_CENTS > 0`` must still block ``rename_column('v_cents')``
+    or every later write dies with an unresolved-column error instead of
+    a meaningful refusal here."""
     import re as _re
 
     hits = [
         n
         for n, expr in (m.get("constraints") or {}).items()
-        if _re.search(rf"\b{_re.escape(col)}\b", expr)
+        if _re.search(rf"\b{_re.escape(col)}\b", expr, _re.IGNORECASE)
     ]
     if hits:
         raise ValueError(
             f"cannot {action} column {col!r}: referenced by CHECK constraint(s) "
             f"{sorted(hits)}; drop_constraint first"
         )
+
+
+def _phys_conflicts(m: dict) -> set[str]:
+    """Physical parquet-column names that differ from their logical
+    names (non-identity col_map entries). A NEW logical column is
+    always written under its own name as its physical name, so a new
+    name colliding with one of these would put two physical fields
+    named X in the table: the reverse alias on read renames both (the
+    new column silently vanishes) and ``_to_physical`` writes files
+    with duplicate columns — corruption from a legal DDL sequence like
+    ``rename_column('a','b'); add_column('a', ...)``. Every surface
+    that introduces a column name (add_column, rename_column's new
+    name, schema-evolution merges) must reject names in this set."""
+    return {p for l, p in (m.get("col_map") or {}).items() if l != p}
 
 
 def _session_tz():
@@ -1041,10 +1059,22 @@ class VersionedTable:
         cmap_to = self._read_manifest(v_to).get("col_map") or {}
         if cmap_from or cmap_to:
             to_logical = {cmap_to.get(c, c): c for c in new.columns}
+            # an old column whose PHYSICAL name no longer exists in v_to
+            # was dropped — keep it only if its logical name does not
+            # collide with a mapped target (drop a; rename x->a would
+            # otherwise alias two old columns to one name and break the
+            # select); dropped columns are absent from val_cols anyway
+            mapped = {
+                c: to_logical[cmap_from.get(c, c)]
+                for c in old.columns
+                if cmap_from.get(c, c) in to_logical
+            }
+            taken = set(mapped.values())
             old = old.select(
                 *[
-                    F.col(c).alias(to_logical.get(cmap_from.get(c, c), c))
+                    F.col(c).alias(mapped.get(c, c))
                     for c in old.columns
+                    if c in mapped or c not in taken
                 ]
             )
         val_cols = [c for c in new.columns if c not in keys]
@@ -1205,7 +1235,12 @@ class VersionedTable:
                 else:
                     inserted = source
             ins, committed_schema = self._align_insert(
-                base_df, source, inserted, schema_evolution, m.get("retired_cols") or ()
+                base_df,
+                source,
+                inserted,
+                schema_evolution,
+                m.get("retired_cols") or (),
+                sorted(_phys_conflicts(m)),
             )
             ins_empty = ins.isEmpty()  # one job, reused below
             if not ins_empty:
@@ -1260,6 +1295,7 @@ class VersionedTable:
         inserted: DataFrame,
         schema_evolution: bool,
         retired: Sequence[str] = (),
+        phys_live: Sequence[str] = (),
     ) -> tuple[DataFrame, str]:
         """Align the INSERT frame to the committed schema; returns
         ``(ins, committed_schema_json)``. With ``schema_evolution`` the
@@ -1283,6 +1319,16 @@ class VersionedTable:
                 raise ValueError(
                     f"cannot re-add dropped column(s) {clash} via schema evolution; "
                     "run optimize() first to clear the column-mapping debt"
+                )
+            clash = [f.name for f in added if f.name in set(phys_live)]
+            if clash:
+                # same hazard as add_column: the added name is a live
+                # renamed column's PHYSICAL name, so the insert files
+                # would carry two physical fields with one name
+                raise ValueError(
+                    f"cannot add column(s) {clash} via schema evolution: a renamed "
+                    "column still uses the name as its PHYSICAL name in existing "
+                    "files; run optimize() first to clear the column-mapping debt"
                 )
             evolved = base_fields + added
             aligned = inserted
@@ -1352,7 +1398,12 @@ class VersionedTable:
                 else:
                     inserted = source
             ins, committed_schema = self._align_insert(
-                base_df, source, inserted, schema_evolution, m.get("retired_cols") or ()
+                base_df,
+                source,
+                inserted,
+                schema_evolution,
+                m.get("retired_cols") or (),
+                sorted(_phys_conflicts(m)),
             )
             new_dvs = None
             if live is not None:
@@ -1433,6 +1484,15 @@ class VersionedTable:
                     # bring the old logical names back)
                     col_map=m.get("col_map") or {},
                     retired=m.get("retired_cols") or [],
+                    # the restored version's constraints, not the current
+                    # head's (Delta's restore-metadata semantics): a
+                    # constraint added AFTER the restore point may
+                    # reference columns the restored schema lacks, and
+                    # inheriting it would make every later write fail
+                    # with an unresolved-column error; the restored rows
+                    # were validated against the restored constraints
+                    # when first committed
+                    constraints=m.get("constraints") or {},
                 )
                 return base + 1
             except CommitConflict:
@@ -1552,6 +1612,22 @@ class VersionedTable:
                 raise ValueError(f"column {new!r} already exists")
             _guard_constraint_refs(m, old, "rename")
             cmap = dict(m.get("col_map") or {})
+            # the new name must not collide with another live column's
+            # PHYSICAL name (renaming back to this column's OWN physical
+            # name is fine — the mapping collapses to identity) nor
+            # resurrect a dropped physical name
+            own_phys = cmap.get(old, old)
+            if new in (_phys_conflicts(m) - {own_phys}):
+                raise ValueError(
+                    f"cannot rename to {new!r}: another renamed column still uses "
+                    "it as its PHYSICAL name in existing files; run optimize() "
+                    "first to clear the column-mapping debt"
+                )
+            if new in (m.get("retired_cols") or []):
+                raise ValueError(
+                    f"cannot rename to dropped column name {new!r}; run optimize() "
+                    "first to clear the column-mapping debt"
+                )
             cmap[new] = cmap.pop(old, old)
             new_schema = StructType(
                 [
@@ -1605,6 +1681,12 @@ class VersionedTable:
                 raise ValueError(
                     f"cannot re-add dropped column {name!r}; run optimize() first "
                     "to clear the column-mapping debt"
+                )
+            if name in _phys_conflicts(m):
+                raise ValueError(
+                    f"cannot add column {name!r}: a renamed column still uses it as "
+                    "its PHYSICAL name in existing files; run optimize() first to "
+                    "clear the column-mapping debt"
                 )
             new_schema = StructType(
                 list(schema.fields) + [StructField(name, _parse_datatype_string(dtype), True)]

@@ -78,3 +78,33 @@ class TestMaterializeOnce:
         assert got.version() == 1
         assert [tuple(r) for r in got.snapshot().collect()] == [(9, "w")]
         assert t.version() == 1
+
+    def test_build_failure_propagates(self, spark, tmp_path):
+        """A ValueError raised by the caller's OWN build() is a genuine
+        failure, not a lost create race — it must propagate instead of
+        returning a version-0 table whose first snapshot() fails far
+        from the root cause."""
+        import pytest
+
+        root = str(tmp_path / "boom")
+
+        def build():
+            raise ValueError("derivation bug")
+
+        with pytest.raises(ValueError, match="derivation bug"):
+            materialize_once(spark, root, build)
+
+    def test_create_failure_with_no_winner_propagates(self, spark, tmp_path):
+        """If create() raises but NO winner committed (version still 0),
+        the error is real and must not be swallowed as a race loss."""
+        import pytest
+
+        root = str(tmp_path / "nowin")
+
+        def build():
+            # empty-column frame: create() rejects it with ValueError,
+            # and no concurrent winner exists
+            return spark.createDataFrame([], "k int").limit(0).drop("k")
+
+        with pytest.raises(Exception):
+            materialize_once(spark, root, build)

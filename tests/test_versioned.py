@@ -1959,3 +1959,100 @@ class TestCheckConstraints:
         VersionedTable(spark, root).add_constraint("pos", "k > 0")
         with pytest.raises(ConstraintViolation):
             sink(spark.createDataFrame([(-1, 6, "bad")], "k int, ts int, v string"), 1)
+
+
+class TestPhysicalNameCollisions:
+    """A legal DDL sequence must never produce two physical fields with
+    one name (rename a->b frees logical 'a' but NOT physical 'a' —
+    the old files still carry it). Every surface that introduces a
+    column name rejects live physical names until optimize() rewrites
+    the files under logical names and clears the debt."""
+
+    def test_add_column_rejects_live_physical_name(self, spark, table):
+        table.rename_column("v", "val")  # physical 'v' still in files
+        with pytest.raises(ValueError, match="PHYSICAL"):
+            table.add_column("v", "string")
+        # optimize rewrites under logical names; then the add is safe
+        table.optimize(n_files=2)
+        table.add_column("v", "string")
+        snap = table.snapshot()
+        assert snap.columns == ["k", "val", "v"]
+        got = {r["k"]: (r["val"], r["v"]) for r in snap.collect()}
+        assert got[3] == ("base3", None)  # old values intact, new col null
+
+    def test_rename_rejects_live_physical_name(self, spark, table):
+        table.add_column("w", "string")
+        table.rename_column("v", "val")
+        with pytest.raises(ValueError, match="PHYSICAL"):
+            table.rename_column("w", "v")  # would collide with val's physical
+        # renaming BACK to this column's own physical name stays legal
+        table.rename_column("val", "v")
+        assert table.history()[-1]["col_map"] == {"v": "v"}
+        assert dict((r["k"], r["v"]) for r in table.snapshot().collect())[3] == "base3"
+
+    def test_rename_rejects_retired_physical_name(self, spark, table):
+        table.add_column("w", "string")
+        table.drop_column("w")
+        with pytest.raises(ValueError, match="dropped"):
+            table.rename_column("v", "w")
+
+    def test_schema_evolution_rejects_live_physical_name(self, spark, table):
+        table.rename_column("v", "val")
+        src = spark.createDataFrame([Row(k=1, val="x", v="evil")])
+        with pytest.raises(ValueError, match="PHYSICAL"):
+            table.merge_into(src, ["k"], schema_evolution=True)
+        table.optimize(n_files=2)
+        table.merge_into(src, ["k"], schema_evolution=True)
+        got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+        assert got[1] == "evil" and got[2] is None  # no resurrection
+
+
+class TestRestoreConstraints:
+    def test_restore_carries_restored_constraints_not_heads(self, spark, table):
+        """A constraint added AFTER the restore point referencing a
+        post-restore column must not poison writes after restore()."""
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        table.add_column("score", "bigint")  # v2
+        table.add_constraint("score_pos", "score >= 0")  # v3 — refs post-v1 col
+        table.restore(1)  # v4: schema has no 'score'
+        m = table.history()[-1]
+        assert m["constraints"] == {}  # v1 had none; head's did NOT leak
+        # writes work again (would raise unresolved-column if inherited)
+        table.merge_into(spark.createDataFrame([Row(k=3, v="post")]), ["k"])
+        assert dict(_rows(table.snapshot()))[3] == "post"
+        # and a restore TO a constrained version re-arms enforcement
+        table.add_constraint("k_cap", "k < 10000")  # v6
+        v6 = table.version()
+        table.drop_constraint("k_cap")  # v7
+        table.restore(v6)  # v8
+        with pytest.raises(ConstraintViolation, match="k_cap"):
+            table.merge_into(spark.createDataFrame([Row(k=99999, v="big")]), ["k"])
+
+    def test_constraint_guard_is_case_insensitive(self, spark, table):
+        table.add_constraint("k_bounds", "K >= 0")  # upper-case identifier
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            table.rename_column("k", "key")  # Spark resolves case-insensitively
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            table.drop_column("k")
+
+
+class TestCdfDropRenameCollision:
+    def test_changes_across_drop_then_rename_to_dropped_name(self, spark, tmp_path):
+        """drop a; rename x->a between v_from and v_to: two old columns
+        would alias to one target — the dropped column's old values must
+        be discarded, not collide."""
+        t = VersionedTable(spark, str(tmp_path / "cdf"))
+        t.create(
+            spark.createDataFrame([Row(k=i, a=f"a{i}", x=f"x{i}") for i in range(5)])
+        )  # v1
+        t.drop_column("a")  # v2
+        t.optimize(n_files=1)  # v3: clears retired debt so the rename is legal
+        t.rename_column("x", "a")  # v4: logical 'a' now carries x's values
+        t.merge_into(spark.createDataFrame([Row(k=2, a="post2")]), ["k"])  # v5
+        ch = t.changes(1, t.version(), keys=["k"])
+        got = {(r["k"], r["_change_type"], r["a"]) for r in ch.collect()}
+        # physical identity: v_to's logical 'a' IS old 'x' (rename is not
+        # a data change), and v1's dropped 'a' values are discarded rather
+        # than colliding — only the real merge-update reports
+        assert got == {(2, "update_postimage", "post2")}
