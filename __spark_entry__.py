@@ -39,6 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
+    # r10: top1_active_record moved from the struct-ordered max_by
+    # (silently SortAggregate) to the packed-scalar hash aggregate, and
+    # dedup_combine gained the two-stage compact-then-explode fast path
+    # — both new plans need fresh driver rows
+    "top1_active_record",
+    "dedup_combine_parts",
     # r9: queries over code paths restructured this round. The DV read
     # path changed (_dv_rows literal-IN -> broadcast semi-join; the
     # _commit_dv_delete/_build_dvs refactor), merge_into gained the

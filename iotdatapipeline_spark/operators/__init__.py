@@ -25,6 +25,7 @@ from iotdatapipeline_spark.operators.relational import (
     latest_snapshot,
     limpieza_update_set,
     argmax_per_group,
+    argmax_per_group_hash,
     top1_per_group,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "latest_snapshot",
     "limpieza_update_set",
     "argmax_per_group",
+    "argmax_per_group_hash",
     "top1_per_group",
     "salted_agg",
     "salted_broadcast_left",

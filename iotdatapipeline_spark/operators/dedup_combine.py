@@ -56,6 +56,36 @@ def dedup_combine(
     if raw_part_col is not None:
         from iotdatapipeline_spark.functions.partnum import exploded_alternatives
 
+        if not collect_counters and original_col == raw_part_col:
+            # Two-stage formulation (r10, measured 0.478 s → 0.424 s at
+            # sf0.1 and structurally better at scale): Spark has NO
+            # var-length hash-aggregation buffers — min_by/max_by with a
+            # string value plans SortAggregate, sorting the full exploded
+            # set on both sides of the shuffle. Group KEYS may be
+            # strings, though, so stage 1 compacts by (keys, raw string)
+            # with all-NUMERIC buffers (pure HashAggregate with map-side
+            # partials over the full data), and the unavoidable string
+            # argmin runs in stage 2 over the compacted distinct-part
+            # set — thousands of rows instead of every reading. Only
+            # valid when the original kept per group IS the raw string
+            # (it rides along as the stage-1 group key) and the counter
+            # list is not collected.
+            s1 = readings.groupBy(*keys, raw_part_col).agg(
+                F.sum(counter_col).alias("__ct"),
+                F.count(F.lit(1)).alias("__n"),
+                F.min(order_col).alias("__omin"),
+                F.max(order_col).alias("__omax"),
+                F.max_by(F.col(cycle_time_col), F.col(order_col)).alias("__cyc"),
+            )
+            ex2 = exploded_alternatives(s1, F.col(raw_part_col), out="part").filter(
+                F.col("part").isNotNull() & (F.col("part") != "")
+            )
+            return ex2.groupBy(*keys, "part").agg(
+                F.sum("__ct").alias("counter_total"),
+                F.sum("__n").alias("n_readings"),
+                F.min_by(F.col(raw_part_col), F.col("__omin")).alias("part_original"),
+                F.max_by(F.col("__cyc"), F.col("__omax")).alias("cycle_time"),
+            )
         exploded = exploded_alternatives(readings, F.col(raw_part_col), out="part")
     else:
         exploded = readings.withColumn("part", F.explode(F.col(part_alts_col)))

@@ -30,10 +30,16 @@ def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[st
 
     Same result as ``top1_per_group(df, keys, [desc(c) for c in
     order_cols])`` whenever ``order_cols`` totally orders rows within a
-    key (e.g. ends in a unique id). Preferable at every scale: max_by
-    is a partial-aggregating hash agg — no per-partition sort, and the
-    map side shrinks each group to one row before the shuffle, where
-    the window formulation ships EVERY row to the reducer and sorts."""
+    key (e.g. ends in a unique id), and the map side shrinks each group
+    to one row before the shuffle where the window formulation ships
+    EVERY row to the reducer.
+
+    CAVEAT (measured r10): ``max_by(struct, struct)`` is NOT
+    hash-aggregatable — struct aggregation buffers are immutable, so
+    Spark plans SortAggregate (two per-partition sorts), not
+    HashAggregate. When the ordering can be packed into ONE scalar,
+    :func:`argmax_per_group_hash` stays in the hash path and measured
+    2.3× faster at sf0.1 (0.441 s → 0.189 s noop median-of-7)."""
     others = [c for c in df.columns if c not in keys]
     agg = df.groupBy(*keys).agg(
         F.max_by(
@@ -42,6 +48,28 @@ def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[st
         ).alias("__s")
     )
     return agg.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
+
+
+def argmax_per_group_hash(
+    df: DataFrame, keys: Sequence[str], order: Column, payloads: Sequence[str]
+) -> DataFrame:
+    """W3 as a TRUE hash aggregate: per key, each payload column's
+    value at the max of a SCALAR ordering expression, plus the max
+    ordering value itself as ``__argmax_ord`` (callers that packed a
+    multi-column order into the scalar decode key fields back out of
+    it instead of paying extra max_by's).
+
+    ``max_by(scalar, scalar)`` keeps the aggregation buffer primitive
+    and mutable, so Spark plans HashAggregate with map-side partials —
+    where the struct-ordered :func:`argmax_per_group` falls back to
+    SortAggregate and re-sorts every partition on both sides of the
+    shuffle. Requires a totally-ordering scalar; compose multi-column
+    orders by packing (e.g. ``ascii(status) * 2^52 + id`` while the id
+    stays below 2^52 — range-check at the call site)."""
+    return df.groupBy(*keys).agg(
+        F.max(order).alias("__argmax_ord"),
+        *[F.max_by(F.col(c), order).alias(c) for c in payloads],
+    )
 
 
 def guarded_insert_split(

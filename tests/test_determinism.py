@@ -73,3 +73,55 @@ class TestPartitioningIndependence:
         b = run(ev.repartition(7, "event_id"))  # scatter rows away from group keys
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+class TestDedupCombineTwoStage:
+    def test_two_stage_matches_single_stage(self, spark):
+        """The collect_counters=False fast path (stage-1 numeric compact
+        by raw string, stage-2 string argmin over the compacted set)
+        must match the single-stage formulation row for row, including
+        duplicate raw strings and empty/slashless alternatives."""
+        from pyspark.sql import Row, functions as F
+
+        from iotdatapipeline_spark.operators import dedup_combine
+
+        rows = [
+            Row(station=1, cadena="A/B", counter=10, cyc=1.0, oid=1),
+            Row(station=1, cadena="A/B", counter=20, cyc=2.0, oid=2),
+            Row(station=1, cadena="B", counter=5, cyc=3.0, oid=3),
+            Row(station=2, cadena="A", counter=7, cyc=4.0, oid=4),
+            Row(station=2, cadena="C/", counter=9, cyc=5.0, oid=5),  # empty alt dropped
+            Row(station=1, cadena="Z/B", counter=1, cyc=6.0, oid=6),
+        ]
+        df = spark.createDataFrame(rows)
+        kw = dict(
+            keys=["station"], raw_part_col="cadena", original_col="cadena",
+            counter_col="counter", cycle_time_col="cyc", order_col="oid",
+        )
+        fast = dedup_combine(df, collect_counters=False, **kw)
+        slow = dedup_combine(df, collect_counters=True, **kw).drop("counters")
+        cols = ["station", "part", "counter_total", "n_readings", "part_original", "cycle_time"]
+        assert sorted(map(tuple, fast.select(*cols).collect())) == sorted(
+            map(tuple, slow.select(*cols).collect())
+        )
+        got = {(r["station"], r["part"]): r for r in fast.collect()}
+        assert got[(1, "B")]["counter_total"] == 36  # A/B x2 + B + Z/B
+        assert got[(1, "B")]["part_original"] == "A/B"  # min oid's raw string
+        assert got[(1, "B")]["cycle_time"] == 6.0  # max oid's cycle time
+        assert (2, "") not in got  # empty alternative filtered
+
+    def test_stage1_is_hash_aggregate(self, spark):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.operators import dedup_combine
+
+        df = spark.createDataFrame([Row(station=1, cadena="A/B", counter=1, cyc=1.0, oid=1)])
+        out = dedup_combine(
+            df, keys=["station"], raw_part_col="cadena", original_col="cadena",
+            counter_col="counter", cycle_time_col="cyc", order_col="oid",
+            collect_counters=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # stage 1 (pre-explode compact) must be hash; only the compacted
+        # stage-2 string argmin may sort
+        assert plan.count("HashAggregate") >= 2
