@@ -116,6 +116,13 @@ def _cmd_table(args: argparse.Namespace) -> int:
     elif args.action == "vacuum":
         removed = t.vacuum(retention_s=args.retention)
         print(f"removed {len(removed)} orphaned files")
+    elif args.action == "expire":
+        expired = t.expire_versions(retention_s=args.retention, keep_last=args.keep_last)
+        lo = f"v{expired[0]}..v{expired[-1]}, " if expired else ""
+        print(
+            f"expired {len(expired)} versions ({lo}earliest readable is now "
+            f"v{t.earliest_version()})"
+        )
     elif args.action == "changes":
         if args.version is None:
             print("changes requires --version (the from-version)", file=sys.stderr)
@@ -166,8 +173,9 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
 
-    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "changes", "delete", "restore"])
+    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / changes / delete / restore")
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "changes", "delete", "restore"])
+    tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")
     tb.add_argument("--where", default=None, help="delete: SQL predicate (merge-on-read deletion vectors)")
     tb.add_argument("root")
     tb.add_argument("--version", type=int, default=None, help="show: snapshot version; changes: from-version")

@@ -60,6 +60,14 @@ class ConstraintViolation(Exception):
     constraint (SQL-standard semantics: NULL/unknown passes)."""
 
 
+class VersionExpired(Exception):
+    """Time travel to a version whose manifest was removed by
+    :meth:`VersionedTable.expire_versions` — the data may be gone too
+    (a later vacuum collects files no surviving version references),
+    so the only correct answer is a loud error naming the earliest
+    still-readable version."""
+
+
 def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
     """ALTERing a column a CHECK constraint references would silently
     break (rename) or orphan (drop) the stored expression — refuse,
@@ -416,11 +424,43 @@ class VersionedTable:
             except OSError:
                 pass
 
+    def earliest_version(self) -> int:
+        """Oldest still-readable version — 1 unless
+        :meth:`expire_versions` has removed a manifest prefix. O(1)
+        via the ``_log/_first`` pointer (written atomically by
+        expire_versions BEFORE any manifest is unlinked, so it can
+        only claim too-early, never too-late); a missing/corrupt
+        pointer falls back to one listdir."""
+        ptr = os.path.join(self._log, "_first")
+        try:
+            with open(ptr) as f:
+                v = int(f.read().strip())
+            if v >= 1 and os.path.exists(self._manifest_path(v)):
+                return v
+        except (FileNotFoundError, ValueError, OSError):
+            pass
+        if not os.path.isdir(self._log):
+            return 1
+        versions = [
+            int(f[1:11]) for f in os.listdir(self._log)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return min(versions, default=1)
+
     def _read_manifest(self, version: int) -> dict:
         m = self._manifest_cache.get(version)
         if m is None:
-            with open(self._manifest_path(version)) as f:
-                m = json.load(f)
+            try:
+                with open(self._manifest_path(version)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                first = self.earliest_version()
+                if 1 <= version < first:
+                    raise VersionExpired(
+                        f"version {version} of {self.root} was expired by "
+                        f"expire_versions(); earliest readable version is v{first}"
+                    ) from None
+                raise
             self._manifest_cache[version] = m
         return m
 
@@ -460,7 +500,12 @@ class VersionedTable:
         base_v, referenced = self._read_ckpt()
         if base_v > head:  # checkpoint ahead of our view — rebuild
             base_v, referenced = 0, set()
-        for v in range(base_v + 1, head + 1):
+        # expire_versions() always leaves a fresh checkpoint at head,
+        # but if that checkpoint was later lost/corrupted the fallback
+        # scan must not trip over the expired prefix: versions below
+        # the floor are unreachable, so their exclusive files need no
+        # retention (shared files are referenced by survivors too)
+        for v in range(max(base_v, self.earliest_version() - 1) + 1, head + 1):
             m = self._read_manifest(v)
             referenced |= set(m["files"])
             # DV parquet lives in data/ too and older versions' time
@@ -958,8 +1003,13 @@ class VersionedTable:
         it RETURNS one record per version — but each manifest is a small
         JSON commit record (stats live in the sidecar) and the parsed
         form is cached on the handle, so repeated calls are memory-speed
-        and a long-lived handle pays disk once per version ever."""
-        return [self._read_manifest(v) for v in range(1, self.version() + 1)]
+        and a long-lived handle pays disk once per version ever.
+        Starts at :meth:`earliest_version` — records expired by
+        :meth:`expire_versions` are gone, not errors."""
+        return [
+            self._read_manifest(v)
+            for v in range(self.earliest_version(), self.version() + 1)
+        ]
 
     def _keep_files(self, m: dict, ranges: dict[str, tuple]) -> list[str]:
         """Files of manifest ``m`` whose stats ranges intersect every
@@ -2079,6 +2129,103 @@ class VersionedTable:
                 os.remove(path)
                 removed.append(f)
         return removed
+
+    def expire_versions(
+        self,
+        retention_s: float = 7 * 24 * 3600.0,
+        keep_last: int | None = None,
+    ) -> list[int]:
+        """Delta's ``logRetentionDuration``: delete manifest (and
+        orphaned stats-sidecar) files for versions older than the
+        retention horizon, bounding log growth on long-lived tables
+        (a 1 s-micro-batch streaming sink commits ~100k versions a
+        week; ``vacuum`` caps the DATA but the manifests accumulated
+        forever until this).  The head is always kept.  Time travel
+        to an expired version raises :class:`VersionExpired` naming
+        the earliest readable version.
+
+        Consistency order matters: (1) a fresh ``_log/_ckpt`` at head
+        carrying ONLY the surviving versions' referenced files — so a
+        later ``vacuum`` never needs the expired manifests AND may now
+        collect files exclusive to them; (2) the ``_log/_first`` floor
+        pointer — so a racing time-travel read gets the clear error,
+        not ENOENT; (3) only then are manifests unlinked.  Crashing
+        between any two steps leaves a table that merely over-retains.
+
+        ``keep_last=N`` expires by count instead of age (all but the
+        newest N versions, regardless of mtime).  Like ``vacuum``,
+        this assumes no concurrent expire on the same table; readers
+        and committers are safe throughout.  Returns the expired
+        version numbers."""
+        import time
+
+        head = self.version()
+        if head == 0:
+            return []
+        first = self.earliest_version()
+        if keep_last is not None:
+            floor = head - max(1, keep_last) + 1
+        else:
+            cutoff = time.time() - retention_s
+            floor = head
+            for v in range(first, head + 1):
+                try:
+                    if os.path.getmtime(self._manifest_path(v)) >= cutoff:
+                        floor = v
+                        break
+                except OSError:
+                    continue
+        floor = max(first, min(floor, head))
+        if floor <= first:
+            return []
+        # survivors' referenced data/DV files and stats sidecars
+        referenced: set[str] = set()
+        kept_sidecars: set[str] = set()
+        for v in range(floor, head + 1):
+            m = self._read_manifest(v)
+            referenced |= set(m["files"])
+            for dv_list in (m.get("dvs") or {}).values():
+                referenced |= set(dv_list)
+            if m.get("stats_file"):
+                kept_sidecars.add(m["stats_file"])
+        # sidecars referenced ONLY by the doomed prefix (read them
+        # before the floor pointer moves and blocks the reads)
+        expired_sidecars: set[str] = set()
+        doomed: list[int] = []
+        for v in range(first, floor):
+            try:
+                m = self._read_manifest(v)
+            except (FileNotFoundError, VersionExpired):
+                continue
+            if m.get("stats_file"):
+                expired_sidecars.add(m["stats_file"])
+            doomed.append(v)
+        # (1) checkpoint at head: vacuum's prefix union no longer
+        # depends on any manifest below the floor
+        tmp = os.path.join(self._log, f".ckpt-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump({"version": head, "referenced": sorted(referenced)}, f)
+        os.replace(tmp, self._ckpt_path())
+        # (2) floor pointer before any unlink
+        tmp = os.path.join(self._log, f".first-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            f.write(str(floor))
+        os.replace(tmp, os.path.join(self._log, "_first"))
+        # (3) drop the prefix
+        expired: list[int] = []
+        for v in doomed:
+            try:
+                os.unlink(self._manifest_path(v))
+                expired.append(v)
+            except FileNotFoundError:
+                pass
+            self._manifest_cache.pop(v, None)
+        for sf in expired_sidecars - kept_sidecars:
+            try:
+                os.unlink(os.path.join(self._log, sf))
+            except OSError:
+                pass
+        return expired
 
 
 # ── Streaming the change feed ────────────────────────────────────────────────

@@ -79,6 +79,17 @@ class TestCli:
         assert main(["table", "restore", root]) == 2
         assert "requires --version" in capsys.readouterr().err
 
+        # manifest log hygiene: expire all but the newest 2 versions
+        head = t.version()
+        assert main(["table", "expire", root, "--keep-last", "2"]) == 0
+        out = capsys.readouterr().out
+        assert f"earliest readable is now v{head - 1}" in out
+        assert t.earliest_version() == head - 1
+        assert t.snapshot().count() == 50  # head intact
+        # nothing young enough to expire further by the default horizon
+        assert main(["table", "expire", root]) == 0
+        assert "expired 0 versions" in capsys.readouterr().out
+
     def test_table_changes_requires_version(self, spark, tmp_path, capsys):
         from pyspark.sql import Row
 

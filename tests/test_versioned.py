@@ -2056,3 +2056,111 @@ class TestCdfDropRenameCollision:
         # a data change), and v1's dropped 'a' values are discarded rather
         # than colliding — only the real merge-update reports
         assert got == {(2, "update_postimage", "post2")}
+
+
+class TestExpireVersions:
+    """expire_versions (Delta logRetentionDuration parity): manifests
+    below the floor are removed, time travel past the floor raises the
+    clear error, vacuum may then collect files exclusive to the expired
+    prefix — and every pointer/checkpoint stays consistent throughout."""
+
+    def _age(self, table, versions, seconds=10_000):
+        import time
+
+        past = time.time() - seconds
+        for v in versions:
+            os.utime(table._manifest_path(v), (past, past))
+
+    def test_keep_last_drops_prefix_and_time_travel_raises(self, spark, table):
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
+
+        for i in range(5):  # v2..v6
+            table.merge_into(spark.createDataFrame([Row(k=0, v=f"u{i}")]), ["k"])
+        assert table.version() == 6
+        expired = table.expire_versions(keep_last=2)
+        assert expired == [1, 2, 3, 4]
+        assert table.earliest_version() == 5
+        assert table.version() == 6  # head untouched
+        assert dict(_rows(table.snapshot()))[0] == "u4"
+        assert dict(_rows(table.snapshot(5)))[0] == "u3"  # floor readable
+        with pytest.raises(VersionExpired, match="earliest readable version is v5"):
+            table.snapshot(3)
+        with pytest.raises(VersionExpired):
+            table.restore(2)
+        # history starts at the floor, no ENOENT
+        assert [m["version"] for m in table.history()] == [5, 6]
+        # a COLD handle sees the same floor
+        cold = VersionedTable(spark, table.root)
+        assert cold.earliest_version() == 5
+        with pytest.raises(VersionExpired):
+            cold.snapshot(1)
+
+    def test_retention_by_age_keeps_young_manifests(self, spark, table):
+        for i in range(3):  # v2..v4
+            table.merge_into(spark.createDataFrame([Row(k=1, v=f"u{i}")]), ["k"])
+        self._age(table, [1, 2])  # v1, v2 old; v3, v4 young
+        assert table.expire_versions(retention_s=3600) == [1, 2]
+        assert table.earliest_version() == 3
+        # nothing further to do — idempotent
+        assert table.expire_versions(retention_s=3600) == []
+
+    def test_head_always_survives_even_when_old(self, spark, table):
+        self._age(table, [1])
+        assert table.expire_versions(retention_s=3600) == []
+        assert table.earliest_version() == 1
+
+    def test_vacuum_collects_files_exclusive_to_expired_versions(self, spark, table):
+        # v2 rewrites EVERY file (merge touches all 4), so v1's files
+        # become exclusive to v1
+        src = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(20)])
+        table.merge_into(src, ["k"])
+        v1_files = set(self_m1 := table._read_manifest(1)["files"])
+        v2_files = set(table._read_manifest(2)["files"])
+        assert not (v1_files & v2_files)
+        # before expiry vacuum protects v1's files (time travel)
+        assert table.vacuum(retention_s=0) == []
+        table.expire_versions(keep_last=1)
+        removed = set(table.vacuum(retention_s=0))
+        assert removed == v1_files
+        assert dict(_rows(table.snapshot()))[0] == "u0"
+
+    def test_vacuum_fallback_survives_missing_checkpoint(self, spark, table):
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])
+        table.expire_versions(keep_last=1)
+        os.unlink(table._ckpt_path())  # corrupt/lost checkpoint
+        cold = VersionedTable(spark, table.root)
+        assert cold.vacuum(retention_s=0) is not None  # no ENOENT crash
+        assert dict(_rows(cold.snapshot()))[0] == "u"
+
+    def test_sidecar_hygiene_shared_sidecar_survives(self, spark, tmp_path):
+        # delete_where reuses the base's stats sidecar by reference:
+        # v2 points at v1's sidecar, so expiring v1 must NOT unlink it
+        t = VersionedTable(spark, str(tmp_path / "clustered"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"base{i}") for i in range(20)]),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        t.delete_where("k >= 15")  # v2 (DV delete: stats_file_ref)
+        m1, m2 = t._read_manifest(1), t._read_manifest(2)
+        assert m1["stats_file"] and m1["stats_file"] == m2["stats_file"]
+        t.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])  # v3
+        t.expire_versions(keep_last=2)  # drops v1 only
+        shared = os.path.join(t._log, m2["stats_file"])
+        assert os.path.exists(shared)
+        assert len(_rows(t.snapshot())) == 15
+        # now expire v2 as well: its sidecar is orphaned and goes
+        t.expire_versions(keep_last=1)
+        assert not os.path.exists(shared)
+        m3 = t._read_manifest(3)
+        if m3.get("stats_file"):
+            assert os.path.exists(os.path.join(t._log, m3["stats_file"]))
+
+    def test_commits_continue_after_expiry(self, spark, table):
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])
+        table.expire_versions(keep_last=1)
+        v = table.merge_into(spark.createDataFrame([Row(k=1, v="w")]), ["k"])
+        assert v == 3
+        got = dict(_rows(table.snapshot()))
+        assert got[0] == "u" and got[1] == "w"
+        assert [m["version"] for m in table.history()] == [2, 3]
