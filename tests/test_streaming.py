@@ -1310,3 +1310,62 @@ class TestChainedStreamingAggregation:
         }
         assert got == want
         assert all(station >= 0 for station, _ in got)  # sentinel excluded
+
+
+@pytest.mark.slow
+class TestMorSoak:
+    def test_fifty_batch_mor_soak_keeps_read_tax_bounded(self, spark, tmp_path):
+        """Long-lived-pipeline pin (verdict r9 item 7): ~50 micro-batches
+        of scattered-key updates through the MOR upsert sink with
+        compact_dv_threshold=3 must keep every file's DV stack depth
+        strictly below the threshold at every observation point (the
+        read tax stays flat — a snapshot unions at most
+        n_files x (threshold-1) DV parquets no matter how long the
+        stream runs), end bit-identical to the Python replay of the
+        same updates, and stay healthy through the rest of the hygiene
+        kit: expire_versions mid-soak, vacuum at the end."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "soak")
+        threshold = 3
+        sink = versioned_upsert_foreach_batch(
+            root, ["k"], txn_app="soak", strategy="mor", compact_dv_threshold=threshold
+        )
+        n_keys, n_batches = 200, 50
+        expected: dict[int, str] = {}
+        # batch 0 seeds every key (create); later batches scatter
+        seed = [(k, 0, f"b0-k{k}") for k in range(n_keys)]
+        expected.update({k: v for k, _, v in seed})
+        sink(spark.createDataFrame(seed, "k int, ts int, v string"), 0)
+        table = VersionedTable(spark, root)
+        depth_samples: list[int] = []
+        for b in range(1, n_batches):
+            rows = []
+            for i in range(20):  # 20 scattered keys per tick (K1 shape)
+                k = (b * 7 + i * 13) % n_keys
+                rows.append((k, b, f"b{b}-k{k}"))
+                expected[k] = f"b{b}-k{k}"
+            sink(spark.createDataFrame(rows, "k int, ts int, v string"), b)
+            depths = table.dv_stacking()
+            depth_samples.append(max(depths.values(), default=0))
+            # the auto-compaction invariant: NO file ever ends a batch
+            # at or above the threshold
+            assert all(d < threshold for d in depths.values()), (b, depths)
+            if b == n_batches // 2:
+                # manifest hygiene mid-stream must not disturb the head
+                table.expire_versions(keep_last=5)
+        # read tax flat: bounded by files x (threshold-1), and the soak
+        # actually exercised stacking (some sample saw depth >= 1)
+        m = table._read_manifest(table.version())
+        assert sum(table.dv_stacking().values()) <= len(m["files"]) * (threshold - 1)
+        assert max(depth_samples) >= 1
+        # compaction fired at least once across the soak
+        assert any(mm["op"] == "optimize:dv" for mm in table.history())
+        got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+        assert got == expected
+        # end-of-life hygiene: expire + vacuum, table still reads clean
+        table.expire_versions(keep_last=3)
+        table.vacuum(retention_s=0)
+        cold = VersionedTable(spark, root)
+        assert {r["k"]: r["v"] for r in cold.snapshot().collect()} == expected
