@@ -31,13 +31,23 @@ __all__ = ["sniff", "decode_bmp", "decode_png", "decode_wav", "luma"]
 
 
 def sniff(data: bytes) -> str | None:
-    """Magic-byte format detection: 'bmp' | 'png' | 'wav' | None."""
+    """Magic-byte format detection:
+    'bmp' | 'png' | 'wav' | 'jpeg' | 'gif' | 'webp' | None.
+    bmp/png/wav decode natively here; jpeg/gif/webp route to the
+    optional Pillow path (``pip install .[imaging]``,
+    analytics/multimodal.py)."""
     if data[:2] == b"BM" and len(data) >= 54:
         return "bmp"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 

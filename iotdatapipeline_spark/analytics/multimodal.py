@@ -48,20 +48,48 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_index int, frame_hash string"
 
 
+def _pillow_decode(data: bytes) -> np.ndarray | None:
+    """Decode via the optional ``[imaging]`` extra (Pillow/libjpeg):
+    the production JPEG/GIF/WebP path, import-guarded like the
+    connector ends in sources/connectors.py — the sandbox has no
+    media wheels, so tests exercise this seam with a mocked ``PIL``
+    in ``sys.modules`` and the hash-verified gates stay on the
+    native BMP/PNG codecs. Returns BT.601 greyscale uint8 (H, W), or
+    None when Pillow is not installed (the caller then applies the
+    strict/fake contract). Runs inside the ``mapInPandas`` Arrow
+    batch on executors, so the install only needs to exist on the
+    workers — same deployment rule as any Python dependency."""
+    try:
+        from PIL import Image  # lazy: worker-side, optional extra
+    except ImportError:
+        return None
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        return codecs.luma(np.asarray(im.convert("RGB")))
+
+
 def _decode_image_bytes(data: bytes, width: int, height: int, strict: bool) -> np.ndarray:
     """Image decode: BMP and PNG payloads decode for real (pure-stdlib
-    codecs, see analytics/codecs.py) in both modes; other formats
-    (JPEG etc. — no media libs in this container) raise in strict mode
-    or fall back to a deterministic fake greyscale derived from the
-    bytes, keeping every downstream shape honest."""
+    codecs, see analytics/codecs.py) in both modes; JPEG/GIF/WebP
+    decode for real when the ``[imaging]`` extra (Pillow) is
+    installed (:func:`_pillow_decode`). Remaining cases — Pillow
+    absent or format unknown — raise in strict mode (the error names
+    the pip extra) or fall back to a deterministic fake greyscale
+    derived from the bytes, keeping every downstream shape honest."""
     fmt = codecs.sniff(data)
     if fmt == "bmp":
         return codecs.luma(codecs.decode_bmp(data))
     if fmt == "png":
         return codecs.luma(codecs.decode_png(data))
+    if fmt in ("jpeg", "gif", "webp"):
+        img = _pillow_decode(data)
+        if img is not None:
+            return img
     if strict:
         raise NotImplementedError(
-            "no codec for this image format in this environment (BMP/PNG decode natively); "
+            "no codec for this image format in this environment (BMP/PNG decode "
+            "natively; JPEG/GIF/WebP need `pip install iotdatapipeline-spark[imaging]`); "
             "use strict=False for the deterministic stub"
         )
     seed = hashlib.md5(data).digest()

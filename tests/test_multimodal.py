@@ -144,3 +144,114 @@ class TestEmitPixels:
         for r in out.select("resized", "pix_sum", bits.alias("avghash")).collect():
             want = "".join("1" if b * 64 > r["pix_sum"] else "0" for b in r["resized"])
             assert r["avghash"] == want
+
+
+class TestPillowSeam:
+    """The [imaging] extra's decode seam (_pillow_decode), exercised
+    with a mocked ``PIL`` in sys.modules — no media wheels in this
+    sandbox, same pattern as tests/test_connectors.py. Driver-side
+    pure-function tests: in production the import runs inside the
+    mapInPandas Arrow batch on executors, identical code path."""
+
+    JPEG_MAGIC = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+
+    def _mock_pil(self, monkeypatch, rgb):
+        import sys
+        import types
+
+        class _Img:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return rgb
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        image_mod = types.ModuleType("PIL.Image")
+        opened = []
+
+        def _open(buf):
+            opened.append(buf.read()[:4])
+            return _Img()
+
+        image_mod.open = _open
+        pil = types.ModuleType("PIL")
+        pil.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+        return opened
+
+    def test_sniff_recognizes_pillow_formats(self):
+        from iotdatapipeline_spark.analytics import codecs
+
+        assert codecs.sniff(self.JPEG_MAGIC) == "jpeg"
+        assert codecs.sniff(b"GIF89a" + b"\x00" * 16) == "gif"
+        assert codecs.sniff(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8) == "webp"
+        # RIFF/WAVE still wins over webp
+        assert codecs.sniff(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8) == "wav"
+
+    def test_jpeg_decodes_through_mocked_pillow(self, monkeypatch):
+        import numpy as np
+
+        from iotdatapipeline_spark.analytics.multimodal import _decode_image_bytes
+
+        rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        opened = self._mock_pil(monkeypatch, rgb)
+        out = _decode_image_bytes(self.JPEG_MAGIC, 3, 2, strict=True)
+        # the full payload reached Image.open and the luma shape is (H, W)
+        assert opened == [b"\xff\xd8\xff\xe0"]
+        assert out.shape == (2, 3) and out.dtype == np.uint8
+        # BT.601 of the known ramp
+        from iotdatapipeline_spark.analytics import codecs
+
+        assert (out == codecs.luma(rgb)).all()
+
+    def test_without_pillow_strict_names_the_extra(self, monkeypatch):
+        import builtins
+        import sys
+
+        import pytest as _pytest
+
+        from iotdatapipeline_spark.analytics.multimodal import _decode_image_bytes
+
+        monkeypatch.delitem(sys.modules, "PIL", raising=False)
+        monkeypatch.delitem(sys.modules, "PIL.Image", raising=False)
+        real_import = builtins.__import__
+
+        def no_pil(name, *a, **k):
+            if name == "PIL" or name.startswith("PIL."):
+                raise ImportError("No module named 'PIL'")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_pil)
+        with _pytest.raises(NotImplementedError, match=r"\[imaging\]"):
+            _decode_image_bytes(self.JPEG_MAGIC, 4, 4, strict=True)
+        # non-strict: deterministic fake, shaped by the metadata dims
+        out = _decode_image_bytes(self.JPEG_MAGIC, 4, 4, strict=False)
+        assert out.shape == (4, 4)
+        out2 = _decode_image_bytes(self.JPEG_MAGIC, 4, 4, strict=False)
+        assert (out == out2).all()
+
+    def test_native_formats_never_touch_pillow(self, monkeypatch):
+        """BMP/PNG stay on the stdlib codecs even when Pillow exists:
+        the hash-verified gates must not change under the extra."""
+        import iotdatapipeline_spark.analytics.multimodal as mm
+
+        def boom(data):
+            raise AssertionError("native format routed to Pillow")
+
+        monkeypatch.setattr(mm, "_pillow_decode", boom)
+        import os
+        import sys
+
+        import numpy as np
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_codecs import encode_bmp
+
+        img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        out = mm._decode_image_bytes(encode_bmp(img), 5, 4, strict=True)
+        assert out.shape == (4, 5)
