@@ -2653,6 +2653,34 @@ def _pq_recall_sql() -> str:
     """
 
 
+def _recall_vs_exact_int_top3(emb: DataFrame, pq_pairs: DataFrame) -> DataFrame:
+    """Recall@3 of an ANN result set (columns qid, nid) against the
+    exact scaled-integer-L2 top-3 over ``emb`` for query ids < 5 —
+    the shared audit tail of embeddings_pq_recall and
+    embeddings_pq_index_recall. Both sides and the overlap join are
+    integer-deterministic, so the composition value-hashes."""
+    ints = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000)).alias("__v"),
+    )
+    q = ints.select(F.col("vec_id").alias("qid"), F.col("__v").alias("qv")).filter(F.col("qid") < 5)
+    d = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = ints.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dd = pairs.select("qid", F.col("vec_id").alias("nid"), d.alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    exact = dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).select("qid", "nid")
+    pq = pq_pairs.select(F.col("qid").alias("pqid"), F.col("nid").alias("pnid"))
+    hit = exact.join(pq, (F.col("pqid") == F.col("qid")) & (F.col("pnid") == F.col("nid")), "left")
+    return hit.groupBy("qid").agg(
+        F.count("pnid").cast("long").alias("n_hit"),
+        F.floor(100.0 * F.count("pnid") / 3).cast("long").alias("recall_x100"),
+    )
+
+
 @register("embeddings_pq_recall", None)
 def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of PQ-ADC search against the exact (scaled-integer L2)
@@ -2672,31 +2700,43 @@ def embeddings_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    ints = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000)).alias("__v"),
-    )
-    q = ints.select(F.col("vec_id").alias("qid"), F.col("__v").alias("qv")).filter(F.col("qid") < 5)
-    d = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    pairs = ints.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    dd = pairs.select("qid", F.col("vec_id").alias("nid"), d.alias("dist"))
-    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
-    exact = dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).select("qid", "nid")
-    pq = pq_adc_topk(emb, queries_df, k=3, m=4, ksub=8, iters=2).select(
-        F.col("qid").alias("pqid"), F.col("nid").alias("pnid")
-    )
-    hit = exact.join(pq, (F.col("pqid") == F.col("qid")) & (F.col("pnid") == F.col("nid")), "left")
-    return hit.groupBy("qid").agg(
-        F.count("pnid").cast("long").alias("n_hit"),
-        F.floor(100.0 * F.count("pnid") / 3).cast("long").alias("recall_x100"),
+    return _recall_vs_exact_int_top3(
+        emb, pq_adc_topk(emb, queries_df, k=3, m=4, ksub=8, iters=2)
     )
 
 
 ORACLE["embeddings_pq_recall"] = _pq_recall_sql()
+
+
+@register("embeddings_pq_index_recall", None)
+def embeddings_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the MATERIALIZED PQ index (the stored codebooks +
+    packed codes that ``embeddings_pq_index_topk`` searches) against
+    the exact scaled-integer-L2 scan — the at-scale quality audit for
+    the headline ANN slot (verdict r9 item 6). The live-pipeline twin
+    ``embeddings_pq_recall`` audits what training produces; this one
+    audits what a user actually queries in steady state: the ADC fold
+    over STORED integer codes. The oracle retrains the full pipeline
+    in SQL, so a hash match proves the stored index is bit-identical
+    to a fresh train — recall cannot silently rot as the index table
+    ages or the dataset is re-ingested at another scale (run at x10
+    via tools/bench_scale_spot.py for the BASELINE.md row)."""
+    from iotdatapipeline_spark.analytics.similarity import pq_adc_search_packed
+
+    _, cbs_t, codes_t = _pq_index_tables(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = pq_adc_search_packed(
+        codes_t.snapshot().select("nid", "codes"),
+        cbs_t.snapshot().select("cbs"),
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        m=4,
+        ksub=8,
+    )
+    return _recall_vs_exact_int_top3(emb, stored)
+
+
+ORACLE["embeddings_pq_index_recall"] = _pq_recall_sql()
 
 
 @register(
