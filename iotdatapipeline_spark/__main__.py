@@ -108,7 +108,7 @@ def _cmd_table(args: argparse.Namespace) -> int:
                 f" cluster_by={m.get('cluster_by') or '-'}"
             )
     elif args.action == "show":
-        t.snapshot(args.version).show(args.rows, truncate=False)
+        t.snapshot(args.version, timestamp=args.as_of_ts).show(args.rows, truncate=False)
     elif args.action == "optimize":
         z = tuple(args.zorder_by.split(",")) if args.zorder_by else None
         v = t.optimize(args.n_files, zorder_by=z)
@@ -116,6 +116,12 @@ def _cmd_table(args: argparse.Namespace) -> int:
     elif args.action == "vacuum":
         removed = t.vacuum(retention_s=args.retention)
         print(f"removed {len(removed)} orphaned files")
+    elif args.action == "clone":
+        if not args.dest:
+            print("clone requires --dest (destination root)", file=sys.stderr)
+            return 2
+        dest = t.clone_to(args.dest, version=args.version, timestamp=args.as_of_ts)
+        print(f"{dest._read_manifest(1)['op']} -> {args.dest} (v1, zero-copy)")
     elif args.action == "expire":
         expired = t.expire_versions(retention_s=args.retention, keep_last=args.keep_last)
         lo = f"v{expired[0]}..v{expired[-1]}, " if expired else ""
@@ -173,9 +179,11 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
 
-    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "changes", "delete", "restore"])
+    tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "changes", "delete", "restore"])
     tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")
+    tb.add_argument("--dest", default=None, help="clone: destination table root")
+    tb.add_argument("--as-of-ts", type=float, default=None, help="show/clone: TIMESTAMP AS OF (epoch seconds)")
     tb.add_argument("--where", default=None, help="delete: SQL predicate (merge-on-read deletion vectors)")
     tb.add_argument("root")
     tb.add_argument("--version", type=int, default=None, help="show: snapshot version; changes: from-version")

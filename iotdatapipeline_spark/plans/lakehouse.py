@@ -762,3 +762,91 @@ def events_versioned_check_constraints(spark: SparkSession, sf_dir: str) -> Data
     if "part_nonempty" not in (m.get("constraints") or {}):
         raise RuntimeError("constraint lost from the manifest chain")
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_clone_travel",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station,
+           CASE WHEN station % 9 = 0 THEN 'cloned' ELSE part END AS part,
+           ts_us, v_cents,
+           CASE WHEN station % 9 = 0 THEN version_id + 7000000
+                ELSE version_id END AS version_id
+    FROM merged
+    """,
+)
+def events_versioned_clone_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE + TIMESTAMP AS OF as one hard driver gate (r10).
+
+    Round-trip: (1) CREATE the per-station dim (odd-thirds of events) —
+    v1; (2) a valid merge (even-thirds %5) — v2, commit time recorded;
+    (3) a poisoning merge (stations %7, v_cents bumped by +55555) — v3;
+    (4) ``clone_to(dest, timestamp=ts2)`` — the clone must materialize
+    the v2 state via timestamp resolution, NOT the head: any of the %7
+    bump leaking into the clone value-hash-mismatches; (5) the clone
+    diverges (stations %9 relabeled 'cloned', version bumped by 7e6) —
+    its own history, its own files; the SOURCE head must not move.
+    Returned: the clone's final snapshot; oracle = steps 1+2+5 as set
+    algebra with step 3 absent.
+
+    100 TB: the clone hard-links immutable files (no bytes move; the
+    object-store form is manifest-only absolute references), timestamp
+    resolution is O(versions-scanned) over cached manifests, and the
+    clone is immediately writable with the source's constraints and
+    clustering carried. Clone/travel machinery: sources/versioned.py
+    (clone_to, version_at_timestamp, commit_timestamp)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_clone_")
+    table = VersionedTable(spark, os.path.join(stem, "src"))
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"])  # v2 — the clone point
+    ts2 = table.commit_timestamp(2)
+    poison = (
+        table.snapshot()
+        .filter(F.col("station") % 7 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(55555))
+    )
+    table.merge_into(poison, ["station"])  # v3 — must NOT reach the clone
+    if table.commit_timestamp(3) <= ts2:
+        raise RuntimeError("commit clock anomaly: v3 not after v2")
+    clone = table.clone_to(os.path.join(stem, "dst"), timestamp=ts2)
+    if clone._read_manifest(1)["op"] != f"clone:{table.root}@v2":
+        raise RuntimeError("timestamp did not resolve to v2")
+    relabel = (
+        clone.snapshot()
+        .filter(F.col("station") % 9 == 0)
+        .withColumn("part", F.lit("cloned"))
+        .withColumn("version_id", F.col("version_id") + F.lit(7000000))
+    )
+    clone.merge_into(relabel, ["station"])  # diverges the clone only
+    if table.version() != 3:
+        raise RuntimeError("clone write leaked into the source table")
+    return clone.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

@@ -44,6 +44,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -762,6 +763,10 @@ class VersionedTable:
             "version": base_version + 1,
             "base": base_version,
             "op": op,
+            # commit wall-clock (seconds): TIMESTAMP AS OF resolution
+            # (version_at_timestamp). Readers fall back to manifest
+            # mtime for pre-field tables.
+            "ts": time.time(),
             "files": sorted(files),
             "cluster_by": list(cluster_by) if cluster_by else [],
             "txns": txns,
@@ -988,9 +993,54 @@ class VersionedTable:
         )
         return 1
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def commit_timestamp(self, version: int) -> float:
+        """Wall-clock commit time (epoch seconds) of ``version`` — the
+        manifest's recorded ``ts``, falling back to the manifest file's
+        mtime for tables written before the field existed."""
+        m = self._read_manifest(version)
+        ts = m.get("ts")
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(self._manifest_path(version))
+
+    def version_at_timestamp(self, ts) -> int:
+        """Delta's TIMESTAMP AS OF resolution: the LATEST version whose
+        commit time is <= ``ts`` (epoch seconds or a datetime). A
+        timestamp after the head resolves to the head; one before the
+        first readable commit raises (ValueError, or the expired-prefix
+        message when older history existed but was expired). Scans from
+        the head down, so non-monotone commit clocks (NTP step, restored
+        logs) still resolve to the largest qualifying version."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        ts = float(ts)
+        head = self.version()
+        if head == 0:
+            raise ValueError("version_at_timestamp: table does not exist; create() it first")
+        first = self.earliest_version()
+        for v in range(head, first - 1, -1):
+            if self.commit_timestamp(v) <= ts:
+                return v
+        if first > 1:
+            raise VersionExpired(
+                f"no readable version of {self.root} committed at or before "
+                f"{ts}: versions below v{first} were expired by expire_versions()"
+            )
+        raise ValueError(
+            f"no version of {self.root} committed at or before {ts} "
+            f"(first commit was at {self.commit_timestamp(first)})"
+        )
+
+    def snapshot(self, version: int | None = None, timestamp=None) -> DataFrame:
         """The table at ``version`` (default: latest) — time travel is
-        just reading an older manifest's file list."""
+        just reading an older manifest's file list. ``timestamp``
+        (epoch seconds or datetime) is TIMESTAMP AS OF: mutually
+        exclusive with ``version``, resolved via
+        :meth:`version_at_timestamp`."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         v = self.version() if version is None else version
         m = self._read_manifest(v)
         # an all-rows merge-delete legitimately commits zero files; the
@@ -2226,6 +2276,78 @@ class VersionedTable:
             except OSError:
                 pass
         return expired
+
+    def clone_to(
+        self, dest_root: str, version: int | None = None, timestamp=None
+    ) -> "VersionedTable":
+        """Zero-copy CLONE (Delta's shallow clone, expressed the POSIX
+        way): materialize this table at ``version`` / ``timestamp``
+        (default: head) as version 1 of a NEW, fully independent table
+        at ``dest_root``. Data files, DV parquets and the stats sidecar
+        are HARD-LINKED into the clone (same inodes — no bytes move;
+        silently copies across filesystems), which is safe because
+        committed files are immutable by contract: writers never modify
+        a committed file, and vacuum/optimize unlink NAMES, never
+        rewrite content in place — so the tables share storage until
+        either side rewrites, with zero cross-table coupling (either
+        may vacuum, optimize, expire or drop without affecting the
+        other). The clone's v1 carries the source's schema, column
+        mapping, retired names, CHECK constraints, clustering and DV
+        map; its op string records provenance; its txn map starts
+        empty (a clone is a new table — replays of the source's
+        micro-batches must apply to it, not no-op).
+
+        At object-storage scale the same operation is manifest-only
+        (absolute-path file references, Delta's shallow-clone form);
+        hard links are the exact local-filesystem equivalent with the
+        stronger property that the clone also survives the source's
+        deletion."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
+        v = self.version() if version is None else version
+        if v == 0:
+            raise ValueError("clone_to source does not exist; create() it first")
+        m = self._read_manifest(v)
+        dest = VersionedTable(self.spark, dest_root)
+        if dest.version() != 0:
+            raise ValueError(f"clone destination {dest_root} already exists")
+        os.makedirs(dest._data, exist_ok=True)
+        os.makedirs(dest._log, exist_ok=True)
+
+        def link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # idempotent retry of a crashed clone
+            except OSError:
+                shutil.copy2(src, dst)
+
+        data_files = set(m["files"])
+        for dv_list in (m.get("dvs") or {}).values():
+            data_files |= set(dv_list)
+        for f in sorted(data_files):
+            link_or_copy(os.path.join(self._data, f), os.path.join(dest._data, f))
+        stats_ref = m.get("stats_file")
+        if stats_ref:
+            link_or_copy(
+                os.path.join(self._log, stats_ref), os.path.join(dest._log, stats_ref)
+            )
+        dest._try_commit(
+            0,
+            list(m["files"]),
+            f"clone:{self.root}@v{v}",
+            m.get("cluster_by") or None,
+            schema_json=m.get("schema"),
+            stats=None if stats_ref else (m.get("stats") or None),
+            stats_file_ref=stats_ref,
+            dvs={f: list(d) for f, d in (m.get("dvs") or {}).items()},
+            col_map=m.get("col_map") or {},
+            retired=m.get("retired_cols") or [],
+            constraints=m.get("constraints") or {},
+        )
+        return dest
 
 
 # ── Streaming the change feed ────────────────────────────────────────────────

@@ -2164,3 +2164,118 @@ class TestExpireVersions:
         got = dict(_rows(table.snapshot()))
         assert got[0] == "u" and got[1] == "w"
         assert [m["version"] for m in table.history()] == [2, 3]
+
+
+class TestTimestampTravel:
+    """TIMESTAMP AS OF: manifests record commit wall-clock ('ts');
+    version_at_timestamp resolves the latest version at-or-before a
+    bound, with Delta's edge semantics (after-head -> head, before-
+    first -> error, expired prefix -> VersionExpired)."""
+
+    def test_resolution_between_commits(self, spark, table):
+        t1 = table.commit_timestamp(1)
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])  # v2
+        t2 = table.commit_timestamp(2)
+        assert t1 <= t2
+        assert table.version_at_timestamp(t1) == 1
+        assert table.version_at_timestamp((t1 + t2) / 2) in (1, 2)  # ties at equal clocks
+        assert table.version_at_timestamp(t2) == 2
+        assert table.version_at_timestamp(t2 + 3600) == 2  # after head -> head
+        got = dict(_rows(table.snapshot(timestamp=t1)))
+        assert got[0] == "base0"
+        import datetime
+
+        dt = datetime.datetime.fromtimestamp(t2 + 1)
+        assert dict(_rows(table.snapshot(timestamp=dt)))[0] == "u"
+
+    def test_before_first_commit_raises(self, table):
+        with pytest.raises(ValueError, match="at or before"):
+            table.version_at_timestamp(table.commit_timestamp(1) - 10)
+        with pytest.raises(ValueError, match="not both"):
+            table.snapshot(1, timestamp=0.0)
+
+    def test_expired_prefix_raises_version_expired(self, spark, table):
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
+
+        t1 = table.commit_timestamp(1)
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])
+        table.expire_versions(keep_last=1)
+        with pytest.raises(VersionExpired, match="expired"):
+            table.version_at_timestamp(t1 - 0.001 + 0)  # strictly before v2? guard below
+        # precisely: any ts < v2's commit now fails as expired
+        with pytest.raises(VersionExpired):
+            table.version_at_timestamp(min(t1, table.commit_timestamp(2) - 0.001))
+
+    def test_mtime_fallback_for_pre_field_manifests(self, spark, table):
+        # simulate a pre-'ts' manifest: strip the field on disk
+        import json as _json
+
+        p = table._manifest_path(1)
+        with open(p) as f:
+            m = _json.load(f)
+        ts_recorded = m.pop("ts")
+        with open(p, "w") as f:
+            _json.dump(m, f)
+        cold = VersionedTable(spark, table.root)
+        got = cold.commit_timestamp(1)
+        assert abs(got - os.path.getmtime(p)) < 1e-6
+        assert cold.version_at_timestamp(max(got, ts_recorded) + 1) == 1
+
+
+class TestClone:
+    def test_clone_is_zero_copy_and_independent(self, spark, table, tmp_path):
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])  # v2
+        dest_root = str(tmp_path / "clone")
+        dest = table.clone_to(dest_root, version=1)
+        # snapshot equals the source AT THE CLONED VERSION
+        assert _rows(dest.snapshot()) == _rows(table.snapshot(1))
+        assert dest.version() == 1
+        assert dest._read_manifest(1)["op"] == f"clone:{table.root}@v1"
+        # zero-copy: shared inodes, no duplicated bytes
+        m = table._read_manifest(1)
+        for f in m["files"]:
+            src, dst = os.path.join(table._data, f), os.path.join(dest._data, f)
+            assert os.stat(src).st_ino == os.stat(dst).st_ino
+        # independence: writes diverge both ways
+        dest.merge_into(spark.createDataFrame([Row(k=1, v="clone1")]), ["k"])
+        table.merge_into(spark.createDataFrame([Row(k=1, v="src1")]), ["k"])
+        assert dict(_rows(dest.snapshot()))[1] == "clone1"
+        assert dict(_rows(table.snapshot()))[1] == "src1"
+        assert dict(_rows(dest.snapshot()))[0] == "base0"  # cloned v1, not v2
+        # independence under hygiene: source vacuum/expire leave clone intact
+        table.expire_versions(keep_last=1)
+        table.vacuum(retention_s=0)
+        assert dict(_rows(dest.snapshot(1)))[0] == "base0"
+
+    def test_clone_carries_constraints_dvs_and_mapping(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        t = VersionedTable(spark, str(tmp_path / "src"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(20)]),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        t.add_constraint("k_nonneg", "k >= 0")
+        t.delete_where("k >= 18")  # DV delete
+        t.rename_column("v", "val")  # column mapping
+        dest = t.clone_to(str(tmp_path / "dst"))
+        assert sorted(dest.snapshot().columns) == ["k", "val"]
+        assert dest.snapshot().count() == 18
+        # DV map carried: the deleted rows stay deleted in the clone
+        assert not {r["k"] for r in dest.snapshot().collect()} & {18, 19}
+        # constraints carried and enforced in the clone
+        with pytest.raises(ConstraintViolation):
+            dest.merge_into(spark.createDataFrame([Row(k=-5, val="bad")]), ["k"])
+        # txn map starts EMPTY: a source micro-batch replay must apply
+        assert dest._read_manifest(1)["txns"] == {}
+
+    def test_clone_timestamp_and_errors(self, spark, table, tmp_path):
+        t1 = table.commit_timestamp(1)
+        table.merge_into(spark.createDataFrame([Row(k=0, v="u")]), ["k"])
+        dest = table.clone_to(str(tmp_path / "ts_clone"), timestamp=t1)
+        assert dict(_rows(dest.snapshot()))[0] == "base0"
+        with pytest.raises(ValueError, match="already exists"):
+            table.clone_to(str(tmp_path / "ts_clone"))
+        with pytest.raises(ValueError, match="not both"):
+            table.clone_to(str(tmp_path / "x"), version=1, timestamp=t1)
