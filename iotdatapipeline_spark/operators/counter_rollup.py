@@ -166,7 +166,15 @@ def production_rollup(
     )
     if multiplier is None:
         return agg.withColumn("qty", F.col("qty_raw").cast("long"))
-    dim = multiplier.select(F.col(multiplier_key).alias("__mk"), F.col(multiplier_col).alias("__mv"))
-    joined = agg.join(F.broadcast(dim), agg[part_col] == dim["__mk"], "left")
-    mult = F.coalesce(F.col("__mv"), F.lit(1))
-    return joined.withColumn("qty", (F.col("qty_raw") * mult).cast("long")).drop("__mk", "__mv")
+    # project the dim to (key, value) under self-describing names that
+    # cannot collide with the caller's event columns; both are dropped
+    # before return, so the public output schema is unaffected
+    dim = multiplier.select(
+        F.col(multiplier_key).alias("_dim_part_key"),
+        F.col(multiplier_col).alias("_dim_multiplier"),
+    )
+    joined = agg.join(F.broadcast(dim), agg[part_col] == dim["_dim_part_key"], "left")
+    mult = F.coalesce(F.col("_dim_multiplier"), F.lit(1))
+    return joined.withColumn("qty", (F.col("qty_raw") * mult).cast("long")).drop(
+        "_dim_part_key", "_dim_multiplier"
+    )

@@ -79,6 +79,18 @@ class TestCli:
         assert main(["table", "restore", root]) == 2
         assert "requires --version" in capsys.readouterr().err
 
+        # zero-copy clone at a version, then at a timestamp
+        clone_root = str(tmp_path / "t_clone")
+        assert main(["table", "clone", root, "--dest", clone_root, "--version", "1"]) == 0
+        assert "zero-copy" in capsys.readouterr().out
+        assert main(["table", "history", clone_root]) == 0
+        assert "clone" in capsys.readouterr().out
+        assert main(["table", "clone", root]) == 2
+        assert "requires --dest" in capsys.readouterr().err
+        ts1 = t.commit_timestamp(1)
+        assert main(["table", "show", root, "--as-of-ts", str(ts1), "--rows", "2"]) == 0
+        assert "|" in capsys.readouterr().out
+
         # manifest log hygiene: expire all but the newest 2 versions
         head = t.version()
         assert main(["table", "expire", root, "--keep-last", "2"]) == 0
