@@ -850,3 +850,57 @@ def events_versioned_clone_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     if table.version() != 3:
         raise RuntimeError("clone write leaked into the source table")
     return clone.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_bloom_point_lookup",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM b
+    WHERE version_id = (SELECT version_id FROM b WHERE station = 7)
+    """,
+)
+def events_versioned_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-index point lookup as a hard driver gate (r10).
+
+    The per-station dim is CLUSTERED BY station, so a point lookup on
+    ``version_id`` (each station's latest event id — high-cardinality,
+    scattered across the station-range files) is the case range stats
+    cannot help: the probe value lives in exactly ONE file, but file
+    [min, max] ranges overlap. ``add_bloom_index(["version_id"])``
+    builds the per-file blooms in one distributed pass; the gate
+    hard-fails unless the indexed ``scan`` provably skips files
+    (kept < total), and the returned row is value-hashed against the
+    subquery oracle — a bloom that wrongly prunes the TRUE file would
+    return zero rows and hash-mismatch (the one failure mode a Bloom
+    index must never have; false positives only read more).
+
+    100 TB: the index is m·rows bits/file built JVM-side (md5 double
+    hashing folded to 63-bit words via bit_or), the sidecar rides
+    manifests by reference, and a needle-in-haystack lookup opens
+    O(1 + fpp·files) files instead of O(table). Machinery:
+    sources/versioned.py (add_bloom_index, _bloom_of, _keep_files)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_bloom_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.add_bloom_index(["version_id"])
+    probe = table.snapshot().filter(F.col("station") == 7).select("version_id").collect()
+    if len(probe) != 1:
+        raise RuntimeError(f"expected exactly one station-7 row, got {len(probe)}")
+    probe_val = probe[0]["version_id"]
+    kept, total = table.pruned_files(f"version_id = {probe_val}")
+    if total > 1 and kept >= total:
+        raise RuntimeError(f"bloom skipping did not engage: {kept}/{total} files kept")
+    return table.scan(f"version_id = {probe_val}").select(
+        "station", "part", "ts_us", "v_cents", "version_id"
+    )

@@ -355,6 +355,36 @@ def _range_intersects(file_range, lo, hi) -> bool:
     return True
 
 
+#: Bloom probes per value. fpp ≈ 0.5^k at the sized m (bits_per_row=16
+#: gives ~11 effective bits/element after k=6 probes → fpp ≈ 0.2%).
+BLOOM_K = 6
+
+
+def _bloom_positions(value, m_bits: int) -> list[int]:
+    """The BLOOM_K bit positions for ``value`` in an ``m_bits`` filter —
+    md5-derived double hashing (Kirsch-Mitzenmacher), bit-identical to
+    the Spark-side expression in add_bloom_index: canonical form is
+    ``str(value)`` == Spark's CAST(col AS STRING) for the integral and
+    string column types the index admits."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1 = int(d[0:15], 16)
+    h2 = int(d[16:31], 16) | 1
+    return [(h1 + i * h2) % m_bits for i in range(BLOOM_K)]
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    """Membership probe against one (file, col) bloom entry
+    ({"m": bits, "words": {word_index: 63-bit word}}). False means
+    PROVABLY absent; True means maybe-present (keep the file)."""
+    words = entry["words"]
+    for pos in _bloom_positions(value, entry["m"]):
+        if not (words.get(pos // 63, 0) >> (pos % 63)) & 1:
+            return False
+    return True
+
+
 class VersionedTable:
     """Versioned parquet table rooted at ``root`` (local/NFS path)."""
 
@@ -371,6 +401,8 @@ class VersionedTable:
         # warm handle hit disk once per version ever (manifests are small
         # commit records — stats live in the parquet sidecar)
         self._manifest_cache: dict[int, dict] = {}
+        # parsed bloom sidecars by file name (sidecars are immutable)
+        self._bloom_cache: dict[str, dict] = {}
 
     # ── log plumbing ────────────────────────────────────────────────────
 
@@ -703,6 +735,7 @@ class VersionedTable:
         col_map: dict[str, str] | None = None,
         retired: list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        bloom_file_ref: str | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -749,6 +782,13 @@ class VersionedTable:
                 retired = base_m.get("retired_cols") or []
             if constraints is None:
                 constraints = base_m.get("constraints") or {}
+            # the bloom sidecar carries forward by reference: entries
+            # are keyed by (immutable, never-reused) file name, so
+            # entries for files a commit drops are dead weight, never
+            # wrong; files a commit adds simply lack entries (kept
+            # conservatively by the probe) until add_bloom_index reruns
+            if bloom_file_ref is None:
+                bloom_file_ref = base_m.get("bloom_file")
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
         # stats_file_ref: reuse an existing sidecar by name — sidecars
@@ -788,6 +828,10 @@ class VersionedTable:
             # CHECK constraints: name -> SQL expression; every writer
             # validates its NEW rows before committing (add_constraint)
             "constraints": constraints or {},
+            # per-file Bloom filter sidecar (point-lookup skipping on
+            # non-clustered columns): parquet of (file, col, m, word,
+            # bits) in _log, referenced by name (add_bloom_index)
+            "bloom_file": bloom_file_ref,
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -1063,16 +1107,206 @@ class VersionedTable:
 
     def _keep_files(self, m: dict, ranges: dict[str, tuple]) -> list[str]:
         """Files of manifest ``m`` whose stats ranges intersect every
-        bound in ``ranges`` (missing stats keep the file)."""
+        bound in ``ranges`` (missing stats keep the file). EQUALITY
+        bounds (lo == hi) additionally probe the per-file Bloom index
+        when one exists for the column — the point-lookup complement to
+        range skipping: on a column uncorrelated with the clustering,
+        every file's [min, max] spans the domain (ranges prune nothing)
+        while the bloom proves absence per file. A missing bloom entry
+        (file written after the index, un-indexed column) keeps the
+        file; false positives only read more, never less."""
         stats = self._stats_of(m)
-        return [
-            f
-            for f in m["files"]
-            if all(
-                _range_intersects((stats.get(f) or {}).get(c), lo, hi)
-                for c, (lo, hi) in ranges.items()
-            )
-        ]
+        blooms = self._bloom_of(m)
+
+        def keep(f: str) -> bool:
+            for c, (lo, hi) in ranges.items():
+                if not _range_intersects((stats.get(f) or {}).get(c), lo, hi):
+                    return False
+                if lo is not None and lo == hi and not isinstance(lo, bool):
+                    entry = (blooms.get(c) or {}).get(f)
+                    if entry is not None and not _bloom_maybe_contains(entry, lo):
+                        return False
+            return True
+
+        return [f for f in m["files"] if keep(f)]
+
+    def _bloom_of(self, m: dict) -> dict:
+        """Parsed bloom sidecar of manifest ``m`` as
+        {col: {file: {"m": bits, "words": {word: int}}}} — {} when the
+        table has no bloom index. Sidecars are immutable, so the parse
+        is cached by name on the handle."""
+        name = m.get("bloom_file")
+        if not name:
+            return {}
+        cached = self._bloom_cache.get(name)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(os.path.join(self._log, name))
+        except FileNotFoundError:
+            return {}
+        data: dict = {}
+        for f, c, mm, w, b in zip(
+            t.column("file").to_pylist(),
+            t.column("col").to_pylist(),
+            t.column("m").to_pylist(),
+            t.column("word").to_pylist(),
+            t.column("bits").to_pylist(),
+        ):
+            entry = data.setdefault(c, {}).setdefault(f, {"m": int(mm), "words": {}})
+            entry["words"][int(w)] = int(b)
+        self._bloom_cache[name] = data
+        return data
+
+    def _write_bloom_sidecar(self, rows: DataFrame, version: int) -> str:
+        """Write bloom rows (file, col, m, word, bits) as ONE parquet
+        sidecar in _log and return its name. Spark writes a directory;
+        the single part file is moved under the sidecar name so the
+        manifest keeps its one-name-per-sidecar contract."""
+        name = f"bl{version:010d}-{uuid.uuid4().hex[:12]}.parquet"
+        tmp_dir = os.path.join(self._log, f".bltmp-{uuid.uuid4().hex[:12]}")
+        rows.select("file", "col", "m", "word", "bits").coalesce(1).write.parquet(tmp_dir)
+        part = next(
+            f for f in os.listdir(tmp_dir) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.replace(os.path.join(tmp_dir, part), os.path.join(self._log, name))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return name
+
+    def add_bloom_index(
+        self, cols: Sequence[str], bits_per_row: int = 16, max_retries: int = 5
+    ) -> int:
+        """Delta's Bloom filter index: per-(file, column) Bloom filters
+        in a parquet sidecar, probed by ``scan`` for EQUALITY
+        predicates. Range stats (cluster_by + min/max) answer "which
+        files can hold this range"; blooms answer the question ranges
+        cannot — "which files can hold this exact value" on a column
+        UNCORRELATED with the clustering, where every file's [min, max]
+        spans the whole domain. A point lookup then opens O(1 + fpp ·
+        files) files instead of all of them.
+
+        INCREMENTAL: only files lacking an entry for a requested column
+        are scanned and hashed (one distributed pass — md5 double
+        hashing folded to 63-bit words via bit_or, all JVM-side);
+        existing entries for still-live files are carried into the new
+        sidecar. Writers need no bloom awareness: the sidecar rides
+        manifests by reference (file names are never reused, so stale
+        entries can never lie — see _try_commit), new files are simply
+        unprunable until the next add_bloom_index run. Columns must be
+        integral or string (the canonical-form contract of
+        ``_bloom_positions``); NULLs are not indexed (SQL equality
+        never matches NULL). Sizing: ``m = bits_per_row · rows`` per
+        file (min 1024), k = BLOOM_K probes → fpp ≈ 0.2% at the
+        default 16. Returns the committed version."""
+        from pyspark.sql.types import StructType
+
+        cols = list(dict.fromkeys(cols))
+        allowed = {"tinyint", "smallint", "int", "bigint", "string"}
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("add_bloom_index target does not exist; create() it first")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for c in cols:
+                if c not in types:
+                    raise ValueError(f"no such column {c!r} (have {sorted(types)})")
+                if types[c] not in allowed:
+                    raise ValueError(
+                        f"bloom index needs an integral or string column; {c!r} is {types[c]}"
+                    )
+            live = set(m["files"])
+            old = self._bloom_of(m)
+            missing = {
+                c: sorted(live - set(old.get(c) or ())) for c in cols
+            }
+            build_files = sorted(set().union(*missing.values()))
+            if not build_files and m.get("bloom_file"):
+                return base  # every (file, col) already indexed — no-op
+            new_rows = None
+            if build_files:
+                df = self._read_data(m, build_files, with_file=True)
+                sizes = {
+                    r["__file"]: max(1024, bits_per_row * r["cnt"])
+                    for r in df.groupBy("__file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+                }
+                size_df = self.spark.createDataFrame(
+                    [(f, int(mb)) for f, mb in sizes.items()], "__file string, __m long"
+                )
+                df = df.join(F.broadcast(size_df), "__file")
+                per_col = []
+                for c in (c for c in cols if missing[c]):
+                    digest = F.md5(F.col(c).cast("string").cast("binary"))
+                    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+                    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long").bitwiseOR(
+                        F.lit(1).cast("long")
+                    )
+                    positions = F.array(
+                        *[F.pmod(h1 + F.lit(i) * h2, F.col("__m")) for i in range(BLOOM_K)]
+                    )
+                    per_col.append(
+                        df.filter(F.col("__file").isin(missing[c]) & F.col(c).isNotNull())
+                        .select(
+                            F.col("__file").alias("file"),
+                            F.lit(c).alias("col"),
+                            F.col("__m").alias("m"),
+                            F.explode(positions).alias("pos"),
+                        )
+                        .groupBy("file", "col", "m", (F.col("pos") / 63).cast("long").alias("word"))
+                        .agg(
+                            F.bit_or(
+                                # shiftleft's PySpark wrapper takes a
+                                # literal shift only; the column form
+                                # needs the SQL expression
+                                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 63) AS INT))")
+                            ).alias("bits")
+                        )
+                    )
+                new_rows = per_col[0]
+                for p in per_col[1:]:
+                    new_rows = new_rows.unionAll(p)
+            # carry surviving old entries (live files, any col) that we
+            # did not just rebuild
+            carry = None
+            if m.get("bloom_file") and os.path.exists(os.path.join(self._log, m["bloom_file"])):
+                carry = self.spark.read.parquet(os.path.join(self._log, m["bloom_file"]))
+                carry = carry.filter(F.col("file").isin(sorted(live)))
+                if build_files:
+                    rebuilt = {(f, c) for c in cols for f in missing[c]}
+                    if rebuilt:
+                        pairs = self.spark.createDataFrame(
+                            [(f, c) for f, c in sorted(rebuilt)], "file string, col string"
+                        )
+                        carry = carry.join(F.broadcast(pairs), ["file", "col"], "left_anti")
+            out = new_rows if carry is None else (carry if new_rows is None else carry.unionAll(new_rows))
+            if out is None:
+                return base  # nothing to index and nothing carried
+            name = self._write_bloom_sidecar(out, base + 1)
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"index:bloom:{','.join(cols)}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    bloom_file_ref=name,
+                )
+                return base + 1
+            except CommitConflict:
+                try:
+                    os.unlink(os.path.join(self._log, name))
+                except OSError:
+                    pass
+                continue
+        raise CommitConflict(
+            f"add_bloom_index on {self.root} gave up after {max_retries} conflicts"
+        )
 
     def scan(
         self,
@@ -1186,6 +1420,20 @@ class VersionedTable:
         for fld in new.schema.fields:
             if fld.name not in old_have:
                 old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        # across a TYPE-WIDENING boundary (widen_column) the older
+        # snapshot carries the narrower type: cast to v_to's types so
+        # the struct compare is well-typed — widening preserves values,
+        # so the cast can never manufacture a false update
+        new_types = {f.name: f.dataType for f in new.schema.fields}
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+        old = old.select(
+            *[
+                F.col(c).cast(new_types[c]).alias(c)
+                if c in new_types and old_types[c] != new_types[c]
+                else F.col(c)
+                for c in old.columns
+            ]
+        )
         o = old.select(*keys, F.struct(*val_cols).alias("__old"))
         n = new.select(*keys, F.struct(*val_cols).alias("__new"))
         j = o.join(n, keys, "full_outer")
@@ -1593,6 +1841,9 @@ class VersionedTable:
                     # were validated against the restored constraints
                     # when first committed
                     constraints=m.get("constraints") or {},
+                    # likewise the restored version's bloom sidecar —
+                    # its entries match the restored file list
+                    bloom_file_ref=m.get("bloom_file"),
                 )
                 return base + 1
             except CommitConflict:
@@ -1740,6 +1991,18 @@ class VersionedTable:
                 f: {(new if c == old else c): v for c, v in fs.items()}
                 for f, fs in self._stats_of(m).items()
             }
+            # bloom entries are keyed by LOGICAL column name and the
+            # underlying values do not change on rename — re-key the
+            # sidecar so point-lookup skipping keeps working under the
+            # new name (O(index rows), no data read)
+            bloom_ref = m.get("bloom_file")
+            if bloom_ref and old in self._bloom_of(m):
+                bdf = self.spark.read.parquet(os.path.join(self._log, bloom_ref))
+                bdf = bdf.withColumn(
+                    "col",
+                    F.when(F.col("col") == old, F.lit(new)).otherwise(F.col("col")),
+                )
+                bloom_ref = self._write_bloom_sidecar(bdf, base + 1)
             try:
                 self._try_commit(
                     base,
@@ -1751,9 +2014,15 @@ class VersionedTable:
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     col_map=cmap,
                     retired=list(m.get("retired_cols") or []),
+                    bloom_file_ref=bloom_ref,
                 )
                 return base + 1
             except CommitConflict:
+                if bloom_ref and bloom_ref != m.get("bloom_file"):
+                    try:
+                        os.unlink(os.path.join(self._log, bloom_ref))
+                    except OSError:
+                        pass
                 continue
         raise CommitConflict(
             f"rename_column on {self.root} gave up after {max_retries} conflicts"
@@ -1807,6 +2076,80 @@ class VersionedTable:
                 continue
         raise CommitConflict(
             f"add_column on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    #: value-preserving type widenings (Delta type widening): narrower
+    #: physical files stay as-is; Spark 4's vectorized parquet reader
+    #: widens per file against the manifest schema. long -> double is
+    #: deliberately ABSENT (lossy above 2^53).
+    _WIDENINGS = {
+        "tinyint": ("smallint", "int", "bigint", "double"),
+        "smallint": ("int", "bigint", "double"),
+        "int": ("bigint", "double"),
+        "float": ("double",),
+    }
+
+    def widen_column(self, name: str, new_type: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ... ALTER COLUMN TYPE, widening only — Delta's
+        type widening, manifest-only: existing files keep the narrow
+        physical type forever (Spark 4's parquet reader widens each
+        file against the manifest schema at scan time — probed and
+        pinned in tests), writers after the commit produce the wide
+        type, and the two coexist under one logical schema exactly like
+        schema-evolution merges. Value-preserving widenings only (see
+        ``_WIDENINGS``; ``long -> double`` is refused — lossy above
+        2^53 — as is every narrowing). Stats sidecar and Bloom index
+        stay valid: range canon compares ints uniformly and the bloom's
+        canonical ``CAST(col AS STRING)`` form is identical for the
+        same integer in either width. Time travel before the widen sees
+        the narrow type; CDF across it casts the old side (changes()).
+        Returns the committed version (or the current one if the column
+        already has ``new_type``)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        target = _parse_datatype_string(new_type)
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("widen_column target does not exist; create() it first")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            field = next((f for f in schema.fields if f.name == name), None)
+            if field is None:
+                raise ValueError(
+                    f"no such column {name!r} (have {[f.name for f in schema.fields]})"
+                )
+            cur = field.dataType.simpleString()
+            if target.simpleString() == cur:
+                return base
+            if target.simpleString() not in self._WIDENINGS.get(cur, ()):
+                raise ValueError(
+                    f"cannot alter {name!r} from {cur} to {target.simpleString()}: only "
+                    f"value-preserving widenings are allowed "
+                    f"({cur} -> {self._WIDENINGS.get(cur) or 'nothing'})"
+                )
+            new_schema = StructType(
+                [
+                    StructField(name, target, f.nullable) if f.name == name else f
+                    for f in schema.fields
+                ]
+            ).json()
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:widen:{name}:{cur}->{target.simpleString()}",
+                    m.get("cluster_by") or None,
+                    schema_json=new_schema,
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"widen_column on {self.root} gave up after {max_retries} conflicts"
         )
 
     def drop_column(self, name: str, max_retries: int = 5) -> int:
@@ -2228,7 +2571,7 @@ class VersionedTable:
         floor = max(first, min(floor, head))
         if floor <= first:
             return []
-        # survivors' referenced data/DV files and stats sidecars
+        # survivors' referenced data/DV files and stats/bloom sidecars
         referenced: set[str] = set()
         kept_sidecars: set[str] = set()
         for v in range(floor, head + 1):
@@ -2236,8 +2579,9 @@ class VersionedTable:
             referenced |= set(m["files"])
             for dv_list in (m.get("dvs") or {}).values():
                 referenced |= set(dv_list)
-            if m.get("stats_file"):
-                kept_sidecars.add(m["stats_file"])
+            for key in ("stats_file", "bloom_file"):
+                if m.get(key):
+                    kept_sidecars.add(m[key])
         # sidecars referenced ONLY by the doomed prefix (read them
         # before the floor pointer moves and blocks the reads)
         expired_sidecars: set[str] = set()
@@ -2247,8 +2591,9 @@ class VersionedTable:
                 m = self._read_manifest(v)
             except (FileNotFoundError, VersionExpired):
                 continue
-            if m.get("stats_file"):
-                expired_sidecars.add(m["stats_file"])
+            for key in ("stats_file", "bloom_file"):
+                if m.get(key):
+                    expired_sidecars.add(m[key])
             doomed.append(v)
         # (1) checkpoint at head: vacuum's prefix union no longer
         # depends on any manifest below the floor
@@ -2334,6 +2679,13 @@ class VersionedTable:
             link_or_copy(
                 os.path.join(self._log, stats_ref), os.path.join(dest._log, stats_ref)
             )
+        bloom_ref = m.get("bloom_file")
+        if bloom_ref and os.path.exists(os.path.join(self._log, bloom_ref)):
+            link_or_copy(
+                os.path.join(self._log, bloom_ref), os.path.join(dest._log, bloom_ref)
+            )
+        else:
+            bloom_ref = None
         dest._try_commit(
             0,
             list(m["files"]),
@@ -2346,6 +2698,7 @@ class VersionedTable:
             col_map=m.get("col_map") or {},
             retired=m.get("retired_cols") or [],
             constraints=m.get("constraints") or {},
+            bloom_file_ref=bloom_ref,
         )
         return dest
 

@@ -2279,3 +2279,160 @@ class TestClone:
             table.clone_to(str(tmp_path / "ts_clone"))
         with pytest.raises(ValueError, match="not both"):
             table.clone_to(str(tmp_path / "x"), version=1, timestamp=t1)
+
+
+class TestBloomIndex:
+    """Per-file Bloom filter index (Delta bloom-filter-index parity):
+    point-lookup skipping on a column UNCORRELATED with the clustering,
+    where min/max ranges prune nothing. False positives may keep extra
+    files; a pruned file must be provably value-free."""
+
+    @pytest.fixture()
+    def btable(self, spark, tmp_path):
+        # k-clustered, val scattered (Knuth-hash) so every file's
+        # [min(val), max(val)] spans the domain — ranges are useless
+        t = VersionedTable(spark, str(tmp_path / "bloom"))
+        rows = [Row(k=i, val=(i * 2654435761) % 1_000_000, tag=f"t{i%7}") for i in range(400)]
+        t.create(spark.createDataFrame(rows), n_files=8, cluster_by=["k"])
+        return t
+
+    def test_point_lookup_prunes_and_matches_filter(self, spark, btable):
+        v = btable.add_bloom_index(["val"])
+        assert v == 2
+        probe = (5 * 2654435761) % 1_000_000  # k=5's value
+        kept, total = btable.pruned_files(f"val = {probe}")
+        assert total == 8 and kept < total  # ranges alone keep all 8
+        got = btable.scan(f"val = {probe}").collect()
+        assert [r["k"] for r in got] == [5]
+        # range-only pruning really is useless here (the bloom did it)
+        kept_r, _ = btable.pruned_files({"val": (probe, probe + 1)})
+        assert kept_r == 8
+
+    def test_absent_value_reads_nothing_wrong(self, btable):
+        btable.add_bloom_index(["val"])
+        assert btable.scan("val = 999999999").count() == 0
+
+    def test_string_column_and_type_guard(self, spark, btable, tmp_path):
+        btable.add_bloom_index(["tag"])
+        got = btable.scan("tag = 't3'")
+        assert got.count() == len([i for i in range(400) if i % 7 == 3])
+        with pytest.raises(ValueError, match="no such column"):
+            btable.add_bloom_index(["nope"])
+        t2 = VersionedTable(spark, str(tmp_path / "floaty"))
+        t2.create(spark.createDataFrame([Row(k=1, x=1.5)], "k int, x double"))
+        with pytest.raises(ValueError, match="integral or string"):
+            t2.add_bloom_index(["x"])
+
+    def test_new_files_conservative_then_incremental_reindex(self, spark, btable):
+        btable.add_bloom_index(["val"])
+        # new rows via merge -> new files lack bloom entries -> kept
+        new = spark.createDataFrame([Row(k=1000, val=777_777, tag="tx")])
+        btable.merge_into(new, ["k"])
+        got = btable.scan("val = 777777").collect()
+        assert [r["k"] for r in got] == [1000]
+        kept_before, total_before = btable.pruned_files("val = 777777")
+        # incremental: only the new files are hashed; pruning resumes
+        v = btable.add_bloom_index(["val"])
+        assert v == btable.version()
+        kept_after, total_after = btable.pruned_files("val = 777777")
+        assert kept_after <= kept_before
+        assert btable.scan("val = 777777").count() == 1
+        # idempotent no-op when fully indexed
+        assert btable.add_bloom_index(["val"]) == btable.version()
+
+    def test_nulls_are_not_indexed_and_dont_break(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "bn"))
+        rows = [Row(k=i, val=None if i % 3 == 0 else i * 37) for i in range(60)]
+        t.create(spark.createDataFrame(rows, "k int, val long"), n_files=4, cluster_by=["k"])
+        t.add_bloom_index(["val"])
+        assert t.scan("val = 37").count() == 1
+        assert t.snapshot().filter("val is null").count() == 20
+
+    def test_rename_rekeys_bloom(self, spark, btable):
+        btable.add_bloom_index(["val"])
+        btable.rename_column("val", "value")
+        probe = (5 * 2654435761) % 1_000_000
+        kept, total = btable.pruned_files(f"value = {probe}")
+        assert kept < total  # still prunes under the new name
+        assert [r["k"] for r in btable.scan(f"value = {probe}").collect()] == [5]
+
+    def test_bloom_survives_clone_restore_expire(self, spark, btable, tmp_path):
+        btable.add_bloom_index(["val"])
+        probe = (5 * 2654435761) % 1_000_000
+        clone = btable.clone_to(str(tmp_path / "bclone"))
+        kept, total = clone.pruned_files(f"val = {probe}")
+        assert kept < total
+        btable.merge_into(spark.createDataFrame([Row(k=5, val=0, tag="z")]), ["k"])
+        btable.restore(2)  # back to the indexed state
+        kept, total = btable.pruned_files(f"val = {probe}")
+        assert kept < total
+        btable.expire_versions(keep_last=1)
+        cold = VersionedTable(spark, btable.root)
+        kept, total = cold.pruned_files(f"val = {probe}")
+        assert kept < total
+        assert [r["k"] for r in cold.scan(f"val = {probe}").collect()] == [5]
+
+
+class TestWidenColumn:
+    """Type widening (Delta parity): manifest-only ALTER COLUMN TYPE;
+    narrow old files and wide new files coexist under one logical
+    schema; narrowing and lossy conversions refuse."""
+
+    def test_widen_int_to_bigint_reads_both_file_generations(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "w"))
+        t.create(
+            spark.createDataFrame([(i, i * 10) for i in range(10)], "k int, v int"),
+            n_files=2,
+            cluster_by=["k"],
+        )
+        v = t.widen_column("v", "bigint")
+        assert v == 2
+        assert dict(t.snapshot().dtypes)["v"] == "bigint"
+        # post-widen writer lands values beyond int32 range
+        big = 2**40
+        t.merge_into(spark.createDataFrame([(99, big)], "k int, v long"), ["k"])
+        got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        assert got[99] == big and got[3] == 30
+        # time travel: pre-widen version still reads as int
+        assert dict(t.snapshot(1).dtypes)["v"] == "int"
+        # idempotent no-op
+        assert t.widen_column("v", "bigint") == t.version()
+
+    def test_narrowing_and_lossy_refuse(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "w2"))
+        t.create(spark.createDataFrame([(1, 2, 1.5)], "k int, v bigint, f float"))
+        with pytest.raises(ValueError, match="widenings"):
+            t.widen_column("v", "int")  # narrowing
+        with pytest.raises(ValueError, match="widenings"):
+            t.widen_column("v", "double")  # lossy above 2^53
+        with pytest.raises(ValueError, match="no such column"):
+            t.widen_column("nope", "bigint")
+        assert t.widen_column("f", "double") == 2  # float -> double OK
+        assert dict(t.snapshot().dtypes)["f"] == "double"
+
+    def test_cdf_across_widen_boundary(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "w3"))
+        t.create(
+            spark.createDataFrame([(i, i * 10) for i in range(5)], "k int, v int"),
+            cluster_by=["k"],
+        )
+        t.widen_column("v", "bigint")  # v2: metadata-only
+        t.merge_into(spark.createDataFrame([(2, 2**35)], "k int, v long"), ["k"])  # v3
+        ch = t.changes(1, 3)
+        got = {(r["k"], r["_change_type"], r["v"]) for r in ch.collect()}
+        # the widen itself is NOT a data change; only the real update reports
+        assert got == {(2, "update_postimage", 2**35)}
+
+    def test_stats_pruning_and_bloom_survive_widen(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "w4"))
+        rows = [(i, (i * 2654435761) % 1_000_000) for i in range(200)]
+        t.create(spark.createDataFrame(rows, "k int, val int"), n_files=8, cluster_by=["k"])
+        t.add_bloom_index(["val"])
+        t.widen_column("val", "bigint")
+        probe = (5 * 2654435761) % 1_000_000
+        kept, total = t.pruned_files(f"val = {probe}")
+        assert kept < total  # bloom canonical form is width-independent
+        assert [r["k"] for r in t.scan(f"val = {probe}").collect()] == [5]
+        # range pruning on the widened CLUSTER column still works
+        kept_k, total_k = t.pruned_files({"k": (0, 10)})
+        assert kept_k < total_k
