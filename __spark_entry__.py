@@ -45,6 +45,15 @@ _RETEST = [
     # — both new plans need fresh driver rows
     "top1_active_record",
     "dedup_combine_parts",
+    # r10 cont.: every commit now flows through the bloom-aware
+    # _try_commit, changes() gained widen-boundary type alignment,
+    # rename_column gained the bloom re-key branch, and pq_recall moved
+    # onto the shared _recall_vs_exact_int_top3 helper — fresh rows on
+    # the new code
+    "events_versioned_changes",
+    "events_versioned_column_mapping",
+    "events_merge_upsert_cow",
+    "embeddings_pq_recall",
     # r9: queries over code paths restructured this round. The DV read
     # path changed (_dv_rows literal-IN -> broadcast semi-join; the
     # _commit_dv_delete/_build_dvs refactor), merge_into gained the
@@ -54,15 +63,12 @@ _RETEST = [
     # the shared pq_adc_search — each needs a fresh driver row on the
     # new code.
     "events_versioned_dv_delete",
-    "events_merge_upsert_cow",
-    "events_versioned_changes",
     "events_versioned_cdf_stream",
     "events_props_shredded",
     "embeddings_pq_topk",
     # r9 cont.: pq_codebooks gained the pq_subvectors factoring (these
     # two compose it) and the SemDeDup gate moved onto the shared
     # _semantic_neardup_plan builder
-    "embeddings_pq_recall",
     "embeddings_ivfpq_topk",
     "docs_semantic_neardup",
 ]
