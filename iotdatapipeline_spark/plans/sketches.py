@@ -359,3 +359,121 @@ def events_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).cast("long").alias("distinct_users")
     )
+
+
+# ── Heavy hitters: Misra-Gries candidates + exact verify ────────────────────
+
+
+def _mg_fold(counters: dict, value, count: int, capacity: int) -> None:
+    """Batched Misra-Gries update: fold ``count`` occurrences of
+    ``value`` into a capacity-bounded counter table. Classic analysis
+    carries over to the batched form: every decrement round removes
+    capacity+1 units of total mass, so any key is undercounted by at
+    most n/(capacity+1) — a key with partition frequency above that
+    bound always survives with a positive counter."""
+    if value in counters:
+        counters[value] += count
+        return
+    if len(counters) < capacity:
+        counters[value] = count
+        return
+    m = min(counters.values())
+    d = min(count, m)  # d full decrement rounds
+    dead = []
+    for k in counters:
+        counters[k] -= d
+        if counters[k] <= 0:
+            dead.append(k)
+    for k in dead:
+        del counters[k]
+    if count > d:  # capacity freed: the new key enters with the rest
+        counters[value] = count - d
+
+
+def misra_gries_partials(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Per-PARTITION Misra-Gries summaries over ``mapInPandas``: one
+    bounded dict per partition (the iterator spans all of a
+    partition's Arrow batches; per-batch mass arrives pre-counted via
+    vectorized ``value_counts``), emitting ≤ capacity
+    (value, mg_count) rows per partition. The sketch's point at
+    100 TB: candidate generation with O(capacity) executor memory and
+    NO shuffle of the full key set — a global heavy hitter (share s)
+    exceeds s of some partition too (pigeonhole), so with capacity >
+    1/s the union of partition summaries is a SUPERSET of the true
+    heavy hitters; an exact count of just the candidates finishes the
+    job (heavy_hitters)."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key_col].value_counts().items():
+                _mg_fold(counters, v, int(c), capacity)
+        yield pd.DataFrame(
+            {"value": list(counters), "mg_count": [int(c) for c in counters.values()]}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, schema="value string, mg_count long"
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, min_share: float) -> DataFrame:
+    """Exact heavy hitters (share >= min_share) via the two-phase
+    production shape: MG candidate sketch (capacity 2/min_share — 2×
+    the pigeonhole bound) then one exact count over ONLY the candidate
+    rows (broadcast semi-join; the groupBy shuffles candidates' rows,
+    never the full key set). Output is EXACT — the sketch can only
+    over-generate candidates, and the verify filter is on true counts —
+    so the result is oracle-checkable against a plain GROUP BY/HAVING
+    while the plan stays sketch-shaped for scale."""
+    capacity = max(8, int(2.0 / min_share) + 1)
+    cand = misra_gries_partials(df, key_col, capacity).select("value").distinct()
+    keyed = df.select(F.col(key_col).cast("string").alias("value"))
+    exact = keyed.join(F.broadcast(cand), "value").groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(min_share) * F.col("__n"))
+        .select(
+            "value",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.floor(1000.0 * F.col("cnt") / F.col("__n")).cast("long").alias("share_x1000"),
+        )
+    )
+
+
+@register(
+    "events_heavy_hitters",
+    """
+    WITH k AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN 'hot-' || event_type
+                    ELSE 'cold-' || CAST(user_id AS VARCHAR) END AS value
+        FROM events
+    ),
+    t AS (SELECT count(*) AS n FROM k),
+    c AS (SELECT value, count(*) AS cnt FROM k GROUP BY value)
+    SELECT value, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(1000.0 * cnt / n) AS BIGINT) AS share_x1000
+    FROM c, t WHERE cnt >= 0.03 * n
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a deliberately skewed key (a third of the
+    rows collapse onto 5 hot event-type keys at ~6.7% share each; the
+    rest spread across per-user cold keys at ~0.4%): MG partials find
+    the candidates without shuffling the key set, the exact verify
+    pass keeps shares >= 3%. The oracle is the direct GROUP BY/HAVING
+    — any candidate the sketch MISSES (the one failure MG must never
+    have at capacity > 1/share) or any false survivor hash-mismatches.
+    Complements events_cms_station_counts: CMS answers point frequency
+    queries, MG answers "which keys are frequent" — together the
+    frequency-sketch toolbox."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("hot-"), F.col("event_type"))
+    ).otherwise(F.concat(F.lit("cold-"), F.col("user_id").cast("string")))
+    return heavy_hitters(ev.select(key.alias("hh_key")), "hh_key", min_share=0.03)

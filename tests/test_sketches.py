@@ -158,3 +158,83 @@ class TestSourceMinhashOverlap:
             assert r.jaccard_est_x1000 == 1000 * r.matches // 8
             seen.add((r.source1, r.source2))
         assert len(seen) == len(rows)  # no duplicate pairs
+
+
+class TestMisraGries:
+    def test_fold_never_undercounts_beyond_bound(self):
+        """Single-table property: after folding a stream of (value,
+        count) mass n through capacity c, every key's undercount is
+        <= n/(c+1) and survivors with true freq > n/(c+1) remain."""
+        import random
+
+        from iotdatapipeline_spark.plans.sketches import _mg_fold
+
+        rng = random.Random(11)
+        cap = 10
+        truth: dict = {}
+        counters: dict = {}
+        # Zipf-ish stream: a few hot keys + a long tail
+        stream = []
+        for i in range(4000):
+            v = f"hot{i % 3}" if rng.random() < 0.5 else f"cold{rng.randrange(500)}"
+            stream.append(v)
+        for v in stream:
+            truth[v] = truth.get(v, 0) + 1
+            _mg_fold(counters, v, 1, cap)
+        n = len(stream)
+        assert len(counters) <= cap
+        for v, c in counters.items():
+            assert c <= truth[v]  # MG never overcounts
+            assert truth[v] - c <= n // (cap + 1) + 1
+        for v, t in truth.items():
+            if t > n / (cap + 1):
+                assert v in counters, f"guaranteed heavy key {v} evicted"
+
+    def test_fold_batched_equals_unit_guarantee(self):
+        """Folding pre-counted batches keeps the survivor guarantee
+        (decrement rounds remove capacity+1 mass per round)."""
+        from iotdatapipeline_spark.plans.sketches import _mg_fold
+
+        cap = 4
+        counters: dict = {}
+        batched = [("a", 50), ("b", 7), ("c", 6), ("d", 5), ("e", 4), ("f", 3), ("a", 25)]
+        n = sum(c for _, c in batched)
+        for v, c in batched:
+            _mg_fold(counters, v, c, cap)
+        assert len(counters) <= cap
+        assert "a" in counters  # freq 75 >> n/(cap+1)=20
+        assert counters["a"] <= 75
+
+    def test_candidates_superset_of_true_heavy_hitters(self, spark, sf_small):
+        """Distributed guarantee: the union of per-partition MG
+        summaries contains every key with global share > 1/capacity,
+        regardless of partitioning."""
+        from iotdatapipeline_spark.plans.sketches import misra_gries_partials
+
+        ev = load_table(spark, sf_small, "events").repartition(7)
+        key = F.concat(F.lit("k"), (F.col("user_id") % 12).cast("string"))
+        df = ev.select(key.alias("v"))
+        cap = 30
+        cand = {r["value"] for r in misra_gries_partials(df, "v", cap).collect()}
+        n = df.count()
+        exact = {
+            r["v"]: r["c"]
+            for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for v, c in exact.items():
+            if c > n / cap:
+                assert v in cand
+
+    def test_gate_matches_exact_group_by(self, spark, sf_small):
+        got = {
+            (r["value"], r["cnt"])
+            for r in QUERIES["events_heavy_hitters"](spark, sf_small).collect()
+        }
+        ev = load_table(spark, sf_small, "events")
+        key = F.when(
+            F.col("event_id") % 3 == 0, F.concat(F.lit("hot-"), F.col("event_type"))
+        ).otherwise(F.concat(F.lit("cold-"), F.col("user_id").cast("string")))
+        cnts = ev.select(key.alias("v")).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        n = ev.count()
+        want = {(r["v"], r["c"]) for r in cnts.collect() if r["c"] >= 0.03 * n}
+        assert got == want and got
