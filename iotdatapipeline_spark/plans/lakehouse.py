@@ -904,3 +904,63 @@ def events_versioned_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> Dat
     return table.scan(f"version_id = {probe_val}").select(
         "station", "part", "ts_us", "v_cents", "version_id"
     )
+
+
+@register(
+    "events_versioned_widen_upsert",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS INTEGER), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    )
+    SELECT station, part, ts_us,
+           CASE WHEN station % 6 = 0
+                THEN CAST(v_cents AS BIGINT) + 4294967296
+                ELSE CAST(v_cents AS BIGINT) END AS v_cents,
+           CASE WHEN station % 6 = 0 THEN version_id + 5000000
+                ELSE version_id END AS version_id
+    FROM b
+    """,
+)
+def events_versioned_widen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening as a hard driver gate (r10): a silent widening
+    failure IS a data bug — beyond-int32 values truncated, or old
+    narrow files unreadable — so the surface gets a CORRECTNESS row
+    (the r4 K3/T2 precedent), not just pytest pins.
+
+    Round-trip: (1) CREATE the per-station dim with v_cents as INT
+    (narrow physical files); (2) ``widen_column('v_cents','bigint')``
+    — manifest-only, no file rewritten; (3) MERGE values beyond int32
+    (+2^32 on stations %6) THROUGH the widened schema — these land in
+    new wide files; (4) the returned snapshot reads BOTH generations:
+    old int32 files widened at scan, new int64 files natively. The
+    oracle computes the same set algebra in BIGINT; truncation,
+    overflow, or a failed narrow-file read all value-hash-mismatch.
+    Time-travel behavior and refusal of lossy conversions are pinned
+    in tests/test_versioned.py::TestWidenColumn."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).withColumn(
+        "v_cents", F.col("v_cents").cast("int")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_widen_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    if dict(table.snapshot().dtypes)["v_cents"] != "int":
+        raise RuntimeError("fixture did not start narrow")
+    table.widen_column("v_cents", "bigint")
+    files_before = set(table._read_manifest(1)["files"])
+    files_after = set(table._read_manifest(2)["files"])
+    if files_before != files_after:
+        raise RuntimeError("widen_column rewrote data files")
+    wide = (
+        table.snapshot()
+        .filter(F.col("station") % 6 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(4294967296))
+        .withColumn("version_id", F.col("version_id") + F.lit(5000000))
+    )
+    table.merge_into(wide, ["station"])
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

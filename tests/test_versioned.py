@@ -2436,3 +2436,38 @@ class TestWidenColumn:
         # range pruning on the widened CLUSTER column still works
         kept_k, total_k = t.pruned_files({"k": (0, 10)})
         assert kept_k < total_k
+
+
+class TestBloomConcurrency:
+    def test_add_bloom_index_retries_over_concurrent_merge(self, spark, tmp_path):
+        """OCC: a merge landing between the index build and its commit
+        must CommitConflict the index commit; the retry recomputes over
+        the new head, so the final index covers the merged files too."""
+        root = str(tmp_path / "bocc")
+        t = VersionedTable(spark, root)
+        rows = [Row(k=i, val=(i * 2654435761) % 1_000_000) for i in range(200)]
+        t.create(spark.createDataFrame(rows), n_files=8, cluster_by=["k"])
+
+        t2 = VersionedTable(spark, root)
+        real = t._try_commit
+        fired = {"n": 0}
+
+        def racing(*args, **kwargs):
+            if fired["n"] == 0:
+                fired["n"] += 1
+                t2.merge_into(
+                    spark.createDataFrame([Row(k=999, val=424_242)]), ["k"]
+                )  # wins the version this index commit targeted
+            return real(*args, **kwargs)
+
+        t.__dict__["_try_commit"] = racing
+        v = t.add_bloom_index(["val"])
+        del t.__dict__["_try_commit"]
+        assert fired["n"] == 1
+        assert v == t.version() == 3  # create, racing merge, index
+        # the retried index covers the racer's file: both probes prune
+        cold = VersionedTable(spark, root)
+        for probe, want_k in [((5 * 2654435761) % 1_000_000, 5), (424_242, 999)]:
+            kept, total = cold.pruned_files(f"val = {probe}")
+            assert kept < total
+            assert [r["k"] for r in cold.scan(f"val = {probe}").collect()] == [want_k]
