@@ -2305,34 +2305,71 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"delete_matching on {self.root} gave up after {max_retries} conflicts")
 
+    #: max distinct source keys to probe against per-file blooms on the
+    #: merge path; beyond this the probe is skipped (conservative) —
+    #: the scattered-key shape this serves is small-source by nature
+    BLOOM_MERGE_PROBE_CAP = 1024
+
     def _candidates_by_key_bounds(
         self, m: dict, src_keys: DataFrame, keys: Sequence[str]
     ) -> list[str]:
         """Files of manifest ``m`` whose stats ranges can intersect the
         source's key bounds — the stats pre-prune shared by the MERGE
         touched-file probe and keyed DV deletes: a file whose recorded
-        [min, max] provably misses every source key is never read."""
+        [min, max] provably misses every source key is never read.
+
+        When a key column carries a Bloom index the survivors are
+        refined per file: [min(src), max(src)] is ONE global range, so
+        a scattered-key source against a column uncorrelated with the
+        clustering keeps every file — exactly the reference's per-tick
+        K1 shape — while the bloom keeps only files where at least one
+        source key is maybe-present. Per-column any-match is a superset
+        of the true per-row conjunction, so pruning stays sound for
+        multi-key merges; sources above BLOOM_MERGE_PROBE_CAP distinct
+        keys skip the probe (the win targets small scattered sources,
+        not bulk backfills)."""
         stats = self._stats_of(m)
         candidates = list(m["files"])
         stat_keys = [k for k in keys if any(k in (stats.get(f) or {}) for f in candidates)]
-        if not stat_keys:
-            return candidates
-        bounds_row = src_keys.agg(
-            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(stat_keys)],
-            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(stat_keys)],
-        ).collect()[0]
-        return [
-            f
-            for f in candidates
-            if all(
-                _range_intersects(
-                    (stats.get(f) or {}).get(k),
-                    bounds_row[f"lo_{i}"],
-                    bounds_row[f"hi_{i}"],
+        if stat_keys:
+            bounds_row = src_keys.agg(
+                *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(stat_keys)],
+                *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(stat_keys)],
+            ).collect()[0]
+            candidates = [
+                f
+                for f in candidates
+                if all(
+                    _range_intersects(
+                        (stats.get(f) or {}).get(k),
+                        bounds_row[f"lo_{i}"],
+                        bounds_row[f"hi_{i}"],
+                    )
+                    for i, k in enumerate(stat_keys)
                 )
-                for i, k in enumerate(stat_keys)
-            )
-        ]
+            ]
+        blooms = self._bloom_of(m)
+        for k in (k for k in keys if k in blooms):
+            if len(candidates) <= 1:
+                break
+            vals = [
+                r[0]
+                for r in src_keys.select(k)
+                .distinct()
+                .limit(self.BLOOM_MERGE_PROBE_CAP + 1)
+                .collect()
+            ]
+            if len(vals) > self.BLOOM_MERGE_PROBE_CAP:
+                continue
+            vals = [v for v in vals if v is not None]  # NULL keys match nothing
+            col_blooms = blooms[k]
+            candidates = [
+                f
+                for f in candidates
+                if (entry := col_blooms.get(f)) is None
+                or any(_bloom_maybe_contains(entry, v) for v in vals)
+            ]
+        return candidates
 
     def _build_dvs(self, m: dict, candidates: list[str], hits: DataFrame) -> dict | None:
         """Write ``hits`` (file, pos) as DV parquet and return the

@@ -2471,3 +2471,59 @@ class TestBloomConcurrency:
             kept, total = cold.pruned_files(f"val = {probe}")
             assert kept < total
             assert [r["k"] for r in cold.scan(f"val = {probe}").collect()] == [want_k]
+
+
+class TestBloomMergePruning:
+    """Bloom-refined candidate pruning on the merge/keyed-delete path:
+    scattered keys on a non-clustered column defeat [min, max] bounds
+    (one global range keeps every file); the per-file bloom probe keeps
+    only files where some source key is maybe-present."""
+
+    @pytest.fixture()
+    def ptable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "bm"))
+        rows = [Row(k=i, val=(i * 2654435761) % 1_000_000, v=f"a{i}") for i in range(400)]
+        t.create(spark.createDataFrame(rows), n_files=8, cluster_by=["k"])
+        t.add_bloom_index(["val"])
+        return t
+
+    def test_keyed_dv_delete_touches_only_bloom_hit_files(self, spark, ptable):
+        targets = [(5 * 2654435761) % 1_000_000, (200 * 2654435761) % 1_000_000]
+        src = spark.createDataFrame([(v,) for v in targets], "val long")
+        v = ptable.delete_matching(src, ["val"])
+        dvs = ptable._read_manifest(v).get("dvs") or {}
+        # without the bloom every file is a candidate; with it, only
+        # the (<=2 + fp) files actually holding the keys grew DVs
+        assert 1 <= len(dvs) <= 3
+        left = {r["k"] for r in ptable.snapshot().collect()}
+        assert 5 not in left and 200 not in left and len(left) == 398
+
+    def test_cow_merge_rewrites_only_bloom_hit_files(self, spark, ptable):
+        before = set(ptable._read_manifest(ptable.version())["files"])
+        probe = (7 * 2654435761) % 1_000_000
+        src = spark.createDataFrame([(7, probe, "UPDATED")], "k bigint, val long, v string")
+        v = ptable.merge_into(src, ["val"])
+        after = set(ptable._read_manifest(v)["files"])
+        # untouched files carried by reference: at most 1-2 rewritten
+        assert len(before & after) >= len(before) - 2
+        got = {r["k"]: r["v"] for r in ptable.snapshot().collect()}
+        assert got[7] == "UPDATED" and got[8] == "a8" and len(got) == 400
+
+    def test_all_null_source_keys_touch_nothing(self, spark, ptable):
+        src = spark.createDataFrame([(9999, None, "x")], "k bigint, val long, v string")
+        base = ptable.version()
+        ptable.merge_into(src, ["val"])
+        # NULL never equality-matches: pure insert, no file rewritten
+        m = ptable._read_manifest(ptable.version())
+        assert set(ptable._read_manifest(base)["files"]) <= set(m["files"])
+        assert ptable.snapshot().count() == 401
+
+    def test_large_source_skips_probe_but_stays_correct(self, spark, ptable):
+        cap = VersionedTable.BLOOM_MERGE_PROBE_CAP
+        vals = [((i + 10_000) * 97) % 2_000_000 for i in range(cap + 50)]
+        src = spark.createDataFrame(
+            [(100_000 + i, v, "bulk") for i, v in enumerate(vals)],
+            "k bigint, val long, v string",
+        )
+        ptable.merge_into(src, ["val"])
+        assert ptable.snapshot().count() >= 400  # correctness over pruning
