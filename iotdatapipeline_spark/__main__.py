@@ -116,6 +116,13 @@ def _cmd_table(args: argparse.Namespace) -> int:
     elif args.action == "vacuum":
         removed = t.vacuum(retention_s=args.retention)
         print(f"removed {len(removed)} orphaned files")
+    elif args.action == "convert":
+        if not args.dest:
+            print("convert requires --dest (new table root)", file=sys.stderr)
+            return 2
+        dest = VersionedTable.convert_parquet_dir(spark, args.root, args.dest)
+        n = len(dest._read_manifest(1)["files"])
+        print(f"converted {args.root} -> {args.dest} (v1, {n} files linked, zero-copy)")
     elif args.action == "clone":
         if not args.dest:
             print("clone requires --dest (destination root)", file=sys.stderr)
@@ -180,7 +187,7 @@ def main(argv: list[str] | None = None) -> int:
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "changes", "delete", "restore"])
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "convert", "changes", "delete", "restore"])
     tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")
     tb.add_argument("--dest", default=None, help="clone: destination table root")
     tb.add_argument("--as-of-ts", type=float, default=None, help="show/clone: TIMESTAMP AS OF (epoch seconds)")

@@ -2659,6 +2659,58 @@ class VersionedTable:
                 pass
         return expired
 
+    @classmethod
+    def convert_parquet_dir(
+        cls,
+        spark: SparkSession,
+        src_dir: str,
+        root: str,
+        cluster_by: Sequence[str] | None = None,
+    ) -> "VersionedTable":
+        """CONVERT TO DELTA, the POSIX way: register an existing plain
+        parquet directory as version 1 of a new VersionedTable WITHOUT
+        rewriting a byte — every ``*.parquet`` under ``src_dir`` is
+        hard-linked into the table's data dir (copy across
+        filesystems) and committed by reference, with the schema read
+        from the files. The source directory is left untouched; from
+        v1 on, the table owns its (linked) files and every feature —
+        MERGE, DVs, constraints, time travel, blooms — applies. The
+        migration path for a user with an existing parquet lake.
+
+        ``cluster_by`` records the layout IF the caller knows the
+        files are already key-clustered (it is a promise about future
+        merges, not checked against the import); per-file stats are
+        NOT reconstructed here — run ``optimize()`` afterwards to get
+        a stats-pruned, clustered layout, or ``add_bloom_index`` for
+        point lookups on the imported files as-is."""
+        files = sorted(
+            f
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not files:
+            raise ValueError(f"no parquet files to convert in {src_dir}")
+        t = cls(spark, root)
+        if t.version() != 0:
+            raise ValueError(f"convert destination {root} already exists")
+        schema_json = spark.read.parquet(src_dir).schema.json()
+        os.makedirs(t._data, exist_ok=True)
+        for f in files:
+            try:
+                os.link(os.path.join(src_dir, f), os.path.join(t._data, f))
+            except FileExistsError:
+                pass  # idempotent retry of a crashed convert
+            except OSError:
+                shutil.copy2(os.path.join(src_dir, f), os.path.join(t._data, f))
+        t._try_commit(
+            0,
+            files,
+            f"convert:{src_dir}",
+            list(cluster_by) if cluster_by else None,
+            schema_json=schema_json,
+        )
+        return t
+
     def clone_to(
         self, dest_root: str, version: int | None = None, timestamp=None
     ) -> "VersionedTable":

@@ -2527,3 +2527,40 @@ class TestBloomMergePruning:
         )
         ptable.merge_into(src, ["val"])
         assert ptable.snapshot().count() >= 400  # correctness over pruning
+
+
+class TestConvert:
+    def test_convert_links_files_and_table_is_fully_functional(self, spark, tmp_path):
+        src_dir = str(tmp_path / "plain")
+        df = spark.createDataFrame([Row(k=i, v=f"p{i}") for i in range(40)])
+        df.repartition(4).write.parquet(src_dir)
+        root = str(tmp_path / "converted")
+        t = VersionedTable.convert_parquet_dir(spark, src_dir, root, cluster_by=["k"])
+        assert t.version() == 1
+        assert t._read_manifest(1)["op"] == f"convert:{src_dir}"
+        assert _rows(t.snapshot()) == [(i, f"p{i}") for i in range(40)]
+        # zero-copy: shared inodes with the (untouched) source
+        for f in t._read_manifest(1)["files"]:
+            assert os.stat(os.path.join(src_dir, f)).st_ino == os.stat(
+                os.path.join(t._data, f)
+            ).st_ino
+        # the converted table is a first-class table: merge, DV, travel
+        t.merge_into(spark.createDataFrame([Row(k=3, v="upd")]), ["k"])
+        t.delete_where("k >= 38")
+        got = dict(_rows(t.snapshot()))
+        assert got[3] == "upd" and 38 not in got and len(got) == 38
+        assert dict(_rows(t.snapshot(1)))[3] == "p3"
+        # source dir unchanged throughout
+        assert spark.read.parquet(src_dir).count() == 40
+
+    def test_convert_guards(self, spark, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no parquet files"):
+            VersionedTable.convert_parquet_dir(spark, str(empty), str(tmp_path / "x"))
+        src_dir = str(tmp_path / "p2")
+        spark.createDataFrame([Row(k=1, v="a")]).write.parquet(src_dir)
+        root = str(tmp_path / "c2")
+        VersionedTable.convert_parquet_dir(spark, src_dir, root)
+        with pytest.raises(ValueError, match="already exists"):
+            VersionedTable.convert_parquet_dir(spark, src_dir, root)
