@@ -102,10 +102,15 @@ def _cmd_table(args: argparse.Namespace) -> int:
     if args.action == "history":
         for m in t.history():
             files, stats = m["files"], t._stats_of(m)
+            mt = m.get("metrics") or {}
+            mtxt = (
+                f" +{mt.get('files_added', '?')}f/-{mt.get('files_removed', '?')}f"
+                + (f" +{mt['rows_added']}r" if "rows_added" in mt else "")
+            )
             print(
                 f"v{m['version']:>4}  {m['op']:<14} files={len(files):<4}"
                 f" stats={len(stats):<4} dvs={len(m.get('dvs') or {}):<4}"
-                f" cluster_by={m.get('cluster_by') or '-'}"
+                f" cluster_by={m.get('cluster_by') or '-'}{mtxt}"
             )
     elif args.action == "show":
         t.snapshot(args.version, timestamp=args.as_of_ts).show(args.rows, truncate=False)

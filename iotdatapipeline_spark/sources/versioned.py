@@ -799,6 +799,23 @@ class VersionedTable:
         if stats and stats_file is None:
             stats_file = f"s{base_version + 1:010d}-{uuid.uuid4().hex[:12]}.parquet"
             self._write_stats_sidecar(stats_file, stats)
+        # operation metrics (Delta history parity), derived here so no
+        # committer has to thread counts through: added/removed file
+        # sets come from the manifest diff, added ROWS from the parquet
+        # footers the writer just produced (hot metadata, one read per
+        # added file; skipped beyond a cap so a huge convert/optimize
+        # never stalls on the driver)
+        base_files = set(base_m["files"]) if base_version > 0 else set()
+        added = [f for f in files if f not in base_files]
+        removed = sorted(base_files - set(files))
+        metrics: dict = {"files_added": len(added), "files_removed": len(removed)}
+        if len(added) <= 4096:
+            try:
+                metrics["rows_added"] = sum(
+                    self._parquet_num_rows(os.path.join(self._data, f)) for f in added
+                )
+            except OSError:
+                pass
         manifest = {
             "version": base_version + 1,
             "base": base_version,
@@ -832,6 +849,8 @@ class VersionedTable:
             # non-clustered columns): parquet of (file, col, m, word,
             # bits) in _log, referenced by name (add_bloom_index)
             "bloom_file": bloom_file_ref,
+            # operation metrics (history observability; see above)
+            "metrics": metrics,
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")

@@ -2564,3 +2564,21 @@ class TestConvert:
         VersionedTable.convert_parquet_dir(spark, src_dir, root)
         with pytest.raises(ValueError, match="already exists"):
             VersionedTable.convert_parquet_dir(spark, src_dir, root)
+
+
+class TestOperationMetrics:
+    def test_metrics_recorded_per_commit(self, spark, table):
+        src = spark.createDataFrame([Row(k=0, v="u0"), Row(k=99, v="new")])
+        table.merge_into(src, ["k"])
+        h = table.history()
+        m1, m2 = h[0].get("metrics") or {}, h[1].get("metrics") or {}
+        assert m1["files_added"] == 4 and m1["files_removed"] == 0
+        assert m1["rows_added"] == 20
+        # the merge rewrote only touched files and added their rows +
+        # the insert; removed = the rewritten originals
+        assert m2["files_added"] >= 1 and m2["files_removed"] >= 1
+        assert m2["rows_added"] >= 2
+        # metadata-only commits move no rows
+        table.add_constraint("k_pos", "k >= 0")
+        m3 = table.history()[-1]["metrics"]
+        assert m3 == {"files_added": 0, "files_removed": 0, "rows_added": 0}
