@@ -3669,3 +3669,75 @@ def sources_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(1000 * matches div 8 as bigint)").alias("jaccard_est_x1000"),
         )
     )
+
+
+@register(
+    "docs_bigram_lm_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w WHERE len(ws) >= 2
+    ),
+    sp AS (SELECT doc_id, split_part(bg, ' ', 1) AS prev, split_part(bg, ' ', 2) AS wd FROM bi),
+    c2 AS (SELECT prev, wd, count(*) AS c2 FROM sp GROUP BY 1, 2),
+    c1 AS (SELECT prev, count(*) AS c1 FROM sp GROUP BY 1),
+    v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(ws) AS x FROM w)),
+    s AS (
+        SELECT sp.doc_id, floor(1000000.0 * (c2.c2 + 1) / (c1.c1 + v.v)) AS p
+        FROM sp JOIN c2 USING (prev, wd) JOIN c1 USING (prev), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(sum(p) / count(*)) AS BIGINT) AS fluency_avg_x1e6
+    FROM s GROUP BY doc_id
+    """,
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (the CCNet-style quality filter): a
+    bigram model with add-1 smoothing is trained ON THE CORPUS (two
+    count aggregates — no external model), then every document is
+    scored by its average scaled conditional probability
+    floor(1e6·(c(prev,w)+1)/(c(prev)+V)). Kept integer end-to-end
+    (each per-bigram score is an exact double→floor; the per-doc
+    reduction is an integer SUM, order-free), so the whole
+    train-and-score pipeline value-hashes against the DuckDB replay —
+    the determinism trick that makes an LM-scoring gate possible at
+    all (a log-space perplexity would drift with partition order).
+
+    100 TB: the model IS two hash aggregates (bigram + prefix counts);
+    scoring is one shuffle join of the bigram stream against them,
+    V broadcasts as a 1-row frame, and per-doc reduction is the final
+    hash aggregate. Real deployments swap the corpus counts for a
+    frozen reference-corpus table — same plan, one fewer aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bi = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS prev, ws[i + 1] AS wd))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.wd").alias("wd"))
+    )
+    c2 = bi.groupBy("prev", "wd").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    v = ws.select(F.explode("ws").alias("x")).agg(F.countDistinct("x").alias("v"))
+    p = F.floor(1_000_000.0 * (F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+    scored = (
+        bi.join(c2, ["prev", "wd"])
+        .join(c1, ["prev"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", p.alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("p") / F.count(F.lit(1))).cast("long").alias("fluency_avg_x1e6"),
+    )
