@@ -53,6 +53,9 @@ _RETEST = [
     "events_versioned_changes",
     "events_versioned_column_mapping",
     "events_merge_upsert_cow",
+    # r10 cont.: _align_insert gained type reconciliation (both merge
+    # strategies flow through it)
+    "events_versioned_dv_upsert",
     "embeddings_pq_recall",
     # r9: queries over code paths restructured this round. The DV read
     # path changed (_dv_rows literal-IN -> broadcast semi-join; the

@@ -1672,7 +1672,43 @@ class VersionedTable:
         read fills the added columns with null (Delta's mergeSchema
         semantics without rewriting history). Without it the insert is
         projected to the base columns. Shared by the COW and
-        merge-on-read merge paths."""
+        merge-on-read merge paths.
+
+        TYPES are reconciled too, not just names — a source column
+        wider than the table's (bigint into int) written as-is would
+        commit INT64 files under an int manifest schema, bricking every
+        later read (found by the lifecycle model fuzz: restore below a
+        widen point, then merge with the still-wide source). Policy:
+        narrower/equal source casts up to the table type silently
+        (value-preserving); a WIDER source requires intent — refused
+        with a pointer to widen_column unless ``schema_evolution`` is
+        set, which auto-widens the committed schema (Delta's
+        mergeSchema + typeWidening); anything else (string vs int,
+        mismatched complex types) refuses loudly."""
+        from pyspark.sql.types import StructField, StructType
+
+        def reconcile(base_field, src_type):
+            """-> the committed type for this column (may raise)."""
+            if src_type == base_field.dataType:
+                return base_field.dataType
+            b = base_field.dataType.simpleString()
+            s = src_type.simpleString()
+            if s in VersionedTable._WIDENINGS.get(b, ()):
+                if schema_evolution:
+                    return src_type  # auto-widen the committed schema
+                raise ValueError(
+                    f"source column {base_field.name!r} is {s} but the table "
+                    f"stores {b}: run widen_column({base_field.name!r}, {s!r}) "
+                    "first, or pass schema_evolution=True to auto-widen"
+                )
+            if b in VersionedTable._WIDENINGS.get(s, ()):
+                return base_field.dataType  # narrower source: safe upcast
+            raise ValueError(
+                f"source column {base_field.name!r} type {s} is incompatible "
+                f"with table type {b}"
+            )
+
+        src_types = {f.name: f.dataType for f in inserted.schema.fields}
         if schema_evolution:
             base_fields = list(base_df.schema.fields)
             base_names = {f.name for f in base_fields}
@@ -1697,17 +1733,35 @@ class VersionedTable:
                     "column still uses the name as its PHYSICAL name in existing "
                     "files; run optimize() first to clear the column-mapping debt"
                 )
-            evolved = base_fields + added
-            aligned = inserted
-            have = set(inserted.columns)
-            for fld in evolved:
-                if fld.name not in have:
-                    aligned = aligned.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-            ins = aligned.select(*[f.name for f in evolved])
-            from pyspark.sql.types import StructType
-
+            evolved = [
+                StructField(
+                    f.name,
+                    reconcile(f, src_types[f.name]) if f.name in src_types else f.dataType,
+                    f.nullable,
+                )
+                for f in base_fields
+            ] + added
+            ins = inserted.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in src_types
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in evolved
+                ]
+            )
             return ins, StructType(evolved).json()
-        return inserted.select(*base_df.columns), base_df.schema.json()
+        committed = [
+            StructField(
+                f.name,
+                reconcile(f, src_types[f.name]) if f.name in src_types else f.dataType,
+                f.nullable,
+            )
+            for f in base_df.schema.fields
+        ]
+        ins = inserted.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in committed]
+        )
+        return ins, StructType(committed).json()
 
     def _merge_into_mor(
         self,

@@ -2582,3 +2582,174 @@ class TestOperationMetrics:
         table.add_constraint("k_pos", "k >= 0")
         m3 = table.history()[-1]["metrics"]
         assert m3 == {"files_added": 0, "files_removed": 0, "rows_added": 0}
+
+
+class TestModelBasedLifecycle:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("seed", [13, 202, 777, 3141, 9999])
+    def test_random_lifecycle_ops_match_dict_model(self, spark, tmp_path, seed):
+        """Model-based check of the r10 lifecycle surface woven into
+        the write protocol: widen_column, add_bloom_index, restore,
+        clone_to and expire_versions interleaved with COW/MOR upserts
+        and DV deletes must agree with a plain-dict model at every
+        step, keep bloom-probed point lookups exact, keep clones
+        isolated, and keep time travel correct for every version that
+        is still readable after expiry."""
+        import random
+
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
+
+        rng = random.Random(seed)
+        t = VersionedTable(spark, str(tmp_path / f"lc{seed}"))
+        # model: k -> (q, v)
+        model = {i: (i * 11, f"v0-{i}") for i in range(0, 24, 2)}
+        t.create(
+            spark.createDataFrame(
+                [Row(k=k, q=q, v=v) for k, (q, v) in model.items()],
+                "k bigint, q int, v string",
+            ),
+            n_files=3,
+            cluster_by=["k"],
+        )
+        snapshots = {1: dict(model)}
+        widened = False
+        clones = 0
+        ops = ["upsert", "mor_upsert", "dv_delete", "widen", "bloom", "restore", "clone", "expire"]
+        for step in range(14):
+            op = rng.choice(ops)
+            head_before = t.version()
+            # the live schema decides what a correct writer sends: a
+            # restore below the widen point narrows q back to int, and
+            # a wider-typed source is now REFUSED (not silently
+            # committed as corruption — the bug this fuzz found)
+            widened = dict(t.snapshot().dtypes)["q"] == "bigint"
+            if op == "widen":
+                t.widen_column("q", "bigint")  # no-op after the first
+                widened = True
+            elif op == "bloom":
+                t.add_bloom_index(["q"])  # incremental / no-op when covered
+            elif op == "dv_delete":
+                m_, r_ = rng.choice([(3, 0), (5, 1)])
+                t.delete_where(f"k % {m_} = {r_}")
+                model = {k: qv for k, qv in model.items() if k % m_ != r_}
+            elif op == "restore":
+                readable = [v for v in snapshots if v >= t.earliest_version()]
+                v = rng.choice(readable)
+                t.restore(v)
+                model = dict(snapshots[v])
+            elif op == "clone":
+                clones += 1
+                c = t.clone_to(str(tmp_path / f"lc{seed}-clone{clones}"))
+                got_c = {r["k"]: (r["q"], r["v"]) for r in c.snapshot().collect()}
+                assert got_c == model, f"step {step}: clone diverged at birth"
+                # clone writes never leak back
+                c.merge_into(
+                    spark.createDataFrame([Row(k=777, q=1, v="clone-only")], "k bigint, q bigint, v string")
+                    if widened
+                    else spark.createDataFrame([Row(k=777, q=1, v="clone-only")], "k bigint, q int, v string"),
+                    ["k"],
+                )
+            elif op == "expire":
+                t.expire_versions(keep_last=rng.randint(2, 4))
+                floor = t.earliest_version()
+                snapshots = {v: s for v, s in snapshots.items() if v >= floor}
+            else:
+                ks = rng.sample(range(30), rng.randint(1, 4))
+                big = widened and rng.random() < 0.5
+                rows = [
+                    Row(k=k, q=(2**40 + k) if big else k * 7, v=f"s{step}-{k}") for k in ks
+                ]
+                src = spark.createDataFrame(
+                    rows, f"k bigint, q {'bigint' if widened else 'int'}, v string"
+                )
+                t.merge_into(src, ["k"], strategy="mor" if op == "mor_upsert" else "cow")
+                model.update({r.k: (r.q, r.v) for r in rows})
+            got = {r["k"]: (r["q"], r["v"]) for r in t.snapshot().collect()}
+            assert got == model, f"step {step} ({op})"
+            if t.version() > head_before:
+                snapshots[t.version()] = dict(model)
+            # bloom-probed point lookup stays exact through every op mix
+            if model and rng.random() < 0.5:
+                k_probe = rng.choice(list(model))
+                q_probe = model[k_probe][0]
+                got_q = {
+                    r["k"] for r in t.scan(f"q = {q_probe}").collect()
+                }
+                assert got_q == {k for k, (q, _) in model.items() if q == q_probe}, (
+                    f"step {step} ({op}) bloom probe q={q_probe}"
+                )
+        # every still-readable version time-travels to its recorded state
+        floor = t.earliest_version()
+        for v, expect in snapshots.items():
+            if v >= floor:
+                assert {
+                    r["k"]: (r["q"], r["v"]) for r in t.snapshot(v).collect()
+                } == expect, f"time travel v{v}"
+        # and versions below the floor raise the clear error
+        if floor > 1:
+            with pytest.raises(VersionExpired):
+                t.snapshot(floor - 1)
+
+
+class TestMergeTypeReconciliation:
+    """_align_insert type policy: narrower/equal source casts up;
+    wider refuses without schema_evolution (auto-widens with);
+    incompatible refuses. Before this, a wider source committed wide
+    files under the narrow manifest schema — table bricked."""
+
+    @pytest.fixture()
+    def ntable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "tr"))
+        t.create(
+            spark.createDataFrame([(i, i * 10) for i in range(10)], "k bigint, q int"),
+            n_files=2,
+            cluster_by=["k"],
+        )
+        return t
+
+    def test_wider_source_refused_with_pointer(self, spark, ntable):
+        src = spark.createDataFrame([(3, 2**40)], "k bigint, q bigint")
+        with pytest.raises(ValueError, match="widen_column"):
+            ntable.merge_into(src, ["k"])
+        with pytest.raises(ValueError, match="widen_column"):
+            ntable.merge_into(src, ["k"], strategy="mor")
+        # the refused merges left no commit and the table still reads
+        assert ntable.version() == 1
+        assert ntable.snapshot().count() == 10
+
+    def test_wider_source_auto_widens_with_schema_evolution(self, spark, ntable):
+        src = spark.createDataFrame([(3, 2**40)], "k bigint, q bigint")
+        ntable.merge_into(src, ["k"], schema_evolution=True)
+        assert dict(ntable.snapshot().dtypes)["q"] == "bigint"
+        got = {r["k"]: r["q"] for r in ntable.snapshot().collect()}
+        assert got[3] == 2**40 and got[4] == 40 and len(got) == 10
+
+    def test_narrower_source_casts_up_silently(self, spark, ntable):
+        ntable.widen_column("q", "bigint")
+        src = spark.createDataFrame([(3, 777)], "k bigint, q int")  # narrow source
+        ntable.merge_into(src, ["k"])
+        got = {r["k"]: r["q"] for r in ntable.snapshot().collect()}
+        assert got[3] == 777 and dict(ntable.snapshot().dtypes)["q"] == "bigint"
+
+    def test_incompatible_source_refused(self, spark, ntable):
+        src = spark.createDataFrame([(3, "oops")], "k bigint, q string")
+        with pytest.raises(ValueError, match="incompatible"):
+            ntable.merge_into(src, ["k"])
+
+    def test_restore_below_widen_then_wide_merge_cannot_brick(self, spark, ntable):
+        """The exact fuzz-found sequence, pinned: widen -> merge wide ->
+        restore narrow -> merge wide again must refuse (or auto-widen),
+        never commit unreadable files."""
+        ntable.widen_column("q", "bigint")
+        wide = spark.createDataFrame([(5, 2**40)], "k bigint, q bigint")
+        ntable.merge_into(wide, ["k"])
+        ntable.restore(1)  # schema narrow again
+        assert dict(ntable.snapshot().dtypes)["q"] == "int"
+        with pytest.raises(ValueError, match="widen_column"):
+            ntable.merge_into(wide, ["k"])
+        ntable.merge_into(wide, ["k"], schema_evolution=True)  # the sanctioned path
+        got = {r["k"]: r["q"] for r in ntable.snapshot().collect()}
+        assert got[5] == 2**40
+        # every version in the history still reads
+        for v in range(1, ntable.version() + 1):
+            ntable.snapshot(v).count()
