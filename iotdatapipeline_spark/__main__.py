@@ -121,6 +121,26 @@ def _cmd_table(args: argparse.Namespace) -> int:
     elif args.action == "vacuum":
         removed = t.vacuum(retention_s=args.retention)
         print(f"removed {len(removed)} orphaned files")
+    elif args.action == "widen":
+        if not args.col or not args.new_type:
+            print("widen requires --col and --type", file=sys.stderr)
+            return 2
+        base = t.version()
+        v = t.widen_column(args.col, args.new_type)
+        if v == base:
+            print(f"{args.col} already {args.new_type}; nothing committed")
+        else:
+            print(f"committed v{v} (widen {args.col} -> {args.new_type})")
+    elif args.action == "bloom":
+        if not args.cols:
+            print("bloom requires --cols (comma-separated)", file=sys.stderr)
+            return 2
+        base = t.version()
+        v = t.add_bloom_index(args.cols.split(","))
+        if v == base:
+            print("every (file, col) already indexed; nothing committed")
+        else:
+            print(f"committed v{v} (bloom index on {args.cols})")
     elif args.action == "convert":
         if not args.dest:
             print("convert requires --dest (new table root)", file=sys.stderr)
@@ -192,7 +212,10 @@ def main(argv: list[str] | None = None) -> int:
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "convert", "changes", "delete", "restore"])
+    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore"])
+    tb.add_argument("--col", default=None, help="widen: column to widen")
+    tb.add_argument("--type", dest="new_type", default=None, help="widen: target type (e.g. bigint)")
+    tb.add_argument("--cols", default=None, help="bloom: comma-separated columns to index")
     tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")
     tb.add_argument("--dest", default=None, help="clone: destination table root")
     tb.add_argument("--as-of-ts", type=float, default=None, help="show/clone: TIMESTAMP AS OF (epoch seconds)")

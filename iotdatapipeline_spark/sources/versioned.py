@@ -2665,7 +2665,16 @@ class VersionedTable:
         head = self.version()
         if head == 0:
             return []
-        first = self.earliest_version()
+        # sweep from the true oldest manifest ON DISK, not the floor
+        # pointer: a prior expire that crashed between advancing the
+        # pointer and the unlinks left sub-floor manifests behind, and
+        # a pointer-based start would leak them forever
+        on_disk = [
+            int(f[1:11])
+            for f in (os.listdir(self._log) if os.path.isdir(self._log) else [])
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        first = min(on_disk, default=1)
         if keep_last is not None:
             floor = head - max(1, keep_last) + 1
         else:

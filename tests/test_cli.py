@@ -91,6 +91,14 @@ class TestCli:
         assert main(["table", "show", root, "--as-of-ts", str(ts1), "--rows", "2"]) == 0
         assert "|" in capsys.readouterr().out
 
+        # type widening + bloom index DDL verbs
+        assert main(["table", "widen", root]) == 2
+        assert "requires --col" in capsys.readouterr().err
+        assert main(["table", "bloom", root, "--cols", "k"]) == 0
+        assert "bloom index on k" in capsys.readouterr().out
+        assert main(["table", "bloom", root, "--cols", "k"]) == 0
+        assert "nothing committed" in capsys.readouterr().out
+
         # manifest log hygiene: expire all but the newest 2 versions
         head = t.version()
         assert main(["table", "expire", root, "--keep-last", "2"]) == 0

@@ -2753,3 +2753,60 @@ class TestMergeTypeReconciliation:
         # every version in the history still reads
         for v in range(1, ntable.version() + 1):
             ntable.snapshot(v).count()
+
+
+class TestExpireCrashSafety:
+    """expire_versions' documented crash order: (1) checkpoint, (2)
+    floor pointer, (3) unlinks. A crash between any two steps leaves a
+    table that merely over-retains — and a RERUN must finish the job,
+    not leak the stranded prefix forever."""
+
+    def _prepare(self, spark, tmp_path, name):
+        t = VersionedTable(spark, str(tmp_path / name))
+        t.create(spark.createDataFrame([Row(k=i, v=f"b{i}") for i in range(10)]), n_files=2)
+        for i in range(4):
+            t.merge_into(spark.createDataFrame([Row(k=0, v=f"u{i}")]), ["k"])
+        return t  # v5 head
+
+    def test_crash_before_any_replace_is_a_clean_noop(self, spark, tmp_path, monkeypatch):
+        t = self._prepare(spark, tmp_path, "c0")
+        real = os.replace
+
+        def boom(src, dst):
+            if "/.ckpt-" in src or ".ckpt-" in os.path.basename(src):
+                raise OSError("injected crash at step 1")
+            return real(src, dst)
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(OSError, match="injected"):
+            t.expire_versions(keep_last=2)
+        monkeypatch.undo()
+        # nothing deleted, everything readable, rerun completes
+        assert [m["version"] for m in t.history()] == [1, 2, 3, 4, 5]
+        assert t.expire_versions(keep_last=2) == [1, 2, 3]
+
+    def test_crash_after_floor_pointer_rerun_reclaims_stranded_prefix(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = self._prepare(spark, tmp_path, "c1")
+        real_unlink = os.unlink
+
+        def boom(path):
+            if os.path.basename(str(path)).startswith("v") and str(path).endswith(".json"):
+                raise OSError("injected crash at step 3")
+            return real_unlink(path)
+
+        monkeypatch.setattr(os, "unlink", boom)
+        with pytest.raises(OSError, match="injected"):
+            t.expire_versions(keep_last=2)
+        monkeypatch.undo()
+        # pointer advanced but manifests stranded: over-retention, head fine
+        cold = VersionedTable(spark, t.root)
+        assert cold.earliest_version() == 4
+        assert dict(_rows(cold.snapshot()))[0] == "u3"
+        # rerun sweeps from the true on-disk minimum: the stranded
+        # prefix is reclaimed, not leaked forever
+        expired = cold.expire_versions(keep_last=2)
+        assert expired == [1, 2, 3]
+        assert not os.path.exists(cold._manifest_path(1))
+        assert dict(_rows(cold.snapshot()))[0] == "u3"
