@@ -615,3 +615,47 @@ def pq_adc_search(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "rk", F.col("dist_est").cast("long").alias("dist_est"))
     )
+
+
+def binary_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-bit binary quantization: d float dims -> ceil(d/32) packed
+    32-bit words in an ``array<bigint>`` (d/8 bytes per vector — the
+    32× compression modern vector stores ship as their cheapest tier).
+    32 bits per word, not 64, so every shift stays below the sign bit
+    and the packed values are identical non-negative integers on any
+    engine — the determinism that lets the DuckDB oracle replay the
+    quantization bit-for-bit. Output: (id, bq array<bigint>)."""
+    words = F.expr(
+        f"transform(sequence(0, CAST(ceil(size({vec_col}) / 32.0) AS INT) - 1, 1), j -> "
+        f"aggregate(transform(sequence(0, 31, 1), b -> "
+        f"IF(j * 32 + b < size({vec_col}) AND {vec_col}[j * 32 + b] >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc | x))"
+    )
+    return df.select(F.col(id_col), words.alias("bq"))
+
+
+def hamming_topk(
+    corpus_bq: DataFrame, queries_bq: DataFrame, *, k: int
+) -> DataFrame:
+    """Top-k by Hamming distance over packed sign bits: the whole
+    scoring pass is ``bit_count(xor)`` folds over tiny long arrays —
+    integer, branch-free, and ~d/64 machine words per pair instead of
+    d floats (why binary rescoring is the fastest first stage a
+    billion-vector search runs). Ties break on neighbor id. Output:
+    qid, nid, rk, hamming."""
+    q = queries_bq.select(F.col("vec_id").alias("qid"), F.col("bq").alias("qbq"))
+    n = corpus_bq.select(F.col("vec_id").alias("nid"), F.col("bq").alias("nbq"))
+    pairs = fanout_repartition(n).join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    dist = F.expr(
+        "aggregate(zip_with(qbq, nbq, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"
+    )
+    scored = pairs.select("qid", "nid", dist.cast("long").alias("hamming"))
+    w = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", "hamming")
+    )

@@ -3741,3 +3741,147 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.floor(F.sum("p") / F.count(F.lit(1))).cast("long").alias("fluency_avg_x1e6"),
     )
+
+
+_BQ_SQL = """
+    bqw AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+                   j -> list_reduce(
+                            list_transform(generate_series(0, 31),
+                                b -> CASE WHEN j * 32 + b + 1 <= len(embedding)
+                                           AND embedding[j * 32 + b + 1] >= 0
+                                          THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                            (x, y) -> x | y)) AS w
+        FROM embeddings
+    ),
+    bqp AS (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+               list_sum(list_transform(generate_series(1, len(q.w)),
+                                       i -> bit_count(xor(q.w[i], n.w[i])))) AS hamming
+        FROM bqw q JOIN bqw n ON q.vec_id < 5 AND n.vec_id <> q.vec_id
+    ),
+    bqtop AS (
+        SELECT qid, nid, rk, CAST(hamming AS BIGINT) AS hamming FROM (
+            SELECT qid, nid, hamming,
+                   row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rk
+            FROM bqp
+        ) WHERE rk <= 3
+    )
+"""
+
+
+@register(
+    "embeddings_bq_topk",
+    f"WITH {_BQ_SQL} SELECT qid, nid, rk, hamming FROM bqtop",
+)
+def embeddings_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN: sign-bit packing (64 float dims -> two
+    32-bit words, 32× smaller) + Hamming top-3 — the cheapest tier of
+    the modern vector-search quantization menu, next to PQ/IVFPQ
+    (embeddings_pq_*). The oracle replays packing and scoring
+    bit-for-bit (32-bit words keep every shift below the sign bit, so
+    both engines materialize identical longs; bit_count(xor) folds are
+    integer-exact). Scoring reads d/64 machine words per pair instead
+    of d floats — the first-stage rescore a billion-vector deployment
+    runs before exact reranking."""
+    from iotdatapipeline_spark.analytics.similarity import binary_quantize, hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq = binary_quantize(emb)
+    return hamming_topk(bq, bq.filter(F.col("vec_id") < 5), k=3)
+
+
+_EXACT_TOP3_SQL = """
+    iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    expr_ AS (SELECT q.vec_id AS qid, n.vec_id AS nid, unnest(q.v) AS a, unnest(n.v) AS b
+              FROM iv q JOIN iv n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+    exd AS (SELECT qid, nid, sum((a - b) * (a - b)) AS dist FROM expr_ GROUP BY 1, 2),
+    extop AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+            FROM exd
+        ) WHERE rk <= 3
+    )
+"""
+
+
+@register(
+    "embeddings_bq_recall",
+    f"""
+    WITH {_BQ_SQL}, {_EXACT_TOP3_SQL}
+    SELECT extop.qid,
+           CAST(count(bqtop.nid) AS BIGINT) AS n_hit,
+           CAST(floor(100.0 * count(bqtop.nid) / 3) AS BIGINT) AS recall_x100
+    FROM extop LEFT JOIN bqtop ON bqtop.qid = extop.qid AND bqtop.nid = extop.nid
+    GROUP BY extop.qid
+    """,
+)
+def embeddings_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of sign-bit Hamming search against the exact
+    scaled-integer-L2 scan — the quality number that prices the 32×
+    compression, mirroring embeddings_pq_recall for PQ. Both the BQ
+    ranking and the exact ranking are integer-deterministic, so the
+    composition value-hashes. Near-isotropic fixture caveat as for PQ:
+    absolute recall here is the VQ worst case; the gate pins the
+    measurement machinery."""
+    from iotdatapipeline_spark.analytics.similarity import binary_quantize, hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq = binary_quantize(emb)
+    top = hamming_topk(bq, bq.filter(F.col("vec_id") < 5), k=3)
+    return _recall_vs_exact_int_top3(emb, top)
+
+
+@register(
+    "embeddings_matryoshka_recall",
+    f"""
+    WITH {_EXACT_TOP3_SQL},
+    pv AS (SELECT vec_id, v[1:16] AS p FROM iv),
+    mp AS (SELECT q.vec_id AS qid, n.vec_id AS nid, unnest(q.p) AS a, unnest(n.p) AS b
+           FROM pv q JOIN pv n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+    md AS (SELECT qid, nid, sum((a - b) * (a - b)) AS dist FROM mp GROUP BY 1, 2),
+    mtop AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+            FROM md
+        ) WHERE rk <= 3
+    )
+    SELECT extop.qid,
+           CAST(count(mtop.nid) AS BIGINT) AS n_hit,
+           CAST(floor(100.0 * count(mtop.nid) / 3) AS BIGINT) AS recall_x100
+    FROM extop LEFT JOIN mtop ON mtop.qid = extop.qid AND mtop.nid = extop.nid
+    GROUP BY extop.qid
+    """,
+)
+def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL-style) prefix search audit: rank on the FIRST 16
+    of 64 dims (the 4× cheaper truncated-embedding tier) and measure
+    recall@3 against the full-dim exact scan. Same integer-exact
+    protocol as the PQ/BQ recalls — scaled-int L2 on the prefix, ties
+    on nid — so the whole truncate-rank-audit pipeline value-hashes.
+    At 100 TB the prefix scan reads a quarter of the vector bytes
+    (column-pruned if prefixes are stored as their own column) and the
+    recall row is the number that decides which tier serves first-stage
+    retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000)).alias("__v"),
+    )
+    pv = ints.select("vec_id", F.slice("__v", 1, 16).alias("__p"))
+    q = pv.select(F.col("vec_id").alias("qid"), F.col("__p").alias("qp")).filter(F.col("qid") < 5)
+    d = F.aggregate(
+        F.zip_with(F.col("__p"), F.col("qp"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = pv.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dd = pairs.select("qid", F.col("vec_id").alias("nid"), d.alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    mtop = dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).select("qid", "nid")
+    return _recall_vs_exact_int_top3(emb, mtop)
