@@ -116,8 +116,13 @@ def _cmd_table(args: argparse.Namespace) -> int:
         t.snapshot(args.version, timestamp=args.as_of_ts).show(args.rows, truncate=False)
     elif args.action == "optimize":
         z = tuple(args.zorder_by.split(",")) if args.zorder_by else None
-        v = t.optimize(args.n_files, zorder_by=z)
-        print(f"committed v{v} (optimize{' z-order ' + str(z) if z else ''})")
+        base = t.version()
+        v = t.optimize(args.n_files, zorder_by=z, where=args.where)
+        if v == base:
+            print("predicate selected no files; nothing committed")
+        else:
+            scope = f" where {args.where!r}" if args.where else ""
+            print(f"committed v{v} (optimize{' z-order ' + str(z) if z else ''}{scope})")
     elif args.action == "vacuum":
         removed = t.vacuum(retention_s=args.retention)
         print(f"removed {len(removed)} orphaned files")
@@ -219,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")
     tb.add_argument("--dest", default=None, help="clone: destination table root")
     tb.add_argument("--as-of-ts", type=float, default=None, help="show/clone: TIMESTAMP AS OF (epoch seconds)")
-    tb.add_argument("--where", default=None, help="delete: SQL predicate (merge-on-read deletion vectors)")
+    tb.add_argument("--where", default=None, help="delete: SQL predicate (merge-on-read deletion vectors); optimize: compact only files intersecting the predicate")
     tb.add_argument("root")
     tb.add_argument("--version", type=int, default=None, help="show: snapshot version; changes: from-version")
     tb.add_argument("--to-version", type=int, default=None, help="changes: to-version (default latest)")

@@ -2494,6 +2494,7 @@ class VersionedTable:
         n_files: int,
         zorder_by: Sequence[str] | None = None,
         max_retries: int = 5,
+        where: dict[str, tuple] | str | None = None,
     ) -> int:
         """Compact the table into ``n_files`` files (range-clustered if
         the table is) as a new committed version — same data, new
@@ -2510,15 +2511,59 @@ class VersionedTable:
         predicates on either — the lakehouse Z-ORDER BY, composed with
         this table's manifest-stats skipping. Linear clustering prunes
         only its leading column; that is the entire reason this knob
-        exists."""
+        exists.
+
+        ``where`` (Delta's OPTIMIZE ... WHERE): compact ONLY the files
+        whose stats ranges intersect the predicate (same dict/SQL forms
+        as ``scan``), carrying every other file by reference — the
+        shape a 100 TB table needs, where "compact yesterday's keys"
+        must not rewrite years of cold data. File-level semantics: a
+        selected file is rewritten whole (its DVs materialize, its rows
+        recompact into <= n_files new files); out-of-scope files keep
+        their bytes, stats, and DV mappings untouched. Unlike the full
+        rewrite, a scoped optimize CANNOT reset column-mapping debt
+        (untouched files still carry old physical names) and composes
+        with z-order only table-wide, so ``zorder_by`` + ``where``
+        refuses."""
         from iotdatapipeline_spark.functions.zorder import morton_code
 
+        if where is not None and zorder_by:
+            raise ValueError(
+                "zorder_by is a whole-table layout; it cannot compose with where"
+            )
         for _ in range(max_retries):
             base = self.version()
             if base == 0:
                 raise ValueError("optimize target does not exist; create() it first")
             m = self._read_manifest(base)
             cluster_by = m.get("cluster_by") or None
+            if where is not None:
+                ranges = _extract_ranges(where) if isinstance(where, str) else where
+                selected = set(self._keep_files(m, ranges))
+                if not selected:
+                    return base  # nothing in scope — no-op, no commit
+                untouched = [f for f in m["files"] if f not in selected]
+                scoped = self._read_data(m, sorted(selected))  # DV-subtracted
+                files = self._write_files_mapped(scoped, m, n_files, cluster_by)
+                stats = {
+                    f: s for f, s in self._stats_of(m).items() if f not in selected
+                }
+                stats.update(self._collect_stats_mapped(files, cluster_by, m))
+                m_dvs = m.get("dvs") or {}
+                dvs = {f: list(m_dvs[f]) for f in untouched if f in m_dvs}
+                try:
+                    self._try_commit(
+                        base,
+                        untouched + files,
+                        "optimize:where",
+                        cluster_by,
+                        schema_json=m.get("schema"),
+                        stats=stats or None,
+                        dvs=dvs,
+                    )
+                    return base + 1
+                except CommitConflict:
+                    continue
             snap = self.snapshot(base)
             if zorder_by:
                 a, b = zorder_by

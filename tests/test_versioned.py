@@ -2810,3 +2810,69 @@ class TestExpireCrashSafety:
         assert expired == [1, 2, 3]
         assert not os.path.exists(cold._manifest_path(1))
         assert dict(_rows(cold.snapshot()))[0] == "u3"
+
+
+class TestScopedOptimize:
+    """OPTIMIZE ... WHERE: compact only the files the predicate's
+    stats-pruning selects; everything else is carried by reference."""
+
+    @pytest.fixture()
+    def frag(self, spark, tmp_path):
+        # clustered table, then many tiny in-range insert files
+        t = VersionedTable(spark, str(tmp_path / "so"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=f"b{i}") for i in range(80)]),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        for i in range(5):  # five 1-row files, all in k<=9
+            t.merge_into(spark.createDataFrame([Row(k=i, v=f"u{i}")]), ["k"])
+        return t
+
+    def test_scoped_compaction_carries_cold_files(self, spark, frag):
+        m0 = frag._read_manifest(frag.version())
+        total0 = len(m0["files"])
+        cold0 = set(frag._keep_files(m0, {"k": (40, 79)}))
+        v = frag.optimize(n_files=1, where={"k": (0, 20)})
+        m1 = frag._read_manifest(v)
+        # cold files carried by identity, hot range compacted
+        assert cold0 <= set(m1["files"])
+        assert len(m1["files"]) < total0
+        got = dict(_rows(frag.snapshot()))
+        assert got[0] == "u0" and got[50] == "b50" and len(got) == 80
+        # stats survive for carried files: cold-range scans still prune
+        kept, total = frag.pruned_files({"k": (60, 70)})
+        assert kept < total
+
+    def test_scoped_optimize_materializes_in_scope_dvs_only(self, spark, frag):
+        frag.delete_where("k = 2")   # DV in the hot range
+        frag.delete_where("k = 77")  # DV in the cold range
+        assert frag.dv_stacking()
+        n_dv_before = len(frag.dv_stacking())
+        v = frag.optimize(n_files=1, where="k <= 20")
+        depths = frag.dv_stacking(v)
+        # the hot file's DV materialized into the rewrite; the cold
+        # file's DV is carried untouched
+        assert len(depths) == n_dv_before - 1 == 1
+        got = dict(_rows(frag.snapshot()))
+        assert 2 not in got and 77 not in got and len(got) == 78
+
+    def test_scoped_optimize_preserves_column_mapping(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "so2"))
+        t.create(
+            spark.createDataFrame([Row(k=i, val=i * 3) for i in range(40)]),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        t.rename_column("val", "value")
+        v = t.optimize(n_files=1, where={"k": (0, 9)})
+        m = t._read_manifest(v)
+        assert m.get("col_map")  # mapping NOT reset (unlike full optimize)
+        got = {r["k"]: r["value"] for r in t.snapshot().collect()}
+        assert got[5] == 15 and len(got) == 40
+
+    def test_out_of_scope_predicate_is_noop_and_zorder_refuses(self, spark, frag):
+        base = frag.version()
+        assert frag.optimize(n_files=1, where={"k": (10_000, 20_000)}) == base
+        with pytest.raises(ValueError, match="cannot compose"):
+            frag.optimize(n_files=2, zorder_by=("k", "k"), where={"k": (0, 1)})
