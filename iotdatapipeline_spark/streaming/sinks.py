@@ -86,6 +86,9 @@ def versioned_upsert_foreach_batch(
     txn_app: str | None = None,
     strategy: str = "cow",
     compact_dv_threshold: int | None = None,
+    compact_files_threshold: int | None = None,
+    expire_keep_last: int | None = None,
+    vacuum_retention_s: float | None = None,
 ):
     """K1/K2 executor against the transactional MERGE target
     (sources/versioned.py): each micro-batch becomes one committed
@@ -117,7 +120,29 @@ def versioned_upsert_foreach_batch(
     unique id per factory call: safe against cross-query collisions,
     exactly-once within one process lifetime, but replay dedup does NOT
     survive a restart — pass a stable per-(query, checkpoint) id to get
-    that."""
+    that.
+
+    The remaining MAINTENANCE knobs make the sink fully
+    self-maintaining — a year-long 1 s-micro-batch pipeline needs no
+    scheduled jobs at all:
+
+    * ``compact_files_threshold=N``: when the head manifest's file
+      count exceeds N, run ``optimize(n_files=N // 2)`` — bounds the
+      small-insert-file accretion that otherwise degrades scans and
+      merge pruning. The check is one O(1) manifest read per batch;
+      the compaction amortizes to rare.
+    * ``expire_keep_last=N``: after each merge, drop manifests beyond
+      the newest N (``expire_versions``) — bounds log growth (the
+      ~100k-manifests-a-week problem). Time travel keeps a rolling
+      window of N versions.
+    * ``vacuum_retention_s=S``: after each merge, delete unreferenced
+      data files older than S — reclaims conflict orphans and, once
+      expire has run, files exclusive to expired versions. The
+      referenced-set scan is checkpoint-bounded (O(K), not
+      O(versions)).
+
+    Like the DV compaction, maintenance commits are intentionally NOT
+    txn-deduped — replaying any of them converges to a no-op."""
     from iotdatapipeline_spark.sources.versioned import VersionedTable
 
     from iotdatapipeline_spark.sources.versioned import CommitConflict
@@ -148,6 +173,14 @@ def versioned_upsert_foreach_batch(
         table.merge_into(latest, keys, txn_app=app, txn_version=batch_id, strategy=strategy)
         if strategy == "mor" and compact_dv_threshold is not None:
             table.compact_dv_stacked(threshold=compact_dv_threshold)
+        if compact_files_threshold is not None:
+            m = table._read_manifest(table.version())  # O(1), cached
+            if len(m["files"]) > compact_files_threshold:
+                table.optimize(n_files=max(1, compact_files_threshold // 2))
+        if expire_keep_last is not None:
+            table.expire_versions(keep_last=expire_keep_last)
+        if vacuum_retention_s is not None:
+            table.vacuum(retention_s=vacuum_retention_s)
 
     return apply
 

@@ -1369,3 +1369,62 @@ class TestMorSoak:
         table.vacuum(retention_s=0)
         cold = VersionedTable(spark, root)
         assert {r["k"]: r["v"] for r in cold.snapshot().collect()} == expected
+
+
+@pytest.mark.slow
+class TestSelfMaintainingSink:
+    def test_forty_batch_cow_sink_bounds_files_manifests_and_disk(self, spark, tmp_path):
+        """The zero-scheduled-jobs pin: a COW upsert sink with the
+        r10 maintenance knobs (file-count compaction, manifest
+        retention, vacuum) must keep file count, manifest count and
+        data-dir size bounded over a 40-batch soak while staying
+        bit-correct vs the Python replay — the long-lived pipeline
+        needs no external optimize/expire/vacuum jobs at all."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "selfmaint")
+        sink = versioned_upsert_foreach_batch(
+            root,
+            ["k"],
+            txn_app="sm",
+            compact_files_threshold=12,
+            expire_keep_last=6,
+            vacuum_retention_s=0.0,
+        )
+        n_keys = 100
+        expected = {k: f"b0-k{k}" for k in range(n_keys)}
+        sink(
+            spark.createDataFrame(
+                [(k, 0, v) for k, v in expected.items()], "k int, ts int, v string"
+            ),
+            0,
+        )
+        table = VersionedTable(spark, root)
+        file_counts, manifest_counts, disk_counts = [], [], []
+        for b in range(1, 40):
+            rows = []
+            for i in range(12):  # scattered inserts + updates
+                k = (b * 31 + i * 17) % (n_keys + 40)
+                rows.append((k, b, f"b{b}-k{k}"))
+                expected[k] = f"b{b}-k{k}"
+            sink(spark.createDataFrame(rows, "k int, ts int, v string"), b)
+            m = table._read_manifest(table.version())
+            file_counts.append(len(m["files"]))
+            manifest_counts.append(table.version() - table.earliest_version() + 1)
+            disk_counts.append(len(os.listdir(table._data)))
+        # bounded: compaction fires above the threshold and resets the
+        # accretion; retention bounds live manifests; vacuum keeps the
+        # data dir within (live files + expire window's references)
+        assert max(file_counts) <= 12 + 2  # one batch of overshoot max
+        assert max(manifest_counts) <= 6 + 1
+        assert max(disk_counts) <= 12 * (6 + 2)
+        assert any(mm["op"] == "optimize" for mm in table.history())
+        got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+        assert got == expected
+        # replay of the last batch is still exactly-once across the
+        # maintenance commits (merge txn-deduped; maintenance no-ops)
+        v = table.version()
+        sink(spark.createDataFrame(rows, "k int, ts int, v string"), 39)
+        assert {r["k"]: r["v"] for r in table.snapshot().collect()} == expected
+        assert table.version() <= v + 1  # at most a no-op maintenance commit
