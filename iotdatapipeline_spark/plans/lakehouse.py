@@ -964,3 +964,88 @@ def events_versioned_widen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     table.merge_into(wide, ["station"])
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_cdf_apply",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM merged WHERE station % 9 <> 0
+    """,
+)
+def events_versioned_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication as a hard driver gate (r10): a MIRROR table is
+    maintained purely from the SOURCE's change feed — initial snapshot
+    as insert rows, then ``changes()`` between sync points — through
+    ``cdf_apply_foreach_batch`` (terminal-state reduction, keyed DV
+    deletes, txn-deduped merges). Source history: create (odd-thirds
+    dim, v1) -> upsert (even-thirds %5, v2) -> delete (stations %9,
+    v3). The mirror sees two micro-batches (the v1 snapshot, then the
+    collapsed v1->v3 diff) and its final snapshot is value-hashed
+    against the oracle computing the source's end state as set
+    algebra — the replication converging to anything else (lost
+    delete, double-applied update, preimage leaking in) hash-fails.
+    The streamed twin over the real ``versioned_cdf`` source is pinned
+    in tests/test_streaming.py::TestCdfApply.
+
+    100 TB: mirrors follow the O(changed rows) feed — never a source
+    rescan; deletes land as deletion vectors, upserts prune through
+    the mirror's own stats (sources/versioned.py changes(),
+    streaming/sinks.py cdf_apply_foreach_batch)."""
+    from iotdatapipeline_spark.streaming.sinks import cdf_apply_foreach_batch
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src_upd = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_cdfapply_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    src.merge_into(src_upd, ["station"])  # v2
+    src.delete_where("station % 9 = 0")  # v3 (deletion vectors)
+    sink = cdf_apply_foreach_batch(os.path.join(stem, "mirror"), ["station"], txn_app="gate")
+    # micro-batch 0: the initial snapshot as insert rows (what the
+    # versioned_cdf stream emits from its starting offset)
+    sink(
+        src.snapshot(1)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long")),
+        0,
+    )
+    # micro-batch 1: everything since, collapsed by changes()
+    sink(
+        src.changes(1, 3, keys=["station"]).withColumn(
+            "_commit_version", F.lit(3).cast("long")
+        ),
+        1,
+    )
+    mirror = VersionedTable(spark, os.path.join(stem, "mirror"))
+    got, want = mirror.snapshot(), src.snapshot()
+    if got.count() != want.count():
+        raise RuntimeError("mirror row count diverged from source")
+    return mirror.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

@@ -296,3 +296,60 @@ def fanout_foreach_batch(
             batch_df.unpersist()
 
     return apply
+
+
+def cdf_apply_foreach_batch(
+    target_root: str,
+    keys: Sequence[str],
+    txn_app: str | None = None,
+):
+    """APPLY CHANGES INTO — maintain a downstream MIRROR table from an
+    upstream VersionedTable's change feed (the ``versioned_cdf``
+    stream, or any frame shaped ``data columns + _change_type +
+    _commit_version``). The table-to-table replication primitive: the
+    mirror converges to the source snapshot at every sync point
+    without ever scanning the source table — cost is O(changed rows).
+
+    Per micro-batch: (1) collapse to the TERMINAL state per key by
+    ``_commit_version`` (a key updated in v2 and deleted in v4 within
+    one batch must end deleted — ``latest_per_key``, the same
+    last-write-wins reduction the upsert sink runs on timestamps);
+    (2) apply terminal deletes as one keyed DV delete (idempotent by
+    value: re-deleting absent keys commits nothing); (3) apply
+    terminal upserts as one txn-deduped MERGE (replays of the batch
+    no-op). ``update_preimage`` rows are informational and skipped.
+
+    100 TB: the mirror never rewrites cold data — deletes are
+    deletion-vector commits and upserts prune through the mirror's own
+    stats/blooms; a fleet of mirrors (per-region serving copies,
+    BI extracts) each follow the one change stream instead of
+    re-scanning the source."""
+    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
+
+    app = txn_app if txn_app is not None else f"cdf-apply-{uuid.uuid4().hex[:12]}"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        rows = batch_df.filter(F.col("_change_type") != "update_preimage")
+        latest = latest_per_key(rows, keys, "_commit_version")
+        data_cols = [
+            c for c in latest.columns if c not in ("_change_type", "_commit_version")
+        ]
+        dels = latest.filter(F.col("_change_type") == "delete").select(*keys)
+        ups = latest.filter(F.col("_change_type") != "delete").select(*data_cols)
+        t = VersionedTable(batch_df.sparkSession, target_root)
+        if t.version() == 0:
+            if ups.isEmpty():
+                return  # nothing to seed the mirror with yet
+            try:
+                t.create(ups, cluster_by=list(keys), txn_app=app, txn_version=batch_id)
+                return
+            except (CommitConflict, ValueError):
+                pass  # another applier created the mirror first — merge
+        if not dels.isEmpty():
+            t.delete_matching(dels, keys)
+        if not ups.isEmpty():
+            t.merge_into(ups, keys, txn_app=app, txn_version=batch_id)
+
+    return apply

@@ -1428,3 +1428,99 @@ class TestSelfMaintainingSink:
         sink(spark.createDataFrame(rows, "k int, ts int, v string"), 39)
         assert {r["k"]: r["v"] for r in table.snapshot().collect()} == expected
         assert table.version() <= v + 1  # at most a no-op maintenance commit
+
+
+class TestCdfApply:
+    """cdf_apply_foreach_batch: table-to-table replication from the
+    change feed — the mirror converges to the source snapshot at every
+    sync point, deletes land as keyed DVs, replays are exactly-once."""
+
+    def test_terminal_state_reduction_and_convergence(self, spark, tmp_path):
+        from iotdatapipeline_spark.streaming.sinks import cdf_apply_foreach_batch
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        mirror = str(tmp_path / "mirror")
+        sink = cdf_apply_foreach_batch(mirror, ["k"], txn_app="rep")
+        ddl = "k bigint, v string, _change_type string, _commit_version bigint"
+        # batch 0: initial snapshot (inserts)
+        sink(
+            spark.createDataFrame(
+                [(k, f"a{k}", "insert", 1) for k in range(8)], ddl
+            ),
+            0,
+        )
+        m = VersionedTable(spark, mirror)
+        assert {r["k"]: r["v"] for r in m.snapshot().collect()} == {
+            k: f"a{k}" for k in range(8)
+        }
+        # batch 1 spans THREE source versions, with conflicting fates
+        # for k=1 (update@2 then delete@4 -> terminal delete) and k=2
+        # (delete@2 then re-insert@4 -> terminal insert)
+        batch = [
+            (1, "u1", "update_postimage", 2),
+            (2, "x", "delete", 2),
+            (1, "u1b", "update_preimage", 4),  # informational: skipped
+            (1, "x", "delete", 4),
+            (2, "back", "insert", 4),
+            (9, "new", "insert", 3),
+        ]
+        sink(spark.createDataFrame(batch, ddl), 1)
+        got = {r["k"]: r["v"] for r in m.snapshot().collect()}
+        assert 1 not in got and got[2] == "back" and got[9] == "new"
+        assert got[0] == "a0" and len(got) == 8
+        # replay of batch 1: deletes no-op by value, merge txn-dedupes
+        v = m.version()
+        sink(spark.createDataFrame(batch, ddl), 1)
+        assert m.version() == v
+        assert {r["k"]: r["v"] for r in m.snapshot().collect()} == got
+
+    @pytest.mark.slow
+    def test_end_to_end_stream_replication(self, spark, tmp_path):
+        import time
+
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import (
+            VersionedTable,
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+        from iotdatapipeline_spark.streaming.sinks import cdf_apply_foreach_batch
+
+        register_versioned_cdf(spark)
+        src_root = str(tmp_path / "src")
+        src = VersionedTable(spark, src_root)
+        src.create(
+            spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(10)]),
+            n_files=2,
+            cluster_by=["k"],
+        )
+        mirror_root = str(tmp_path / "mirror2")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", src_root)
+            .option("keys", "k")
+            .option("schema_ddl", cdf_schema_ddl(src))
+            .load()
+            .writeStream.foreachBatch(cdf_apply_foreach_batch(mirror_root, ["k"]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            src.merge_into(spark.createDataFrame([Row(k=3, v="u3"), Row(k=42, v="new")]), ["k"])
+            src.delete_where("k = 5")
+            src.merge_into(spark.createDataFrame([Row(k=42, v="new2")]), ["k"])
+            want = {r["k"]: r["v"] for r in src.snapshot().collect()}
+            mirror = VersionedTable(spark, mirror_root)
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                if mirror.version() > 0:
+                    got = {r["k"]: r["v"] for r in mirror.snapshot().collect()}
+                    if got == want:
+                        break
+                time.sleep(0.5)
+            assert got == want, f"mirror never converged: {got} != {want}"
+        finally:
+            q.stop()
