@@ -112,6 +112,10 @@ def _cmd_table(args: argparse.Namespace) -> int:
                 f" stats={len(stats):<4} dvs={len(m.get('dvs') or {}):<4}"
                 f" cluster_by={m.get('cluster_by') or '-'}{mtxt}"
             )
+    elif args.action == "describe":
+        import json as _json
+
+        print(_json.dumps(t.describe(), indent=2, default=str))
     elif args.action == "show":
         t.snapshot(args.version, timestamp=args.as_of_ts).show(args.rows, truncate=False)
     elif args.action == "optimize":
@@ -217,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore"])
+    tb.add_argument("action", choices=["history", "describe", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore"])
     tb.add_argument("--col", default=None, help="widen: column to widen")
     tb.add_argument("--type", dest="new_type", default=None, help="widen: target type (e.g. bigint)")
     tb.add_argument("--cols", default=None, help="bloom: comma-separated columns to index")

@@ -1124,6 +1124,62 @@ class VersionedTable:
             for v in range(self.earliest_version(), self.version() + 1)
         ]
 
+    def describe(self) -> dict:
+        """DESCRIBE DETAIL: one dict of the table's live metadata —
+        head/earliest version, commit time, schema, clustering, CHECK
+        constraints, column-mapping debt, bloom-indexed columns, file/
+        DV counts and the head commit's metrics. Pure manifest reads
+        (no data job); the CLI ``table describe`` prints it."""
+        head = self.version()
+        if head == 0:
+            return {"version": 0}
+        m = self._read_manifest(head)
+        import json as _json
+
+        schema = {
+            f["name"]: f["type"] if isinstance(f["type"], str) else "<complex>"
+            for f in _json.loads(m["schema"]).get("fields", [])
+        }
+        cmap = {l: p for l, p in (m.get("col_map") or {}).items() if l != p}
+        return {
+            "version": head,
+            "earliest_version": self.earliest_version(),
+            "committed_at": self.commit_timestamp(head),
+            "op": m.get("op"),
+            "n_files": len(m["files"]),
+            "n_dv_files": sum(len(v) for v in (m.get("dvs") or {}).values()),
+            "cluster_by": m.get("cluster_by") or [],
+            "schema": schema,
+            "constraints": dict(m.get("constraints") or {}),
+            "column_mapping": cmap,
+            "retired_cols": list(m.get("retired_cols") or []),
+            "bloom_indexed": sorted(self._bloom_of(m)),
+            "metrics": dict(m.get("metrics") or {}),
+        }
+
+    def history_df(self) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame — version, op, commit time,
+        file count and operation metrics per commit, queryable with
+        the full DataFrame/SQL surface (window the metrics, join
+        against monitoring, etc.)."""
+        rows = [
+            (
+                int(m["version"]),
+                str(m.get("op")),
+                float(self.commit_timestamp(int(m["version"]))),
+                len(m["files"]),
+                int((m.get("metrics") or {}).get("files_added", -1)),
+                int((m.get("metrics") or {}).get("files_removed", -1)),
+                int((m.get("metrics") or {}).get("rows_added", -1)),
+            )
+            for m in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, op string, committed_at double, n_files int, "
+            "files_added int, files_removed int, rows_added bigint",
+        )
+
     def _keep_files(self, m: dict, ranges: dict[str, tuple]) -> list[str]:
         """Files of manifest ``m`` whose stats ranges intersect every
         bound in ``ranges`` (missing stats keep the file). EQUALITY

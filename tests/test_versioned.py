@@ -2876,3 +2876,33 @@ class TestScopedOptimize:
         assert frag.optimize(n_files=1, where={"k": (10_000, 20_000)}) == base
         with pytest.raises(ValueError, match="cannot compose"):
             frag.optimize(n_files=2, zorder_by=("k", "k"), where={"k": (0, 1)})
+
+
+class TestDescribe:
+    def test_describe_and_history_df(self, spark, table):
+        table.add_constraint("k_pos", "k >= 0")
+        table.rename_column("v", "val")
+        table.add_bloom_index(["val"])
+        table.merge_into(spark.createDataFrame([Row(k=0, val="u")]), ["k"])
+        d = table.describe()
+        assert d["version"] == table.version() and d["earliest_version"] == 1
+        assert d["schema"] == {"k": "long", "val": "string"}
+        assert d["constraints"] == {"k_pos": "k >= 0"}
+        assert d["column_mapping"] == {"val": "v"}
+        assert d["bloom_indexed"] == ["val"]
+        assert d["n_files"] >= 1 and d["metrics"]["files_added"] >= 1
+        h = table.history_df()
+        rows = {r["version"]: r for r in h.collect()}
+        assert rows[1]["op"] == "create" and rows[1]["rows_added"] == 20
+        assert rows[table.version()]["op"] == "merge:update"
+        # queryable: total rows written across history
+        from pyspark.sql import functions as F
+
+        total = h.agg(F.sum("rows_added")).collect()[0][0]
+        assert total >= 20
+
+    def test_describe_empty_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        t = VersionedTable(spark, str(tmp_path / "none"))
+        assert t.describe() == {"version": 0}
