@@ -3728,15 +3728,20 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.wd").alias("wd"))
     )
     c2 = bi.groupBy("prev", "wd").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # the prefix counts are the bigram counts re-aggregated — derive
+    # them from c2 (|distinct bigrams| rows) instead of a second full
+    # pass over the bigram stream
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     v = ws.select(F.explode("ws").alias("x")).agg(F.countDistinct("x").alias("v"))
     p = F.floor(1_000_000.0 * (F.col("c2") + 1) / (F.col("c1") + F.col("v")))
-    scored = (
-        bi.join(c2, ["prev", "wd"])
-        .join(c1, ["prev"])
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", p.alias("p"))
+    # score once per DISTINCT bigram, then one join carries it to the
+    # stream — the bigram explode is evaluated twice (c2 + this join)
+    # instead of three times, and the model-side joins run on the
+    # model's cardinality, not the corpus's
+    per_bigram = (
+        c2.join(c1, ["prev"]).crossJoin(F.broadcast(v)).select("prev", "wd", p.alias("p"))
     )
+    scored = bi.join(per_bigram, ["prev", "wd"]).select("doc_id", "p")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.floor(F.sum("p") / F.count(F.lit(1))).cast("long").alias("fluency_avg_x1e6"),
