@@ -1049,3 +1049,64 @@ def events_versioned_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got.count() != want.count():
         raise RuntimeError("mirror row count diverged from source")
     return mirror.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_bloom_merge",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    )
+    SELECT station, part, ts_us,
+           CASE WHEN station < 15 THEN v_cents + 111111 ELSE v_cents END AS v_cents,
+           version_id
+    FROM b
+    """,
+)
+def events_versioned_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-refined MERGE candidates as a hard driver gate (r10): the
+    riskiest failure of the bloom merge probe is a false NEGATIVE — a
+    pruned file that actually held a source key would silently LOSE
+    that update — so the path gets a value-hashed row, not just pytest
+    pins. Setup: station-clustered dim, bloom index on ``version_id``
+    (each station's latest event id — scattered, so the global
+    [min, max] key-bounds prune keeps every file); MERGE keyed on
+    ``version_id`` updates the station<15 band (+111111 cents) — keys
+    that LIVE in one or two station-range files, but whose version_id
+    values span the whole domain, so only the bloom can localize the
+    merge. The gate
+    hard-fails unless the commit metrics show FEWER files rewritten
+    than the table holds (the bloom probe engaged — without it the
+    scattered keys force a full rewrite) and the snapshot must
+    hash-match the set-algebra oracle: any lost update (false
+    negative) or spurious change mismatches.
+
+    100 TB: this is the reference's per-tick scattered-key K1 shape —
+    the probe turns 'rewrite every file each tick' into 'rewrite the
+    files that hold the keys' (sources/versioned.py
+    _candidates_by_key_bounds)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_bmerge_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.add_bloom_index(["version_id"])
+    src = (
+        table.snapshot()
+        .filter(F.col("station") < 15)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(111111))
+    )
+    v = table.merge_into(src, ["version_id"])
+    mt = table._read_manifest(v).get("metrics") or {}
+    n_before = len(table._read_manifest(v - 1)["files"])
+    if n_before > 2 and mt.get("files_removed", n_before) >= n_before:
+        raise RuntimeError(
+            f"bloom merge probe did not engage: {mt.get('files_removed')}/{n_before} "
+            "files rewritten by a scattered-key merge"
+        )
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
