@@ -1063,7 +1063,10 @@ def events_versioned_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
     )
     SELECT station, part, ts_us,
-           CASE WHEN station < 15 THEN v_cents + 111111 ELSE v_cents END AS v_cents,
+           CASE WHEN station < (SELECT min(station)
+                                + CAST(ceil((max(station) - min(station) + 1) / 8.0) AS BIGINT)
+                                FROM b)
+                THEN v_cents + 111111 ELSE v_cents END AS v_cents,
            version_id
     FROM b
     """,
@@ -1076,10 +1079,11 @@ def events_versioned_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins. Setup: station-clustered dim, bloom index on ``version_id``
     (each station's latest event id — scattered, so the global
     [min, max] key-bounds prune keeps every file); MERGE keyed on
-    ``version_id`` updates the station<15 band (+111111 cents) — keys
-    that LIVE in one or two station-range files, but whose version_id
-    values span the whole domain, so only the bloom can localize the
-    merge. The gate
+    ``version_id`` updates the first eighth of the station range
+    (+111111 cents; sf-relative, so the band stays one-file-narrow at
+    every fixture scale) — keys that LIVE in one or two station-range
+    files, but whose version_id values span the whole domain, so only
+    the bloom can localize the merge. The gate
     hard-fails unless the commit metrics show FEWER files rewritten
     than the table holds (the bloom probe engaged — without it the
     scattered keys force a full rewrite) and the snapshot must
@@ -1096,9 +1100,13 @@ def events_versioned_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = VersionedTable(spark, root)
     table.create(base, n_files=8, cluster_by=["station"])
     table.add_bloom_index(["version_id"])
+    bounds = table.snapshot().agg(
+        F.min("station").alias("lo"), F.max("station").alias("hi")
+    ).collect()[0]
+    band_hi = bounds["lo"] + -(-(bounds["hi"] - bounds["lo"] + 1) // 8)  # ceil div
     src = (
         table.snapshot()
-        .filter(F.col("station") < 15)
+        .filter(F.col("station") < band_hi)
         .withColumn("v_cents", F.col("v_cents") + F.lit(111111))
     )
     v = table.merge_into(src, ["version_id"])
