@@ -1118,3 +1118,82 @@ def events_versioned_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files rewritten by a scattered-key merge"
         )
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_generated_column",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    after AS (
+        SELECT station, part, ts_us,
+               CASE WHEN station % 4 = 1 THEN v_cents + 2222 ELSE v_cents END AS v_cents,
+               version_id
+        FROM b
+    )
+    SELECT station, part, ts_us, v_cents,
+           CAST(floor(v_cents / 1000) AS BIGINT) AS v_kilo,
+           version_id
+    FROM after
+    """,
+)
+def events_versioned_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns as a hard driver gate (r10): a writer that
+    silently stops COMPUTING the column (stale/null derived values) or
+    stops VALIDATING it (a contradicting precomputed value landing) is
+    a data bug, so the surface gets a value-hashed row (the CHECK-
+    constraint precedent).
+
+    Round-trip: (1) CREATE the per-station dim with
+    ``v_kilo = floor(v_cents/1000)`` precomputed; (2) ``set_generated``
+    — the declaration itself validates every live row; (3) a merge
+    whose source OMITS v_kilo (stations %4==1, +2222 cents) — the
+    writer must compute the new derived values; (4) a merge carrying a
+    CONTRADICTING v_kilo must refuse with no commit (hard-fail if it
+    lands or moves the version). The returned snapshot is hash-checked
+    against the oracle deriving v_kilo in SQL — stale, null, or wrong
+    derived values all mismatch.
+
+    100 TB: generation is one projection on the write frame and one
+    combined validation filter over only the new rows — O(write),
+    never O(table); add-time validation is the one full scan, same as
+    CHECK (sources/versioned.py set_generated/_apply_generated)."""
+    from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).withColumn(
+        "v_kilo", F.floor(F.col("v_cents") / 1000).cast("long")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_gen_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.set_generated("v_kilo", "CAST(floor(v_cents / 1000) AS BIGINT)")
+    src = (
+        table.snapshot()
+        .filter(F.col("station") % 4 == 1)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(2222))
+        .drop("v_kilo")  # the writer must derive it
+    )
+    table.merge_into(src, ["station"])
+    v_ok = table.version()
+    bad = (
+        table.snapshot()
+        .filter(F.col("station") % 4 == 2)
+        .withColumn("v_kilo", F.col("v_kilo") + F.lit(500))
+    )
+    try:
+        table.merge_into(bad, ["station"])
+        raise RuntimeError("contradicting generated value was not refused")
+    except ConstraintViolation:
+        pass
+    if table.version() != v_ok:
+        raise RuntimeError("refused merge moved the table version")
+    return table.snapshot().select(
+        "station", "part", "ts_us", "v_cents", "v_kilo", "version_id"
+    )

@@ -89,6 +89,19 @@ def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
             f"cannot {action} column {col!r}: referenced by CHECK constraint(s) "
             f"{sorted(hits)}; drop_constraint first"
         )
+    # generated columns have the same hazard on BOTH sides: altering
+    # the generated column itself, or a column its expression reads
+    ghits = [
+        n
+        for n, expr in (m.get("generated") or {}).items()
+        if n.lower() == col.lower()
+        or _re.search(rf"\b{_re.escape(col)}\b", expr, _re.IGNORECASE)
+    ]
+    if ghits:
+        raise ValueError(
+            f"cannot {action} column {col!r}: involved in generated column(s) "
+            f"{sorted(ghits)}; drop_generated first"
+        )
 
 
 def _phys_conflicts(m: dict) -> set[str]:
@@ -736,6 +749,7 @@ class VersionedTable:
         retired: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         bloom_file_ref: str | None = None,
+        generated: dict[str, str] | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -782,6 +796,8 @@ class VersionedTable:
                 retired = base_m.get("retired_cols") or []
             if constraints is None:
                 constraints = base_m.get("constraints") or {}
+            if generated is None:
+                generated = base_m.get("generated") or {}
             # the bloom sidecar carries forward by reference: entries
             # are keyed by (immutable, never-reused) file name, so
             # entries for files a commit drops are dead weight, never
@@ -849,6 +865,10 @@ class VersionedTable:
             # non-clustered columns): parquet of (file, col, m, word,
             # bits) in _log, referenced by name (add_bloom_index)
             "bloom_file": bloom_file_ref,
+            # generated columns: name -> SQL expression; writers compute
+            # the column when a source omits it and refuse sources that
+            # contradict it (set_generated / _apply_generated)
+            "generated": generated or {},
             # operation metrics (history observability; see above)
             "metrics": metrics,
         }
@@ -1151,6 +1171,7 @@ class VersionedTable:
             "cluster_by": m.get("cluster_by") or [],
             "schema": schema,
             "constraints": dict(m.get("constraints") or {}),
+            "generated": dict(m.get("generated") or {}),
             "column_mapping": cmap,
             "retired_cols": list(m.get("retired_cols") or []),
             "bloom_indexed": sorted(self._bloom_of(m)),
@@ -1657,6 +1678,10 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            # generated columns: compute the ones the source omits,
+            # refuse sources that contradict one (before alignment, so
+            # a computed column exists for the schema projection)
+            inserted = self._apply_generated(inserted, m)
             ins, committed_schema = self._align_insert(
                 base_df,
                 source,
@@ -1874,6 +1899,10 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            # generated columns: compute the ones the source omits,
+            # refuse sources that contradict one (before alignment, so
+            # a computed column exists for the schema projection)
+            inserted = self._apply_generated(inserted, m)
             ins, committed_schema = self._align_insert(
                 base_df,
                 source,
@@ -1973,6 +2002,10 @@ class VersionedTable:
                     # likewise the restored version's bloom sidecar —
                     # its entries match the restored file list
                     bloom_file_ref=m.get("bloom_file"),
+                    # and its generated-column declarations (same
+                    # reasoning as constraints: a later declaration may
+                    # reference columns the restored schema lacks)
+                    generated=m.get("generated") or {},
                 )
                 return base + 1
             except CommitConflict:
@@ -2050,6 +2083,114 @@ class VersionedTable:
         raise CommitConflict(
             f"drop_constraint on {self.root} gave up after {max_retries} conflicts"
         )
+
+    def set_generated(self, name: str, expr: str, max_retries: int = 5) -> int:
+        """Declare an EXISTING column as GENERATED ALWAYS AS (expr) —
+        Delta's generated columns, with add_constraint's validate-then-
+        record contract: the declaration scans the current snapshot
+        once and refuses if any live row contradicts the expression
+        (NULL-safe equality), then every writer either COMPUTES the
+        column when a source omits it or REFUSES a source that
+        contradicts it (:meth:`_apply_generated`). Renaming/dropping/
+        widening the generated column or any column its expression
+        reads refuses until ``drop_generated`` (same guard as CHECK
+        constraints). One manifest commit; no data moves."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("set_generated target does not exist; create() it first")
+            m = self._read_manifest(base)
+            gen = dict(m.get("generated") or {})
+            if name in gen:
+                raise ValueError(f"column {name!r} is already generated")
+            snap = self.snapshot(base)
+            if name not in snap.columns:
+                raise ValueError(f"no such column {name!r} (have {snap.columns})")
+            bad = snap.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+            if not bad.isEmpty():
+                raise ConstraintViolation(
+                    f"existing rows contradict GENERATED {name!r} AS ({expr}) on {self.root}"
+                )
+            gen[name] = expr
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:generated:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    generated=gen,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"set_generated on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def drop_generated(self, name: str, max_retries: int = 5) -> int:
+        """Remove a generated-column declaration (the column and its
+        values stay; writers stop computing/validating it)."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("drop_generated target does not exist; create() it first")
+            m = self._read_manifest(base)
+            gen = dict(m.get("generated") or {})
+            if name not in gen:
+                raise ValueError(f"no generated column {name!r} (have {sorted(gen)})")
+            del gen[name]
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:drop_generated:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    generated=gen,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_generated on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def _apply_generated(self, df: DataFrame, m: dict) -> DataFrame:
+        """Enforce the table's generated columns on a write frame: a
+        MISSING generated column is computed from its expression (the
+        convenience half of the feature — sources never have to carry
+        derivable columns); a PRESENT one is validated row-by-row
+        against the expression and a contradiction refuses the write
+        (the integrity half — a wrong precomputed value can never land,
+        same failure class as a CHECK violation). One combined filter
+        job for all validated columns; no-op when the table declares
+        none."""
+        gen = m.get("generated") or {}
+        if not gen:
+            return df
+        to_check = []
+        for name, expr in gen.items():
+            if name in df.columns:
+                to_check.append((name, expr))
+            else:
+                df = df.withColumn(name, F.expr(expr))
+        if to_check:
+            viol = F.lit(False)
+            for name, expr in to_check:
+                viol = viol | ~F.col(name).eqNullSafe(F.expr(expr))
+            if not df.filter(viol).isEmpty():
+                raise ConstraintViolation(
+                    f"write contradicts GENERATED column(s) "
+                    f"{sorted(n for n, _ in to_check)} on {self.root}"
+                )
+        return df
 
     def _check_constraints(self, df: DataFrame, m: dict) -> None:
         """Raise :class:`ConstraintViolation` if any NEW row
@@ -2971,6 +3112,7 @@ class VersionedTable:
             retired=m.get("retired_cols") or [],
             constraints=m.get("constraints") or {},
             bloom_file_ref=bloom_ref,
+            generated=m.get("generated") or {},
         )
         return dest
 

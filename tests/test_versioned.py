@@ -2906,3 +2906,80 @@ class TestDescribe:
 
         t = VersionedTable(spark, str(tmp_path / "none"))
         assert t.describe() == {"version": 0}
+
+
+class TestGeneratedColumns:
+    """GENERATED ALWAYS AS: declaration validates existing rows;
+    writers compute omitted generated columns and refuse contradicting
+    sources; ALTERs on either side of the expression refuse."""
+
+    @pytest.fixture()
+    def gtable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "gen"))
+        t.create(
+            spark.createDataFrame(
+                [Row(k=i, cents=i * 137, kilo=(i * 137) // 1000) for i in range(30)]
+            ),
+            n_files=3,
+            cluster_by=["k"],
+        )
+        t.set_generated("kilo", "CAST(floor(cents / 1000) AS BIGINT)")
+        return t
+
+    def test_declaration_validates_existing_rows(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        t = VersionedTable(spark, str(tmp_path / "bad"))
+        t.create(spark.createDataFrame([Row(k=1, cents=500, kilo=99)]))
+        with pytest.raises(ConstraintViolation, match="contradict"):
+            t.set_generated("kilo", "CAST(floor(cents / 1000) AS BIGINT)")
+        with pytest.raises(ValueError, match="no such column"):
+            t.set_generated("nope", "k + 1")
+
+    def test_writer_computes_omitted_column(self, spark, gtable):
+        src = spark.createDataFrame([Row(k=3, cents=4321), Row(k=99, cents=2500)])
+        gtable.merge_into(src, ["k"])  # source has NO kilo column
+        got = {r["k"]: (r["cents"], r["kilo"]) for r in gtable.snapshot().collect()}
+        assert got[3] == (4321, 4) and got[99] == (2500, 2)
+        assert got[5] == (685, 0)  # untouched rows intact
+
+    def test_writer_refuses_contradicting_source(self, spark, gtable):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        bad = spark.createDataFrame([Row(k=3, cents=4321, kilo=77)])
+        v = gtable.version()
+        with pytest.raises(ConstraintViolation, match="GENERATED"):
+            gtable.merge_into(bad, ["k"])
+        with pytest.raises(ConstraintViolation, match="GENERATED"):
+            gtable.merge_into(bad, ["k"], strategy="mor")
+        assert gtable.version() == v  # nothing committed
+        ok = spark.createDataFrame([Row(k=3, cents=4321, kilo=4)])
+        gtable.merge_into(ok, ["k"])  # correct precomputed value passes
+
+    def test_alter_guards_and_drop_generated(self, spark, gtable):
+        with pytest.raises(ValueError, match="generated"):
+            gtable.rename_column("cents", "pennies")  # expression input
+        with pytest.raises(ValueError, match="generated"):
+            gtable.drop_column("kilo")  # the generated column itself
+        # widening is value-preserving, so it stays legal under a
+        # generated declaration (the expression reads the same values)
+        gtable.widen_column("cents", "bigint")
+        gtable.drop_generated("kilo")
+        gtable.rename_column("cents", "pennies")  # now legal
+        assert "pennies" in gtable.snapshot().columns
+
+    def test_mor_and_streaming_sink_inherit(self, spark, gtable, tmp_path):
+        src = spark.createDataFrame([Row(k=0, cents=9999)])
+        gtable.merge_into(src, ["k"], strategy="mor")
+        got = {r["k"]: r["kilo"] for r in gtable.snapshot().collect()}
+        assert got[0] == 9
+
+    def test_restore_and_clone_carry_declarations(self, spark, gtable, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        clone = gtable.clone_to(str(tmp_path / "gclone"))
+        with pytest.raises(ConstraintViolation):
+            clone.merge_into(spark.createDataFrame([Row(k=1, cents=1, kilo=5)]), ["k"])
+        gtable.merge_into(spark.createDataFrame([Row(k=1, cents=2000)]), ["k"])
+        gtable.restore(2)  # the version where the declaration landed
+        assert "kilo" in (gtable._read_manifest(gtable.version()).get("generated") or {})
