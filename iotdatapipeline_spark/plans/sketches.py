@@ -441,7 +441,14 @@ def heavy_hitters(df: DataFrame, key_col: str, min_share: float) -> DataFrame:
     array is bounded by 1/min_share (+false positives), so the one
     collect is O(1/support), never O(keys)."""
     keyed = df.select(F.col(key_col).cast("string").alias("value"))
-    cand_row = keyed.stat.freqItems(["value"], support=min_share).collect()[0]
+    # freqItems' no-false-negative guarantee holds for frequencies
+    # STRICTLY above the support; a key at exactly min_share*n could be
+    # missed at support=min_share while the verify filter (and the
+    # oracle) use >=. Probe slightly below so boundary keys are always
+    # candidates — false positives only cost verify work, never rows.
+    cand_row = keyed.stat.freqItems(
+        ["value"], support=max(min_share * 0.99, 1e-4)
+    ).collect()[0]
     cands = sorted(c for c in (cand_row[0] or []) if c is not None)
     spark = df.sparkSession
     if not cands:

@@ -1218,7 +1218,19 @@ class VersionedTable:
             for c, (lo, hi) in ranges.items():
                 if not _range_intersects((stats.get(f) or {}).get(c), lo, hi):
                     return False
-                if lo is not None and lo == hi and not isinstance(lo, bool):
+                # Only probe the bloom when str(literal) is GUARANTEED to
+                # equal the indexed CAST(col AS STRING) canon: plain ints
+                # ('5') and strings (identity). float ('5.0' vs '5'),
+                # bool, and the date/datetime objects _parse_literal makes
+                # from date-like strings (str() uses ' ' where the column
+                # text may use 'T', drops :00 seconds, …) can mismatch and
+                # would FALSE-NEGATIVE prune the file holding the true
+                # match — those conservatively keep the file.
+                if (
+                    lo is not None
+                    and lo == hi
+                    and (type(lo) is int or isinstance(lo, str))
+                ):
                     entry = (blooms.get(c) or {}).get(f)
                     if entry is not None and not _bloom_maybe_contains(entry, lo):
                         return False
@@ -1774,6 +1786,13 @@ class VersionedTable:
                 return base_field.dataType
             b = base_field.dataType.simpleString()
             s = src_type.simpleString()
+            if b == s:
+                # complex types differing ONLY in nullability metadata
+                # (containsNull / nested nullable): DataType equality is
+                # strict but simpleString drops nullability, and casting
+                # array<int> containsNull=false to containsNull=true is a
+                # value-preserving no-op — keep the table's type.
+                return base_field.dataType
             if s in VersionedTable._WIDENINGS.get(b, ()):
                 if schema_evolution:
                     return src_type  # auto-widen the committed schema
@@ -2091,10 +2110,14 @@ class VersionedTable:
         once and refuses if any live row contradicts the expression
         (NULL-safe equality), then every writer either COMPUTES the
         column when a source omits it or REFUSES a source that
-        contradicts it (:meth:`_apply_generated`). Renaming/dropping/
-        widening the generated column or any column its expression
-        reads refuses until ``drop_generated`` (same guard as CHECK
-        constraints). One manifest commit; no data moves."""
+        contradicts it (:meth:`_apply_generated`). Renaming/dropping
+        the generated column or any column its expression reads refuses
+        until ``drop_generated`` (same guard as CHECK constraints);
+        WIDENING stays legal — it is value-preserving, so the recorded
+        expression reads the same values and writers cast the computed
+        result to the (possibly widened) declared type (pinned in
+        TestGeneratedColumns.test_alter_guards_and_drop_generated).
+        One manifest commit; no data moves."""
         for _ in range(max_retries):
             base = self.version()
             if base == 0:
@@ -2383,6 +2406,12 @@ class VersionedTable:
             if base == 0:
                 raise ValueError("widen_column target does not exist; create() it first")
             m = self._read_manifest(base)
+            # widening deliberately SKIPS _guard_constraint_refs (unlike
+            # rename/drop): it is value-preserving, so a CHECK expression
+            # keeps evaluating identically and a GENERATED expression
+            # reads the same values (writers cast the computed result to
+            # the declared type) — pinned in test_alter_guards_and_
+            # drop_generated
             schema = StructType.fromJson(json.loads(m["schema"]))
             field = next((f for f in schema.fields if f.name == name), None)
             if field is None:

@@ -238,3 +238,22 @@ class TestMisraGries:
         n = ev.count()
         want = {(r["v"], r["c"]) for r in cnts.collect() if r["c"] >= 0.03 * n}
         assert got == want and got
+
+    def test_exact_boundary_share_is_not_missed(self, spark):
+        """r11 ADVICE (low): freqItems' no-false-negative guarantee is
+        for frequencies STRICTLY above the support, but heavy_hitters'
+        verify filter (and the oracle) use >=. A key sitting at EXACTLY
+        min_share*n must still be reported — the candidate probe runs
+        slightly below min_share to guarantee it."""
+        from iotdatapipeline_spark.plans.sketches import heavy_hitters
+
+        # 100 rows: 'edge' exactly 5x (share == min_share == 0.05),
+        # 'heavy' 10x, the rest 85 distinct cold keys
+        df = spark.range(100).select(
+            F.when(F.col("id") < 5, F.lit("edge"))
+            .when(F.col("id") < 15, F.lit("heavy"))
+            .otherwise(F.concat(F.lit("c"), F.col("id")))
+            .alias("v")
+        )
+        got = {(r["value"], r["cnt"]) for r in heavy_hitters(df, "v", 0.05).collect()}
+        assert got == {("edge", 5), ("heavy", 10)}

@@ -2348,6 +2348,29 @@ class TestBloomIndex:
         assert t.scan("val = 37").count() == 1
         assert t.snapshot().filter("val is null").count() == 20
 
+    def test_float_literal_never_false_negative_prunes(self, spark, btable):
+        """r11 ADVICE (high): `val = 5.0` parses to float; str(5.0) is
+        '5.0' but the index stores CAST(val AS STRING) = '5' — an
+        unguarded probe would prune EVERY file and silently lose the
+        match. Float equality must skip the bloom (keep all files) and
+        the scan must still return the row."""
+        btable.add_bloom_index(["val"])
+        probe = (5 * 2654435761) % 1_000_000  # k=5's value, an integer
+        kept, total = btable.pruned_files(f"val = {probe}.0")
+        assert kept == total == 8  # probe skipped: conservative keep
+        assert [r["k"] for r in btable.scan(f"val = {probe}.0").collect()] == [5]
+
+    def test_datetime_literal_never_false_negative_prunes(self, spark, tmp_path):
+        """A 'T'-separated timestamp STRING column: the parser turns the
+        literal into a datetime whose str() uses ' ' — probing with it
+        would prune the file holding the true match. Must keep."""
+        t = VersionedTable(spark, str(tmp_path / "bdt"))
+        rows = [Row(k=i, ts=f"2024-01-0{1 + i % 9}T10:00:00") for i in range(40)]
+        t.create(spark.createDataFrame(rows), n_files=4, cluster_by=["k"])
+        t.add_bloom_index(["ts"])
+        got = t.scan("ts = '2024-01-03T10:00:00'")
+        assert got.count() == len([i for i in range(40) if i % 9 == 2])
+
     def test_rename_rekeys_bloom(self, spark, btable):
         btable.add_bloom_index(["val"])
         btable.rename_column("val", "value")
@@ -2409,6 +2432,23 @@ class TestWidenColumn:
             t.widen_column("nope", "bigint")
         assert t.widen_column("f", "double") == 2  # float -> double OK
         assert dict(t.snapshot().dtypes)["f"] == "double"
+
+    def test_widen_stays_legal_under_check_constraint(self, spark, tmp_path):
+        """r11 ADVICE follow-up: widening deliberately skips the
+        constraint-ref guard (unlike rename/drop) — it is value-
+        preserving, so the CHECK expression keeps evaluating
+        identically, before and after, old files and new."""
+        t = VersionedTable(spark, str(tmp_path / "wg"))
+        t.create(spark.createDataFrame([(1, 2)], "k int, v int"))
+        t.add_constraint("v_pos", "v > 0")
+        assert t.widen_column("v", "bigint") > 0
+        assert dict(t.snapshot().dtypes)["v"] == "bigint"
+        # the constraint survives the widen and still enforces
+        with pytest.raises(Exception, match="v_pos"):
+            t.merge_into(spark.createDataFrame([(9, -5)], "k int, v bigint"), ["k"])
+        t.merge_into(spark.createDataFrame([(9, 2**40)], "k int, v bigint"), ["k"])
+        got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        assert got == {1: 2, 9: 2**40}
 
     def test_cdf_across_widen_boundary(self, spark, tmp_path):
         t = VersionedTable(spark, str(tmp_path / "w3"))
@@ -2730,6 +2770,35 @@ class TestMergeTypeReconciliation:
         ntable.merge_into(src, ["k"])
         got = {r["k"]: r["q"] for r in ntable.snapshot().collect()}
         assert got[3] == 777 and dict(ntable.snapshot().dtypes)["q"] == "bigint"
+
+    def test_complex_type_nullability_only_difference_merges(self, spark, tmp_path):
+        """r11 ADVICE (medium): DataType equality is strict about
+        containsNull, so a source array<int> (containsNull=false)
+        against the table's array<int> (containsNull=true) fell
+        through both _WIDENINGS lookups and refused — but the cast is
+        a value-preserving no-op. Equal simpleString must merge."""
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, LongType, StructField, StructType,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "nul"))
+        t.create(
+            spark.createDataFrame(
+                [(1, [1, 2]), (2, [3])], "k bigint, arr array<int>"
+            ),
+            cluster_by=["k"],
+        )
+        tight = StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("arr", ArrayType(IntegerType(), containsNull=False), False),
+            ]
+        )
+        src = spark.createDataFrame([(2, [7, 8]), (3, [9])], tight)
+        t.merge_into(src, ["k"])
+        got = {r["k"]: r["arr"] for r in t.snapshot().collect()}
+        assert got == {1: [1, 2], 2: [7, 8], 3: [9]}
+        assert dict(t.snapshot().dtypes)["arr"] == "array<int>"
 
     def test_incompatible_source_refused(self, spark, ntable):
         src = spark.createDataFrame([(3, "oops")], "k bigint, q string")
