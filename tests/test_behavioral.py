@@ -146,3 +146,34 @@ class TestArgmaxHash:
         out = argmax_per_group_hash(df, ["k"], F.col("o"), ["p"])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+    def test_front_door_routes_single_order_to_hash(self, spark):
+        """r11 verdict #6: the short name must not silently re-buy the
+        SortAggregate — a single-column order plans HashAggregate and
+        matches the struct form row-for-row; multi-column orders route
+        to the explicitly named struct fallback."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.operators import (
+            argmax_per_group,
+            argmax_per_group_struct,
+        )
+
+        rows = [Row(k=i % 5, rid=i, pay=float(i) * 0.5) for i in range(40)]
+        df = spark.createDataFrame(rows)
+        got = argmax_per_group(df, ["k"], ["rid"])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan and "SortAggregate" not in plan
+        ref = argmax_per_group_struct(df, ["k"], ["rid"])
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+        assert got.columns == df.columns
+        # a var-length payload demotes (hash-agg buffers are fixed-width
+        # only) but the ROWS must still match the struct form
+        tagged = df.withColumn("tag", F.concat(F.lit("t"), F.col("rid")))
+        got_t = argmax_per_group(tagged, ["k"], ["rid"])
+        ref_t = argmax_per_group_struct(tagged, ["k"], ["rid"])
+        assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, ref_t.collect()))
+        # multi-column order: delegates to the struct (SortAggregate) form
+        multi = argmax_per_group(df, ["k"], ["pay", "rid"])
+        ref2 = argmax_per_group_struct(df, ["k"], ["pay", "rid"])
+        assert sorted(map(tuple, multi.collect())) == sorted(map(tuple, ref2.collect()))
