@@ -39,41 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    # r10: top1_active_record moved from the struct-ordered max_by
-    # (silently SortAggregate) to the packed-scalar hash aggregate, and
-    # dedup_combine gained the two-stage compact-then-explode fast path
-    # — both new plans need fresh driver rows
-    "top1_active_record",
-    "dedup_combine_parts",
-    # r10 cont.: every commit now flows through the bloom-aware
-    # _try_commit, changes() gained widen-boundary type alignment,
-    # rename_column gained the bloom re-key branch, and pq_recall moved
-    # onto the shared _recall_vs_exact_int_top3 helper — fresh rows on
-    # the new code
-    "events_versioned_changes",
-    "events_versioned_column_mapping",
+    # r11: heavy_hitters' candidate probe moved slightly below
+    # min_share (freqItems boundary guarantee), the bloom equality
+    # probe gained the int/str-literal canon guard on the scan path,
+    # and merge type reconciliation now accepts nullability-only
+    # complex-type differences — fresh rows on the changed code
+    "events_heavy_hitters",
+    "events_versioned_bloom_merge",
+    "events_versioned_bloom_point_lookup",
     "events_merge_upsert_cow",
-    # r10 cont.: _align_insert gained type reconciliation (both merge
-    # strategies flow through it)
     "events_versioned_dv_upsert",
-    "embeddings_pq_recall",
-    # r9: queries over code paths restructured this round. The DV read
-    # path changed (_dv_rows literal-IN -> broadcast semi-join; the
-    # _commit_dv_delete/_build_dvs refactor), merge_into gained the
-    # strategy param and the _align_insert factoring, changes() gained
-    # include_preimages, events_props_shredded moved onto the shared
-    # plans/materialize.py helper, and pq_adc_topk was refactored onto
-    # the shared pq_adc_search — each needs a fresh driver row on the
-    # new code.
-    "events_versioned_dv_delete",
-    "events_versioned_cdf_stream",
-    "events_props_shredded",
-    "embeddings_pq_topk",
-    # r9 cont.: pq_codebooks gained the pq_subvectors factoring (these
-    # two compose it) and the SemDeDup gate moved onto the shared
-    # _semantic_neardup_plan builder
-    "embeddings_ivfpq_topk",
-    "docs_semantic_neardup",
+    # (r9/r10 retest entries retired — every one got its fresh green
+    # driver row in CORRECTNESS_r10 on the restructured code)
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without

