@@ -3843,6 +3843,46 @@ def embeddings_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embeddings_bq_index_topk",
+    f"WITH {_BQ_SQL} SELECT qid, nid, rk, hamming FROM bqtop",
+)
+def embeddings_bq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization with a STORED index — the amortized form of
+    ``embeddings_bq_topk`` (r11, verdict r10 item 5), completing the
+    quantization menu's indexed column next to the PQ/IVFPQ index
+    gates. Sign-bit packing is paid ONCE into a fingerprint-keyed
+    VersionedTable (the plans/materialize.py pattern: deterministic
+    build, race-safe create); the registered query is the steady
+    state — quantize the 5 probe vectors and run ``bit_count(xor)``
+    Hamming top-3 over the STORED packed words. The oracle re-packs
+    from scratch in DuckDB and must match bit-for-bit, so the row
+    hash-verifies the stored index against a fresh quantization every
+    round — index rot is gate-visible (the pq_index_recall precedent).
+
+    100 TB: the scoring scan reads d/32 stored ints per vector (no
+    float column touched), the 5-row query side broadcasts, and
+    re-ingest triggers only on a dataset-fingerprint change — the
+    cheapest rescoring tier with build and search split like a real
+    vector store."""
+    from iotdatapipeline_spark.analytics.similarity import binary_quantize, hamming_topk
+    from iotdatapipeline_spark.plans.materialize import (
+        dataset_fingerprint,
+        materialize_once,
+    )
+
+    digest = dataset_fingerprint(sf_dir, "embeddings")
+    root = f"/tmp/sparkgraft_bqindex/{digest}"
+    bq_t = materialize_once(
+        spark,
+        f"{root}/bq",
+        lambda: binary_quantize(load_table(spark, sf_dir, "embeddings")),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qbq = binary_quantize(emb.filter(F.col("vec_id") < 5))
+    return hamming_topk(bq_t.snapshot().select("vec_id", "bq"), qbq, k=3)
+
+
+@register(
     "embeddings_matryoshka_recall",
     f"""
     WITH {_EXACT_TOP3_SQL},
