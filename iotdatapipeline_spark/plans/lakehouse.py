@@ -1300,3 +1300,67 @@ def events_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan(f"station <= {mid}").select(
         "station", "part", "ts_us", "v_cents", "version_id"
     )
+
+
+@register(
+    "events_merge_sync_delete",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT station, part, ts_us, v_cents + 5000 AS v_cents, version_id
+        FROM b WHERE station % 3 <> 0
+    )
+    SELECT station, part, ts_us, v_cents, version_id FROM s
+    UNION ALL
+    SELECT station, part, ts_us, v_cents, version_id
+    FROM b WHERE station % 3 = 0 AND station % 4 <> 0
+    """,
+)
+def events_merge_sync_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE as a hard driver gate
+    (r11): the full-sync merge clause (Delta's third WHEN branch) —
+    target rows whose key is absent from the source are removed,
+    scoped by a condition. A clause that silently deletes too much,
+    too little, or ignores the condition is a data bug, so it gets a
+    value-hashed row (the CHECK-constraint precedent).
+
+    Round-trip: (1) CREATE the per-station dim from the odd-thirds of
+    events; (2) one MERGE whose source is the stations NOT ≡0 (mod 3)
+    with +5000 cents, with ``not_matched_by_source="delete"`` and
+    condition ``station % 4 = 0`` — matched stations update, the
+    mod-3 stations are unmatched and only their mod-4 subset deletes,
+    the rest must SURVIVE (a condition-ignoring implementation
+    hash-mismatches on the missing survivors); (3) the commit op
+    string must record the sync clause. Oracle = the same set algebra
+    (updated source UNION the surviving unmatched band).
+
+    100 TB: the delete scope is stats-pruned by the condition exactly
+    like scan() — without a condition every file is in scope (any
+    file may hold a now-absent key), which is Delta's own documented
+    caveat for this clause; the MOR twin (pytest-pinned) records the
+    deletes as DV entries, O(changed rows)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = (
+        base.filter(F.col("station") % 3 != 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_sync_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(
+        src,
+        ["station"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="station % 4 = 0",
+    )
+    if table.history()[-1]["op"] != "merge:update+syncdel":
+        raise RuntimeError(f"unexpected op {table.history()[-1]['op']!r}")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

@@ -1577,6 +1577,8 @@ class VersionedTable:
         txn_version: int | None = None,
         schema_evolution: bool = False,
         strategy: str = "cow",
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
     ) -> int:
         """MERGE: ``when_matched="update"`` replaces matched rows with
         the source row (K1/K2 upsert; ``when_not_matched`` is always
@@ -1584,6 +1586,22 @@ class VersionedTable:
         reset-by-delete shape). Returns the committed version. Retries
         the whole read-apply-commit cycle on :class:`CommitConflict` —
         optimistic concurrency.
+
+        ``not_matched_by_source="delete"`` adds Delta's third clause —
+        WHEN NOT MATCHED BY SOURCE THEN DELETE: TARGET rows whose key
+        is absent from the source are removed, making the merge a
+        FULL SYNC (after it, the table is exactly the transformed
+        source). ``not_matched_by_source_condition`` (a SQL predicate
+        over target columns) bounds which target rows are delete-
+        eligible — a row is removed only when it is unmatched AND the
+        condition is TRUE (NULL keeps the row, SQL-style). At scale
+        the condition is what keeps the clause O(scope) instead of
+        O(table): without one every file is in scope (any file may
+        hold a now-absent key), with one the same stats/range pruning
+        as ``scan`` drops files that provably cannot satisfy it —
+        exactly Delta's documented guidance for this clause. Works
+        under both strategies: COW rewrites the in-scope files, MOR
+        records the deletes as DV entries.
 
         ``strategy`` picks the physical write: ``"cow"``
         (copy-on-write, default) rewrites every file holding a matched
@@ -1614,12 +1632,32 @@ class VersionedTable:
             raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
         if strategy not in ("cow", "mor"):
             raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
+        if not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "not_matched_by_source must be None or 'delete', "
+                f"got {not_matched_by_source!r}"
+            )
+        if not_matched_by_source_condition is not None and not_matched_by_source is None:
+            raise ValueError(
+                "not_matched_by_source_condition requires not_matched_by_source='delete'"
+            )
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be passed together")
         keys = list(keys)
+        nmbs_cond = (
+            not_matched_by_source_condition if not_matched_by_source == "delete" else None
+        )
         if strategy == "mor":
             return self._merge_into_mor(
-                source, keys, when_matched, max_retries, txn_app, txn_version, schema_evolution
+                source,
+                keys,
+                when_matched,
+                max_retries,
+                txn_app,
+                txn_version,
+                schema_evolution,
+                not_matched_by_source,
+                nmbs_cond,
             )
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
@@ -1640,6 +1678,22 @@ class VersionedTable:
             # turns a key-local MERGE into a full-table read at 100 TB.
             stats = self._stats_of(m)
             candidates = self._candidates_by_key_bounds(m, src_keys, keys)
+            # WHEN NOT MATCHED BY SOURCE scope: files that might hold a
+            # delete-eligible row — the condition's range bounds prune
+            # exactly like scan(); no condition puts every file in scope
+            # (any file may hold a now-absent key)
+            nmbs_scope: list[str] = []
+            nmbs_pred = None
+            if not_matched_by_source == "delete":
+                nmbs_scope = self._keep_files(
+                    m, _extract_ranges(nmbs_cond) if nmbs_cond else {}
+                )
+                # delete only when the condition is TRUE (NULL keeps)
+                nmbs_pred = (
+                    F.coalesce(F.expr(nmbs_cond).cast("boolean"), F.lit(False))
+                    if nmbs_cond
+                    else F.lit(True)
+                )
             # exact file-level pruning over the candidates: the
             # collected result is the bounded list of touched FILES,
             # never data rows. plain join (no forced broadcast):
@@ -1647,7 +1701,8 @@ class VersionedTable:
             # the common dim-merge case — and falls back to a shuffle
             # join for huge sources
             touched: set[str] = set()
-            if candidates:
+            probe_files = sorted(set(candidates) | set(nmbs_scope))
+            if probe_files:
                 # manifest-schema read (_read_data): candidates can mix
                 # old-schema and evolved files after schema_evolution.
                 # with_file=True: file identity comes from the read
@@ -1655,7 +1710,7 @@ class VersionedTable:
                 # anti-join makes the frame multi-source), and only
                 # LIVE rows probe — a file whose every matching row is
                 # DV-deleted is correctly not touched
-                snap = self._read_data(m, candidates, with_file=True)
+                snap = self._read_data(m, probe_files, with_file=True)
                 touched = {
                     r["__file"]
                     for r in snap.join(src_keys, keys, "left_semi")
@@ -1663,6 +1718,15 @@ class VersionedTable:
                     .distinct()
                     .collect()
                 }
+                if nmbs_pred is not None:
+                    touched |= {
+                        r["__file"]
+                        for r in snap.filter(nmbs_pred)
+                        .join(src_keys, keys, "left_anti")
+                        .select("__file")
+                        .distinct()
+                        .collect()
+                    }
             cluster_by = m.get("cluster_by") or None
             untouched = [f for f in m["files"] if f not in touched]
             cols = base_df.columns  # parquet footer only, no job
@@ -1676,6 +1740,8 @@ class VersionedTable:
                 # permanent data loss committed into the new version
                 touched_df = self._read_data(m, sorted(touched))
                 kept = touched_df.join(src_keys, keys, "left_anti")
+                if nmbs_pred is not None:
+                    kept = kept.filter(~nmbs_pred)
                 rewritten += self._write_files_mapped(
                     kept, m, n_files=max(1, len(touched)), cluster_by=cluster_by
                 )
@@ -1733,7 +1799,8 @@ class VersionedTable:
                 self._try_commit(
                     base,
                     untouched + rewritten,
-                    f"merge:{when_matched}",
+                    f"merge:{when_matched}"
+                    + ("+syncdel" if not_matched_by_source == "delete" else ""),
                     cluster_by,
                     txn_app,
                     txn_version,
@@ -1872,6 +1939,8 @@ class VersionedTable:
         txn_app: str | None,
         txn_version: int | None,
         schema_evolution: bool,
+        not_matched_by_source: str | None = None,
+        nmbs_cond: str | None = None,
     ) -> int:
         """Merge-on-read MERGE (``strategy="mor"``): ONE commit that
         (a) writes deletion-vector entries for every matched live row
@@ -1904,6 +1973,20 @@ class VersionedTable:
             cluster_by = m.get("cluster_by") or None
             base_df = self.snapshot(base)
             candidates = self._candidates_by_key_bounds(m, src_keys, keys)
+            # WHEN NOT MATCHED BY SOURCE scope (see the COW path): the
+            # condition's range bounds prune the in-scope files; the
+            # deletes land as DV entries like everything else here
+            nmbs_pred = None
+            if not_matched_by_source == "delete":
+                nmbs_scope = self._keep_files(
+                    m, _extract_ranges(nmbs_cond) if nmbs_cond else {}
+                )
+                candidates = sorted(set(candidates) | set(nmbs_scope))
+                nmbs_pred = (
+                    F.coalesce(F.expr(nmbs_cond).cast("boolean"), F.lit(False))
+                    if nmbs_cond
+                    else F.lit(True)
+                )
             live = None
             if candidates:
                 # live rows only (existing DVs subtracted): a row already
@@ -1935,6 +2018,14 @@ class VersionedTable:
                 hits = live.join(src_keys, keys, "left_semi").select(
                     F.col("__file").alias("file"), F.col("__pos").alias("pos")
                 )
+                if nmbs_pred is not None:
+                    hits = hits.unionByName(
+                        live.filter(nmbs_pred)
+                        .join(src_keys, keys, "left_anti")
+                        .select(
+                            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                        )
+                    )
                 new_dvs = self._build_dvs(m, candidates, hits)
             appended: list[str] = []
             ins_empty = ins.isEmpty()
@@ -1958,7 +2049,9 @@ class VersionedTable:
                 self._try_commit(
                     base,
                     list(m["files"]) + appended,
-                    f"merge:{when_matched}:mor",
+                    f"merge:{when_matched}"
+                    + ("+syncdel" if not_matched_by_source == "delete" else "")
+                    + ":mor",
                     cluster_by,
                     txn_app,
                     txn_version,

@@ -2824,6 +2824,103 @@ class TestMergeTypeReconciliation:
             ntable.snapshot(v).count()
 
 
+class TestMergeNotMatchedBySource:
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's third merge
+    clause): unmatched TARGET rows are removed — full sync without a
+    condition, scoped sync with one (condition NULL keeps the row,
+    SQL-style). COW and MOR must commit the identical snapshot."""
+
+    @pytest.fixture()
+    def ttable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "nmbs"))
+        rows = [Row(k=i, v=i * 10, grp=i % 3) for i in range(20)]
+        t.create(spark.createDataFrame(rows), n_files=4, cluster_by=["k"])
+        return t
+
+    def test_full_sync_cow(self, spark, ttable):
+        # source: updates 0-9 (+1), inserts 100; rows 10-19 are absent
+        src = spark.createDataFrame(
+            [Row(k=i, v=i * 10 + 1, grp=i % 3) for i in range(10)]
+            + [Row(k=100, v=5, grp=0)]
+        )
+        ttable.merge_into(src, ["k"], not_matched_by_source="delete")
+        got = {r["k"]: r["v"] for r in ttable.snapshot().collect()}
+        assert got == {**{i: i * 10 + 1 for i in range(10)}, 100: 5}
+        assert ttable.history()[-1]["op"] == "merge:update+syncdel"
+
+    def test_full_sync_mor_matches_cow(self, spark, ttable):
+        src = spark.createDataFrame(
+            [Row(k=i, v=i * 10 + 1, grp=i % 3) for i in range(10)]
+            + [Row(k=100, v=5, grp=0)]
+        )
+        ttable.merge_into(src, ["k"], not_matched_by_source="delete", strategy="mor")
+        got = {r["k"]: r["v"] for r in ttable.snapshot().collect()}
+        assert got == {**{i: i * 10 + 1 for i in range(10)}, 100: 5}
+        # the deletes landed as DV entries, not rewrites
+        m = ttable.history()[-1]
+        assert m["op"] == "merge:update+syncdel:mor"
+        assert sum(len(v) for v in (m.get("dvs") or {}).values()) > 0
+
+    def test_condition_scopes_the_delete_and_prunes_files(self, spark, ttable):
+        # unmatched rows: 10-19. condition k >= 15: only those delete;
+        # 10-14 stay. The k-clustered layout means files whose [min,max]
+        # k-range misses BOTH the source keys and the condition range
+        # must not be rewritten.
+        src = spark.createDataFrame([Row(k=0, v=999, grp=0)])
+        v = ttable.merge_into(
+            src,
+            ["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 15",
+        )
+        got = {r["k"]: r["v"] for r in ttable.snapshot().collect()}
+        want = {0: 999, **{i: i * 10 for i in range(1, 15)}}
+        assert got == want
+        mt = ttable._read_manifest(v).get("metrics") or {}
+        n_before = len(ttable._read_manifest(v - 1)["files"])
+        assert mt.get("files_removed", n_before) < n_before
+
+    def test_condition_null_keeps_the_row(self, spark, ttable):
+        # v NULL on an unmatched row: the condition evaluates NULL, so
+        # the row survives (SQL semantics, like Delta)
+        t = ttable
+        t.merge_into(
+            spark.createDataFrame([Row(k=50, v=None, grp=0)], "k bigint, v bigint, grp bigint"),
+            ["k"],
+        )
+        src = spark.createDataFrame([Row(k=0, v=0, grp=0)])
+        t.merge_into(
+            src,
+            ["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="v > 5",
+        )
+        keys = {r["k"] for r in t.snapshot().collect()}
+        assert 50 in keys  # NULL condition kept it
+        assert keys == {0, 50}  # every v>5 unmatched row deleted
+
+    def test_combines_with_matched_delete(self, spark, ttable):
+        # matched rows delete AND unmatched cond rows delete: only the
+        # unmatched cond-false band survives, plus nothing inserted
+        src = spark.createDataFrame([Row(k=i, v=0, grp=0) for i in range(5)])
+        ttable.merge_into(
+            src,
+            ["k"],
+            when_matched="delete",
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 10",
+        )
+        keys = sorted(r["k"] for r in ttable.snapshot().collect())
+        assert keys == [5, 6, 7, 8, 9]
+
+    def test_validation(self, spark, ttable):
+        src = spark.createDataFrame([Row(k=0, v=0, grp=0)])
+        with pytest.raises(ValueError, match="not_matched_by_source"):
+            ttable.merge_into(src, ["k"], not_matched_by_source="update")
+        with pytest.raises(ValueError, match="requires"):
+            ttable.merge_into(src, ["k"], not_matched_by_source_condition="k > 0")
+
+
 class TestExpireCrashSafety:
     """expire_versions' documented crash order: (1) checkpoint, (2)
     floor pointer, (3) unlinks. A crash between any two steps leaves a
