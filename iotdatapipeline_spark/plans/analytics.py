@@ -2063,15 +2063,11 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_train_sql(k: int = _BPE_ROUNDS) -> str:
-    """Unrolled k-round BPE training oracle. Each round: weighted
-    adjacent-pair count over the current symbol arrays, argmax with
-    (count DESC, left, right) tie-break, then the GREEDY left-to-right
-    non-overlapping merge. Greedy is expressed closed-form: when
-    left<>right, adjacent matches can never overlap, so every match
-    merges; when left=right, matches inside a run of equal symbols
-    overlap and greedy takes the even offsets (islands via the
-    i - row_number() trick, offset parity within each island)."""
+def _bpe_ctes(k: int = _BPE_ROUNDS) -> list[str]:
+    """The shared unrolled k-round BPE CTE chain (training state
+    ``cur{r}`` per round) — see :func:`_bpe_train_sql` for the greedy-
+    merge closed form. ``cur{k}`` is every distinct word's FINAL
+    symbolization, which is what encoding joins against."""
     ctes = [
         """cur0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS syms
@@ -2113,11 +2109,44 @@ def _bpe_train_sql(k: int = _BPE_ROUNDS) -> str:
         FROM c{r} GROUP BY word, freq
     )"""
         )
+    return ctes
+
+
+def _bpe_train_sql(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled k-round BPE training oracle. Each round: weighted
+    adjacent-pair count over the current symbol arrays, argmax with
+    (count DESC, left, right) tie-break, then the GREEDY left-to-right
+    non-overlapping merge. Greedy is expressed closed-form: when
+    left<>right, adjacent matches can never overlap, so every match
+    merges; when left=right, matches inside a run of equal symbols
+    overlap and greedy takes the even offsets (islands via the
+    i - row_number() trick, offset parity within each island)."""
+    ctes = _bpe_ctes(k)
     unions = "\n    UNION ALL ".join(
         f"SELECT {r} AS round, l AS left_sym, r2 AS right_sym, l || r2 AS merged, n AS n_occurrences FROM b{r}"
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+def _bpe_encode_sql(k: int = _BPE_ROUNDS, top: int = 30) -> str:
+    """Oracle for corpus encoding under the k trained merges: replay
+    training to ``cur{k}`` (final per-word symbolizations), then the
+    corpus token-frequency table is one weighted unnest + aggregate."""
+    ctes = _bpe_ctes(k)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    tok AS (SELECT unnest(syms) AS token, freq FROM cur{k}),
+    tcnt AS (SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+             FROM tok GROUP BY token)
+    SELECT token, n_occurrences, rank FROM (
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+        FROM tcnt
+    ) WHERE rank <= {top}"""
+    )
 
 
 @register("docs_bpe_train_merges", _bpe_train_sql())
@@ -2143,6 +2172,18 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merge itself is a pure array fold per word (greedy
     left-to-right, provably equal to the oracle's run-parity form):
     map-side only, no exchange."""
+    merges, _ = _bpe_train_loop(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
+    )
+
+
+def _bpe_train_loop(spark: SparkSession, sf_dir: str):
+    """Run the k-round distributed BPE training loop; returns
+    ``(merges, cur)`` — the learned merge rows and the distinct-word
+    frequency table holding every word's FINAL symbolization (the
+    structure encoding joins against). Shared by the train and encode
+    gates."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -2182,8 +2223,36 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.withColumn(
             "syms", bpe_merge_greedy(F.col("syms"), t["l"], t["r2"])
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
+    return merges, cur
+
+
+@register("docs_bpe_encode", _bpe_encode_sql())
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODING — the other half of the tokenizer story
+    (r11): apply the 5 trained merges to the corpus and produce the
+    token-frequency table (top 30 by count, deterministic count-then-
+    lexicographic rank) — the vocabulary statistics a training-data
+    pipeline ships next to the merges table (token budget estimates,
+    vocab coverage checks, fertility audits). The oracle replays the
+    FULL train-then-encode pipeline in SQL, so the row hash-verifies
+    that encoding agrees with training end-to-end.
+
+    Scale shape (the Sennrich trick carries over): training already
+    left every DISTINCT WORD's final symbolization in the vocab table,
+    so encoding the corpus never re-tokenizes documents — the token
+    count table is one weighted explode of |vocab| rows (count(token
+    in word) × word frequency), and encoding a NEW document stream is
+    a broadcast join against the same table, map-side. At 100 TB the
+    corpus is scanned exactly once (by training's word count); every
+    encode pass after that is O(|vocab|) or O(new docs)."""
+    _, cur = _bpe_train_loop(spark, sf_dir)
+    toks = cur.select(F.explode("syms").alias("token"), "freq")
+    cnt = toks.groupBy("token").agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select("token", "n_occurrences", "rank")
     )
 
 

@@ -1303,6 +1303,102 @@ def events_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_identity",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    bid AS (
+        SELECT station, part, ts_us, v_cents, version_id,
+               row_number() OVER (ORDER BY station) AS rid
+        FROM b
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    upd AS (
+        SELECT s.station, s.part, s.ts_us, s.v_cents, s.version_id, bid.rid
+        FROM s JOIN bid ON bid.station = s.station
+    ),
+    keep AS (
+        SELECT * FROM bid WHERE station NOT IN (SELECT station FROM s)
+    ),
+    newr AS (
+        SELECT s.station, s.part, s.ts_us, s.v_cents, s.version_id,
+               (SELECT max(rid) FROM bid)
+               + row_number() OVER (ORDER BY s.station) AS rid
+        FROM s LEFT JOIN bid ON bid.station = s.station
+        WHERE bid.station IS NULL
+    )
+    SELECT station, part, ts_us, v_cents, version_id, CAST(rid AS BIGINT) AS rid
+    FROM (
+        SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM newr
+    )
+    """,
+)
+def events_versioned_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns as a hard driver gate (r11): GENERATED ALWAYS
+    AS IDENTITY with DETERMINISTIC key-ordered assignment — a writer
+    that reassigns matched rows' ids, reissues a watermark, or accepts
+    user-supplied values is a silent data bug, so the surface gets a
+    value-hashed row (the generated-column precedent).
+
+    Round-trip: (1) CREATE the per-station dim with ``rid`` =
+    row_number by station; (2) ``set_identity('rid')`` — the
+    declaration validates uniqueness and records max() as the
+    watermark; (3) a MERGE whose source OMITS rid (even-thirds %5
+    stations): matched stations must KEEP their rid, new stations get
+    watermark + station-ordered rank; (4) a merge CARRYING rid must
+    refuse with no commit (ALWAYS semantics — hard-fail if it lands).
+    The returned snapshot is hash-checked against the oracle replaying
+    the same assignment in SQL — churned ids, gaps in the wrong place,
+    or accepted user values all mismatch.
+
+    100 TB: assignment is a row_number over ONLY the write batch's new
+    rows plus one count for the watermark bump — O(write), never
+    O(table); the declaration's uniqueness scan is the one full pass
+    (same as add_constraint). Deterministic ids are the reproducible-
+    ingest property Delta's identity (unique-with-gaps) does not
+    give."""
+    r = _readings(spark, sf_dir)
+    from pyspark.sql import Window
+
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).withColumn(
+        "rid", F.row_number().over(Window.orderBy("station")).cast("long")
+    )
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_id_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.set_identity("rid")
+    table.merge_into(src, ["station"])
+    v_ok = table.version()
+    carrying = table.snapshot().limit(1).withColumn("rid", F.lit(999999).cast("long"))
+    try:
+        table.merge_into(carrying, ["station"])
+        raise RuntimeError("a source carrying the identity column was not refused")
+    except ValueError:
+        pass
+    if table.version() != v_ok:
+        raise RuntimeError("refused merge moved the table version")
+    return table.snapshot().select(
+        "station", "part", "ts_us", "v_cents", "version_id", "rid"
+    )
+
+
+@register(
     "events_merge_sync_delete",
     """
     WITH b AS (

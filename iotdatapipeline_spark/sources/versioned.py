@@ -48,7 +48,7 @@ import time
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -101,6 +101,13 @@ def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
         raise ValueError(
             f"cannot {action} column {col!r}: involved in generated column(s) "
             f"{sorted(ghits)}; drop_generated first"
+        )
+    # identity columns: renaming/dropping the column would orphan the
+    # recorded watermark (or resurrect it under a re-added name)
+    if any(n.lower() == col.lower() for n in (m.get("identity") or {})):
+        raise ValueError(
+            f"cannot {action} column {col!r}: it is GENERATED ALWAYS AS "
+            "IDENTITY; drop_identity first"
         )
 
 
@@ -750,6 +757,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         bloom_file_ref: str | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, int] | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -798,6 +806,8 @@ class VersionedTable:
                 constraints = base_m.get("constraints") or {}
             if generated is None:
                 generated = base_m.get("generated") or {}
+            if identity is None:
+                identity = base_m.get("identity") or {}
             # the bloom sidecar carries forward by reference: entries
             # are keyed by (immutable, never-reused) file name, so
             # entries for files a commit drops are dead weight, never
@@ -869,6 +879,11 @@ class VersionedTable:
             # the column when a source omits it and refuse sources that
             # contradict it (set_generated / _apply_generated)
             "generated": generated or {},
+            # identity columns: name -> high watermark; merges assign
+            # watermark + row_number to INSERTED rows (matched rows
+            # keep their value) and refuse sources carrying the column
+            # (set_identity / _assign_identity)
+            "identity": identity or {},
             # operation metrics (history observability; see above)
             "metrics": metrics,
         }
@@ -1172,6 +1187,7 @@ class VersionedTable:
             "schema": schema,
             "constraints": dict(m.get("constraints") or {}),
             "generated": dict(m.get("generated") or {}),
+            "identity": dict(m.get("identity") or {}),
             "column_mapping": cmap,
             "retired_cols": list(m.get("retired_cols") or []),
             "bloom_indexed": sorted(self._bloom_of(m)),
@@ -1756,6 +1772,10 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            # identity columns: matched rows inherit their value from
+            # the touched target rows, fresh rows get watermark + rank
+            # (before generated/alignment so the column exists for both)
+            inserted, new_identity = self._assign_identity(inserted, m, keys, touched_df)
             # generated columns: compute the ones the source omits,
             # refuse sources that contradict one (before alignment, so
             # a computed column exists for the schema projection)
@@ -1807,6 +1827,7 @@ class VersionedTable:
                     schema_json=committed_schema,
                     stats=new_stats,
                     dvs=new_dvs,
+                    identity=new_identity,
                 )
                 return base + 1
             except CommitConflict:
@@ -2001,6 +2022,9 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            # identity columns: matched rows inherit their value from
+            # the live candidate rows, fresh rows get watermark + rank
+            inserted, new_identity = self._assign_identity(inserted, m, keys, live)
             # generated columns: compute the ones the source omits,
             # refuse sources that contradict one (before alignment, so
             # a computed column exists for the schema projection)
@@ -2058,6 +2082,7 @@ class VersionedTable:
                     schema_json=committed_schema,
                     stats=new_stats,
                     dvs=dvs_map,
+                    identity=new_identity,
                 )
                 return base + 1
             except CommitConflict:
@@ -2087,6 +2112,7 @@ class VersionedTable:
             if not 1 <= version <= base:
                 raise ValueError(f"cannot restore to v{version}; table is at v{base}")
             m = self._read_manifest(version)
+            head_ids = self._read_manifest(base).get("identity") or {}
             try:
                 self._try_commit(
                     base,
@@ -2118,6 +2144,14 @@ class VersionedTable:
                     # reasoning as constraints: a later declaration may
                     # reference columns the restored schema lacks)
                     generated=m.get("generated") or {},
+                    # identity DECLARATIONS restore with the schema,
+                    # but each WATERMARK is floored at the current
+                    # head's — ids assigned after the restore point
+                    # must never be reissued (the txn-map reasoning)
+                    identity={
+                        n: max(int(wm), int((head_ids or {}).get(n, 0)))
+                        for n, wm in (m.get("identity") or {}).items()
+                    },
                 )
                 return base + 1
             except CommitConflict:
@@ -2277,6 +2311,172 @@ class VersionedTable:
         raise CommitConflict(
             f"drop_generated on {self.root} gave up after {max_retries} conflicts"
         )
+
+    def set_identity(self, name: str, max_retries: int = 5) -> int:
+        """Declare an EXISTING integral column as GENERATED ALWAYS AS
+        IDENTITY — Delta's identity columns, with the validate-then-
+        record contract of ``add_constraint``/``set_generated``: the
+        declaration scans the current snapshot once and refuses if any
+        live value is NULL or duplicated, records ``max(col)`` as the
+        HIGH WATERMARK in the manifest, and from then on every merge
+        (a) REFUSES a source that carries the column — ALWAYS
+        semantics, users cannot supply values — and (b) assigns
+        ``watermark + row_number`` (ordered by the merge keys) to the
+        INSERTED rows while matched rows KEEP their existing value
+        (:meth:`_assign_identity`). The key-ordered assignment makes
+        ids DETERMINISTIC for a key-unique source — reproducible
+        ingest, and the property that lets the driver value-hash the
+        gate — where Delta only promises unique-with-gaps.
+        Rename/drop of the column refuse until ``drop_identity``;
+        widening stays legal (the watermark is width-independent).
+
+        100 TB note: fresh-id assignment is a row_number over ONLY the
+        new rows of a write (a single-partition window of the batch,
+        not the table) plus one count for the watermark bump — O(write
+        batch), never O(table); the declaration's uniqueness scan is
+        the one full pass, same as add_constraint."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("set_identity target does not exist; create() it first")
+            m = self._read_manifest(base)
+            ids = dict(m.get("identity") or {})
+            if name in ids:
+                raise ValueError(f"column {name!r} is already an identity column")
+            if name in (m.get("generated") or {}):
+                raise ValueError(f"column {name!r} is already generated")
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            field = next((f for f in schema.fields if f.name == name), None)
+            if field is None:
+                raise ValueError(
+                    f"no such column {name!r} (have {[f.name for f in schema.fields]})"
+                )
+            if field.dataType.simpleString() not in ("int", "bigint", "smallint"):
+                raise ValueError(
+                    f"identity column must be integral, {name!r} is "
+                    f"{field.dataType.simpleString()}"
+                )
+            snap = self.snapshot(base)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(name).alias("nn"),
+                F.countDistinct(name).alias("nd"),
+                F.max(name).alias("mx"),
+            ).collect()[0]
+            if agg["n"] != agg["nn"]:
+                raise ConstraintViolation(
+                    f"existing rows have NULL {name!r} on {self.root}"
+                )
+            if agg["nn"] != agg["nd"]:
+                raise ConstraintViolation(
+                    f"existing {name!r} values are not unique on {self.root}"
+                )
+            ids[name] = int(agg["mx"]) if agg["mx"] is not None else 0
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:identity:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    identity=ids,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"set_identity on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def drop_identity(self, name: str, max_retries: int = 5) -> int:
+        """Remove an identity declaration (the column and its values
+        stay; writers stop assigning and sources may carry it again)."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("drop_identity target does not exist; create() it first")
+            m = self._read_manifest(base)
+            ids = dict(m.get("identity") or {})
+            if name not in ids:
+                raise ValueError(f"no identity column {name!r} (have {sorted(ids)})")
+            del ids[name]
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:drop_identity:{name}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    identity=ids,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_identity on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def _assign_identity(
+        self,
+        inserted: DataFrame,
+        m: dict,
+        keys: list[str],
+        target_ids: DataFrame | None,
+    ) -> tuple[DataFrame, dict[str, int] | None]:
+        """Apply the identity contract to a merge's insert frame:
+        refuse a source carrying an identity column; matched rows
+        (key present in ``target_ids``, the touched/candidate rows of
+        the target) INHERIT their existing value; fresh rows get
+        ``watermark + row_number`` ordered by the merge keys. Returns
+        ``(frame, new_watermarks)`` — None when the table has no
+        identity columns. The row_number window covers only the new
+        rows of this write (single partition of the batch, documented
+        in set_identity)."""
+        ids = m.get("identity") or {}
+        if not ids:
+            return inserted, None
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        new_wm = dict(ids)
+        for name in sorted(ids):
+            if name in inserted.columns:
+                raise ValueError(
+                    f"column {name!r} is GENERATED ALWAYS AS IDENTITY; "
+                    "the source must omit it"
+                )
+            if target_ids is not None and name in target_ids.columns:
+                lookup = target_ids.select(*keys, name).dropDuplicates(keys)
+                inserted = inserted.join(lookup, keys, "left")
+            else:
+                inserted = inserted.withColumn(
+                    name, F.lit(None).cast(types.get(name, "bigint"))
+                )
+            matched = inserted.filter(F.col(name).isNotNull())
+            fresh = inserted.filter(F.col(name).isNull()).drop(name)
+            n_new = fresh.count()
+            if n_new:
+                w = Window.orderBy(*[F.col(k) for k in keys])
+                fresh = fresh.withColumn(
+                    name,
+                    (F.row_number().over(w) + F.lit(int(ids[name]))).cast(
+                        types.get(name, "bigint")
+                    ),
+                )
+                inserted = matched.unionByName(fresh)
+            else:
+                inserted = matched
+            new_wm[name] = int(ids[name]) + int(n_new)
+        return inserted, new_wm
 
     def _apply_generated(self, df: DataFrame, m: dict) -> DataFrame:
         """Enforce the table's generated columns on a write frame: a
@@ -3235,6 +3435,7 @@ class VersionedTable:
             constraints=m.get("constraints") or {},
             bloom_file_ref=bloom_ref,
             generated=m.get("generated") or {},
+            identity=dict(m.get("identity") or {}),
         )
         return dest
 

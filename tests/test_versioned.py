@@ -2731,6 +2731,136 @@ class TestModelBasedLifecycle:
                 t.snapshot(floor - 1)
 
 
+class TestModelBasedIdentitySync:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("seed", [7, 420, 1618, 2718, 8128])
+    def test_identity_and_sync_ops_match_dict_model(self, spark, tmp_path, seed):
+        """Model-based check of the r11 surface: set/drop_identity and
+        NOT-MATCHED-BY-SOURCE sync merges interleaved with COW/MOR
+        upserts, DV deletes and restores must agree with a dict model
+        at every step — in particular the watermark must survive a
+        restore FLOORED at the head's (ids assigned after the restore
+        point are never reissued) and identity declarations must
+        restore with the restored version's metadata."""
+        import random
+
+        rng = random.Random(seed)
+        t = VersionedTable(spark, str(tmp_path / f"is{seed}"))
+        # model: k -> (q, v, rid); rid pre-assigned 1..N by k order
+        ks0 = list(range(0, 24, 2))
+        model = {k: (k * 11, f"v0-{k}", i + 1) for i, k in enumerate(ks0)}
+        t.create(
+            spark.createDataFrame(
+                [Row(k=k, q=q, v=v, rid=rid) for k, (q, v, rid) in model.items()],
+                "k bigint, q int, v string, rid bigint",
+            ),
+            n_files=3,
+            cluster_by=["k"],
+        )
+        declared, wm = False, None
+        snapshots = {1: (dict(model), declared, wm)}
+        ops = [
+            "upsert", "mor_upsert", "sync", "mor_sync",
+            "declare", "drop", "dv_delete", "restore",
+        ]
+
+        def make_src(ks, step):
+            """Source rows honoring the identity contract; returns
+            (df, rows) where rows include the rid the MODEL expects."""
+            nonlocal wm
+            fresh = sorted(k for k in ks if k not in model)
+            if declared:
+                rows = []
+                for k in ks:
+                    if k in model:
+                        rid = model[k][2]
+                    else:
+                        rid = wm + 1 + fresh.index(k)
+                    rows.append((k, k * 7, f"s{step}-{k}", rid))
+                wm += len(fresh)
+                df = spark.createDataFrame(
+                    [Row(k=k, q=q, v=v) for k, q, v, _ in rows],
+                    "k bigint, q int, v string",
+                )
+            else:
+                rows = [(k, k * 7, f"s{step}-{k}", 100000 + step * 1000 + k) for k in ks]
+                df = spark.createDataFrame(
+                    [Row(k=k, q=q, v=v, rid=r) for k, q, v, r in rows],
+                    "k bigint, q int, v string, rid bigint",
+                )
+            return df, rows
+
+        for step in range(14):
+            op = rng.choice(ops)
+            head_before = t.version()
+            if op == "declare":
+                if declared:
+                    continue
+                t.set_identity("rid")
+                declared = True
+                wm = max(r for (_, _, r) in model.values()) if model else 0
+            elif op == "drop":
+                if not declared:
+                    continue
+                t.drop_identity("rid")
+                declared, wm = False, None
+            elif op == "dv_delete":
+                m_, r_ = rng.choice([(3, 0), (5, 1)])
+                t.delete_where(f"k % {m_} = {r_}")
+                model = {k: x for k, x in model.items() if k % m_ != r_}
+            elif op == "restore":
+                readable = [v for v in snapshots if v >= t.earliest_version()]
+                v = rng.choice(readable)
+                head_wm = wm if declared else 0
+                t.restore(v)
+                model, declared, r_wm = snapshots[v]
+                model = dict(model)
+                # declarations restore with the version; the watermark
+                # floors at the head's so ids are never reissued
+                wm = max(r_wm or 0, head_wm or 0) if declared else None
+            elif op in ("sync", "mor_sync"):
+                ks = rng.sample(range(30), rng.randint(1, 4))
+                m_, r_ = rng.choice([(4, 1), (7, 2)])
+                df, rows = make_src(ks, step)
+                t.merge_into(
+                    df,
+                    ["k"],
+                    strategy="mor" if op == "mor_sync" else "cow",
+                    not_matched_by_source="delete",
+                    not_matched_by_source_condition=f"k % {m_} = {r_}",
+                )
+                ks_set = set(ks)
+                model = {
+                    k: x for k, x in model.items() if k in ks_set or k % m_ != r_
+                }
+                model.update({k: (q, v, r) for k, q, v, r in rows})
+            else:
+                ks = rng.sample(range(30), rng.randint(1, 4))
+                df, rows = make_src(ks, step)
+                t.merge_into(df, ["k"], strategy="mor" if op == "mor_upsert" else "cow")
+                model.update({k: (q, v, r) for k, q, v, r in rows})
+            got = {r["k"]: (r["q"], r["v"], r["rid"]) for r in t.snapshot().collect()}
+            assert got == model, f"step {step} ({op})"
+            # live manifest agrees on declaration + watermark
+            det = t.describe()
+            if declared:
+                assert det["identity"] == {"rid": wm}, f"step {step} ({op}) watermark"
+            else:
+                assert det["identity"] == {}, f"step {step} ({op}) declaration"
+            if t.version() > head_before:
+                snapshots[t.version()] = (dict(model), declared, wm)
+        # ids unique at every recorded (still-readable) version
+        floor = t.earliest_version()
+        for v, (expect, _, _) in snapshots.items():
+            if v >= floor:
+                got_v = {
+                    r["k"]: (r["q"], r["v"], r["rid"]) for r in t.snapshot(v).collect()
+                }
+                assert got_v == expect, f"time travel v{v}"
+                rids = [r for (_, _, r) in got_v.values()]
+                assert len(rids) == len(set(rids)), f"duplicate rid at v{v}"
+
+
 class TestMergeTypeReconciliation:
     """_align_insert type policy: narrower/equal source casts up;
     wider refuses without schema_evolution (auto-widens with);
@@ -2822,6 +2952,91 @@ class TestMergeTypeReconciliation:
         # every version in the history still reads
         for v in range(1, ntable.version() + 1):
             ntable.snapshot(v).count()
+
+
+class TestIdentityColumns:
+    """GENERATED ALWAYS AS IDENTITY (Delta parity, deterministic):
+    declaration validates non-NULL uniqueness and records max() as the
+    watermark; merges refuse sources carrying the column, matched rows
+    keep their value, fresh rows get watermark + key-ordered rank."""
+
+    @pytest.fixture()
+    def itable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ident"))
+        rows = [Row(k=i * 10, rid=i + 1, v=f"v{i}") for i in range(5)]  # rid 1..5
+        t.create(spark.createDataFrame(rows), n_files=2, cluster_by=["k"])
+        t.set_identity("rid")
+        return t
+
+    def test_insert_assigns_and_update_keeps(self, spark, itable):
+        src = spark.createDataFrame(
+            [Row(k=20, v="upd"), Row(k=77, v="new1"), Row(k=55, v="new2")]
+        )
+        itable.merge_into(src, ["k"])
+        got = {r["k"]: (r["rid"], r["v"]) for r in itable.snapshot().collect()}
+        assert got[20] == (3, "upd")  # matched: kept rid
+        # fresh: watermark 5 + rank by k (55 < 77)
+        assert got[55] == (6, "new2") and got[77] == (7, "new1")
+        # watermark advanced in the manifest
+        m = itable.history()[-1]
+        assert m["identity"] == {"rid": 7}
+
+    def test_mor_matches_cow(self, spark, itable):
+        src = spark.createDataFrame([Row(k=20, v="upd"), Row(k=99, v="new")])
+        itable.merge_into(src, ["k"], strategy="mor")
+        got = {r["k"]: r["rid"] for r in itable.snapshot().collect()}
+        assert got[20] == 3 and got[99] == 6
+
+    def test_source_carrying_column_refused(self, spark, itable):
+        src = spark.createDataFrame([Row(k=1, rid=99, v="x")])
+        with pytest.raises(ValueError, match="IDENTITY"):
+            itable.merge_into(src, ["k"])
+
+    def test_alter_guards_and_drop(self, spark, itable):
+        with pytest.raises(ValueError, match="IDENTITY"):
+            itable.rename_column("rid", "rid2")
+        with pytest.raises(ValueError, match="IDENTITY"):
+            itable.drop_column("rid")
+        itable.drop_identity("rid")
+        src = spark.createDataFrame([Row(k=1, rid=99, v="x")])
+        itable.merge_into(src, ["k"])  # carrying is legal again
+        assert {r["rid"] for r in itable.snapshot().filter("k = 1").collect()} == {99}
+
+    def test_declaration_validates(self, spark, tmp_path):
+        from iotdatapipeline_spark.sources.versioned import ConstraintViolation
+
+        t = VersionedTable(spark, str(tmp_path / "iv"))
+        t.create(
+            spark.createDataFrame(
+                [Row(k=1, rid=7, s="a"), Row(k=2, rid=7, s="b")]
+            )
+        )
+        with pytest.raises(ConstraintViolation, match="unique"):
+            t.set_identity("rid")
+        with pytest.raises(ValueError, match="integral"):
+            t.set_identity("s")
+        with pytest.raises(ValueError, match="no such column"):
+            t.set_identity("nope")
+        t2 = VersionedTable(spark, str(tmp_path / "iv2"))
+        t2.create(
+            spark.createDataFrame(
+                [(1, None)], "k int, rid bigint"
+            )
+        )
+        with pytest.raises(ConstraintViolation, match="NULL"):
+            t2.set_identity("rid")
+
+    def test_identity_survives_clone_restore(self, spark, itable, tmp_path):
+        clone = itable.clone_to(str(tmp_path / "iclone"))
+        src = spark.createDataFrame([Row(k=123, v="c")])
+        clone.merge_into(src, ["k"])
+        got = {r["k"]: r["rid"] for r in clone.snapshot().collect()}
+        assert got[123] == 6  # watermark carried through the clone
+        itable.merge_into(spark.createDataFrame([Row(k=200, v="z")]), ["k"])
+        itable.restore(itable.version() - 1)
+        itable.merge_into(spark.createDataFrame([Row(k=300, v="y")]), ["k"])
+        rids = [r["rid"] for r in itable.snapshot().collect()]
+        assert len(rids) == len(set(rids))  # never a duplicate id
 
 
 class TestMergeNotMatchedBySource:

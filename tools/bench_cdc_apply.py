@@ -87,6 +87,12 @@ for i, band in enumerate((1_000, 4_000, 16_000, 64_000, 256_000), start=1):
     ch = src.changes(v0, src.version(), keys=["event_id"]).withColumn(
         "_commit_version", F.lit(src.version()).cast("long")
     )
+    # MATERIALIZE the batch: the apply's own cost is what the claim is
+    # about — deriving the feed (a snapshot diff here; change files in
+    # a commit-time CDF) is the producer's cost, not the appliers'
+    batch_path = os.path.join(stem, f"batch{i}")
+    ch.write.parquet(batch_path)
+    ch = spark.read.parquet(batch_path)
     nch = ch.filter(F.col("_change_type") == "update_postimage").count()
     m_v0 = mirror.version()
     t0 = time.perf_counter()
