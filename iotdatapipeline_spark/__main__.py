@@ -191,6 +191,19 @@ def _cmd_table(args: argparse.Namespace) -> int:
             print("no rows matched; nothing committed")
         else:
             print(f"committed v{v} (deletion-vector delete: {args.where!r})")
+    elif args.action == "set-identity":
+        if not args.col:
+            print("set-identity requires --col", file=sys.stderr)
+            return 2
+        v = t.set_identity(args.col)
+        wm = (t._read_manifest(v).get("identity") or {}).get(args.col)
+        print(f"committed v{v} ({args.col} GENERATED ALWAYS AS IDENTITY, watermark {wm})")
+    elif args.action == "drop-identity":
+        if not args.col:
+            print("drop-identity requires --col", file=sys.stderr)
+            return 2
+        v = t.drop_identity(args.col)
+        print(f"committed v{v} (dropped identity on {args.col})")
     return 0
 
 
@@ -221,8 +234,8 @@ def main(argv: list[str] | None = None) -> int:
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "describe", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore"])
-    tb.add_argument("--col", default=None, help="widen: column to widen")
+    tb.add_argument("action", choices=["history", "describe", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore", "set-identity", "drop-identity"])
+    tb.add_argument("--col", default=None, help="widen: column to widen; set-identity/drop-identity: the column")
     tb.add_argument("--type", dest="new_type", default=None, help="widen: target type (e.g. bigint)")
     tb.add_argument("--cols", default=None, help="bloom: comma-separated columns to index")
     tb.add_argument("--keep-last", type=int, default=None, help="expire: keep only the newest N versions (overrides --retention)")

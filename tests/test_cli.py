@@ -110,6 +110,23 @@ class TestCli:
         assert main(["table", "expire", root]) == 0
         assert "expired 0 versions" in capsys.readouterr().out
 
+    def test_table_identity_verbs(self, spark, tmp_path, capsys):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "ti")
+        t = VersionedTable(spark, root)
+        t.create(spark.createDataFrame([Row(k=i, rid=i + 1) for i in range(5)]))
+        assert main(["table", "set-identity", root]) == 2
+        assert "requires --col" in capsys.readouterr().err
+        assert main(["table", "set-identity", root, "--col", "rid"]) == 0
+        assert "watermark 5" in capsys.readouterr().out
+        assert main(["table", "describe", root]) == 0
+        assert '"rid": 5' in capsys.readouterr().out
+        assert main(["table", "drop-identity", root, "--col", "rid"]) == 0
+        assert "dropped identity" in capsys.readouterr().out
+
     def test_table_changes_requires_version(self, spark, tmp_path, capsys):
         from pyspark.sql import Row
 
