@@ -1160,3 +1160,92 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dev").cast("long").alias("dev_cents"),
         )
     )
+
+
+@register(
+    "events_lttb_downsample",
+    """
+    WITH r AS (
+        SELECT user_id AS station, epoch_us(ts) AS ts_us, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    o AS (
+        SELECT station, ts_us, event_id, v_cents,
+               row_number() OVER w AS rn,
+               lag(ts_us) OVER w AS px, lag(v_cents) OVER w AS py,
+               lead(ts_us) OVER w AS nx, lead(v_cents) OVER w AS ny
+        FROM r
+        WINDOW w AS (PARTITION BY station ORDER BY ts_us, event_id)
+    ),
+    a AS (
+        SELECT station, ts_us, event_id, v_cents,
+               CAST(floor((rn - 1) / 16.0) AS BIGINT) AS bucket,
+               coalesce(abs((px - nx) * (v_cents - py)
+                            - (px - ts_us) * (ny - py)), -1) AS area2
+        FROM o
+    )
+    SELECT station, bucket, ts_us, v_cents, CAST(area2 AS BIGINT) AS area2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY station, bucket
+                                     ORDER BY area2 DESC, ts_us, event_id) AS pick
+        FROM a
+    ) WHERE pick = 1
+    """,
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series DOWNSAMPLING for rendering/archiving (r11): an
+    LTOB-style variant of largest-triangle-three-buckets — per
+    station, points order by (ts, event_id), fixed 16-point buckets,
+    and each bucket keeps the point whose triangle with its IMMEDIATE
+    neighbors has the largest area (LTOB's fixed-neighbor form rather
+    than LTTB's previously-selected anchor, which is sequential by
+    construction and cannot parallelize across buckets; endpoints
+    coalesce to area -1 so they win only single-point buckets —
+    semantics pinned by the oracle). Areas are 2× integer triangle
+    areas over (epoch-us, cents) — exact, so the whole pick
+    value-hashes; ties break on (ts, event_id).
+
+    100 TB: two window passes over the same (station, ts) ordering —
+    one shuffle by station, no joins, no collects; the reduction is
+    16× per pass and composes (feed the output back for 256×). The
+    dashboard query the reference's operators screen would run over a
+    year of readings."""
+    r = _readings(spark, sf_dir).select(
+        "station", F.unix_micros("ts").alias("ts_us"), "event_id", "v_cents"
+    )
+    w = Window.partitionBy("station").orderBy("ts_us", "event_id")
+    o = r.select(
+        "station",
+        "ts_us",
+        "event_id",
+        "v_cents",
+        F.row_number().over(w).alias("rn"),
+        F.lag("ts_us").over(w).alias("px"),
+        F.lag("v_cents").over(w).alias("py"),
+        F.lead("ts_us").over(w).alias("nx"),
+        F.lead("v_cents").over(w).alias("ny"),
+    )
+    area2 = F.coalesce(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("v_cents") - F.col("py"))
+            - (F.col("px") - F.col("ts_us")) * (F.col("ny") - F.col("py"))
+        ),
+        F.lit(-1),
+    )
+    a = o.select(
+        "station",
+        "ts_us",
+        "event_id",
+        "v_cents",
+        F.floor((F.col("rn") - 1) / 16).cast("bigint").alias("bucket"),
+        area2.alias("area2"),
+    )
+    wp = Window.partitionBy("station", "bucket").orderBy(
+        F.desc("area2"), F.asc("ts_us"), F.asc("event_id")
+    )
+    return (
+        a.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select("station", "bucket", "ts_us", "v_cents", F.col("area2").cast("long").alias("area2"))
+    )
