@@ -128,8 +128,9 @@ def _cmd_table(args: argparse.Namespace) -> int:
             scope = f" where {args.where!r}" if args.where else ""
             print(f"committed v{v} (optimize{' z-order ' + str(z) if z else ''}{scope})")
     elif args.action == "vacuum":
-        removed = t.vacuum(retention_s=args.retention)
-        print(f"removed {len(removed)} orphaned files")
+        removed = t.vacuum(retention_s=args.retention, dry_run=args.dry_run)
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {len(removed)} orphaned files")
     elif args.action == "widen":
         if not args.col or not args.new_type:
             print("widen requires --col and --type", file=sys.stderr)
@@ -248,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--n-files", type=int, default=32)
     tb.add_argument("--zorder-by", default=None, help="optimize: comma-separated column pair")
     tb.add_argument("--retention", type=float, default=3600.0)
+    tb.add_argument("--dry-run", action="store_true", help="vacuum: report what would be removed without deleting")
     tb.add_argument("--rows", type=int, default=20)
     tb.set_defaults(fn=_cmd_table)
 

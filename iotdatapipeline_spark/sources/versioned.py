@@ -3168,7 +3168,7 @@ class VersionedTable:
             f"compact_dv_stacked on {self.root} gave up after {max_retries} conflicts"
         )
 
-    def vacuum(self, retention_s: float = 3600.0) -> list[str]:
+    def vacuum(self, retention_s: float = 3600.0, dry_run: bool = False) -> list[str]:
         """Delete data files referenced by NO committed manifest —
         i.e. the orphans of conflict-aborted merge attempts. Every
         committed version keeps its files, so time travel stays
@@ -3182,6 +3182,10 @@ class VersionedTable:
         would corrupt that version. Only files older than the horizon
         are removed; pass 0 only when no writer can be active.
 
+        ``dry_run=True`` (VACUUM ... DRY RUN) returns the same list
+        WITHOUT deleting anything — the operator's pre-flight check
+        before a destructive horizon.
+
         The referenced-file set comes from the ``_log/_ckpt`` rollup
         plus the ≤CKPT_EVERY manifests committed since it — O(K) reads
         on an arbitrarily old table, not O(versions)."""
@@ -3193,7 +3197,8 @@ class VersionedTable:
         for f in os.listdir(self._data) if os.path.isdir(self._data) else []:
             path = os.path.join(self._data, f)
             if f not in referenced and os.path.getmtime(path) < cutoff:
-                os.remove(path)
+                if not dry_run:
+                    os.remove(path)
                 removed.append(f)
         return removed
 

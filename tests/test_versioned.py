@@ -156,6 +156,15 @@ class TestTimeTravelAndVacuum:
         assert removed == ["f-orphan.parquet"]
         assert _rows(table.snapshot())  # table intact
 
+    def test_vacuum_dry_run_reports_without_deleting(self, spark, table):
+        orphan = os.path.join(table._data, "f-orphan2.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        assert table.vacuum(retention_s=0, dry_run=True) == ["f-orphan2.parquet"]
+        assert os.path.exists(orphan)  # nothing deleted
+        assert table.vacuum(retention_s=0) == ["f-orphan2.parquet"]
+        assert not os.path.exists(orphan)
+
     def test_vacuum_retention_spares_inflight_writers_files(self, spark, table):
         """An unreferenced file younger than the retention horizon may
         belong to a transaction about to commit — default vacuum must
