@@ -2226,6 +2226,68 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
     return merges, cur
 
 
+def _bpe_fertility_sql(k: int = _BPE_ROUNDS) -> str:
+    """Oracle for per-document tokenizer fertility: replay training to
+    ``cur{k}``, then each document's token count is the sum of its
+    words' symbolization lengths (a join on the word, never a
+    re-tokenization)."""
+    ctes = _bpe_ctes(k)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    per_doc AS (
+        SELECT dw.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(cur{k}.syms)) AS BIGINT) AS n_tokens
+        FROM dw JOIN cur{k} ON cur{k}.word = dw.word
+        WHERE dw.word <> ''
+        GROUP BY dw.doc_id
+    )
+    SELECT doc_id, n_words, n_tokens,
+           CAST(floor(1000.0 * n_tokens / n_words) AS BIGINT) AS fertility_x1000
+    FROM per_doc"""
+    )
+
+
+@register("docs_bpe_fertility", _bpe_fertility_sql())
+def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer FERTILITY (tokens per word ×1000) under
+    the 5 trained merges — the metric that prices a tokenizer against
+    a corpus (fertility drift per language/source decides whether the
+    vocab fits the data; token-budget estimates come straight off it).
+    Like ``docs_bpe_encode``, documents are never re-tokenized: the
+    vocab table already holds every distinct word's final
+    symbolization, so per-doc counts are one word-explode joined
+    against |vocab| rows (broadcast at real vocab sizes) and one
+    per-doc aggregate. Integer floor keeps the ratio value-hashable.
+
+    100 TB: the word explode is the only corpus-sized pass; the join
+    key is the word itself against a bounded vocab — map-side with a
+    broadcast, then a per-doc hash aggregate."""
+    _, cur = _bpe_train_loop(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = cur.select("word", F.array_size("syms").alias("__ntok"))
+    per_doc = dw.join(F.broadcast(vocab), "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.floor(1000.0 * F.col("n_tokens") / F.col("n_words"))
+        .cast("long")
+        .alias("fertility_x1000"),
+    )
+
+
 @register("docs_bpe_encode", _bpe_encode_sql())
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer ENCODING — the other half of the tokenizer story

@@ -626,6 +626,38 @@ class TestSinks:
         assert table.version() == 3
         assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
 
+    def test_versioned_upsert_sink_assigns_identity(self, spark, tmp_path):
+        """r11: a streaming sink whose target declares an identity
+        column — per-batch sources OMIT the column, fresh keys get
+        watermark + key-ordered ids, matched keys keep theirs, and an
+        exactly-once replay must not re-assign (the txn short-circuit
+        runs before identity assignment)."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt_id")
+        sink = versioned_upsert_foreach_batch(root, ["k"], txn_app="s")
+        sink(
+            spark.createDataFrame(
+                [(1, 5, "a", 1), (2, 5, "b", 2), (3, 5, "c", 3)],
+                "k int, ts int, v string, rid bigint",
+            ),
+            0,
+        )
+        table = VersionedTable(spark, root)
+        table.set_identity("rid")
+        batch1 = spark.createDataFrame(
+            [(2, 9, "b2"), (11, 9, "y"), (10, 9, "x")], "k int, ts int, v string"
+        )
+        sink(batch1, 1)
+        got = {r["k"]: (r["rid"], r["v"]) for r in table.snapshot().collect()}
+        assert got[2] == (2, "b2")  # matched: kept
+        assert got[10] == (4, "x") and got[11] == (5, "y")  # wm 3 + k-order
+        v = table.version()
+        sink(batch1, 1)  # replay: exactly-once, no re-assignment
+        assert table.version() == v
+        assert {r["k"]: (r["rid"], r["v"]) for r in table.snapshot().collect()} == got
+
     def test_versioned_upsert_sink_mor_with_auto_compaction(self, spark, tmp_path):
         """The MOR sink shape for K1's per-tick scattered updates: each
         batch commits DV preimage kills + postimage appends (no file
