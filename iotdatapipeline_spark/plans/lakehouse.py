@@ -1303,6 +1303,81 @@ def events_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_ivm",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT station,
+               CASE WHEN station % 4 = 0 THEN v_cents + 5000 ELSE v_cents END AS v_cents
+        FROM b
+    ),
+    final AS (SELECT * FROM s WHERE station % 7 <> 0)
+    SELECT station % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(v_cents) AS BIGINT) AS sum_v_cents
+    FROM final GROUP BY station % 8
+    """,
+)
+def events_versioned_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed as a hard
+    driver gate (r11): a GROUP BY view (per station-bucket count +
+    cents sum) is maintained ONLY from signed CDF deltas
+    (``cdf_ivm_foreach_batch`` — +1 for insert/update_postimage, -1
+    for delete/update_preimage) while the SOURCE takes a merge
+    (+5000 cents on the mod-4 stations) and a keyed delete (mod-7
+    stations). The oracle aggregates the source's FINAL state
+    directly — a sign error, a double-applied batch, or a missed
+    preimage leaves the view irreconcilably off and hash-mismatches.
+    The view's history must show it was maintained, not recomputed.
+
+    100 TB: per batch the view pays O(batch) for the delta aggregate
+    plus a key-pruned merge of the AFFECTED groups — the source is
+    never re-read and the view is never re-scanned; SUM/COUNT are the
+    self-maintainable tier (MIN/MAX need source re-reads by nature,
+    out of scope exactly as in production IVM engines)."""
+    from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).select(
+        "station", "v_cents"
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_ivm_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    upd = (
+        src.snapshot()
+        .filter(F.col("station") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000))
+    )
+    src.merge_into(upd, ["station"])  # v2
+    dele = src.snapshot().filter(F.col("station") % 7 == 0)
+    src.merge_into(dele, ["station"], when_matched="delete")  # v3
+
+    ivm = cdf_ivm_foreach_batch(os.path.join(stem, "view"), ["bucket"], ["v_cents"])
+    bucket = (F.col("station") % 8).alias("bucket")
+    # batch 0: the initial state as inserts; batches 1..2: real CDF
+    # slices WITH preimages (updates must subtract their old values)
+    seed = src.snapshot(1).select(bucket, "v_cents").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    ivm(seed, 0)
+    for i, (lo, hi) in enumerate([(1, 2), (2, 3)], start=1):
+        ch = src.changes(lo, hi, keys=["station"], include_preimages=True).select(
+            bucket, "v_cents", "_change_type"
+        )
+        ivm(ch, i)
+    view = VersionedTable(spark, os.path.join(stem, "view"))
+    ops = [m["op"] for m in view.history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"view was not incrementally maintained: {ops}")
+    return view.snapshot().select("bucket", "cnt", "sum_v_cents")
+
+
+@register(
     "events_versioned_identity",
     """
     WITH b AS (

@@ -626,6 +626,36 @@ class TestSinks:
         assert table.version() == 3
         assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
 
+    def test_cdf_ivm_signed_deltas_and_group_removal(self, spark, tmp_path):
+        """r11 IVM sink: signed deltas maintain (cnt, sum) per group;
+        an update subtracts its preimage; a group emptied by deletes is
+        removed; a replayed batch never double-counts."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+        root = str(tmp_path / "ivm")
+        ivm = cdf_ivm_foreach_batch(root, ["g"], ["x"])
+        mk = lambda rows: spark.createDataFrame(rows, "g int, x long, _change_type string")
+        ivm(mk([(1, 10, "insert"), (1, 20, "insert"), (2, 5, "insert")]), 0)
+        t = VersionedTable(spark, root)
+        got = {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()}
+        assert got == {1: (2, 30), 2: (1, 5)}
+        # update in group 1 (+5), delete empties group 2
+        b1 = mk(
+            [
+                (1, 10, "update_preimage"),
+                (1, 15, "update_postimage"),
+                (2, 5, "delete"),
+            ]
+        )
+        ivm(b1, 1)
+        got = {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()}
+        assert got == {1: (2, 35)}  # group 2 removed
+        v = t.version()
+        ivm(b1, 1)  # replay: exactly-once, no double subtraction
+        assert t.version() == v
+        assert {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()} == got
+
     def test_versioned_upsert_sink_assigns_identity(self, spark, tmp_path):
         """r11: a streaming sink whose target declares an identity
         column — per-batch sources OMIT the column, fresh keys get

@@ -3144,6 +3144,28 @@ class TestMergeNotMatchedBySource:
         with pytest.raises(ValueError, match="requires"):
             ttable.merge_into(src, ["k"], not_matched_by_source_condition="k > 0")
 
+    def test_cdf_reports_sync_deletes(self, spark, ttable):
+        """changes() across a sync merge must emit delete rows for the
+        unmatched-condition band and update/insert rows for the source
+        — CDC consumers (mirrors) see the full effect of the clause."""
+        src = spark.createDataFrame([Row(k=0, v=999, grp=0), Row(k=50, v=1, grp=0)])
+        v0 = ttable.version()
+        ttable.merge_into(
+            src,
+            ["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 15",
+        )
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in ttable.changes(v0, ttable.version(), keys=["k"]).collect()
+        }
+        assert (0, "update_postimage") in ch
+        assert (50, "insert") in ch
+        for k in range(15, 20):
+            assert (k, "delete") in ch
+        assert not any(k in range(1, 15) for k, _ in ch)
+
 
 class TestExpireCrashSafety:
     """expire_versions' documented crash order: (1) checkpoint, (2)
