@@ -3500,6 +3500,10 @@ def _cdf_stream_reader_class():
                 self.root, "_cdf_spill", f"q-{uuid.uuid4().hex[:12]}"
             )
             self.step = int(options.get("max_versions_per_batch", 1))
+            # emit update_preimage rows too — what a signed-delta
+            # consumer (cdf_ivm_foreach_batch) needs to subtract old
+            # values; mirrors (cdf_apply) skip them either way
+            self.preimages = str(options.get("include_preimages", "false")).lower() == "true"
             self._planned_end: int | None = None
 
         # ── planning side (driver): Spark jobs allowed ────────────────
@@ -3540,7 +3544,7 @@ def _cdf_stream_reader_class():
             if v == 1:
                 base = t.snapshot(1).withColumn("_change_type", F.lit("insert"))
             else:
-                base = t.changes(v - 1, v, self.keys)
+                base = t.changes(v - 1, v, self.keys, include_preimages=self.preimages)
             out = base.withColumn("_commit_version", F.lit(v).cast("long")).select(*cols)
             out.write.mode("overwrite").parquet(out_dir)
             return out_dir
@@ -3614,9 +3618,12 @@ def _cdf_stream_reader_class():
         change feed. Options: ``root``, ``keys`` (comma-separated),
         ``schema_ddl`` (the emitted row schema: table columns +
         ``_change_type string, _commit_version bigint``),
-        ``starting_version``, ``max_versions_per_batch``, ``spill_dir``
-        (defaults to ``<root>/_cdf_spill``; point it elsewhere when the
-        table root is read-only to the streaming job)."""
+        ``starting_version``, ``max_versions_per_batch``,
+        ``include_preimages`` ("true" emits ``update_preimage`` rows —
+        what signed-delta consumers like the IVM sink need),
+        ``spill_dir`` (defaults to ``<root>/_cdf_spill``; point it
+        elsewhere when the table root is read-only to the streaming
+        job)."""
 
         @classmethod
         def name(cls):

@@ -1537,6 +1537,79 @@ class TestCdfApply:
         assert {r["k"]: r["v"] for r in m.snapshot().collect()} == got
 
     @pytest.mark.slow
+    def test_end_to_end_stream_ivm(self, spark, tmp_path):
+        """r11: the IVM sink over the REAL versioned_cdf stream (with
+        include_preimages) — the maintained (cnt, sum) view must
+        converge to the direct aggregate of the source across merges
+        and a delete."""
+        import time
+
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import (
+            VersionedTable,
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+        register_versioned_cdf(spark)
+        src_root = str(tmp_path / "ivmsrc")
+        src = VersionedTable(spark, src_root)
+        src.create(
+            spark.createDataFrame([Row(k=i, x=i * 10) for i in range(20)]),
+            n_files=2,
+            cluster_by=["k"],
+        )
+        view_root = str(tmp_path / "ivmview")
+        ivm = cdf_ivm_foreach_batch(view_root, ["g"], ["x"])
+        apply = lambda df, bid: ivm(
+            df.select((F.col("k") % 4).alias("g"), "x", "_change_type"), bid
+        )
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", src_root)
+            .option("keys", "k")
+            .option("include_preimages", "true")
+            .option("schema_ddl", cdf_schema_ddl(src))
+            .load()
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(tmp_path / "ivmckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            src.merge_into(
+                spark.createDataFrame([Row(k=3, x=999), Row(k=42, x=7)]), ["k"]
+            )
+            src.delete_where("k % 5 = 0")
+            want = {
+                (r["g"], r["cnt"], r["sum_x"])
+                for r in src.snapshot()
+                .groupBy((F.col("k") % 4).alias("g"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.sum("x").cast("long").alias("sum_x"),
+                )
+                .collect()
+            }
+            view = VersionedTable(spark, view_root)
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                if view.version() > 0:
+                    got = {
+                        (r["g"], r["cnt"], r["sum_x"])
+                        for r in view.snapshot().collect()
+                    }
+                    if got == want:
+                        break
+                time.sleep(0.5)
+            assert got == want, f"view never converged: {got} != {want}"
+        finally:
+            q.stop()
+
+    @pytest.mark.slow
     def test_end_to_end_stream_replication(self, spark, tmp_path):
         import time
 
