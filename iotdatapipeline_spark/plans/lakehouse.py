@@ -613,11 +613,13 @@ def events_versioned_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("no deletion vectors committed by the MOR merges")
     if table.snapshot(1).count() != n_v1:
         raise RuntimeError("time travel to the pre-merge version lost rows")
-    before = table.snapshot()
-    expected = {tuple(x) for x in before.collect()}
+    v_before = table.version()
     table.compact_dv_stacked(threshold=1)
-    got = {tuple(x) for x in table.snapshot().collect()}
-    if got != expected:
+    # distributed equality (r10 verdict nit: no driver-side collects) —
+    # the pre-compaction snapshot reads THROUGH the old manifest, so
+    # both sides stay plans until the exceptAll jobs
+    before, after = table.snapshot(v_before), table.snapshot()
+    if not before.exceptAll(after).isEmpty() or not after.exceptAll(before).isEmpty():
         raise RuntimeError("compact_dv_stacked changed the snapshot")
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
 
