@@ -1249,3 +1249,99 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") == 1)
         .select("station", "bucket", "ts_us", "v_cents", F.col("area2").cast("long").alias("area2"))
     )
+
+
+@register(
+    "station_profile_similarity",
+    """
+    WITH raw AS (
+        SELECT user_id AS station, CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(floor(avg(floor(value * 100))) AS BIGINT) AS v
+        FROM events GROUP BY user_id, hour(ts)
+    ),
+    spine AS (
+        SELECT s.station, h.hod
+        FROM (SELECT DISTINCT station FROM raw) s,
+             (SELECT unnest(generate_series(0, 23)) AS hod) h
+    ),
+    prof AS (
+        SELECT spine.station, spine.hod, coalesce(raw.v, 0) AS v
+        FROM spine LEFT JOIN raw
+          ON raw.station = spine.station AND raw.hod = spine.hod
+    ),
+    cent AS (
+        SELECT station, hod,
+               v * 24 - sum(v) OVER (PARTITION BY station) AS c
+        FROM prof
+    ),
+    pairs AS (
+        SELECT a.station AS s1, b.station AS s2,
+               CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist
+        FROM cent a JOIN cent b ON a.hod = b.hod AND a.station < b.station
+        GROUP BY a.station, b.station
+    )
+    SELECT s1, s2, dist, rank FROM (
+        SELECT s1, s2, dist,
+               row_number() OVER (ORDER BY dist, s1, s2) AS rank
+        FROM pairs
+    ) WHERE rank <= 10
+    """,
+)
+def station_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over station behavior (r11; the
+    EDBT'19 streaming-similarity theme, batch form): each station's
+    24-dim hour-of-day profile (avg cents per hour, zero-filled on a
+    generated spine so missing hours stay comparable dimensions),
+    MEAN-CENTERED in exact integers (v·24 − Σv — centering without
+    the sqrt a z-norm would need, so the whole pipeline value-hashes),
+    then the 10 most-similar station pairs by centered-L2 distance.
+    The fleet question this answers: which machines behave alike
+    (shared shift pattern, shared fault) and which have no twin.
+
+    100 TB: the profile aggregate collapses the fact table to
+    |stations|×24 rows map-side; everything after runs on fleet
+    cardinality — the all-pairs join is |stations|² over 24-int
+    vectors, fine for any physical fleet (devices are bounded; events
+    are not), and a fleet large enough to break it should route
+    through the embeddings family's LSH/IVF blocking instead (same
+    menu, documented trade)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.select(
+            F.col("user_id").alias("station"),
+            F.hour("ts").cast("bigint").alias("hod"),
+            F.floor(F.col("value") * 100).alias("cents"),
+        )
+        .groupBy("station", "hod")
+        .agg(F.floor(F.avg("cents")).cast("bigint").alias("v"))
+    )
+    spine = (
+        raw.select("station")
+        .distinct()
+        .crossJoin(spark.range(24).select(F.col("id").alias("hod")))
+    )
+    prof = spine.join(raw, ["station", "hod"], "left").select(
+        "station", "hod", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    w = Window.partitionBy("station")
+    cent = prof.select(
+        "station", "hod", (F.col("v") * 24 - F.sum("v").over(w)).alias("c")
+    )
+    a = cent.select(F.col("station").alias("s1"), "hod", F.col("c").alias("c1"))
+    b = cent.select(F.col("station").alias("s2"), "hod", F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "hod")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum((F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    wr = Window.orderBy(F.asc("dist"), F.asc("s1"), F.asc("s2"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("s1", "s2", "dist", "rank")
+    )
