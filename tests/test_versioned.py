@@ -3144,6 +3144,44 @@ class TestMergeNotMatchedBySource:
         with pytest.raises(ValueError, match="requires"):
             ttable.merge_into(src, ["k"], not_matched_by_source_condition="k > 0")
 
+    def test_combines_with_schema_evolution(self, spark, ttable):
+        """Evolved insert files + condition-scoped sync deletes must
+        land in ONE commit: the new column reads null on surviving old
+        rows, updated/inserted rows carry it, the cond band deletes."""
+        src = spark.createDataFrame(
+            [Row(k=3, v=99, grp=0, extra="x"), Row(k=50, v=1, grp=0, extra="y")]
+        )
+        ttable.merge_into(
+            src,
+            ["k"],
+            schema_evolution=True,
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 15",
+        )
+        got = {r["k"]: (r["v"], r["extra"]) for r in ttable.snapshot().collect()}
+        assert got[3] == (99, "x") and got[50] == (1, "y")
+        assert 15 not in got and got[14] == (140, None)
+
+    def test_combines_with_identity(self, spark, tmp_path):
+        """Sync deletes must not disturb identity: matched rows keep
+        their id, fresh rows get watermark + rank, deleted rows' ids
+        are simply retired (never reissued — monotone watermark)."""
+        t = VersionedTable(spark, str(tmp_path / "nmid"))
+        t.create(
+            spark.createDataFrame([Row(k=i, rid=i + 1, v=i) for i in range(6)]),
+            cluster_by=["k"],
+        )
+        t.set_identity("rid")
+        src = spark.createDataFrame([Row(k=2, v=99), Row(k=30, v=1)])
+        t.merge_into(
+            src,
+            ["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 4",
+        )
+        got = {r["k"]: (r["rid"], r["v"]) for r in t.snapshot().collect()}
+        assert got == {0: (1, 0), 1: (2, 1), 2: (3, 99), 3: (4, 3), 30: (7, 1)}
+
     def test_cdf_reports_sync_deletes(self, spark, ttable):
         """changes() across a sync merge must emit delete rows for the
         unmatched-condition band and update/insert rows for the source
