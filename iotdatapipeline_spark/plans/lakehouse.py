@@ -1305,6 +1305,79 @@ def events_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_merge_guarded_update",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+    )
+    SELECT coalesce(s.station, b.station) AS station,
+           CASE WHEN s.station IS NOT NULL
+                     AND (b.station IS NULL OR s.version_id > b.version_id)
+                THEN s.part ELSE b.part END AS part,
+           CASE WHEN s.station IS NOT NULL
+                     AND (b.station IS NULL OR s.version_id > b.version_id)
+                THEN s.ts_us ELSE b.ts_us END AS ts_us,
+           CASE WHEN s.station IS NOT NULL
+                     AND (b.station IS NULL OR s.version_id > b.version_id)
+                THEN s.v_cents ELSE b.v_cents END AS v_cents,
+           CASE WHEN s.station IS NOT NULL
+                     AND (b.station IS NULL OR s.version_id > b.version_id)
+                THEN s.version_id ELSE b.version_id END AS version_id
+    FROM b FULL JOIN s ON b.station = s.station
+    """,
+)
+def events_merge_guarded_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN MATCHED AND <cond> THEN UPDATE as a hard driver gate
+    (r11): the out-of-order upsert guard — ``s.version_id >
+    t.version_id`` — that makes late or replayed batches unable to
+    regress state, the invariant the reference's tick writer enforces
+    row-at-a-time with UPDATE ... WHERE (Prensas.py:216-223) and a
+    distributed merge must enforce set-wise.
+
+    Round-trip: (1) CREATE the per-station dim from the odd-thirds of
+    events; (2) MERGE the even-thirds' per-station latest with the
+    version guard — per station the even-third max event_id is
+    NATURALLY newer or older than the odd-third one, so the source is
+    a realistic fresh/stale mix: stale rows must leave the target row
+    untouched, fresh ones must replace it, source-only stations
+    insert; (3) REPLAYING the same merge must commit NOTHING (every
+    pair now compares equal — the guard's idempotence, hard-fail if
+    the version moves). Oracle = the FULL JOIN with the version CASE
+    replayed as set algebra; a guard that regresses one stale station
+    or skips one fresh one hash-mismatches.
+
+    100 TB: the condition is evaluated inside the same key-pruned
+    probe join the merge already runs; only cond-TRUE matches count
+    as touched, so a mostly-stale batch (the replay/backfill case)
+    rewrites almost nothing."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(r.filter(F.col("event_id") % 3 == 0))
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_gup_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"], when_matched_condition="s.version_id > t.version_id")
+    v = table.version()
+    table.merge_into(src, ["station"], when_matched_condition="s.version_id > t.version_id")
+    if table.version() != v:
+        raise RuntimeError("replaying the guarded merge was not a no-op")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
     "events_versioned_ivm",
     """
     WITH b AS (

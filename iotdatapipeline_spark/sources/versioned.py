@@ -1595,6 +1595,7 @@ class VersionedTable:
         strategy: str = "cow",
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
+        when_matched_condition: str | None = None,
     ) -> int:
         """MERGE: ``when_matched="update"`` replaces matched rows with
         the source row (K1/K2 upsert; ``when_not_matched`` is always
@@ -1618,6 +1619,18 @@ class VersionedTable:
         exactly Delta's documented guidance for this clause. Works
         under both strategies: COW rewrites the in-scope files, MOR
         records the deletes as DV entries.
+
+        ``when_matched_condition`` adds WHEN MATCHED AND <cond> THEN
+        UPDATE: a SQL predicate over BOTH sides, target columns as
+        ``t.<col>`` and source columns as ``s.<col>`` (Delta's alias
+        convention). A matched pair where the condition is not TRUE
+        leaves the target row UNCHANGED and drops the source row —
+        the out-of-order guard (``"s.version_id > t.version_id"``)
+        that makes replayed or late micro-batches unable to regress
+        state, which row-at-a-time writers get from careful UPDATE
+        ... WHERE clauses. Only rows whose condition passes count as
+        touched, so a fully-stale batch rewrites nothing. Requires
+        ``when_matched="update"``.
 
         ``strategy`` picks the physical write: ``"cow"``
         (copy-on-write, default) rewrites every file holding a matched
@@ -1657,6 +1670,10 @@ class VersionedTable:
             raise ValueError(
                 "not_matched_by_source_condition requires not_matched_by_source='delete'"
             )
+        if when_matched_condition is not None and when_matched != "update":
+            raise ValueError(
+                "when_matched_condition requires when_matched='update'"
+            )
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be passed together")
         keys = list(keys)
@@ -1674,6 +1691,7 @@ class VersionedTable:
                 schema_evolution,
                 not_matched_by_source,
                 nmbs_cond,
+                when_matched_condition,
             )
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
@@ -1710,6 +1728,15 @@ class VersionedTable:
                     if nmbs_cond
                     else F.lit(True)
                 )
+            # WHEN MATCHED AND <cond>: a matched pair updates only when
+            # the predicate (over t.<col> / s.<col>) is TRUE; NULL and
+            # FALSE leave the target row untouched AND drop the source
+            # row. Keys with any passing pair are "matched-true".
+            wm_pred = None
+            if when_matched_condition is not None:
+                wm_pred = F.coalesce(
+                    F.expr(when_matched_condition).cast("boolean"), F.lit(False)
+                )
             # exact file-level pruning over the candidates: the
             # collected result is the bounded list of touched FILES,
             # never data rows. plain join (no forced broadcast):
@@ -1717,6 +1744,8 @@ class VersionedTable:
             # the common dim-merge case — and falls back to a shuffle
             # join for huge sources
             touched: set[str] = set()
+            matched_true_keys = None
+            matched_false_keys = None
             probe_files = sorted(set(candidates) | set(nmbs_scope))
             if probe_files:
                 # manifest-schema read (_read_data): candidates can mix
@@ -1727,13 +1756,38 @@ class VersionedTable:
                 # LIVE rows probe — a file whose every matching row is
                 # DV-deleted is correctly not touched
                 snap = self._read_data(m, probe_files, with_file=True)
-                touched = {
-                    r["__file"]
-                    for r in snap.join(src_keys, keys, "left_semi")
-                    .select("__file")
-                    .distinct()
-                    .collect()
-                }
+                if wm_pred is None:
+                    touched = {
+                        r["__file"]
+                        for r in snap.join(src_keys, keys, "left_semi")
+                        .select("__file")
+                        .distinct()
+                        .collect()
+                    }
+                else:
+                    from functools import reduce as _reduce
+
+                    eq = _reduce(
+                        lambda a, b: a & b,
+                        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                    )
+                    pairs = snap.alias("t").join(source.alias("s"), eq, "inner")
+                    tkeys = [F.col(f"t.{k}").alias(k) for k in keys]
+                    matched_true_keys = pairs.filter(wm_pred).select(*tkeys).distinct()
+                    matched_false_keys = (
+                        pairs.select(*tkeys)
+                        .distinct()
+                        .join(matched_true_keys, keys, "left_anti")
+                    )
+                    # only cond-TRUE matches touch files: a fully-stale
+                    # batch rewrites nothing
+                    touched = {
+                        r["__file"]
+                        for r in pairs.filter(wm_pred)
+                        .select(F.col("t.__file").alias("__file"))
+                        .distinct()
+                        .collect()
+                    }
                 if nmbs_pred is not None:
                     touched |= {
                         r["__file"]
@@ -1755,14 +1809,39 @@ class VersionedTable:
                 # the evolved file WITHOUT their evolved-column values —
                 # permanent data loss committed into the new version
                 touched_df = self._read_data(m, sorted(touched))
-                kept = touched_df.join(src_keys, keys, "left_anti")
+                replace_keys = (
+                    matched_true_keys if matched_true_keys is not None else src_keys
+                )
+                kept = touched_df.join(replace_keys, keys, "left_anti")
                 if nmbs_pred is not None:
-                    kept = kept.filter(~nmbs_pred)
+                    if wm_pred is None:
+                        # matched rows are already gone (anti src_keys):
+                        # every survivor is key-unmatched, filter direct
+                        kept = kept.filter(~nmbs_pred)
+                    else:
+                        # matched-false rows survive the anti above but
+                        # are NOT "not matched by source" — only rows
+                        # whose key is absent from the source delete
+                        kept = (
+                            kept.join(
+                                src_keys.withColumn("__in_src", F.lit(1)),
+                                keys,
+                                "left",
+                            )
+                            .filter(~(F.col("__in_src").isNull() & nmbs_pred))
+                            .drop("__in_src")
+                        )
                 rewritten += self._write_files_mapped(
                     kept, m, n_files=max(1, len(touched)), cluster_by=cluster_by
                 )
             if when_matched == "update":
-                inserted = source
+                # with a matched-condition, cond-false source rows are
+                # dropped (neither update nor insert)
+                inserted = (
+                    source
+                    if matched_false_keys is None
+                    else source.join(matched_false_keys, keys, "left_anti")
+                )
             else:
                 # delete matched; still insert the not-matched source
                 # rows. Matched keys can only live in touched files, so
@@ -1962,6 +2041,7 @@ class VersionedTable:
         schema_evolution: bool,
         not_matched_by_source: str | None = None,
         nmbs_cond: str | None = None,
+        when_matched_condition: str | None = None,
     ) -> int:
         """Merge-on-read MERGE (``strategy="mor"``): ONE commit that
         (a) writes deletion-vector entries for every matched live row
@@ -2008,13 +2088,39 @@ class VersionedTable:
                     if nmbs_cond
                     else F.lit(True)
                 )
+            wm_pred = None
+            if when_matched_condition is not None:
+                wm_pred = F.coalesce(
+                    F.expr(when_matched_condition).cast("boolean"), F.lit(False)
+                )
             live = None
+            matched_pairs = None
+            matched_false_keys = None
             if candidates:
                 # live rows only (existing DVs subtracted): a row already
                 # deleted must not be re-recorded in a new DV
                 live = self._read_data(m, candidates, with_pos=True)
+                if wm_pred is not None:
+                    from functools import reduce as _reduce
+
+                    eq = _reduce(
+                        lambda a, b: a & b,
+                        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                    )
+                    matched_pairs = live.alias("t").join(source.alias("s"), eq, "inner")
+                    tkeys = [F.col(f"t.{k}").alias(k) for k in keys]
+                    mtrue = matched_pairs.filter(wm_pred).select(*tkeys).distinct()
+                    matched_false_keys = (
+                        matched_pairs.select(*tkeys)
+                        .distinct()
+                        .join(mtrue, keys, "left_anti")
+                    )
             if when_matched == "update":
-                inserted = source
+                inserted = (
+                    source
+                    if matched_false_keys is None
+                    else source.join(matched_false_keys, keys, "left_anti")
+                )
             else:
                 # delete matched; still insert the not-matched source rows
                 if live is not None:
@@ -2039,9 +2145,21 @@ class VersionedTable:
             )
             new_dvs = None
             if live is not None:
-                hits = live.join(src_keys, keys, "left_semi").select(
-                    F.col("__file").alias("file"), F.col("__pos").alias("pos")
-                )
+                if matched_pairs is not None:
+                    # DV-kill only the cond-TRUE preimages: stale source
+                    # rows must leave their target rows alive
+                    hits = (
+                        matched_pairs.filter(wm_pred)
+                        .select(
+                            F.col("t.__file").alias("file"),
+                            F.col("t.__pos").alias("pos"),
+                        )
+                        .distinct()
+                    )
+                else:
+                    hits = live.join(src_keys, keys, "left_semi").select(
+                        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                    )
                 if nmbs_pred is not None:
                     hits = hits.unionByName(
                         live.filter(nmbs_pred)

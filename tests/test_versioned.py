@@ -3048,6 +3048,80 @@ class TestIdentityColumns:
         assert len(rids) == len(set(rids))  # never a duplicate id
 
 
+class TestMergeWhenMatchedCondition:
+    """WHEN MATCHED AND <cond> THEN UPDATE (t./s. aliases): the
+    out-of-order guard — stale source rows leave the target row
+    untouched and are dropped; only cond-TRUE pairs update; unmatched
+    rows insert; a fully-stale batch commits nothing."""
+
+    @pytest.fixture()
+    def gtable2(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "wmc"))
+        rows = [Row(k=i, vid=100 + i, v=f"t{i}") for i in range(8)]
+        t.create(spark.createDataFrame(rows), n_files=2, cluster_by=["k"])
+        return t
+
+    def test_out_of_order_guard_cow(self, spark, gtable2):
+        src = spark.createDataFrame(
+            [
+                Row(k=2, vid=999, v="fresh"),   # newer: updates
+                Row(k=3, vid=1, v="stale"),     # older: must not regress
+                Row(k=50, vid=5, v="new"),      # unmatched: inserts
+            ]
+        )
+        gtable2.merge_into(src, ["k"], when_matched_condition="s.vid > t.vid")
+        got = {r["k"]: (r["vid"], r["v"]) for r in gtable2.snapshot().collect()}
+        assert got[2] == (999, "fresh")
+        assert got[3] == (103, "t3")  # stale row dropped, target kept
+        assert got[50] == (5, "new")
+        assert len(got) == 9
+
+    def test_fully_stale_batch_is_a_noop(self, spark, gtable2):
+        stale = spark.createDataFrame([Row(k=1, vid=0, v="x"), Row(k=2, vid=0, v="y")])
+        v = gtable2.version()
+        gtable2.merge_into(stale, ["k"], when_matched_condition="s.vid > t.vid")
+        assert gtable2.version() == v  # nothing rewritten, no commit
+
+    def test_out_of_order_guard_mor(self, spark, gtable2):
+        src = spark.createDataFrame(
+            [Row(k=2, vid=999, v="fresh"), Row(k=3, vid=1, v="stale")]
+        )
+        gtable2.merge_into(
+            src, ["k"], strategy="mor", when_matched_condition="s.vid > t.vid"
+        )
+        got = {r["k"]: (r["vid"], r["v"]) for r in gtable2.snapshot().collect()}
+        assert got[2] == (999, "fresh") and got[3] == (103, "t3")
+        m = gtable2.history()[-1]
+        assert m["op"] == "merge:update:mor"
+        # exactly one preimage DV-killed (the cond-true match only)
+        assert sum(len(v) for v in (m.get("dvs") or {}).values()) == 1
+
+    def test_combines_with_sync_delete(self, spark, gtable2):
+        # k=2 updates (newer), k=3 stays (stale), k>=6 unmatched deletes
+        src = spark.createDataFrame(
+            [Row(k=2, vid=999, v="fresh"), Row(k=3, vid=1, v="stale")]
+        )
+        gtable2.merge_into(
+            src,
+            ["k"],
+            when_matched_condition="s.vid > t.vid",
+            not_matched_by_source="delete",
+            # nmbs condition is target-frame SQL (unqualified names)
+            not_matched_by_source_condition="k >= 6",
+        )
+        got = {r["k"]: r["v"] for r in gtable2.snapshot().collect()}
+        assert got[2] == "fresh" and got[3] == "t3"
+        assert 6 not in got and 7 not in got
+        assert set(got) == {0, 1, 2, 3, 4, 5}
+
+    def test_validation(self, spark, gtable2):
+        src = spark.createDataFrame([Row(k=1, vid=0, v="x")])
+        with pytest.raises(ValueError, match="when_matched_condition"):
+            gtable2.merge_into(
+                src, ["k"], when_matched="delete", when_matched_condition="s.vid > t.vid"
+            )
+
+
 class TestMergeNotMatchedBySource:
     """WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's third merge
     clause): unmatched TARGET rows are removed — full sync without a
