@@ -89,6 +89,7 @@ def versioned_upsert_foreach_batch(
     compact_files_threshold: int | None = None,
     expire_keep_last: int | None = None,
     vacuum_retention_s: float | None = None,
+    when_matched_condition: str | None = None,
 ):
     """K1/K2 executor against the transactional MERGE target
     (sources/versioned.py): each micro-batch becomes one committed
@@ -142,7 +143,14 @@ def versioned_upsert_foreach_batch(
       O(versions)).
 
     Like the DV compaction, maintenance commits are intentionally NOT
-    txn-deduped — replaying any of them converges to a no-op."""
+    txn-deduped — replaying any of them converges to a no-op.
+
+    ``when_matched_condition`` (t./s. aliases, e.g. ``"s.ts >= t.ts"``)
+    forwards the per-row out-of-order guard to every batch's merge:
+    on top of the txn map's whole-batch replay dedup, it stops a LATE
+    batch (distinct batch_id, older data — a backfill racing the live
+    stream, or two writers with different lags) from regressing newer
+    rows. Within-batch last-write-wins still runs first."""
     from iotdatapipeline_spark.sources.versioned import VersionedTable
 
     from iotdatapipeline_spark.sources.versioned import CommitConflict
@@ -170,7 +178,14 @@ def versioned_upsert_foreach_batch(
                 return
             except (CommitConflict, ValueError):
                 pass  # another writer created the table first — merge
-        table.merge_into(latest, keys, txn_app=app, txn_version=batch_id, strategy=strategy)
+        table.merge_into(
+            latest,
+            keys,
+            txn_app=app,
+            txn_version=batch_id,
+            strategy=strategy,
+            when_matched_condition=when_matched_condition,
+        )
         if strategy == "mor" and compact_dv_threshold is not None:
             table.compact_dv_stacked(threshold=compact_dv_threshold)
         if compact_files_threshold is not None:

@@ -626,6 +626,31 @@ class TestSinks:
         assert table.version() == 3
         assert {r["k"]: r["v"] for r in table.snapshot().collect()} == got
 
+    def test_versioned_upsert_sink_out_of_order_guard(self, spark, tmp_path):
+        """r11: when_matched_condition through the streaming sink — a
+        LATE batch (new batch_id, older ts) must not regress rows the
+        live stream already advanced; its genuinely-new keys still
+        insert."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import versioned_upsert_foreach_batch
+
+        root = str(tmp_path / "vt_guard")
+        sink = versioned_upsert_foreach_batch(
+            root, ["k"], txn_app="g", when_matched_condition="s.ts > t.ts"
+        )
+        ddl = "k int, ts int, v string"
+        sink(spark.createDataFrame([(1, 10, "live1"), (2, 20, "live2")], ddl), 0)
+        # late backfill: older ts for k=1, fresh key k=3
+        sink(spark.createDataFrame([(1, 5, "stale"), (3, 5, "new")], ddl), 1)
+        t = VersionedTable(spark, root)
+        got = {r["k"]: (r["ts"], r["v"]) for r in t.snapshot().collect()}
+        assert got == {1: (10, "live1"), 2: (20, "live2"), 3: (5, "new")}
+        # a genuinely newer batch still updates
+        sink(spark.createDataFrame([(1, 99, "fresh")], ddl), 2)
+        assert {
+            r["k"]: r["v"] for r in t.snapshot().collect()
+        } == {1: "fresh", 2: "live2", 3: "new"}
+
     def test_cdf_ivm_signed_deltas_and_group_removal(self, spark, tmp_path):
         """r11 IVM sink: signed deltas maintain (cnt, sum) per group;
         an update subtracts its preimage; a group emptied by deletes is
