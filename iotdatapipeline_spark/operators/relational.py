@@ -33,6 +33,14 @@ def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[st
     group to one row before the shuffle where the window formulation
     ships EVERY row to the reducer.
 
+    The total-order requirement is LOAD-BEARING on the hash path: each
+    payload aggregates through its own ``max_by``, so TIED order
+    values can let different payloads pick different tie-winners — a
+    torn row mixing columns of two inputs, worse than the struct
+    form's arbitrary-but-coherent pick. With a non-unique order,
+    append a unique id to ``order_cols`` or call
+    :func:`argmax_per_group_struct` explicitly.
+
     FRONT DOOR with plan routing (r11, closing the r10 verdict note):
     a SINGLE order column uses ``max_by(payload, order_scalar)`` per
     payload — a true HashAggregate whenever every payload is

@@ -455,9 +455,18 @@ def heavy_hitters(df: DataFrame, key_col: str, min_share: float) -> DataFrame:
     # missed at support=min_share while the verify filter (and the
     # oracle) use >=. Probe slightly below so boundary keys are always
     # candidates — false positives only cost verify work, never rows.
-    cand_row = keyed.stat.freqItems(
-        ["value"], support=max(min_share * 0.99, 1e-4)
-    ).collect()[0]
+    # A silent clamp to freqItems' 1e-4 support floor would re-lose the
+    # guarantee for tiny shares (probe >= min_share again) — refuse
+    # loudly instead; shares that small need a different candidate
+    # structure (the CMS/MG reference sketches) anyway.
+    support = min_share * 0.99
+    if support < 1e-4:
+        raise ValueError(
+            f"min_share={min_share} is below what freqItems' support floor "
+            "(1e-4) can candidate with the boundary guarantee intact; use "
+            "min_share >= 1.02e-4 or a CMS/MG-based candidate pass"
+        )
+    cand_row = keyed.stat.freqItems(["value"], support=support).collect()[0]
     cands = sorted(c for c in (cand_row[0] or []) if c is not None)
     spark = df.sparkSession
     if not cands:

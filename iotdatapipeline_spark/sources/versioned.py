@@ -111,6 +111,39 @@ def _guard_constraint_refs(m: dict, col: str, action: str) -> None:
         )
 
 
+def _loosen_nullability(a, b):
+    """The nullability-union of two DataTypes with equal simpleString:
+    same shape, every containsNull/valueContainsNull/field-nullable
+    flag OR'd — the type that admits both sides' values (used when a
+    merge reconciles types differing only in nullability metadata)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(a, ArrayType):
+        return ArrayType(
+            _loosen_nullability(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, MapType):
+        return MapType(
+            _loosen_nullability(a.keyType, b.keyType),
+            _loosen_nullability(a.valueType, b.valueType),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    if isinstance(a, StructType):
+        return StructType(
+            [
+                StructField(
+                    fa.name,
+                    _loosen_nullability(fa.dataType, fb.dataType),
+                    fa.nullable or fb.nullable,
+                    fa.metadata,
+                )
+                for fa, fb in zip(a.fields, b.fields)
+            ]
+        )
+    return a
+
+
 def _phys_conflicts(m: dict) -> set[str]:
     """Physical parquet-column names that differ from their logical
     names (non-identity col_map entries). A NEW logical column is
@@ -1229,6 +1262,13 @@ class VersionedTable:
         file; false positives only read more, never less."""
         stats = self._stats_of(m)
         blooms = self._bloom_of(m)
+        # declared column types: the probe must be SAME-TYPE as the
+        # indexed column, not just canonical on its own side
+        col_types = {
+            f["name"]: f["type"]
+            for f in json.loads(m["schema"]).get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
 
         def keep(f: str) -> bool:
             for c, (lo, hi) in ranges.items():
@@ -1241,12 +1281,17 @@ class VersionedTable:
                 # from date-like strings (str() uses ' ' where the column
                 # text may use 'T', drops :00 seconds, …) can mismatch and
                 # would FALSE-NEGATIVE prune the file holding the true
-                # match — those conservatively keep the file.
-                if (
-                    lo is not None
-                    and lo == hi
-                    and (type(lo) is int or isinstance(lo, str))
-                ):
+                # match. CROSS-TYPE equality has the same hazard under
+                # SQL coercion ("k = '05'" on an int column is TRUE for
+                # k=5 but '05' != the indexed '5'), so the literal's type
+                # must also MATCH the column's declared type; anything
+                # else conservatively keeps the file.
+                # schema-JSON type names: integer/long/short/byte, string
+                lt = col_types.get(c)
+                type_ok = (
+                    type(lo) is int and lt in ("byte", "short", "integer", "long")
+                ) or (isinstance(lo, str) and lt == "string")
+                if lo is not None and lo == hi and type_ok:
                     entry = (blooms.get(c) or {}).get(f)
                     if entry is not None and not _bloom_maybe_contains(entry, lo):
                         return False
@@ -1773,11 +1818,20 @@ class VersionedTable:
                     )
                     pairs = snap.alias("t").join(source.alias("s"), eq, "inner")
                     tkeys = [F.col(f"t.{k}").alias(k) for k in keys]
-                    matched_true_keys = pairs.filter(wm_pred).select(*tkeys).distinct()
+                    # localCheckpoint: these tiny key frames gate the
+                    # touched collect, the kept rewrite AND the insert —
+                    # without it each job re-runs the probe×source join
+                    matched_true_keys = (
+                        pairs.filter(wm_pred)
+                        .select(*tkeys)
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
                     matched_false_keys = (
                         pairs.select(*tkeys)
                         .distinct()
                         .join(matched_true_keys, keys, "left_anti")
+                        .localCheckpoint(eager=True)
                     )
                     # only cond-TRUE matches touch files: a fully-stale
                     # batch rewrites nothing
@@ -1955,11 +2009,14 @@ class VersionedTable:
             s = src_type.simpleString()
             if b == s:
                 # complex types differing ONLY in nullability metadata
-                # (containsNull / nested nullable): DataType equality is
-                # strict but simpleString drops nullability, and casting
-                # array<int> containsNull=false to containsNull=true is a
-                # value-preserving no-op — keep the table's type.
-                return base_field.dataType
+                # (containsNull / nested nullable): values are identical
+                # either way (the flags are advisory — probed on Spark 4:
+                # even a NULL element writes and reads back fine under a
+                # containsNull=false schema). Commit the LOOSENED union
+                # of the two so the manifest never claims a tightness
+                # (containsNull=false) that just-accepted source data
+                # may violate.
+                return _loosen_nullability(base_field.dataType, src_type)
             if s in VersionedTable._WIDENINGS.get(b, ()):
                 if schema_evolution:
                     return src_type  # auto-widen the committed schema
@@ -2109,11 +2166,20 @@ class VersionedTable:
                     )
                     matched_pairs = live.alias("t").join(source.alias("s"), eq, "inner")
                     tkeys = [F.col(f"t.{k}").alias(k) for k in keys]
-                    mtrue = matched_pairs.filter(wm_pred).select(*tkeys).distinct()
+                    # localCheckpoint: these tiny key frames gate THREE
+                    # downstream jobs (DV hits, kept rewrite, insert) —
+                    # without it each job re-runs the probe×source join
+                    matched_true_keys = (
+                        matched_pairs.filter(wm_pred)
+                        .select(*tkeys)
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
                     matched_false_keys = (
                         matched_pairs.select(*tkeys)
                         .distinct()
-                        .join(mtrue, keys, "left_anti")
+                        .join(matched_true_keys, keys, "left_anti")
+                        .localCheckpoint(eager=True)
                     )
             if when_matched == "update":
                 inserted = (
@@ -2146,15 +2212,14 @@ class VersionedTable:
             new_dvs = None
             if live is not None:
                 if matched_pairs is not None:
-                    # DV-kill only the cond-TRUE preimages: stale source
-                    # rows must leave their target rows alive
-                    hits = (
-                        matched_pairs.filter(wm_pred)
-                        .select(
-                            F.col("t.__file").alias("file"),
-                            F.col("t.__pos").alias("pos"),
-                        )
-                        .distinct()
+                    # KEY-level, like the COW path and the unconditioned
+                    # merge: every live row of a matched-true KEY is
+                    # replaced by the one source row (killing only the
+                    # cond-true row would diverge from COW on a target
+                    # holding duplicate keys); matched-false keys stay
+                    # fully alive
+                    hits = live.join(matched_true_keys, keys, "left_semi").select(
+                        F.col("__file").alias("file"), F.col("__pos").alias("pos")
                     )
                 else:
                     hits = live.join(src_keys, keys, "left_semi").select(
@@ -2822,7 +2887,20 @@ class VersionedTable:
             # keeps evaluating identically and a GENERATED expression
             # reads the same values (writers cast the computed result to
             # the declared type) — pinned in test_alter_guards_and_
-            # drop_generated
+            # drop_generated. The ONE exception: an IDENTITY column must
+            # stay integral (int -> double is a legal widening but would
+            # have _assign_identity committing floating-point ids,
+            # breaking set_identity's declared invariant)
+            if name in (m.get("identity") or {}) and target.simpleString() not in (
+                "int",
+                "bigint",
+                "smallint",
+            ):
+                raise ValueError(
+                    f"cannot widen identity column {name!r} to "
+                    f"{target.simpleString()}: identity columns must stay "
+                    "integral (drop_identity first)"
+                )
             schema = StructType.fromJson(json.loads(m["schema"]))
             field = next((f for f in schema.fields if f.name == name), None)
             if field is None:

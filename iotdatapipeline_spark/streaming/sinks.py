@@ -441,9 +441,31 @@ def cdf_ivm_foreach_batch(
         seen = (t._read_manifest(t.version()).get("txns") or {}).get(app)
         if seen is not None and int(seen[0]) >= int(batch_id):
             return
-        cur = t.snapshot().select(
-            *gk, "cnt", *[f"sum_{c}" for c in sum_cols]
-        )
+        # read the affected groups' totals through a RANGE-bounded scan:
+        # the view is clustered by the group keys, so the delta keys'
+        # [min, max] per key file-prunes the read to the touched band —
+        # O(affected range), never O(view). Non-integer or NULL group
+        # keys fall back to the full snapshot (still correct, just
+        # unpruned — the predicate path must never lose a group).
+        b = deltas.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in gk],
+            *[F.max(k).alias(f"__hi_{k}") for k in gk],
+            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in gk],
+        ).collect()[0]
+        preds = []
+        for k in gk:
+            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+            if (
+                b[f"__n_{k}"] == 0
+                and type(lo) is int
+                and type(hi) is int
+            ):
+                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
+            else:
+                preds = []
+                break
+        cur_src = t.scan(" AND ".join(preds)) if preds else t.snapshot()
+        cur = cur_src.select(*gk, "cnt", *[f"sum_{c}" for c in sum_cols])
         merged = deltas.join(cur, gk, "left").select(
             *gk,
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__d_cnt")).alias("cnt"),

@@ -5,6 +5,8 @@ and the partial-merge identities of the additive rollup.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.plans import ORACLE, QUERIES
@@ -257,3 +259,13 @@ class TestMisraGries:
         )
         got = {(r["value"], r["cnt"]) for r in heavy_hitters(df, "v", 0.05).collect()}
         assert got == {("edge", 5), ("heavy", 10)}
+
+    def test_min_share_below_probe_floor_refused(self, spark):
+        """r11 review: a silent clamp to freqItems' 1e-4 support floor
+        would quietly re-lose the boundary guarantee for tiny shares —
+        refuse loudly instead."""
+        from iotdatapipeline_spark.plans.sketches import heavy_hitters
+
+        df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+        with pytest.raises(ValueError, match="min_share"):
+            heavy_hitters(df, "v", min_share=5e-5)

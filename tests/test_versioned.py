@@ -2369,6 +2369,27 @@ class TestBloomIndex:
         assert kept == total == 8  # probe skipped: conservative keep
         assert [r["k"] for r in btable.scan(f"val = {probe}.0").collect()] == [5]
 
+    def test_cross_type_equality_never_false_negative_prunes(self, spark, tmp_path):
+        """r11 review: SQL coercion makes "k = '05'" TRUE for int k=5,
+        but str '05' != the indexed canon '5' — probes must be
+        SAME-TYPE as the indexed column or conservatively keep. Mirror
+        case: an int literal against a string column holding '05'."""
+        t = VersionedTable(spark, str(tmp_path / "bx"))
+        rows = [Row(k=i, sv=f"{i:02d}") for i in range(40)]
+        t.create(spark.createDataFrame(rows), n_files=4, cluster_by=["k"])
+        t.add_bloom_index(["k", "sv"])
+        # quoted numeric on the int column: probe skipped, rows correct
+        assert [r["k"] for r in t.scan("k = '5'").collect()] == [5]
+        kept, total = t.pruned_files("k = '5'")
+        assert kept == total
+        # int literal on the string column ('05'): coercion matches,
+        # the bloom must not prune the true file
+        assert [r["k"] for r in t.scan("sv = 5").collect()] == [5]
+        # same-type probes still prune
+        kept_i, total_i = t.pruned_files("sv = '05'")
+        assert kept_i < total_i
+        assert [r["k"] for r in t.scan("sv = '05'").collect()] == [5]
+
     def test_datetime_literal_never_false_negative_prunes(self, spark, tmp_path):
         """A 'T'-separated timestamp STRING column: the parser turns the
         literal into a datetime whose str() uses ' ' — probing with it
@@ -2939,6 +2960,30 @@ class TestMergeTypeReconciliation:
         assert got == {1: [1, 2], 2: [7, 8], 3: [9]}
         assert dict(t.snapshot().dtypes)["arr"] == "array<int>"
 
+    def test_loose_source_into_tight_table_loosens_the_manifest(self, spark, tmp_path):
+        """r11 review: the REVERSE nullability direction — a
+        containsNull=true source into a containsNull=false table —
+        must merge (values identical) and the committed schema must
+        LOOSEN, never keep claiming a tightness incoming data may
+        violate."""
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, LongType, StructField, StructType,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "tight"))
+        tight = StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("arr", ArrayType(IntegerType(), containsNull=False), False),
+            ]
+        )
+        t.create(spark.createDataFrame([(1, [1, 2])], tight), cluster_by=["k"])
+        loose = spark.createDataFrame([(2, [None, 9])], "k bigint, arr array<int>")
+        t.merge_into(loose, ["k"])
+        got = {r["k"]: r["arr"] for r in t.snapshot().collect()}
+        assert got == {1: [1, 2], 2: [None, 9]}
+        assert t.snapshot().schema["arr"].dataType.containsNull is True
+
     def test_incompatible_source_refused(self, spark, ntable):
         src = spark.createDataFrame([(3, "oops")], "k bigint, q string")
         with pytest.raises(ValueError, match="incompatible"):
@@ -3010,6 +3055,23 @@ class TestIdentityColumns:
         src = spark.createDataFrame([Row(k=1, rid=99, v="x")])
         itable.merge_into(src, ["k"])  # carrying is legal again
         assert {r["rid"] for r in itable.snapshot().filter("k = 1").collect()} == {99}
+
+    def test_widen_to_non_integral_refused(self, spark, tmp_path):
+        """r11 review: int -> double is a legal widening in general but
+        would commit floating-point ids — identity columns must stay
+        integral until drop_identity."""
+        t = VersionedTable(spark, str(tmp_path / "iw"))
+        t.create(
+            spark.createDataFrame([(i, i + 1, f"v{i}") for i in range(5)],
+                                  "k int, rid int, v string")
+        )
+        t.set_identity("rid")
+        with pytest.raises(ValueError, match="integral"):
+            t.widen_column("rid", "double")
+        t.widen_column("rid", "bigint")  # integral widening stays legal
+        t.merge_into(spark.createDataFrame([(999, "w")], "k int, v string"), ["k"])
+        got = {r["k"]: r["rid"] for r in t.snapshot().collect()}
+        assert got[999] == 6  # assignment still integer under the wide type
 
     def test_declaration_validates(self, spark, tmp_path):
         from iotdatapipeline_spark.sources.versioned import ConstraintViolation
@@ -3120,6 +3182,28 @@ class TestMergeWhenMatchedCondition:
             gtable2.merge_into(
                 src, ["k"], when_matched="delete", when_matched_condition="s.vid > t.vid"
             )
+
+    @pytest.mark.parametrize("strategy", ["cow", "mor"])
+    def test_duplicate_key_targets_replace_at_key_level(self, spark, tmp_path, strategy):
+        """r11 review: a target holding TWO rows for one key, where one
+        pair passes the condition and the other fails — the merge is
+        KEY-level (like the unconditioned form), so both rows are
+        replaced by the one source row, identically under COW and MOR."""
+        t = VersionedTable(spark, str(tmp_path / f"dup_{strategy}"))
+        t.create(
+            spark.createDataFrame(
+                [Row(k=1, vid=5, v="old5"), Row(k=1, vid=9, v="old9"), Row(k=2, vid=3, v="keep")]
+            ),
+            cluster_by=["k"],
+        )
+        src = spark.createDataFrame([Row(k=1, vid=7, v="mid")])
+        t.merge_into(
+            src, ["k"], strategy=strategy, when_matched_condition="s.vid > t.vid"
+        )
+        got = sorted(
+            (r["k"], r["vid"], r["v"]) for r in t.snapshot().collect()
+        )
+        assert got == [(1, 7, "mid"), (2, 3, "keep")]
 
 
 class TestMergeNotMatchedBySource:
