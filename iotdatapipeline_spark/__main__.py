@@ -85,6 +85,20 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     spark = get_spark("iotdatapipeline-sql")
     spark.sparkContext.setLogLevel("ERROR")
     register_views(spark, args.sf_dir)
+    # versioned tables as SQL views: name=root[@version] (repeatable) —
+    # time travel straight from the SQL prompt
+    for spec in args.table or []:
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        if "=" not in spec:
+            print(f"--table expects name=root[@version], got {spec!r}", file=sys.stderr)
+            return 2
+        name, root = spec.split("=", 1)
+        version = None
+        if "@" in root:
+            root, v = root.rsplit("@", 1)
+            version = int(v)
+        VersionedTable(spark, root).snapshot(version).createOrReplaceTempView(name)
     df = spark.sql(args.statement)
     df.show(args.rows, truncate=False)
     if args.explain:
@@ -232,6 +246,12 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     sq.add_argument("--rows", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
+    sq.add_argument(
+        "--table",
+        action="append",
+        default=None,
+        help="register a VersionedTable as a SQL view: name=root[@version] (repeatable)",
+    )
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")

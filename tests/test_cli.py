@@ -110,6 +110,28 @@ class TestCli:
         assert main(["table", "expire", root]) == 0
         assert "expired 0 versions" in capsys.readouterr().out
 
+    def test_sql_registers_versioned_tables_with_time_travel(
+        self, spark, sf_small, tmp_path, capsys
+    ):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "tv")
+        t = VersionedTable(spark, root)
+        t.create(spark.createDataFrame([Row(k=1, v="old")]))
+        t.merge_into(spark.createDataFrame([Row(k=1, v="new")]), ["k"])
+        rc = main(
+            ["sql", "SELECT a.v AS now_v, b.v AS then_v FROM tv a, tv1 b",
+             "--sf-dir", sf_small,
+             "--table", f"tv={root}", "--table", f"tv1={root}@1"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "new" in out and "old" in out
+        assert main(["sql", "SELECT 1", "--sf-dir", sf_small, "--table", "nope"]) == 2
+        assert "name=root" in capsys.readouterr().err
+
     def test_table_identity_verbs(self, spark, tmp_path, capsys):
         from pyspark.sql import Row
 
