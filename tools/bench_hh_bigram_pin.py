@@ -1,5 +1,13 @@
 """x160 decomposition for the two unscoped weak rows (r11 verdict #3/#4).
 
+NOTE (post-fix): the hh "stage_verify" below reconstructs the OLD
+two-pass verify shape (broadcast-semi counts + separate total) for the
+decomposition record — the SHIPPED heavy_hitters now runs the
+single-scan candidate-or-NULL verify this decomposition motivated
+(plans/sketches.py), so "full" reflects the new plan while
+"stage_verify" documents what was removed. Same for bigram: "full"
+carries the broadcast-model plan; the variants record the shoot-out.
+
 events_heavy_hitters (20.2x at x160 in r10): stage timings — keyed
 projection + freqItems candidate pass, exact verify pass, and the
 plain GROUP BY/HAVING alternative (what the DuckDB oracle runs) — to
