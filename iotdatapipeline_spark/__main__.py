@@ -97,7 +97,15 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         version = None
         if "@" in root:
             root, v = root.rsplit("@", 1)
-            version = int(v)
+            try:
+                version = int(v)
+            except ValueError:
+                print(
+                    f"--table expects name=root[@version] with an integer "
+                    f"version, got {spec!r}",
+                    file=sys.stderr,
+                )
+                return 2
         VersionedTable(spark, root).snapshot(version).createOrReplaceTempView(name)
     df = spark.sql(args.statement)
     df.show(args.rows, truncate=False)

@@ -27,6 +27,9 @@ from iotdatapipeline_spark.operators.relational import (
     argmax_per_group,
     argmax_per_group_hash,
     argmax_per_group_struct,
+    packed_major,
+    packed_minor,
+    packed_order,
     top1_per_group,
 )
 
@@ -45,6 +48,10 @@ __all__ = [
     "limpieza_update_set",
     "argmax_per_group",
     "argmax_per_group_hash",
+    "argmax_per_group_struct",
+    "packed_major",
+    "packed_minor",
+    "packed_order",
     "top1_per_group",
     "salted_agg",
     "salted_broadcast_left",

@@ -23,7 +23,13 @@ def top1_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+def argmax_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    *,
+    order_unique: bool = False,
+) -> DataFrame:
     """W3 — per key, the row with the lexicographic max of
     ``order_cols`` (all ascending — express DESC-on-all orders by
     maxing the same columns the window version sorts DESC). Same
@@ -33,29 +39,31 @@ def argmax_per_group(df: DataFrame, keys: Sequence[str], order_cols: Sequence[st
     group to one row before the shuffle where the window formulation
     ships EVERY row to the reducer.
 
-    The total-order requirement is LOAD-BEARING on the hash path: each
-    payload aggregates through its own ``max_by``, so TIED order
-    values can let different payloads pick different tie-winners — a
-    torn row mixing columns of two inputs, worse than the struct
-    form's arbitrary-but-coherent pick. With a non-unique order,
-    append a unique id to ``order_cols`` or call
-    :func:`argmax_per_group_struct` explicitly.
+    ``order_unique=True`` is the caller's declaration that
+    ``order_cols`` has no ties within a key, and is REQUIRED to take
+    the single-column hash fast path: there each payload aggregates
+    through its own ``max_by``, so TIED order values can let different
+    payloads pick different tie-winners — a torn row mixing columns of
+    two inputs, worse than the struct form's arbitrary-but-coherent
+    pick (r11 advice). The default therefore routes EVERY order
+    through :func:`argmax_per_group_struct`, which always returns one
+    coherent input row; opt into the hash path only when the order
+    ends in a unique id (or pack one in via :func:`packed_order` and
+    call :func:`argmax_per_group_hash`).
 
-    FRONT DOOR with plan routing (r11, closing the r10 verdict note):
-    a SINGLE order column uses ``max_by(payload, order_scalar)`` per
-    payload — a true HashAggregate whenever every payload is
-    fixed-width (Spark's hash-agg buffer only admits mutable primitive
-    fields; a string/var-len payload still demotes, but to a strictly
-    cheaper SortAggregate than the struct form's, which ALWAYS
-    demotes). Multi-column orders need a struct ordering and struct
-    buffers are immutable, so Spark demotes those to SortAggregate
-    (measured r10 on top1_active_record: 0.441 s struct vs 0.189 s
-    packed scalar, noop median-of-7, sf0.1 — the 2.3× the packed
-    re-plan recovered): that path now lives in the explicitly named
-    :func:`argmax_per_group_struct`, and callers with a packable order
-    (e.g. ``ascii(status) * 2^52 + id``) should reach for
+    Plan shapes: with ``order_unique=True`` a SINGLE order column uses
+    ``max_by(payload, order_scalar)`` per payload — a true
+    HashAggregate whenever every payload is fixed-width (Spark's
+    hash-agg buffer only admits mutable primitive fields; a
+    string/var-len payload still demotes, but to a strictly cheaper
+    SortAggregate than the struct form's, which ALWAYS demotes).
+    Multi-column orders need a struct ordering and struct buffers are
+    immutable, so Spark demotes those to SortAggregate (measured r10
+    on top1_active_record: 0.441 s struct vs 0.189 s packed scalar,
+    noop median-of-7, sf0.1): callers with a packable multi-column
+    order should reach for :func:`packed_order` +
     :func:`argmax_per_group_hash` instead."""
-    if len(order_cols) == 1:
+    if order_unique and len(order_cols) == 1:
         order = F.col(order_cols[0])
         payloads = [c for c in df.columns if c not in keys and c != order_cols[0]]
         out = df.groupBy(*keys).agg(
@@ -88,6 +96,55 @@ def argmax_per_group_struct(
     return agg.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in others])
 
 
+def packed_order(
+    major: Column | str, minor: Column | str, *, minor_bits: int = 52
+) -> Column:
+    """Pack a two-field ordering into ONE comparable long —
+    ``major * 2^minor_bits + minor`` — so
+    :func:`argmax_per_group_hash` stays a true HashAggregate (the
+    docstring recipe ``ascii(status) * 2^52 + id``, now with the
+    range check built in instead of repeated at call sites: r11
+    verdict #6 / the r10 A/B that measured 0.441 s → 0.189 s on
+    top1_active_record when the struct order became this scalar).
+
+    Both fields must be non-negative and ``minor`` must stay below
+    ``2^minor_bits``; violations raise AT RUNTIME via ``raise_error``
+    rather than silently mis-ordering (an overflowing minor would
+    bleed into the major's bits). ``major`` additionally must keep the
+    product within long range — 2^(63-minor_bits) — checked too.
+    Decode with :func:`packed_major` / :func:`packed_minor`."""
+    mj = F.col(major) if isinstance(major, str) else major
+    mn = F.col(minor) if isinstance(minor, str) else minor
+    mj, mn = mj.cast("long"), mn.cast("long")
+    cap = F.lit(2**minor_bits).cast("long")
+    mj_cap = F.lit(2 ** (63 - minor_bits)).cast("long")
+    ok = (mn >= 0) & (mn < cap) & (mj >= 0) & (mj < mj_cap)
+    return F.when(ok, mj * cap + mn).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"packed_order: field out of range for minor_bits={minor_bits}: "),
+                F.lit("major="),
+                mj.cast("string"),
+                F.lit(" minor="),
+                mn.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def packed_major(packed: Column | str, *, minor_bits: int = 52) -> Column:
+    """Decode the major field of a :func:`packed_order` long. Bit
+    shift, not division: float division loses exactness past 2^53."""
+    p = F.col(packed) if isinstance(packed, str) else packed
+    return F.shiftright(p.cast("long"), minor_bits)
+
+
+def packed_minor(packed: Column | str, *, minor_bits: int = 52) -> Column:
+    """Decode the minor field of a :func:`packed_order` long."""
+    p = F.col(packed) if isinstance(packed, str) else packed
+    return p % F.lit(2**minor_bits)
+
+
 def argmax_per_group_hash(
     df: DataFrame, keys: Sequence[str], order: Column, payloads: Sequence[str]
 ) -> DataFrame:
@@ -102,8 +159,9 @@ def argmax_per_group_hash(
     where the struct-ordered :func:`argmax_per_group` falls back to
     SortAggregate and re-sorts every partition on both sides of the
     shuffle. Requires a totally-ordering scalar; compose multi-column
-    orders by packing (e.g. ``ascii(status) * 2^52 + id`` while the id
-    stays below 2^52 — range-check at the call site)."""
+    orders via :func:`packed_order` (range-checked at runtime) and
+    decode key fields back out with :func:`packed_major` /
+    :func:`packed_minor`."""
     return df.groupBy(*keys).agg(
         F.max(order).alias("__argmax_ord"),
         *[F.max_by(F.col(c), order).alias(c) for c in payloads],

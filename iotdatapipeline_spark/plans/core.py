@@ -25,6 +25,9 @@ from iotdatapipeline_spark.functions import (
 )
 from iotdatapipeline_spark.operators import (
     argmax_per_group_hash,
+    packed_major,
+    packed_minor,
+    packed_order,
     config_regroup,
     dedup_append_set,
     dedup_combine,
@@ -379,17 +382,17 @@ def top1_active_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC) — the TOP(1) open-record probe, orders as the stand-in.
 
     Runs as a PACKED-SCALAR hash aggregate (r10): the two ordering
-    columns collapse into one comparable long — ``ascii(status) * 2^52
-    + orderkey`` (status is a single TPC-H char; orderkey stays below
-    2^52 through SF ~100k, range-checked here) — so the plan is a pure
-    HashAggregate with map-side partials. The previous struct-ordered
-    ``max_by`` formulation silently planned SortAggregate (struct
-    buffers are not hash-aggregatable) and was the source of the
-    r7–r9 bench drift: measured 0.441 s → 0.189 s noop median-of-7 at
-    sf0.1. Key fields decode back out of the packed max; only the
-    payload column pays a max_by."""
+    columns collapse into one comparable long via ``packed_order``
+    (status is a single TPC-H char; orderkey stays below 2^52 through
+    SF ~100k, range-checked INSIDE the helper at runtime — r11 verdict
+    #6) — so the plan is a pure HashAggregate with map-side partials.
+    The previous struct-ordered ``max_by`` formulation silently
+    planned SortAggregate (struct buffers are not hash-aggregatable)
+    and was the source of the r7–r9 bench drift: measured 0.441 s →
+    0.189 s noop median-of-7 at sf0.1. Key fields decode back out of
+    the packed max; only the payload column pays a max_by."""
     orders = load_table(spark, sf_dir, "orders")
-    pack = F.ascii("o_orderstatus").cast("long") * F.lit(2**52) + F.col("o_orderkey")
+    pack = packed_order(F.ascii("o_orderstatus"), "o_orderkey")
     out = argmax_per_group_hash(
         orders.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"),
         ["o_custkey"],
@@ -398,8 +401,8 @@ def top1_active_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "o_custkey",
-        (F.col("__argmax_ord") % F.lit(2**52)).alias("o_orderkey"),
-        F.char((F.col("__argmax_ord") / F.lit(2**52)).cast("int")).alias("o_orderstatus"),
+        packed_minor("__argmax_ord").alias("o_orderkey"),
+        F.char(packed_major("__argmax_ord").cast("int")).alias("o_orderstatus"),
         "o_totalprice",
     )
 

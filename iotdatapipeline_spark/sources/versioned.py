@@ -1833,12 +1833,18 @@ class VersionedTable:
                         .join(matched_true_keys, keys, "left_anti")
                         .localCheckpoint(eager=True)
                     )
-                    # only cond-TRUE matches touch files: a fully-stale
-                    # batch rewrites nothing
+                    # files holding ANY live row of a matched-true KEY
+                    # touch — not just the file of the cond-TRUE row: a
+                    # duplicate key split across files must have ALL its
+                    # rows replaced (the kept rewrite anti-joins at key
+                    # level), else the cond-FALSE row's file survives
+                    # untouched and leaves a stale duplicate. A fully-
+                    # stale batch (no matched-true keys) still touches
+                    # nothing
                     touched = {
                         r["__file"]
-                        for r in pairs.filter(wm_pred)
-                        .select(F.col("t.__file").alias("__file"))
+                        for r in snap.join(matched_true_keys, keys, "left_semi")
+                        .select("__file")
                         .distinct()
                         .collect()
                     }

@@ -476,7 +476,25 @@ def cdf_ivm_foreach_batch(
                 for c in sum_cols
             ],
         )
-        dead = merged.filter(F.col("cnt") <= 0).select(*gk)
+        # one materialization of the O(affected groups) frame: the
+        # sanity probe + dead/live splits + both writes below would
+        # otherwise each re-run the key-pruned view scan and join
+        merged = merged.localCheckpoint(eager=True)
+        # cnt < 0 is IMPOSSIBLE under a correct feed: it means a sign
+        # error, a feed wired without preimages (include_preimages
+        # dropped), or a skipped batch. Silently deleting the group
+        # would mask exactly the divergence exactly-once exists to
+        # prevent — fail loudly instead (r11 advice); only cnt == 0
+        # (all rows of the group deleted) removes the group.
+        neg = merged.filter(F.col("cnt") < 0).limit(1).collect()
+        if neg:
+            raise ValueError(
+                f"cdf_ivm_foreach_batch: negative maintained count for group "
+                f"{ {k: neg[0][k] for k in gk} } in batch {batch_id} — the change "
+                "feed is missing update preimages or a batch was skipped; the "
+                "view has diverged from the source"
+            )
+        dead = merged.filter(F.col("cnt") == 0).select(*gk)
         live = merged.filter(F.col("cnt") > 0)
         if not dead.isEmpty():
             t.delete_matching(dead, gk)

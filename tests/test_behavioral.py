@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from iotdatapipeline_spark.plans import ORACLE, QUERIES
@@ -148,10 +149,11 @@ class TestArgmaxHash:
         assert "HashAggregate" in plan and "SortAggregate" not in plan
 
     def test_front_door_routes_single_order_to_hash(self, spark):
-        """r11 verdict #6: the short name must not silently re-buy the
-        SortAggregate — a single-column order plans HashAggregate and
-        matches the struct form row-for-row; multi-column orders route
-        to the explicitly named struct fallback."""
+        """r11 verdict #6 + r12 advice: the hash fast path is OPT-IN
+        via order_unique=True (the caller's no-ties declaration) —
+        there it plans HashAggregate and matches the struct form
+        row-for-row; the default and multi-column orders route to the
+        explicitly named struct fallback."""
         from pyspark.sql import Row
 
         from iotdatapipeline_spark.operators import (
@@ -161,7 +163,7 @@ class TestArgmaxHash:
 
         rows = [Row(k=i % 5, rid=i, pay=float(i) * 0.5) for i in range(40)]
         df = spark.createDataFrame(rows)
-        got = argmax_per_group(df, ["k"], ["rid"])
+        got = argmax_per_group(df, ["k"], ["rid"], order_unique=True)
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan and "SortAggregate" not in plan
         ref = argmax_per_group_struct(df, ["k"], ["rid"])
@@ -170,10 +172,61 @@ class TestArgmaxHash:
         # a var-length payload demotes (hash-agg buffers are fixed-width
         # only) but the ROWS must still match the struct form
         tagged = df.withColumn("tag", F.concat(F.lit("t"), F.col("rid")))
-        got_t = argmax_per_group(tagged, ["k"], ["rid"])
+        got_t = argmax_per_group(tagged, ["k"], ["rid"], order_unique=True)
         ref_t = argmax_per_group_struct(tagged, ["k"], ["rid"])
         assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, ref_t.collect()))
         # multi-column order: delegates to the struct (SortAggregate) form
         multi = argmax_per_group(df, ["k"], ["pay", "rid"])
         ref2 = argmax_per_group_struct(df, ["k"], ["pay", "rid"])
         assert sorted(map(tuple, multi.collect())) == sorted(map(tuple, ref2.collect()))
+
+    def test_default_is_tie_coherent(self, spark):
+        """r12 advice: without order_unique, a TIED single-column order
+        must return one coherent input row (struct routing), never a
+        torn row mixing columns of two tied inputs."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.operators import argmax_per_group
+
+        rows = [Row(k=1, o=5, a="x", b=1.0), Row(k=1, o=5, a="y", b=2.0)]
+        df = spark.createDataFrame(rows)
+        out = argmax_per_group(df, ["k"], ["o"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["a"], r["b"]) in {("x", 1.0), ("y", 2.0)}  # coherent, not torn
+        plan_df = argmax_per_group(df, ["k"], ["o"])
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" in plan  # routed through the struct form
+
+    def test_packed_order_roundtrip_and_range_check(self, spark):
+        """packed_order keeps the hash plan, decodes exactly at high
+        bits (shiftright, not float division), and RAISES on
+        out-of-range fields instead of silently mis-ordering."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.operators import (
+            argmax_per_group_hash,
+            packed_major,
+            packed_minor,
+            packed_order,
+        )
+
+        rows = [Row(k=1, mj=70, mn=(2**52 - 3) + i, p=float(i)) for i in range(3)]
+        df = spark.createDataFrame(rows)
+        out = argmax_per_group_hash(
+            df, ["k"], packed_order("mj", "mn"), ["p"]
+        ).select(
+            "k",
+            packed_major("__argmax_ord").alias("mj"),
+            packed_minor("__argmax_ord").alias("mn"),
+            "p",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan and "SortAggregate" not in plan
+        assert [tuple(r) for r in out.collect()] == [(1, 70, 2**52 - 1, 2.0)]
+        bad = spark.createDataFrame([Row(k=1, mj=70, mn=2**52, p=0.0)])
+        with pytest.raises(Exception, match="packed_order"):
+            bad.select(packed_order("mj", "mn")).collect()
+        neg = spark.createDataFrame([Row(k=1, mj=-1, mn=5, p=0.0)])
+        with pytest.raises(Exception, match="packed_order"):
+            neg.select(packed_order("mj", "mn")).collect()

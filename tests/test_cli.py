@@ -131,6 +131,13 @@ class TestCli:
         assert "new" in out and "old" in out
         assert main(["sql", "SELECT 1", "--sf-dir", sf_small, "--table", "nope"]) == 2
         assert "name=root" in capsys.readouterr().err
+        # r12 advice: malformed version gets the same friendly 2-exit,
+        # not an uncaught ValueError traceback
+        rc = main(
+            ["sql", "SELECT 1", "--sf-dir", sf_small, "--table", f"tv={root}@latest"]
+        )
+        assert rc == 2
+        assert "integer version" in capsys.readouterr().err
 
     def test_table_identity_verbs(self, spark, tmp_path, capsys):
         from pyspark.sql import Row

@@ -681,6 +681,30 @@ class TestSinks:
         assert t.version() == v
         assert {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()} == got
 
+    def test_cdf_ivm_negative_count_fails_loudly(self, spark, tmp_path):
+        """r12 advice: a maintained count going NEGATIVE can only mean
+        a feed without preimages or a skipped batch — the sink must
+        raise (not silently delete the group and mask the divergence),
+        and the view must be left unmodified by the failed batch."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+        root = str(tmp_path / "ivm_neg")
+        ivm = cdf_ivm_foreach_batch(root, ["g"], ["x"])
+        mk = lambda rows: spark.createDataFrame(rows, "g int, x long, _change_type string")
+        ivm(mk([(1, 10, "insert")]), 0)
+        t = VersionedTable(spark, root)
+        v = t.version()
+        # two deletes against a count of 1: the under-count a preimage-
+        # less update feed produces
+        with pytest.raises(ValueError, match="negative maintained count"):
+            ivm(mk([(1, 10, "delete"), (1, 10, "delete")]), 1)
+        assert t.version() == v
+        assert {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()} == {1: (1, 10)}
+        # an exact emptying still removes the group silently
+        ivm(mk([(1, 10, "delete")]), 2)
+        assert t.snapshot().count() == 0
+
     def test_versioned_upsert_sink_assigns_identity(self, spark, tmp_path):
         """r11: a streaming sink whose target declares an identity
         column — per-batch sources OMIT the column, fresh keys get

@@ -3205,6 +3205,31 @@ class TestMergeWhenMatchedCondition:
         )
         assert got == [(1, 7, "mid"), (2, 3, "keep")]
 
+    @pytest.mark.parametrize("strategy", ["cow", "mor"])
+    def test_duplicate_key_split_across_files(self, spark, tmp_path, strategy):
+        """r12 advice (medium): same key-level contract as above, but
+        the duplicate key's rows live in DIFFERENT files and only the
+        cond-FALSE row's file holds no cond-TRUE pair. The COW touched
+        set must be derived from files holding ANY row of a
+        matched-true KEY — deriving it from cond-TRUE pair rows alone
+        left the cond-FALSE row's file untouched, surviving as a stale
+        duplicate next to the inserted source row."""
+        t = VersionedTable(spark, str(tmp_path / f"dupsplit_{strategy}"))
+        t.create(
+            spark.createDataFrame([Row(k=1, vid=5, v="old5"), Row(k=2, vid=3, v="keep")]),
+            cluster_by=["k"],
+        )
+        # append the second k=1 row through a non-matching merge: it
+        # inserts into its OWN file, so k=1 now spans two files
+        t.merge_into(spark.createDataFrame([Row(k=1, vid=9, v="old9")]), ["k", "vid"])
+        assert len(t._read_manifest(t.version())["files"]) >= 2
+        src = spark.createDataFrame([Row(k=1, vid=7, v="mid")])
+        t.merge_into(
+            src, ["k"], strategy=strategy, when_matched_condition="s.vid > t.vid"
+        )
+        got = sorted((r["k"], r["vid"], r["v"]) for r in t.snapshot().collect())
+        assert got == [(1, 7, "mid"), (2, 3, "keep")]
+
 
 class TestMergeNotMatchedBySource:
     """WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's third merge
