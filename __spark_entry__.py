@@ -39,18 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    # r11: heavy_hitters' candidate probe moved slightly below
-    # min_share (freqItems boundary guarantee), the bloom equality
-    # probe gained the int/str-literal canon guard on the scan path,
-    # and merge type reconciliation now accepts nullability-only
-    # complex-type differences — fresh rows on the changed code
-    "events_heavy_hitters",
-    "events_versioned_bloom_merge",
-    "events_versioned_bloom_point_lookup",
+    # r12: commit-time CDF — every mutating commit now writes change
+    # files and changes() nets them (snapshot-diff only as fallback),
+    # the COW conditioned-merge touched set moved to key level, the
+    # IVM sink fails loudly on negative counts, and top1's packed
+    # order went through the new range-checked packed_order helper —
+    # fresh rows on every query riding those paths
+    "events_versioned_changes",
+    "events_versioned_cdf_stream",
+    "events_versioned_cdf_apply",
+    "events_versioned_ivm",
     "events_merge_upsert_cow",
+    "events_merge_guarded_update",
+    "events_merge_sync_delete",
     "events_versioned_dv_upsert",
-    # (r9/r10 retest entries retired — every one got its fresh green
-    # driver row in CORRECTNESS_r10 on the restructured code)
+    "top1_active_record",
+    # (r11 retest entries retired — every one got its fresh green
+    # driver row in CORRECTNESS_r11 on the restructured code)
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without

@@ -599,6 +599,10 @@ class VersionedTable:
             # manifest maps a data file to it
             for dv_list in (m.get("dvs") or {}).values():
                 referenced |= set(dv_list)
+            # commit-time CDF change files live in data/ too; changes()
+            # over any retained range may read them
+            if (m.get("cdf") or {}).get("mode") == "files":
+                referenced |= set((m.get("cdf") or {}).get("files") or [])
         return referenced
 
     def _maybe_write_ckpt(self, version: int) -> None:
@@ -718,6 +722,62 @@ class VersionedTable:
         pcluster = [cmap.get(c, c) for c in cluster_by] if cluster_by else None
         return self._write_files(self._to_physical(df, m), n_files=n_files, cluster_by=pcluster)
 
+    def _write_cdf_files(
+        self,
+        parts: Sequence[tuple[DataFrame | None, str]],
+        committed_schema: str | None,
+        n_files: int = 1,
+    ) -> list[str]:
+        """Write a commit's change rows as ``cdf-*.parquet`` under
+        ``data/`` and return the names — the commit-time change feed
+        (Delta's ``enableChangeDataFeed`` file shape). ``parts`` pairs
+        each change frame with its ``_change_type`` tag; every frame is
+        aligned to the COMMITTED logical schema (missing columns as
+        typed nulls across a schema-evolution boundary, extra helper
+        columns like ``__file`` dropped, narrower preimage types cast
+        up) so one commit's change files always share one schema.
+        Change files carry LOGICAL column names — they are a logical
+        feed, deliberately outside the col_map physical mapping.
+
+        Writers record preimages unconditionally: the range-netting
+        reader (:meth:`_changes_from_commits`) needs the first
+        preimage of every key to classify net inserts vs updates and
+        to serve ``include_preimages`` without ever touching the
+        snapshots. Over-recording is safe — a postimage identical to
+        its preimage nets away at read."""
+        from pyspark.sql.types import StructType
+
+        fields = (
+            StructType.fromJson(json.loads(committed_schema)).fields
+            if committed_schema
+            else None
+        )
+        frames = []
+        for df, ct in parts:
+            if df is None:
+                continue
+            if fields is not None:
+                have = {f.name: f.dataType for f in df.schema.fields}
+                df = df.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in have and have[f.name] != f.dataType
+                            else F.col(f.name)
+                            if f.name in have
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in fields
+                    ]
+                )
+            frames.append(df.withColumn("_change_type", F.lit(ct)))
+        if not frames:
+            return []
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return self._write_files(out, n_files=max(1, n_files), prefix="cdf")
+
     def _collect_stats_mapped(self, names: list[str], cols: Sequence[str] | None, m: dict) -> dict:
         """_collect_stats over freshly-written PHYSICAL files, re-keyed
         to LOGICAL column names so the stats sidecar (and therefore
@@ -791,6 +851,8 @@ class VersionedTable:
         bloom_file_ref: str | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, int] | None = None,
+        cdf: dict | None = None,
+        cdf_enabled: bool | None = None,
     ) -> None:
         """Atomically commit manifest ``base_version + 1``; raise
         :class:`CommitConflict` if another writer got there first.
@@ -848,6 +910,10 @@ class VersionedTable:
             # conservatively by the probe) until add_bloom_index reruns
             if bloom_file_ref is None:
                 bloom_file_ref = base_m.get("bloom_file")
+            # the CDF table property carries forward unless the
+            # committer (set_cdf) changes it; absent = enabled
+            if cdf_enabled is None:
+                cdf_enabled = bool(base_m.get("cdf_enabled", True))
         if txn_app is not None:
             txns[txn_app] = [int(txn_version), base_version + 1]
         # stats_file_ref: reuse an existing sidecar by name — sidecars
@@ -867,6 +933,22 @@ class VersionedTable:
         base_files = set(base_m["files"]) if base_version > 0 else set()
         added = [f for f in files if f not in base_files]
         removed = sorted(base_files - set(files))
+        # commit-time CDF record (Delta's enableChangeDataFeed shape):
+        #   {"mode": "files", "files": [...]}  explicit change parquet
+        #       (insert/update_pre/postimage/delete rows) written by the
+        #       committer BEFORE this call — merge / DV deletes
+        #   {"mode": "data"}   every row of this commit's ADDED data
+        #       files is an insert (create/convert/clone) — the reader
+        #       reads the data files themselves, no duplication
+        #   {"mode": "none"}   provably no logical row changed
+        #       (metadata DDL, optimize, DV compaction)
+        #   {"mode": "derive"} no commit-time record; changes() falls
+        #       back to the snapshot-diff derivation across any range
+        #       containing this version (restore, rename boundaries,
+        #       pre-CDF manifests)
+        if cdf is not None and cdf.get("mode") == "data":
+            cdf = {"mode": "data", "files": added}
+        cdf = cdf or {"mode": "derive"}
         metrics: dict = {"files_added": len(added), "files_removed": len(removed)}
         if len(added) <= 4096:
             try:
@@ -919,6 +1001,12 @@ class VersionedTable:
             "identity": identity or {},
             # operation metrics (history observability; see above)
             "metrics": metrics,
+            # commit-time change-data-feed record (see above)
+            "cdf": cdf,
+            # table property (Delta's enableChangeDataFeed): when False,
+            # row-mutating writers skip their change files and commit
+            # derive-mode — write-only tables don't pay the feed
+            "cdf_enabled": True if cdf_enabled is None else bool(cdf_enabled),
         }
         path = self._manifest_path(base_version + 1)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex[:12]}.json")
@@ -936,6 +1024,14 @@ class VersionedTable:
                     os.unlink(os.path.join(self._log, stats_file))
                 except OSError:
                     pass
+            # change files are written per-attempt by the committer —
+            # eager unlink (vacuum would also reclaim them as orphans)
+            if cdf.get("mode") == "files":
+                for cf in cdf.get("files") or []:
+                    try:
+                        os.unlink(os.path.join(self._data, cf))
+                    except OSError:
+                        pass
             raise CommitConflict(f"version {base_version + 1} already committed") from exc
         finally:
             os.unlink(tmp)
@@ -1106,6 +1202,7 @@ class VersionedTable:
         cluster_by: Sequence[str] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        cdf: bool = True,
     ) -> int:
         """Commit ``df`` as version 1 of a new table. ``cluster_by``
         (usually the merge keys) range-clusters the data files and is
@@ -1113,7 +1210,14 @@ class VersionedTable:
         clustering and key-local sources rewrite few files.
         ``txn_app``/``txn_version`` record the creating transaction so
         a replayed first micro-batch is recognized by merge_into's
-        idempotence check instead of applying twice."""
+        idempotence check instead of applying twice.
+
+        ``cdf=False`` creates the table with the commit-time change
+        feed OFF (Delta's enableChangeDataFeed property, default on
+        here): row-mutating commits then skip their change files —
+        O(changed rows) of extra write saved on tables nobody tails —
+        and ``changes()`` falls back to the snapshot-diff derivation.
+        Toggle later with :meth:`set_cdf`."""
         if self.version() != 0:
             raise ValueError(f"table already exists at {self.root}")
         files = self._write_files(df, n_files, cluster_by)
@@ -1121,6 +1225,8 @@ class VersionedTable:
             0, files, "create", cluster_by, txn_app, txn_version,
             schema_json=df.schema.json(),
             stats=self._collect_stats(files, cluster_by),
+            cdf={"mode": "data"},
+            cdf_enabled=cdf,
         )
         return 1
 
@@ -1465,6 +1571,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     bloom_file_ref=name,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -1522,6 +1629,150 @@ class VersionedTable:
         ranges = _extract_ranges(where) if isinstance(where, str) else where
         return len(self._keep_files(m, ranges)), len(m["files"])
 
+    def _changes_from_commits(
+        self,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+        include_preimages: bool,
+    ) -> DataFrame | None:
+        """Change feed from COMMIT-TIME change files — the fast path
+        :meth:`changes` prefers. Returns ``None`` when any version in
+        ``(v_from, v_to]`` lacks a usable CDF record (pre-CDF manifest,
+        restore, rename boundary), which sends the caller to the
+        snapshot-diff derivation.
+
+        Cost is O(changed rows in range): read the per-commit change
+        files (plus the added data files of insert-only commits), then
+        NET them per key with one keyed aggregate — first event by
+        (commit, preimage-first) gives presence-before and the v_from
+        image, last event by (commit, postimage-last) gives
+        presence-after and the v_to image. The r11 CDC bench measured
+        the derivation it replaces DOMINATING the apply pipeline (flat
+        7–8.7 s/batch vs the 2.3 s apply floor, BASELINE.md "CDC APPLY
+        at scale") because it re-scans and full-outer-joins two whole
+        snapshots regardless of churn; this path never touches the
+        snapshots. Netting also reconciles over-recording: an A→B→A
+        key or a postimage equal to its preimage nets to nothing,
+        exactly like the derivation's struct compare.
+
+        Frames are aligned to ``v_to``'s logical schema the same way
+        the derivation aligns snapshots: missing columns (recorded
+        before an add_column/schema evolution) become typed nulls,
+        extra columns (recorded before a drop_column) are projected
+        away, narrower types (recorded before a widen_column) cast up
+        — all value-preserving. Rename and restore commits record mode
+        ``derive`` precisely because name realignment is not."""
+        if v_to <= v_from:
+            return None
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        mt = self._read_manifest(v_to)
+        schema_json = mt.get("schema")
+        if schema_json is None:
+            return None
+        target = StructType.fromJson(json.loads(schema_json))
+        tnames = [f.name for f in target.fields]
+        if not set(keys) <= set(tnames):
+            return None
+        frames = []
+        for v in range(v_from + 1, v_to + 1):
+            m = self._read_manifest(v)
+            c = m.get("cdf") or {}
+            mode = c.get("mode")
+            if mode not in ("none", "data", "files"):
+                return None  # pre-CDF or derive-marked commit: fall back
+            names = c.get("files") or []
+            if mode == "none" or not names:
+                continue
+            if mode == "data":
+                # insert-only commit: the added data files ARE the feed
+                # (no duplication); _read_data applies the manifest's
+                # schema/col_map/DVs so clone'd tables read correctly
+                df = self._read_data(m, names).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            else:
+                df = self.spark.read.parquet(
+                    *[os.path.join(self._data, n) for n in names]
+                )
+            have = {f.name: f.dataType for f in df.schema.fields}
+            if "_change_type" not in have:
+                return None  # unreadable/foreign change file: fall back
+            df = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in have and have[f.name] != f.dataType
+                        else F.col(f.name)
+                        if f.name in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ],
+                "_change_type",
+            )
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+        val_cols = [c for c in tnames if c not in keys]
+        if not frames:
+            # no data-changing commit in range: empty feed, contract schema
+            by_name = {f.name: f for f in target.fields}
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [by_name[k] for k in keys]
+                    + [by_name[c] for c in val_cols]
+                    + [StructField("_change_type", StringType())]
+                ),
+            )
+        allc = frames[0]
+        for f in frames[1:]:
+            allc = allc.unionByName(f)
+        # net per key: order events by (commit, type-rank) where a
+        # commit's update_preimage sorts before everything and its
+        # update_postimage after — min_by then yields the FIRST
+        # preimage (or the lone insert/delete), max_by the LAST
+        # postimage. One keyed SortAggregate over O(changed rows).
+        rank = (
+            F.when(F.col("_change_type") == "update_preimage", F.lit(0))
+            .when(F.col("_change_type") == "update_postimage", F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        ordc = F.struct(F.col("_commit_version"), rank.alias("__r"))
+        payload = F.struct(
+            F.col("_change_type").alias("__t"),
+            F.struct(*[F.col(c) for c in val_cols]).alias("__v"),
+        )
+        agg = allc.groupBy(*keys).agg(
+            F.min_by(payload, ordc).alias("__first"),
+            F.max_by(payload, ordc).alias("__last"),
+        )
+        before = F.col("__first.__t") != F.lit("insert")
+        after = F.col("__last.__t") != F.lit("delete")
+        pre_img, post_img = F.col("__first.__v"), F.col("__last.__v")
+        change = (
+            F.when(~before & after, F.lit("insert"))
+            .when(before & ~after, F.lit("delete"))
+            .when(before & after & ~pre_img.eqNullSafe(post_img), F.lit("update_postimage"))
+        )
+        tagged = agg.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        img = F.when(F.col("_change_type") == "delete", pre_img).otherwise(post_img)
+        post = tagged.select(
+            *keys,
+            *[img.getField(c).alias(c) for c in val_cols],
+            "_change_type",
+        )
+        if not include_preimages:
+            return post
+        pre = tagged.filter(F.col("_change_type") == "update_postimage").select(
+            *keys,
+            *[pre_img.getField(c).alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return post.unionByName(pre)
+
     def changes(
         self,
         v_from: int,
@@ -1541,6 +1792,18 @@ class VersionedTable:
         is two scans + one co-partitioned join, independent of how many
         commits separate the versions.
 
+        COMMIT-TIME FAST PATH (r12): when every version in the range
+        carries a commit-time CDF record (every mutating commit writes
+        its change files alongside its data — Delta's
+        enableChangeDataFeed shape), the feed is read from those files
+        and netted per key instead: O(changed rows in range), never a
+        snapshot scan — the derivation below measured 7–8.7 s/batch
+        DOMINATING the CDC apply pipeline at x160 while the apply floor
+        was 2.3 s (BASELINE.md "CDC APPLY at scale"). Ranges crossing
+        a pre-CDF version, a restore, or a rename boundary fall back
+        to the derivation transparently; both paths emit the identical
+        netted contract.
+
         ``include_preimages=True`` additionally emits one
         ``update_preimage`` row (the ``v_from`` image) per update —
         Delta CDF's full four-type contract, needed by consumers that
@@ -1553,6 +1816,9 @@ class VersionedTable:
         keys = list(keys)
         if not keys:
             raise ValueError("changes() needs key columns (table has no cluster_by)")
+        fast = self._changes_from_commits(v_from, v_to, keys, include_preimages)
+        if fast is not None:
+            return fast
         old, new = self.snapshot(v_from), self.snapshot(v_to)
         # across a RENAME boundary the same physical column carries two
         # logical names: align the old snapshot to v_to's logical names
@@ -1862,6 +2128,8 @@ class VersionedTable:
             cols = base_df.columns  # parquet footer only, no job
             rewritten: list[str] = []
             touched_df = None
+            cdf_replaced = None
+            cdf_nmbs_del = None
             if touched:
                 # manifest-schema read: when a merge touches BOTH an
                 # old-schema and an evolved file, an inferred read that
@@ -1873,15 +2141,25 @@ class VersionedTable:
                     matched_true_keys if matched_true_keys is not None else src_keys
                 )
                 kept = touched_df.join(replace_keys, keys, "left_anti")
+                # commit-time CDF capture: the rows the rewrite REMOVES
+                # — replaced rows (update preimages / matched deletes)
+                # and the not-matched-by-source deletions — computed as
+                # the exact complement of `kept`, lazily (they feed one
+                # change-file write job before the commit)
+                cdf_replaced = touched_df.join(replace_keys, keys, "left_semi")
                 if nmbs_pred is not None:
                     if wm_pred is None:
                         # matched rows are already gone (anti src_keys):
                         # every survivor is key-unmatched, filter direct
+                        cdf_nmbs_del = kept.filter(nmbs_pred)
                         kept = kept.filter(~nmbs_pred)
                     else:
                         # matched-false rows survive the anti above but
                         # are NOT "not matched by source" — only rows
                         # whose key is absent from the source delete
+                        cdf_nmbs_del = kept.join(src_keys, keys, "left_anti").filter(
+                            nmbs_pred
+                        )
                         kept = (
                             kept.join(
                                 src_keys.withColumn("__in_src", F.lit(1)),
@@ -1946,6 +2224,48 @@ class VersionedTable:
                     )
                 else:
                     rewritten += self._write_files_mapped(ins, m)
+            # commit-time CDF: a pure append's added files ARE the feed
+            # (mode "data", zero extra write — the streaming-sink common
+            # case); anything touching existing rows writes explicit
+            # change files (O(changed rows), one job)
+            if not touched:
+                cdf_rec: dict | None = {"mode": "data"}
+            elif not m.get("cdf_enabled", True):
+                cdf_rec = None  # property off: commit derive-mode, no write
+            else:
+                ins_live = None if ins_empty else ins
+                if when_matched == "update":
+                    mk = cdf_replaced.select(*keys).distinct()
+                    parts = [
+                        (cdf_replaced, "update_preimage"),
+                        (
+                            None
+                            if ins_live is None
+                            else ins_live.join(mk, keys, "left_semi"),
+                            "update_postimage",
+                        ),
+                        (
+                            None
+                            if ins_live is None
+                            else ins_live.join(mk, keys, "left_anti"),
+                            "insert",
+                        ),
+                        (cdf_nmbs_del, "delete"),
+                    ]
+                else:
+                    parts = [
+                        (cdf_replaced, "delete"),
+                        (cdf_nmbs_del, "delete"),
+                        (ins_live, "insert"),
+                    ]
+                cdf_names = self._write_cdf_files(
+                    parts, committed_schema, n_files=max(1, len(touched))
+                )
+                cdf_rec = (
+                    {"mode": "files", "files": cdf_names}
+                    if cdf_names
+                    else {"mode": "none"}
+                )
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = {f: stats[f] for f in untouched if f in stats}
             new_stats.update(self._collect_stats_mapped(rewritten, stat_cols, m))
@@ -1967,6 +2287,7 @@ class VersionedTable:
                     stats=new_stats,
                     dvs=new_dvs,
                     identity=new_identity,
+                    cdf=cdf_rec,
                 )
                 return base + 1
             except CommitConflict:
@@ -2216,6 +2537,8 @@ class VersionedTable:
                 sorted(_phys_conflicts(m)),
             )
             new_dvs = None
+            killed = None
+            nmbs_killed = None
             if live is not None:
                 if matched_pairs is not None:
                     # KEY-level, like the COW path and the unconditioned
@@ -2224,18 +2547,18 @@ class VersionedTable:
                     # cond-true row would diverge from COW on a target
                     # holding duplicate keys); matched-false keys stay
                     # fully alive
-                    hits = live.join(matched_true_keys, keys, "left_semi").select(
-                        F.col("__file").alias("file"), F.col("__pos").alias("pos")
-                    )
+                    killed = live.join(matched_true_keys, keys, "left_semi")
                 else:
-                    hits = live.join(src_keys, keys, "left_semi").select(
-                        F.col("__file").alias("file"), F.col("__pos").alias("pos")
-                    )
+                    killed = live.join(src_keys, keys, "left_semi")
+                hits = killed.select(
+                    F.col("__file").alias("file"), F.col("__pos").alias("pos")
+                )
                 if nmbs_pred is not None:
+                    nmbs_killed = live.filter(nmbs_pred).join(
+                        src_keys, keys, "left_anti"
+                    )
                     hits = hits.unionByName(
-                        live.filter(nmbs_pred)
-                        .join(src_keys, keys, "left_anti")
-                        .select(
+                        nmbs_killed.select(
                             F.col("__file").alias("file"), F.col("__pos").alias("pos")
                         )
                     )
@@ -2250,6 +2573,48 @@ class VersionedTable:
                 # scans can prune the appended files; zero-row parts of
                 # a small source are dropped by _write_files
                 appended = self._write_files_mapped(ins, m, cluster_by=cluster_by)
+            # commit-time CDF (mirrors the COW path): append-only
+            # commits reference their added files (mode "data", no
+            # extra write); anything DV-killing preimages writes
+            # explicit change files
+            if new_dvs is None:
+                cdf_rec: dict | None = {"mode": "data"}
+            elif not m.get("cdf_enabled", True):
+                cdf_rec = None  # property off: commit derive-mode, no write
+            else:
+                ins_live = None if ins_empty else ins
+                if when_matched == "update":
+                    mk = killed.select(*keys).distinct()
+                    parts = [
+                        (killed, "update_preimage"),
+                        (
+                            None
+                            if ins_live is None
+                            else ins_live.join(mk, keys, "left_semi"),
+                            "update_postimage",
+                        ),
+                        (
+                            None
+                            if ins_live is None
+                            else ins_live.join(mk, keys, "left_anti"),
+                            "insert",
+                        ),
+                        (nmbs_killed, "delete"),
+                    ]
+                else:
+                    parts = [
+                        (killed, "delete"),
+                        (nmbs_killed, "delete"),
+                        (ins_live, "insert"),
+                    ]
+                cdf_names = self._write_cdf_files(
+                    parts, committed_schema, n_files=max(1, len(candidates))
+                )
+                cdf_rec = (
+                    {"mode": "files", "files": cdf_names}
+                    if cdf_names
+                    else {"mode": "none"}
+                )
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
             new_stats = dict(self._stats_of(m))
             new_stats.update(self._collect_stats_mapped(appended, stat_cols, m))
@@ -2272,6 +2637,7 @@ class VersionedTable:
                     stats=new_stats,
                     dvs=dvs_map,
                     identity=new_identity,
+                    cdf=cdf_rec,
                 )
                 return base + 1
             except CommitConflict:
@@ -2381,6 +2747,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     constraints=cons,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2411,6 +2778,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     constraints=cons,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2462,6 +2830,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     generated=gen,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2493,6 +2862,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     generated=gen,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2574,12 +2944,50 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     identity=ids,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"set_identity on {self.root} gave up after {max_retries} conflicts"
+        )
+
+    def set_cdf(self, enabled: bool, max_retries: int = 5) -> int:
+        """Toggle the commit-time change feed (Delta's
+        ``delta.enableChangeDataFeed`` table property; ON by default
+        here). With it OFF, row-mutating commits skip their change
+        files — saving O(changed rows) of write on tables nobody tails
+        — and commit derive-mode, so ``changes()`` over any range
+        containing them falls back to the snapshot-diff derivation
+        (correct, just the pre-r12 cost). Re-enabling takes effect on
+        the NEXT commit; ranges spanning the off window keep deriving,
+        exactly like Delta's property."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("set_cdf target does not exist; create() it first")
+            m = self._read_manifest(base)
+            if bool(m.get("cdf_enabled", True)) == bool(enabled):
+                return base  # already in the requested state
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    f"alter:cdf:{'on' if enabled else 'off'}",
+                    m.get("cluster_by") or None,
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    cdf={"mode": "none"},
+                    cdf_enabled=bool(enabled),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"set_cdf on {self.root} gave up after {max_retries} conflicts"
         )
 
     def drop_identity(self, name: str, max_retries: int = 5) -> int:
@@ -2605,6 +3013,7 @@ class VersionedTable:
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     identity=ids,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2845,6 +3254,7 @@ class VersionedTable:
                     stats=None if m.get("stats_file") else (m.get("stats") or None),
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2938,6 +3348,7 @@ class VersionedTable:
                     stats=None if m.get("stats_file") else (m.get("stats") or None),
                     stats_file_ref=m.get("stats_file"),
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -2991,6 +3402,7 @@ class VersionedTable:
                     dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
                     col_map=cmap,
                     retired=retired,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -3053,11 +3465,12 @@ class VersionedTable:
             # coordinates exposed — all three invariants owned by
             # _read_data, not re-implemented here
             live = self._read_data(m, candidates, with_pos=True)
-            hits = live.filter(cond).select(
+            doomed = live.filter(cond)
+            hits = doomed.select(
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
             try:
-                return self._commit_dv_delete(base, m, candidates, hits)
+                return self._commit_dv_delete(base, m, candidates, hits, cdf_rows=doomed)
             except CommitConflict:
                 continue
         raise CommitConflict(f"delete_where on {self.root} gave up after {max_retries} conflicts")
@@ -3090,11 +3503,12 @@ class VersionedTable:
             if not candidates:
                 return base  # no file can hold a matching key
             live = self._read_data(m, candidates, with_pos=True)
-            hits = live.join(src_keys, keys, "left_semi").select(
+            doomed = live.join(src_keys, keys, "left_semi")
+            hits = doomed.select(
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
             try:
-                return self._commit_dv_delete(base, m, candidates, hits)
+                return self._commit_dv_delete(base, m, candidates, hits, cdf_rows=doomed)
             except CommitConflict:
                 continue
         raise CommitConflict(f"delete_matching on {self.root} gave up after {max_retries} conflicts")
@@ -3186,7 +3600,14 @@ class VersionedTable:
                     new_dvs.setdefault(f, []).append(d)
         return new_dvs
 
-    def _commit_dv_delete(self, base: int, m: dict, candidates: list[str], hits: DataFrame) -> int:
+    def _commit_dv_delete(
+        self,
+        base: int,
+        m: dict,
+        candidates: list[str],
+        hits: DataFrame,
+        cdf_rows: DataFrame | None = None,
+    ) -> int:
         """Write ``hits`` (file, pos) as DV parquet, attach each DV to
         the candidate files its name-range stats cover, and commit a
         ``delete`` version with the data file set — and therefore the
@@ -3194,10 +3615,23 @@ class VersionedTable:
         only narrows value ranges, so pruning stays a safe
         over-approximation). Returns the new version, or ``base``
         unchanged when ``hits`` is empty; raises CommitConflict for
-        the caller's retry loop."""
+        the caller's retry loop.
+
+        ``cdf_rows`` — the doomed rows as full images — become the
+        commit's change files (``_change_type='delete'``), written only
+        when something actually matched; a caller not supplying them
+        leaves the commit derive-mode (changes() falls back)."""
         new_dvs = self._build_dvs(m, candidates, hits)
         if new_dvs is None:
             return base  # nothing matched
+        cdf_rec = None
+        if cdf_rows is not None and m.get("cdf_enabled", True):
+            names = self._write_cdf_files(
+                [(cdf_rows, "delete")], m.get("schema"), n_files=len(candidates)
+            )
+            cdf_rec = (
+                {"mode": "files", "files": names} if names else {"mode": "none"}
+            )
         self._try_commit(
             base,
             list(m["files"]),
@@ -3207,6 +3641,7 @@ class VersionedTable:
             stats=None if m.get("stats_file") else (m.get("stats") or None),
             stats_file_ref=m.get("stats_file"),
             dvs=new_dvs,
+            cdf=cdf_rec,
         )
         return base + 1
 
@@ -3281,6 +3716,7 @@ class VersionedTable:
                         schema_json=m.get("schema"),
                         stats=stats or None,
                         dvs=dvs,
+                        cdf={"mode": "none"},
                     )
                     return base + 1
                 except CommitConflict:
@@ -3304,6 +3740,7 @@ class VersionedTable:
                     stats=self._collect_stats(files, stat_cols),
                     col_map={},
                     retired=[],
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -3362,6 +3799,7 @@ class VersionedTable:
                     schema_json=m.get("schema"),
                     stats=new_stats,
                     dvs=new_dvs,
+                    cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
@@ -3469,6 +3907,8 @@ class VersionedTable:
             referenced |= set(m["files"])
             for dv_list in (m.get("dvs") or {}).values():
                 referenced |= set(dv_list)
+            if (m.get("cdf") or {}).get("mode") == "files":
+                referenced |= set((m.get("cdf") or {}).get("files") or [])
             for key in ("stats_file", "bloom_file"):
                 if m.get(key):
                     kept_sidecars.add(m[key])
@@ -3561,6 +4001,7 @@ class VersionedTable:
             f"convert:{src_dir}",
             list(cluster_by) if cluster_by else None,
             schema_json=schema_json,
+            cdf={"mode": "data"},
         )
         return t
 
@@ -3643,6 +4084,8 @@ class VersionedTable:
             bloom_file_ref=bloom_ref,
             generated=m.get("generated") or {},
             identity=dict(m.get("identity") or {}),
+            cdf={"mode": "data"},
+            cdf_enabled=bool(m.get("cdf_enabled", True)),
         )
         return dest
 

@@ -1755,6 +1755,9 @@ class TestMorConflictOrphans:
             referenced |= set(m["files"])
             for dv_list in (m.get("dvs") or {}).values():
                 referenced |= set(dv_list)
+            # r12: commit-time CDF change files are referenced too
+            if (m.get("cdf") or {}).get("mode") == "files":
+                referenced |= set(m["cdf"].get("files") or [])
         orphans = all_files - referenced
         assert orphans  # the failed attempt left files behind
         removed = set(table.vacuum(retention_s=0))
