@@ -45,6 +45,9 @@ _RETEST = [
     # IVM sink fails loudly on negative counts, and top1's packed
     # order went through the new range-checked packed_order helper —
     # fresh rows on every query riding those paths
+    # (brand-new r12 gates events_versioned_cdf_commitfiles and
+    # events_merge_concurrent_rebase rank ahead automatically as
+    # never-covered)
     "events_versioned_changes",
     "events_versioned_cdf_stream",
     "events_versioned_cdf_apply",

@@ -1412,8 +1412,8 @@ def events_versioned_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: per batch the view pays O(batch) for the delta aggregate
     plus a key-pruned merge of the AFFECTED groups — the source is
     never re-read and the view is never re-scanned; SUM/COUNT are the
-    self-maintainable tier (MIN/MAX need source re-reads by nature,
-    out of scope exactly as in production IVM engines)."""
+    self-maintainable tier (MIN/MAX need source repair reads — the
+    r12 tier-2 sink, gated by ``events_versioned_ivm_minmax``)."""
     from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
 
     r = _readings(spark, sf_dir)
@@ -1720,3 +1720,164 @@ def events_versioned_cdf_commitfiles(spark: SparkSession, sf_dir: str) -> DataFr
     return ch.select(
         "station", "part", "ts_us", "v_cents", "version_id", "_change_type"
     )
+
+
+@register(
+    "events_merge_concurrent_rebase",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(s.station, b.station) AS station,
+               coalesce(s.part, b.part) AS part,
+               coalesce(s.ts_us, b.ts_us) AS ts_us,
+               coalesce(s.v_cents, b.v_cents) AS v_cents,
+               coalesce(s.version_id, b.version_id) AS version_id
+        FROM b FULL JOIN s ON b.station = s.station
+    )
+    SELECT * FROM merged
+    UNION ALL
+    SELECT station + 10000000 AS station, part, ts_us, v_cents, version_id
+    FROM b WHERE station % 9 = 0
+    """,
+)
+def events_merge_concurrent_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT WRITERS (r12): writer A's MERGE-upsert loses its
+    commit race — deterministically injected — to writer B's append of
+    new stations (shifted by 10M, provably outside A's source key
+    bounds). A's conflict path validates its read set against B's
+    commit (probe files untouched, added files' stats ranges disjoint
+    from A's source bounds) and REBASES: re-commits its finished files
+    against the new head, metadata-only, instead of re-running the
+    merge — Delta's logical conflict detection on this table format.
+    The gate asserts the rebase op actually landed (a silently
+    re-running implementation fails the assert, not the hash) and
+    hash-checks the final snapshot against both writers' set algebra.
+
+    100 TB: the difference between a backfill merge re-reading and
+    re-writing O(touched bytes) because a 1-row streaming upsert beat
+    it to the manifest, and re-linking finished files under the next
+    version. Overlapping reads / maybe-match added files / NMBS /
+    metadata changes all still take the full optimistic retry
+    (TestConcurrentWriters pins each)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src_a = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    src_b = base.filter(F.col("station") % 9 == 0).withColumn(
+        "station", F.col("station") + F.lit(10000000)
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_ccw_"), "tbl")
+    a = VersionedTable(spark, root)
+    a.create(base, n_files=8, cluster_by=["station"])
+    b = VersionedTable(spark, root)
+    orig = type(a)._try_commit
+    state = {"fired": False}
+
+    def hooked(self, *args, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            b.merge_into(src_b, ["station"])
+        return orig(self, *args, **kw)
+
+    a._try_commit = hooked.__get__(a)
+    a.merge_into(src_a, ["station"])
+    last = a.history()[-1]
+    if not last["op"].endswith(":rebase"):
+        raise RuntimeError(f"expected a rebased merge, got {last['op']!r}")
+    return a.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_ivm_minmax",
+    """
+    WITH b AS (
+        SELECT event_id, user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    u AS (
+        SELECT event_id, station,
+               CASE WHEN event_id % 4 = 0 THEN v_cents + 5000
+                    ELSE v_cents END AS v_cents
+        FROM b
+    ),
+    f AS (SELECT * FROM u WHERE event_id % 7 <> 0)
+    SELECT station, CAST(count(*) AS BIGINT) AS cnt,
+           min(v_cents) AS min_v_cents, max(v_cents) AS max_v_cents
+    FROM f GROUP BY station
+    """,
+)
+def events_versioned_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM TIER 2 (r12 verdict #5): a per-station (cnt, MIN, MAX) view
+    maintained from the change feed by ``cdf_ivm_minmax_foreach_batch``
+    while the source takes an UPDATE (+5000 cents on mod-4 events —
+    preimages leave, postimages arrive) and a keyed DELETE (mod-7
+    events — including rows HOLDING group extremes). MIN/MAX are not
+    self-maintainable: the sink applies the incremental bound where a
+    deleted value provably cannot beat the stored extreme and REPAIRS
+    only the groups where it can, re-aggregated from the source AS OF
+    the batch's commit version through a key-pruned scan. The oracle
+    aggregates the final state directly — a wrong repair scope, a
+    torn repair version, or a missed preimage hash-mismatches.
+
+    100 TB: per batch O(batch) + O(affected groups) + O(source rows of
+    REPAIRED groups) — never O(source), never O(view); the repair read
+    is the honest price of the MIN/MAX tier and is paid only by groups
+    whose extreme-holding row actually left (measured per batch in
+    BASELINE.md "IVM at scale")."""
+    from iotdatapipeline_spark.streaming.sinks import cdf_ivm_minmax_foreach_batch
+
+    r = _readings(spark, sf_dir)
+    base = r.filter(F.col("event_id") % 3 != 0).select("event_id", "station", "v_cents")
+    stem = tempfile.mkdtemp(prefix="iotdp_ivmmm_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    upd = (
+        src.snapshot()
+        .filter(F.col("event_id") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000))
+    )
+    src.merge_into(upd, ["event_id"])  # v2
+    dele = src.snapshot().filter(F.col("event_id") % 7 == 0)
+    src.merge_into(dele, ["event_id"], when_matched="delete")  # v3
+
+    ivm = cdf_ivm_minmax_foreach_batch(
+        os.path.join(stem, "view"),
+        os.path.join(stem, "src"),
+        ["station"],
+        min_cols=["v_cents"],
+        max_cols=["v_cents"],
+    )
+    seed = src.snapshot(1).withColumns(
+        {
+            "_change_type": F.lit("insert"),
+            "_commit_version": F.lit(1).cast("long"),
+        }
+    )
+    ivm(seed, 0)
+    for i, (lo, hi) in enumerate([(1, 2), (2, 3)], start=1):
+        ch = src.changes(lo, hi, keys=["event_id"], include_preimages=True).withColumn(
+            "_commit_version", F.lit(hi).cast("long")
+        )
+        ivm(ch, i)
+    view = VersionedTable(spark, os.path.join(stem, "view"))
+    ops = [m["op"] for m in view.history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"view was not incrementally maintained: {ops}")
+    return view.snapshot().select("station", "cnt", "min_v_cents", "max_v_cents")

@@ -1024,14 +1024,11 @@ class VersionedTable:
                     os.unlink(os.path.join(self._log, stats_file))
                 except OSError:
                     pass
-            # change files are written per-attempt by the committer —
-            # eager unlink (vacuum would also reclaim them as orphans)
-            if cdf.get("mode") == "files":
-                for cf in cdf.get("files") or []:
-                    try:
-                        os.unlink(os.path.join(self._data, cf))
-                    except OSError:
-                        pass
+            # change files are NOT eagerly unlinked on conflict: the
+            # merge rebase path re-commits the same change files
+            # against the new head; a genuinely abandoned attempt's
+            # files are unreferenced orphans that vacuum reclaims,
+            # exactly like its data files
             raise CommitConflict(f"version {base_version + 1} already committed") from exc
         finally:
             os.unlink(tmp)
@@ -1893,6 +1890,131 @@ class VersionedTable:
         )
         return post.unionByName(pre)
 
+    def _rebase_merge_commit(
+        self,
+        base: int,
+        probe_files: Sequence[str],
+        src_keys: DataFrame,
+        keys: list[str],
+        *,
+        nmbs_on: bool,
+        txn_app: str | None,
+        txn_version: int | None,
+        op: str,
+        cluster_by: Sequence[str] | None,
+        committed_schema: str | None,
+        new_identity: dict | None,
+        cdf_rec: dict | None,
+        touched: set[str] | frozenset = frozenset(),
+        new_files: Sequence[str] = (),
+        new_file_stats: dict | None = None,
+        dv_delta: dict[str, list[str]] | None = None,
+        max_attempts: int = 3,
+    ) -> int | None:
+        """Delta-style LOGICAL conflict resolution for a merge that
+        lost its commit race: validate the merge's READ SET against the
+        intervening commits and, when they are provably disjoint,
+        re-commit the already-written files against the new head —
+        a metadata-only rebase — instead of re-reading and re-writing
+        the whole merge (the optimistic-retry fallback). At 100 TB the
+        difference is a backfill merge losing a race to a 1-row
+        streaming upsert re-running O(touched bytes) of work versus
+        re-linking its finished files under a new version.
+
+        Returns the committed version, the already-applied version for
+        a txn replay detected at the new head, or ``None`` when the
+        conflict is LOGICAL and the caller must re-run (any of:
+        table metadata changed — schema / column mapping / constraints
+        / generated / identity / clustering / CDF property; a file this
+        merge READ (``probe_files``, which includes every touched file
+        and the not-matched-by-source scope) was removed, rewritten or
+        DV-modified; an intervening commit ADDED a file whose stats or
+        bloom cannot rule out holding one of this merge's source keys —
+        a maybe-match the finished computation never saw; or the clause
+        set includes NOT MATCHED BY SOURCE, where ANY added file could
+        hold a row that should now delete). Every check is
+        driver-side manifest/stats work except the added-file key probe,
+        which reuses the same stats+bloom pruning as the merge itself
+        (a stats-less added file is conservatively a conflict).
+
+        ``touched``/``new_files``/``dv_delta`` describe the finished
+        physical result: the rebased manifest carries the head's files
+        minus ``touched`` plus ``new_files``, the head's DVs minus the
+        touched files' plus this merge's new entries, and the head's
+        stats for carried files plus ``new_file_stats``. The commit's
+        change files (``cdf_rec``) re-commit verbatim — they were never
+        unlinked on conflict."""
+        base_m = self._read_manifest(base)
+        touched = set(touched)
+        for _ in range(max_attempts):
+            head = self.version()
+            if head <= base:
+                return None
+            head_m = self._read_manifest(head)
+            if txn_app is not None:
+                seen = (head_m.get("txns") or {}).get(txn_app)
+                if seen is not None and int(seen[0]) >= int(txn_version):
+                    return int(seen[1])  # applied by the racing writer
+            for fld in (
+                "schema",
+                "col_map",
+                "retired_cols",
+                "constraints",
+                "generated",
+                "identity",
+                "cluster_by",
+            ):
+                if (base_m.get(fld) or None) != (head_m.get(fld) or None):
+                    return None
+            if bool(base_m.get("cdf_enabled", True)) != bool(
+                head_m.get("cdf_enabled", True)
+            ):
+                return None
+            head_files = set(head_m["files"])
+            b_dvs = base_m.get("dvs") or {}
+            h_dvs = head_m.get("dvs") or {}
+            for f in probe_files:
+                if f not in head_files or list(b_dvs.get(f) or []) != list(
+                    h_dvs.get(f) or []
+                ):
+                    return None
+            added = sorted(head_files - set(base_m["files"]))
+            if added:
+                if nmbs_on:
+                    return None
+                maybe = self._candidates_by_key_bounds(
+                    {**head_m, "files": added}, src_keys, keys
+                )
+                if maybe:
+                    return None
+            files_set = (head_files - touched) | set(new_files)
+            stats = {
+                f: s for f, s in self._stats_of(head_m).items() if f in files_set
+            }
+            stats.update(new_file_stats or {})
+            dvs = {f: list(v) for f, v in h_dvs.items() if f not in touched}
+            for f, extra in (dv_delta or {}).items():
+                if extra:
+                    dvs.setdefault(f, []).extend(extra)
+            try:
+                self._try_commit(
+                    head,
+                    sorted(files_set),
+                    op + ":rebase",
+                    cluster_by,
+                    txn_app,
+                    txn_version,
+                    schema_json=committed_schema,
+                    stats=stats,
+                    dvs=dvs,
+                    identity=new_identity,
+                    cdf=cdf_rec,
+                )
+                return head + 1
+            except CommitConflict:
+                continue  # head moved again: revalidate against it
+        return None
+
     def merge_into(
         self,
         source: DataFrame,
@@ -2267,19 +2389,22 @@ class VersionedTable:
                     else {"mode": "none"}
                 )
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
+            rewritten_stats = self._collect_stats_mapped(rewritten, stat_cols, m)
             new_stats = {f: stats[f] for f in untouched if f in stats}
-            new_stats.update(self._collect_stats_mapped(rewritten, stat_cols, m))
+            new_stats.update(rewritten_stats)
             # rewritten files were read THROUGH their DVs (_read_data),
             # so the rewrite materializes pending deletes and the new
             # files start DV-free; untouched files keep their mappings
             m_dvs = m.get("dvs") or {}
             new_dvs = {f: list(m_dvs[f]) for f in untouched if f in m_dvs}
+            op = f"merge:{when_matched}" + (
+                "+syncdel" if not_matched_by_source == "delete" else ""
+            )
             try:
                 self._try_commit(
                     base,
                     untouched + rewritten,
-                    f"merge:{when_matched}"
-                    + ("+syncdel" if not_matched_by_source == "delete" else ""),
+                    op,
                     cluster_by,
                     txn_app,
                     txn_version,
@@ -2291,6 +2416,29 @@ class VersionedTable:
                 )
                 return base + 1
             except CommitConflict:
+                # logical conflict check first: when the intervening
+                # commits are provably disjoint from this merge's read
+                # set, re-commit the finished files against the new
+                # head (metadata-only) instead of re-running the merge
+                rb = self._rebase_merge_commit(
+                    base,
+                    probe_files,
+                    src_keys,
+                    keys,
+                    nmbs_on=not_matched_by_source == "delete",
+                    txn_app=txn_app,
+                    txn_version=txn_version,
+                    op=op,
+                    cluster_by=cluster_by,
+                    committed_schema=committed_schema,
+                    new_identity=new_identity,
+                    cdf_rec=cdf_rec,
+                    touched=touched,
+                    new_files=rewritten,
+                    new_file_stats=rewritten_stats,
+                )
+                if rb is not None:
+                    return rb
                 # orphaned files from the failed attempt are cleaned by
                 # vacuum(); re-read the new snapshot and re-apply
                 continue
@@ -2616,20 +2764,25 @@ class VersionedTable:
                     else {"mode": "none"}
                 )
             stat_cols = list(dict.fromkeys((cluster_by or []) + keys))
+            appended_stats = self._collect_stats_mapped(appended, stat_cols, m)
             new_stats = dict(self._stats_of(m))
-            new_stats.update(self._collect_stats_mapped(appended, stat_cols, m))
+            new_stats.update(appended_stats)
+            m_dvs = m.get("dvs") or {}
             dvs_map = (
                 new_dvs
                 if new_dvs is not None
-                else {f: list(v) for f, v in (m.get("dvs") or {}).items()}
+                else {f: list(v) for f, v in m_dvs.items()}
+            )
+            op = (
+                f"merge:{when_matched}"
+                + ("+syncdel" if not_matched_by_source == "delete" else "")
+                + ":mor"
             )
             try:
                 self._try_commit(
                     base,
                     list(m["files"]) + appended,
-                    f"merge:{when_matched}"
-                    + ("+syncdel" if not_matched_by_source == "delete" else "")
-                    + ":mor",
+                    op,
                     cluster_by,
                     txn_app,
                     txn_version,
@@ -2641,6 +2794,32 @@ class VersionedTable:
                 )
                 return base + 1
             except CommitConflict:
+                # logical conflict check (see the COW path): MOR never
+                # drops files, so the rebase carries the head's file
+                # set plus this merge's appended postimages, and layers
+                # this merge's NEW DV entries over the head's map
+                rb = self._rebase_merge_commit(
+                    base,
+                    candidates,
+                    src_keys,
+                    keys,
+                    nmbs_on=not_matched_by_source == "delete",
+                    txn_app=txn_app,
+                    txn_version=txn_version,
+                    op=op,
+                    cluster_by=cluster_by,
+                    committed_schema=committed_schema,
+                    new_identity=new_identity,
+                    cdf_rec=cdf_rec,
+                    new_files=appended,
+                    new_file_stats=appended_stats,
+                    dv_delta={
+                        f: [d for d in v if d not in (m_dvs.get(f) or [])]
+                        for f, v in (new_dvs or {}).items()
+                    },
+                )
+                if rb is not None:
+                    return rb
                 # orphaned DV/data files from the failed attempt are
                 # cleaned by vacuum(); re-read and re-apply
                 continue
@@ -3480,6 +3659,8 @@ class VersionedTable:
         source: DataFrame,
         keys: Sequence[str],
         max_retries: int = 5,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Keyed merge-on-read DELETE (Iceberg's "equality delete"):
         every table row whose key tuple appears in ``source`` gets a
@@ -3491,7 +3672,17 @@ class VersionedTable:
         merge probe (source key bounds vs manifest stats skip files
         that cannot hold a match), same existing-DV subtraction, same
         optimistic-concurrency retry. Returns the committed version
-        (unchanged when nothing matched)."""
+        (unchanged when nothing matched).
+
+        ``txn_app``/``txn_version`` — the same exactly-once protocol as
+        :meth:`merge_into`: a replayed batch whose app already recorded
+        this version is a no-op. The IVM sinks stamp a DELETE-ONLY
+        batch's commit through this (without it, a batch that only
+        empties groups would never record its txn and a replay would
+        re-subtract — the negative-count guard catches it, but the txn
+        is what makes the replay a clean no-op)."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be passed together")
         keys = list(keys)
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
@@ -3499,6 +3690,10 @@ class VersionedTable:
             if base == 0:
                 raise ValueError("delete_matching target does not exist; create() it first")
             m = self._read_manifest(base)
+            if txn_app is not None:
+                seen = (m.get("txns") or {}).get(txn_app)
+                if seen is not None and int(seen[0]) >= int(txn_version):
+                    return int(seen[1])  # already applied (batch replay)
             candidates = self._candidates_by_key_bounds(m, src_keys, keys)
             if not candidates:
                 return base  # no file can hold a matching key
@@ -3508,7 +3703,15 @@ class VersionedTable:
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
             try:
-                return self._commit_dv_delete(base, m, candidates, hits, cdf_rows=doomed)
+                return self._commit_dv_delete(
+                    base,
+                    m,
+                    candidates,
+                    hits,
+                    cdf_rows=doomed,
+                    txn_app=txn_app,
+                    txn_version=txn_version,
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"delete_matching on {self.root} gave up after {max_retries} conflicts")
@@ -3607,6 +3810,8 @@ class VersionedTable:
         candidates: list[str],
         hits: DataFrame,
         cdf_rows: DataFrame | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Write ``hits`` (file, pos) as DV parquet, attach each DV to
         the candidate files its name-range stats cover, and commit a
@@ -3637,6 +3842,8 @@ class VersionedTable:
             list(m["files"]),
             "delete",
             m.get("cluster_by") or None,
+            txn_app,
+            txn_version,
             schema_json=m.get("schema"),
             stats=None if m.get("stats_file") else (m.get("stats") or None),
             stats_file_ref=m.get("stats_file"),

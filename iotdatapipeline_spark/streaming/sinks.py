@@ -390,8 +390,8 @@ def cdf_ivm_foreach_batch(
     key pruning, added, and written back as one txn-deduped MERGE —
     groups whose count reaches zero are removed (keyed DV delete).
     SUM/COUNT are the self-maintainable aggregates (no per-group
-    history needed); MIN/MAX would need the source — out of scope by
-    design, same as every IVM engine's default tier.
+    history needed); MIN/MAX need source repair reads and live in
+    :func:`cdf_ivm_minmax_foreach_batch` (tier 2, r12).
 
     Cost per batch is O(batch) + O(affected groups), never O(source)
     and never O(view): the view table is key-pruned to the touched
@@ -496,9 +496,211 @@ def cdf_ivm_foreach_batch(
             )
         dead = merged.filter(F.col("cnt") == 0).select(*gk)
         live = merged.filter(F.col("cnt") > 0)
+        live_empty = live.isEmpty()
         if not dead.isEmpty():
-            t.delete_matching(dead, gk)
-        if not live.isEmpty():
+            # a DELETE-ONLY batch must still record its txn, or a
+            # replay would re-subtract (and trip the negative guard):
+            # the batch's FINAL commit carries the stamp
+            t.delete_matching(
+                dead,
+                gk,
+                txn_app=app if live_empty else None,
+                txn_version=batch_id if live_empty else None,
+            )
+        if not live_empty:
+            t.merge_into(live, gk, txn_app=app, txn_version=batch_id)
+
+    return apply
+
+
+def cdf_ivm_minmax_foreach_batch(
+    target_root: str,
+    source_root: str,
+    group_keys: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    txn_app: str | None = None,
+):
+    """IVM TIER 2 (r12): maintain a GROUP BY view of ``cnt`` plus
+    MIN/MAX aggregates from the change feed. MIN/MAX are NOT
+    self-maintainable — deleting the row that holds a group's minimum
+    says nothing about the runner-up — so this sink does what every
+    production IVM engine's second tier does: apply the cheap
+    incremental bound where it is provably exact, and REPAIR from the
+    source only for the groups where it is not.
+
+    Per batch: one aggregate yields each affected group's signed count
+    delta, inserted-side extremes and deleted-side extremes. A group
+    is exact incrementally when no deleted value ties-or-beats its
+    stored extreme (then ``new_min = least(stored, inserted_min)``;
+    symmetric for max) — the common case, since most deletes don't
+    touch the extreme-holding row. The REPAIR set — deleted value ≤
+    stored min (or ≥ stored max), or a brand-new group whose batch
+    contains intra-batch deletes — is re-aggregated from the SOURCE
+    table ``AS OF`` the batch's ``_commit_version`` (required on the
+    feed: repairing against a source that has already moved past the
+    batch would tear the view), through a key-pruned ``scan`` on the
+    view's group keys, so repair cost is O(source rows of the repaired
+    groups), never O(source). Counts drive group lifecycle exactly as
+    in the SUM/COUNT tier: negative count raises (a preimage-less
+    feed), zero deletes the group, replays are txn-exactly-once.
+
+    Group keys must be SOURCE columns (a repaired group is re-read by
+    key); expression-keyed views (bucket = station % 8) stay in the
+    self-maintainable tier."""
+    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
+
+    app = txn_app if txn_app is not None else f"cdf-ivm-mm-{uuid.uuid4().hex[:12]}"
+    gk, mnc, mxc = list(group_keys), list(min_cols), list(max_cols)
+    if not mnc and not mxc:
+        raise ValueError("cdf_ivm_minmax_foreach_batch needs min_cols or max_cols")
+
+    def _bounds_pred(frame: DataFrame) -> str | None:
+        """Integer [lo, hi] conjunction over the group keys for scan()
+        file pruning — None (no pruning, still exact) otherwise."""
+        b = frame.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in gk],
+            *[F.max(k).alias(f"__hi_{k}") for k in gk],
+            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in gk],
+        ).collect()[0]
+        preds = []
+        for k in gk:
+            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
+                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
+            else:
+                return None
+        return " AND ".join(preds) if preds else None
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        if "_commit_version" not in batch_df.columns:
+            raise ValueError(
+                "cdf_ivm_minmax_foreach_batch needs a _commit_version column "
+                "on the feed: MIN/MAX repair must read the source AS OF the "
+                "batch's end version, not wherever the source is now"
+            )
+        spark = batch_df.sparkSession
+        src = VersionedTable(spark, source_root)
+        t = VersionedTable(spark, target_root)
+        ver = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        if ver is None:
+            return  # empty batch
+        ver = int(ver)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        b = batch_df.withColumn("__s", sign)
+        aggs = [F.sum("__s").cast("long").alias("__d_cnt")]
+        for c in mnc:
+            aggs.append(F.min(F.when(F.col("__s") == 1, F.col(c))).alias(f"__i_mn_{c}"))
+            aggs.append(F.min(F.when(F.col("__s") == -1, F.col(c))).alias(f"__d_mn_{c}"))
+        for c in mxc:
+            aggs.append(F.max(F.when(F.col("__s") == 1, F.col(c))).alias(f"__i_mx_{c}"))
+            aggs.append(F.max(F.when(F.col("__s") == -1, F.col(c))).alias(f"__d_mx_{c}"))
+        deltas = b.groupBy(*gk).agg(*aggs).localCheckpoint(eager=True)
+
+        def repair_agg(groups: DataFrame) -> DataFrame:
+            pred = _bounds_pred(groups)
+            base = src.scan(pred, version=ver) if pred else src.snapshot(ver)
+            rows = base.join(groups, gk, "left_semi")
+            return rows.groupBy(*gk).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                *[F.min(c).alias(f"min_{c}") for c in mnc],
+                *[F.max(c).alias(f"max_{c}") for c in mxc],
+            )
+
+        if t.version() == 0:
+            # seed = exact re-aggregate of the batch's groups at the
+            # batch version: signed arithmetic cannot seed extremes
+            # when an intra-batch delete removes an intra-batch insert
+            seed = repair_agg(deltas.select(*gk))
+            if seed.isEmpty():
+                return
+            try:
+                t.create(seed, cluster_by=gk, txn_app=app, txn_version=batch_id)
+                return
+            except (CommitConflict, ValueError):
+                pass  # lost the create race — fall through and merge
+        seen = (t._read_manifest(t.version()).get("txns") or {}).get(app)
+        if seen is not None and int(seen[0]) >= int(batch_id):
+            return
+        pred = _bounds_pred(deltas)
+        view_cols = (
+            ["cnt"] + [f"min_{c}" for c in mnc] + [f"max_{c}" for c in mxc]
+        )
+        cur = (t.scan(pred) if pred else t.snapshot()).select(*gk, *view_cols)
+        j = deltas.join(cur, gk, "left")
+        # repair when a deleted value ties-or-beats a stored extreme,
+        # or when a NEW group's batch contains deletes (its extremes
+        # can't be read off the insert side alone)
+        rep = F.lit(False)
+        has_del = F.lit(False)
+        for c in mnc:
+            rep = rep | (
+                F.col(f"__d_mn_{c}").isNotNull()
+                & F.col("cnt").isNotNull()
+                & (F.col(f"__d_mn_{c}") <= F.col(f"min_{c}"))
+            )
+            has_del = has_del | F.col(f"__d_mn_{c}").isNotNull()
+        for c in mxc:
+            rep = rep | (
+                F.col(f"__d_mx_{c}").isNotNull()
+                & F.col("cnt").isNotNull()
+                & (F.col(f"__d_mx_{c}") >= F.col(f"max_{c}"))
+            )
+            has_del = has_del | F.col(f"__d_mx_{c}").isNotNull()
+        rep = rep | (F.col("cnt").isNull() & has_del)
+        merged = j.select(
+            *gk,
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__d_cnt")).alias("cnt"),
+            rep.alias("__rep"),
+            *[
+                F.least(F.col(f"min_{c}"), F.col(f"__i_mn_{c}")).alias(f"min_{c}")
+                for c in mnc
+            ],
+            *[
+                F.greatest(F.col(f"max_{c}"), F.col(f"__i_mx_{c}")).alias(f"max_{c}")
+                for c in mxc
+            ],
+        ).localCheckpoint(eager=True)
+        neg = merged.filter(F.col("cnt") < 0).limit(1).collect()
+        if neg:
+            raise ValueError(
+                f"cdf_ivm_minmax_foreach_batch: negative maintained count for "
+                f"group { {k: neg[0][k] for k in gk} } in batch {batch_id} — the "
+                "change feed is missing update preimages or a batch was skipped"
+            )
+        need = merged.filter(F.col("__rep") & (F.col("cnt") > 0)).select(*gk)
+        live = merged.filter(F.col("cnt") > 0).drop("__rep")
+        n_need = need.count()
+        if n_need:
+            fixed = repair_agg(need).localCheckpoint(eager=True)
+            if fixed.count() != n_need:
+                raise ValueError(
+                    "cdf_ivm_minmax_foreach_batch: repair read found no rows "
+                    "for a group whose maintained count is positive — the "
+                    "view has diverged from the source"
+                )
+            live = (
+                live.join(need.withColumn("__f", F.lit(1)), gk, "left")
+                .filter(F.col("__f").isNull())
+                .drop("__f")
+                .unionByName(fixed)
+            )
+        dead = merged.filter(F.col("cnt") == 0).select(*gk)
+        live_empty = live.isEmpty()
+        if not dead.isEmpty():
+            # delete-only batches stamp their txn on the delete commit
+            # (see the SUM/COUNT tier)
+            t.delete_matching(
+                dead,
+                gk,
+                txn_app=app if live_empty else None,
+                txn_version=batch_id if live_empty else None,
+            )
+        if not live_empty:
             t.merge_into(live, gk, txn_app=app, txn_version=batch_id)
 
     return apply

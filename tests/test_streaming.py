@@ -701,9 +701,154 @@ class TestSinks:
             ivm(mk([(1, 10, "delete"), (1, 10, "delete")]), 1)
         assert t.version() == v
         assert {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()} == {1: (1, 10)}
-        # an exact emptying still removes the group silently
+        # an exact emptying still removes the group silently, and the
+        # DELETE-ONLY batch records its txn: a replay is a clean no-op
+        # (not a re-subtraction tripping the guard)
         ivm(mk([(1, 10, "delete")]), 2)
         assert t.snapshot().count() == 0
+        v = t.version()
+        ivm(mk([(1, 10, "delete")]), 2)
+        assert t.version() == v and t.snapshot().count() == 0
+
+    def test_cdf_ivm_minmax_repairs_extremes(self, spark, tmp_path):
+        """r12 IVM tier 2: MIN/MAX maintained incrementally where
+        exact, repaired from the source AS OF the batch version where
+        a deleted value held the extreme; counts drive group removal;
+        replays are exactly-once; the view always equals the direct
+        aggregate of the source snapshot."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_minmax_foreach_batch
+
+        src_root = str(tmp_path / "mm_src")
+        src = VersionedTable(spark, src_root)
+        rows = [Row(id=i, g=i % 3, x=10 + i) for i in range(12)]  # g:0,1,2
+        src.create(spark.createDataFrame(rows), cluster_by=["g"])
+        ivm = cdf_ivm_minmax_foreach_batch(
+            str(tmp_path / "mm_view"), src_root, ["g"], min_cols=["x"], max_cols=["x"]
+        )
+
+        def feed(lo, hi):
+            return src.changes(lo, hi, keys=["id"], include_preimages=True).withColumn(
+                "_commit_version", F.lit(hi).cast("long")
+            )
+
+        seed = src.snapshot(1).withColumns(
+            {"_change_type": F.lit("insert"), "_commit_version": F.lit(1).cast("long")}
+        )
+        ivm(seed, 0)
+        view = VersionedTable(spark, str(tmp_path / "mm_view"))
+
+        def check():
+            got = {
+                r["g"]: (r["cnt"], r["min_x"], r["max_x"])
+                for r in view.snapshot().collect()
+            }
+            exp = {
+                r["g"]: (r["cnt"], r["mn"], r["mx"])
+                for r in src.snapshot()
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.min("x").alias("mn"),
+                    F.max("x").alias("mx"),
+                )
+                .collect()
+            }
+            assert got == exp
+
+        check()
+        # delete the row holding g=0's MIN (id=0, x=10): repair path
+        src.delete_matching(spark.createDataFrame([Row(id=0)]), ["id"])
+        ivm(feed(1, src.version()), 1)
+        check()
+        # update the row holding g=1's MAX downward (id=10, x=20 -> 5):
+        # both a max repair (20 left) and a min change (5 arrives)
+        v0 = src.version()
+        src.merge_into(spark.createDataFrame([Row(id=10, g=1, x=5)]), ["id"])
+        ivm(feed(v0, src.version()), 2)
+        check()
+        # non-extreme delete: incremental path (no repair needed)
+        v0 = src.version()
+        src.delete_matching(spark.createDataFrame([Row(id=4)]), ["id"])  # g=1, x=14
+        ivm(feed(v0, src.version()), 3)
+        check()
+        # empty a whole group -> removed from the view
+        v0 = src.version()
+        src.delete_where("g >= 2 AND g <= 2")
+        ivm(feed(v0, src.version()), 4)
+        check()
+        assert view.snapshot().filter(F.col("g") == 2).count() == 0
+        # replay: exactly-once
+        vv = view.version()
+        ivm(feed(v0, src.version()), 4)
+        assert view.version() == vv
+        check()
+
+    def test_cdf_ivm_minmax_new_group_intra_batch_delete(self, spark, tmp_path):
+        """A brand-new group whose batch both inserts and deletes: the
+        insert-side min would be wrong (the deleted value), so the sink
+        must repair from the source version."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_minmax_foreach_batch
+
+        src_root = str(tmp_path / "mm2_src")
+        src = VersionedTable(spark, src_root)
+        src.create(
+            spark.createDataFrame([Row(id=1, g=1, x=100)]), cluster_by=["g"]
+        )
+        src.merge_into(
+            spark.createDataFrame([Row(id=2, g=7, x=1), Row(id=3, g=7, x=5)]), ["id"]
+        )
+        src.delete_matching(spark.createDataFrame([Row(id=2)]), ["id"])  # x=1 gone
+        ivm = cdf_ivm_minmax_foreach_batch(
+            str(tmp_path / "mm2_view"), src_root, ["g"], min_cols=["x"]
+        )
+        seed = src.snapshot(1).withColumns(
+            {"_change_type": F.lit("insert"), "_commit_version": F.lit(1).cast("long")}
+        )
+        ivm(seed, 0)
+        # one batch spanning BOTH commits: g=7 nets to one row (x=5)
+        batch = src.changes(1, 3, keys=["id"], include_preimages=True).withColumn(
+            "_commit_version", F.lit(3).cast("long")
+        )
+        ivm(batch, 1)
+        view = VersionedTable(spark, str(tmp_path / "mm2_view"))
+        got = {r["g"]: (r["cnt"], r["min_x"]) for r in view.snapshot().collect()}
+        assert got == {1: (1, 100), 7: (1, 5)}
+
+    def test_cdf_ivm_minmax_guards(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_minmax_foreach_batch
+
+        src_root = str(tmp_path / "mm3_src")
+        src = VersionedTable(spark, src_root)
+        src.create(spark.createDataFrame([Row(id=1, g=1, x=2)]), cluster_by=["g"])
+        ivm = cdf_ivm_minmax_foreach_batch(
+            str(tmp_path / "mm3_view"), src_root, ["g"], min_cols=["x"]
+        )
+        no_ver = spark.createDataFrame(
+            [(1, 2, "insert")], "g int, x int, _change_type string"
+        )
+        with pytest.raises(ValueError, match="_commit_version"):
+            ivm(no_ver, 0)
+        seed = src.snapshot(1).withColumns(
+            {"_change_type": F.lit("insert"), "_commit_version": F.lit(1).cast("long")}
+        )
+        ivm(seed, 0)
+        bad = spark.createDataFrame(
+            [(1, 2, "delete", 2), (1, 2, "delete", 2)],
+            "g int, x int, _change_type string, _commit_version long",
+        )
+        with pytest.raises(ValueError, match="negative maintained count"):
+            ivm(bad, 1)
+        with pytest.raises(ValueError, match="min_cols or max_cols"):
+            cdf_ivm_minmax_foreach_batch(str(tmp_path / "v"), src_root, ["g"])
 
     def test_versioned_upsert_sink_assigns_identity(self, spark, tmp_path):
         """r11: a streaming sink whose target declares an identity
