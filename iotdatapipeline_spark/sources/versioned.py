@@ -1852,18 +1852,49 @@ class VersionedTable:
         for fld in new.schema.fields:
             if fld.name not in old_have:
                 old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-        # across a TYPE-WIDENING boundary (widen_column) the older
-        # snapshot carries the narrower type: cast to v_to's types so
-        # the struct compare is well-typed — widening preserves values,
-        # so the cast can never manufacture a false update
+        # across a TYPE boundary the two snapshots disagree on a
+        # column's type. Cast BOTH sides to the WIDER of the two —
+        # value-preserving in either direction of time: a plain
+        # widen_column leaves v_to wider (old casts up, as before),
+        # but a RESTORE below a widen point leaves v_from wider, and
+        # casting the old side DOWN to v_to's narrower type would
+        # ANSI-overflow on real values (found by the r12 lifecycle
+        # fuzz: a 2^40 bigint written post-widen, then restore, then
+        # changes() across the boundary) — and a delete row's v_from
+        # image could not be represented in the narrow type at all.
+        # The feed's schema is therefore the per-column widest of the
+        # endpoints, which can be wider than v_to's.
         new_types = {f.name: f.dataType for f in new.schema.fields}
         old_types = {f.name: f.dataType for f in old.schema.fields}
+
+        def _wider(a, b):
+            if a == b:
+                return a
+            if b.simpleString() in self._WIDENINGS.get(a.simpleString(), ()):
+                return b  # b is wider
+            if a.simpleString() in self._WIDENINGS.get(b.simpleString(), ()):
+                return a  # a is wider
+            return b  # incomparable: keep the old contract (v_to wins)
+
+        target = {
+            c: _wider(old_types[c], new_types[c])
+            for c in new_types
+            if c in old_types
+        }
         old = old.select(
             *[
-                F.col(c).cast(new_types[c]).alias(c)
-                if c in new_types and old_types[c] != new_types[c]
+                F.col(c).cast(target[c]).alias(c)
+                if c in target and old_types[c] != target[c]
                 else F.col(c)
                 for c in old.columns
+            ]
+        )
+        new = new.select(
+            *[
+                F.col(c).cast(target[c]).alias(c)
+                if c in target and new_types[c] != target[c]
+                else F.col(c)
+                for c in new.columns
             ]
         )
         o = old.select(*keys, F.struct(*val_cols).alias("__old"))

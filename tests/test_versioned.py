@@ -2659,7 +2659,7 @@ class TestOperationMetrics:
 
 class TestModelBasedLifecycle:
     @pytest.mark.slow
-    @pytest.mark.parametrize("seed", [13, 202, 777, 3141, 9999])
+    @pytest.mark.parametrize("seed", [4, 13, 202, 777, 3141])
     def test_random_lifecycle_ops_match_dict_model(self, spark, tmp_path, seed):
         """Model-based check of the r10 lifecycle surface woven into
         the write protocol: widen_column, add_bloom_index, restore,
@@ -2687,7 +2687,22 @@ class TestModelBasedLifecycle:
         snapshots = {1: dict(model)}
         widened = False
         clones = 0
-        ops = ["upsert", "mor_upsert", "dv_delete", "widen", "bloom", "restore", "clone", "expire"]
+        ops = [
+            "upsert", "mor_upsert", "dv_delete", "widen", "bloom",
+            "restore", "clone", "expire", "cdf_toggle",
+        ]
+
+        def expected_changes(old, new):
+            out = set()
+            for k, qv in new.items():
+                if k not in old:
+                    out.add((k, qv[0], qv[1], "insert"))
+                elif old[k] != qv:
+                    out.add((k, qv[0], qv[1], "update_postimage"))
+            for k, qv in old.items():
+                if k not in new:
+                    out.add((k, qv[0], qv[1], "delete"))
+            return out
         for step in range(14):
             op = rng.choice(ops)
             head_before = t.version()
@@ -2726,6 +2741,11 @@ class TestModelBasedLifecycle:
                 t.expire_versions(keep_last=rng.randint(2, 4))
                 floor = t.earliest_version()
                 snapshots = {v: s for v, s in snapshots.items() if v >= floor}
+            elif op == "cdf_toggle":
+                # r12: flip the commit-time feed property — later
+                # changes() ranges mix fast-served and derive-mode
+                # commits; both must net to the model's diff
+                t.set_cdf(rng.random() < 0.5)
             else:
                 ks = rng.sample(range(30), rng.randint(1, 4))
                 big = widened and rng.random() < 0.5
@@ -2751,6 +2771,22 @@ class TestModelBasedLifecycle:
                 assert got_q == {k for k, (q, _) in model.items() if q == q_probe}, (
                     f"step {step} ({op}) bloom probe q={q_probe}"
                 )
+            # r12: the change feed over a random readable range must net
+            # to exactly the model diff — whether served from commit
+            # files, the snapshot-diff fallback, or a mix (restores,
+            # cdf_toggle windows and pre/post segments interleave here)
+            if rng.random() < 0.4:
+                head = t.version()
+                readable = [v for v in snapshots if v >= t.earliest_version() and v <= head]
+                if readable:
+                    v_from = rng.choice(readable)
+                    got_ch = {
+                        (r["k"], r["q"], r["v"], r["_change_type"])
+                        for r in t.changes(v_from, head, ["k"]).collect()
+                    }
+                    assert got_ch == expected_changes(snapshots[v_from], model), (
+                        f"step {step} ({op}) changes({v_from}, {head})"
+                    )
         # every still-readable version time-travels to its recorded state
         floor = t.earliest_version()
         for v, expect in snapshots.items():
