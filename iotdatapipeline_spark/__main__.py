@@ -227,6 +227,15 @@ def _cmd_table(args: argparse.Namespace) -> int:
             return 2
         v = t.drop_identity(args.col)
         print(f"committed v{v} (dropped identity on {args.col})")
+    elif args.action in ("cdf-on", "cdf-off"):
+        enabled = args.action == "cdf-on"
+        base = t.version()
+        v = t.set_cdf(enabled)
+        state = "on" if enabled else "off"
+        if v == base:
+            print(f"commit-time CDF already {state} (no commit)")
+        else:
+            print(f"committed v{v} (commit-time CDF {state})")
     return 0
 
 
@@ -263,7 +272,7 @@ def main(argv: list[str] | None = None) -> int:
     sq.set_defaults(fn=_cmd_sql)
 
     tb = sub.add_parser("table", help="VersionedTable admin: history / show / optimize / vacuum / expire / clone / changes / delete / restore")
-    tb.add_argument("action", choices=["history", "describe", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore", "set-identity", "drop-identity"])
+    tb.add_argument("action", choices=["history", "describe", "show", "optimize", "vacuum", "expire", "clone", "convert", "widen", "bloom", "changes", "delete", "restore", "set-identity", "drop-identity", "cdf-on", "cdf-off"])
     tb.add_argument("--col", default=None, help="widen: column to widen; set-identity/drop-identity: the column")
     tb.add_argument("--type", dest="new_type", default=None, help="widen: target type (e.g. bigint)")
     tb.add_argument("--cols", default=None, help="bloom: comma-separated columns to index")

@@ -1328,6 +1328,7 @@ class VersionedTable:
             "retired_cols": list(m.get("retired_cols") or []),
             "bloom_indexed": sorted(self._bloom_of(m)),
             "metrics": dict(m.get("metrics") or {}),
+            "cdf_enabled": bool(m.get("cdf_enabled", True)),
         }
 
     def history_df(self) -> DataFrame:

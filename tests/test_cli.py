@@ -91,6 +91,14 @@ class TestCli:
         assert main(["table", "show", root, "--as-of-ts", str(ts1), "--rows", "2"]) == 0
         assert "|" in capsys.readouterr().out
 
+        # r12: CDF table-property verbs — idempotent toggles
+        assert main(["table", "cdf-off", root]) == 0
+        assert "CDF off" in capsys.readouterr().out
+        assert main(["table", "cdf-off", root]) == 0
+        assert "already off" in capsys.readouterr().out
+        assert main(["table", "cdf-on", root]) == 0
+        assert "CDF on" in capsys.readouterr().out
+
         # type widening + bloom index DDL verbs
         assert main(["table", "widen", root]) == 2
         assert "requires --col" in capsys.readouterr().err
