@@ -1881,3 +1881,107 @@ def events_versioned_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(op.startswith("merge:") for op in ops):
         raise RuntimeError(f"view was not incrementally maintained: {ops}")
     return view.snapshot().select("station", "cnt", "min_v_cents", "max_v_cents")
+
+
+@register(
+    "events_versioned_ivm_join",
+    """
+    WITH af AS (
+        SELECT event_id, user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    au AS (
+        SELECT event_id, station,
+               CASE WHEN event_id % 4 = 0 THEN v_cents + 5000
+                    ELSE v_cents END AS v_cents
+        FROM af
+    ),
+    a_final AS (SELECT * FROM au WHERE event_id % 7 <> 0),
+    b0 AS (SELECT DISTINCT station, station % 8 AS grp FROM af),
+    bu AS (
+        SELECT station,
+               CASE WHEN station % 5 = 0 THEN grp + 100 ELSE grp END AS grp
+        FROM b0
+    ),
+    b_final AS (SELECT * FROM bu WHERE station % 9 <> 0)
+    SELECT a.event_id, a.station, a.v_cents, b.grp
+    FROM a_final a JOIN b_final b ON a.station = b.station
+    """,
+)
+def events_versioned_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM TIER 2, JOIN VIEW (r12): ``V = fact ⋈ dim`` maintained by
+    ``cdf_ivm_join_apply`` — the differential delta-join (ΔA⋈B_old ∪
+    A_old⋈ΔB ∪ ΔA⋈ΔB, signs multiplying) over both tables'
+    commit-time change feeds — while the FACT takes an update (+5000
+    on mod-4 events) and a delete (mod-7 events), and the DIM takes a
+    payload refresh (mod-5 stations: every joined pair of the station
+    must refresh) and a delete (mod-9 stations: every pair leaves).
+    The oracle joins both FINAL states directly — a missed cross
+    term, a wrong-version old-side read, or a pair that survived its
+    dim row hash-mismatches. The view's history must show incremental
+    merges, never a recompute.
+
+    100 TB: each step is O(Δ ⋈ affected) — the old-side snapshots are
+    read AS OF the step's from-versions through stats pruning bounded
+    by the OTHER side's delta keys, so a small dim change joins
+    against O(affected fact rows), never O(fact). This is the join
+    tier of IVM (what DBSP/Materialize call the bilinear case), on
+    top of the SUM/COUNT and MIN/MAX aggregate tiers."""
+    from iotdatapipeline_spark.streaming.sinks import cdf_ivm_join_apply
+
+    r = _readings(spark, sf_dir)
+    base = r.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "station", "v_cents"
+    )
+    dim = base.select("station").distinct().withColumn(
+        "grp", F.col("station") % 8
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_ivmj_")
+    a_root, b_root = os.path.join(stem, "fact"), os.path.join(stem, "dim")
+    v_root = os.path.join(stem, "view")
+    A = VersionedTable(spark, a_root)
+    A.create(base, n_files=8, cluster_by=["station"])
+    B = VersionedTable(spark, b_root)
+    B.create(dim, n_files=2, cluster_by=["station"])
+    cdf_ivm_join_apply(
+        spark, v_root, a_root, b_root, ["station"], "event_id", "station",
+        (1, 1), (1, 1),
+    )  # seed
+    # fact-side step
+    upd = (
+        A.snapshot()
+        .filter(F.col("event_id") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000))
+    )
+    A.merge_into(upd, ["event_id"])
+    A.merge_into(
+        A.snapshot().filter(F.col("event_id") % 7 == 0),
+        ["event_id"],
+        when_matched="delete",
+    )
+    cdf_ivm_join_apply(
+        spark, v_root, a_root, b_root, ["station"], "event_id", "station",
+        (1, A.version()), (1, 1),
+    )
+    # dim-side step
+    B.merge_into(
+        B.snapshot()
+        .filter(F.col("station") % 5 == 0)
+        .withColumn("grp", F.col("grp") + F.lit(100)),
+        ["station"],
+    )
+    B.merge_into(
+        B.snapshot().filter(F.col("station") % 9 == 0),
+        ["station"],
+        when_matched="delete",
+    )
+    cdf_ivm_join_apply(
+        spark, v_root, a_root, b_root, ["station"], "event_id", "station",
+        (A.version(), A.version()), (1, B.version()),
+    )
+    view = VersionedTable(spark, v_root)
+    ops = [m["op"] for m in view.history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"join view was not incrementally maintained: {ops}")
+    return view.snapshot().select("event_id", "station", "v_cents", "grp")

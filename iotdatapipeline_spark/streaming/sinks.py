@@ -704,3 +704,174 @@ def cdf_ivm_minmax_foreach_batch(
             t.merge_into(live, gk, txn_app=app, txn_version=batch_id)
 
     return apply
+
+
+def cdf_ivm_join_apply(
+    spark: SparkSession,
+    view_root: str,
+    a_root: str,
+    b_root: str,
+    join_keys: Sequence[str],
+    a_key: str,
+    b_key: str,
+    v_a: tuple[int, int],
+    v_b: tuple[int, int],
+    txn_app: str | None = None,
+) -> int:
+    """IVM TIER 2, join views (r12): one maintenance step for
+    ``V = A ⋈ B`` on ``join_keys`` — the differential delta-join.
+    Instead of re-running the join, the view absorbs exactly
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with signs multiplying (the (A_old+ΔA)(B_old+ΔB) expansion), where
+    ΔA/ΔB come from each table's commit-time change feed over
+    ``v_a = (from, to)`` / ``v_b = (from, to)`` and A_old/B_old are the
+    FROM-version snapshots via time travel — so a step is exact no
+    matter how far either side advanced. The old-side reads are
+    stats-pruned by the OTHER side's delta join-key bounds: a 10-row
+    ΔB joins against O(affected) of A, never O(A). Net effects are
+    reduced per output ROW (sum of signs), upserts merged and
+    disappearing pairs keyed-DV-deleted on the (``a_key``, ``b_key``)
+    pair identity; both tables' rows must be unique in their own key
+    (the lakehouse norm this module assumes everywhere).
+
+    A missing view is seeded with the full join at the TO versions
+    (the one non-incremental step every IVM engine pays once).
+    Exactly-once: the applied (to_a, to_b) pair is packed into the txn
+    version (``to_a·10⁹ + to_b`` — monotone when steps are applied in
+    order), so replaying a step is a no-op. Column names of A and B
+    must be disjoint outside ``join_keys``.
+
+    Returns the view's committed version. Cites Prensas.py:300-302
+    (the reference recomputes its record⋈parts⋈work_centers probe per
+    tick; this maintains the joined state instead)."""
+    from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+    jk = list(join_keys)
+    A, B = VersionedTable(spark, a_root), VersionedTable(spark, b_root)
+    vt = VersionedTable(spark, view_root)
+    va0, va1 = v_a
+    vb0, vb1 = v_b
+    app = txn_app if txn_app is not None else "cdf-ivm-join"
+    packed = int(va1) * 10**9 + int(vb1)
+
+    a_cols = A.snapshot(va1).columns
+    b_cols = B.snapshot(vb1).columns
+    overlap = (set(a_cols) & set(b_cols)) - set(jk)
+    if overlap:
+        raise ValueError(
+            f"cdf_ivm_join_apply: column collision outside join keys: {sorted(overlap)}"
+        )
+    out_cols = a_cols + [c for c in b_cols if c not in jk]
+
+    def _bounds_pred(frame: DataFrame) -> str | None:
+        b = frame.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in jk],
+            *[F.max(k).alias(f"__hi_{k}") for k in jk],
+            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in jk],
+        ).collect()[0]
+        preds = []
+        for k in jk:
+            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
+                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
+            else:
+                return None
+        return " AND ".join(preds) if preds else None
+
+    if vt.version() == 0:
+        seed = A.snapshot(va1).join(B.snapshot(vb1), jk).select(*out_cols)
+        if seed.isEmpty():
+            return 0
+        from iotdatapipeline_spark.sources.versioned import CommitConflict
+
+        try:
+            return vt.create(
+                seed, cluster_by=[a_key, b_key], txn_app=app, txn_version=packed
+            )
+        except (CommitConflict, ValueError):
+            pass  # lost the create race — fall through and apply
+    seen = (vt._read_manifest(vt.version()).get("txns") or {}).get(app)
+    if seen is not None and int(seen[0]) >= packed:
+        return int(seen[1])  # already applied
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    da = db = None
+    if va1 > va0:
+        da = (
+            A.changes(va0, va1, keys=[a_key], include_preimages=True)
+            .withColumn("__sa", sign)
+            .drop("_change_type")
+            .localCheckpoint(eager=True)
+        )
+    if vb1 > vb0:
+        db = (
+            B.changes(vb0, vb1, keys=[b_key], include_preimages=True)
+            .withColumn("__sb", sign)
+            .drop("_change_type")
+            .localCheckpoint(eager=True)
+        )
+    terms = []
+    if da is not None:
+        pred = _bounds_pred(da.select(*jk))
+        b_old = B.scan(pred, version=vb0) if pred else B.snapshot(vb0)
+        terms.append(
+            da.join(b_old, jk).select(*out_cols, F.col("__sa").alias("__net"))
+        )
+    if db is not None:
+        pred = _bounds_pred(db.select(*jk))
+        a_old = A.scan(pred, version=va0) if pred else A.snapshot(va0)
+        terms.append(
+            a_old.join(db, jk).select(*out_cols, F.col("__sb").alias("__net"))
+        )
+    if da is not None and db is not None:
+        terms.append(
+            da.join(db, jk).select(
+                *out_cols, (F.col("__sa") * F.col("__sb")).alias("__net")
+            )
+        )
+    if not terms:
+        return vt.version()  # neither side advanced
+    expanded = terms[0]
+    for t_ in terms[1:]:
+        expanded = expanded.unionByName(t_)
+    # reduce per OUTPUT ROW: crossing update pairs cancel exactly here
+    # (the ±(a_old,b_old)/(a_new,b_old)/(a_old,b_new) cross terms), so
+    # what survives is precisely the rows whose multiplicity changes
+    rows = (
+        expanded.groupBy(*out_cols)
+        .agg(F.sum("__net").cast("long").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .localCheckpoint(eager=True)
+    )
+    bad = rows.filter(~F.col("__net").isin(-1, 1)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "cdf_ivm_join_apply: a joined row's multiplicity moved by "
+            f"{bad[0]['__net']} — a table key is not unique, or a feed "
+            "batch was skipped/duplicated"
+        )
+    upserts = rows.filter(F.col("__net") > 0).drop("__net")
+    # a (a_key, b_key) pair leaves the view only when its key-level
+    # total is negative (a payload-refresh nets 0 at key level and is
+    # fully handled by the upsert merge)
+    dead = (
+        rows.groupBy(a_key, b_key)
+        .agg(F.sum("__net").alias("__t"))
+        .filter(F.col("__t") < 0)
+        .select(a_key, b_key)
+    )
+    up_empty = upserts.isEmpty()
+    if not dead.isEmpty():
+        vt.delete_matching(
+            dead,
+            [a_key, b_key],
+            txn_app=app if up_empty else None,
+            txn_version=packed if up_empty else None,
+        )
+    if not up_empty:
+        vt.merge_into(upserts, [a_key, b_key], txn_app=app, txn_version=packed)
+    return vt.version()

@@ -850,6 +850,98 @@ class TestSinks:
         with pytest.raises(ValueError, match="min_cols or max_cols"):
             cdf_ivm_minmax_foreach_batch(str(tmp_path / "v"), src_root, ["g"])
 
+    def test_cdf_ivm_join_view_maintenance(self, spark, tmp_path):
+        """r12 IVM tier 2, join views: V = A ⋈ B maintained by the
+        delta-join expansion (ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB) — fact
+        updates/inserts/deletes, dim payload refreshes (every pair of
+        the station refreshes), dim deletes (all pairs leave), both
+        sides advancing in ONE step, and exactly-once replays. After
+        every step the view must equal the fresh join."""
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_join_apply
+
+        a_root, b_root = str(tmp_path / "jA"), str(tmp_path / "jB")
+        v_root = str(tmp_path / "jV")
+        A, B = VersionedTable(spark, a_root), VersionedTable(spark, b_root)
+        A.create(
+            spark.createDataFrame(
+                [Row(id=i, s=i % 4, x=i * 10) for i in range(12)]
+            ),
+            cluster_by=["id"],
+        )
+        B.create(
+            spark.createDataFrame([Row(s=s, label=f"L{s}") for s in range(4)]),
+            cluster_by=["s"],
+        )
+
+        def sync(va, vb):
+            return cdf_ivm_join_apply(
+                spark, v_root, a_root, b_root, ["s"], "id", "s",
+                va, vb,
+            )
+
+        def check():
+            view = VersionedTable(spark, v_root)
+            got = sorted(map(tuple, view.snapshot().select("id", "s", "x", "label").collect()))
+            exp = sorted(
+                map(tuple, A.snapshot().join(B.snapshot(), "s").select("id", "s", "x", "label").collect())
+            )
+            assert got == exp
+
+        sync((1, 1), (1, 1))  # seed
+        check()
+        # fact side: update + insert + delete
+        va0 = A.version()
+        A.merge_into(spark.createDataFrame([Row(id=2, s=2, x=999), Row(id=50, s=1, x=7)]), ["id"])
+        A.delete_matching(spark.createDataFrame([Row(id=5)]), ["id"])
+        sync((va0, A.version()), (B.version(), B.version()))
+        check()
+        # dim side: payload refresh (all s=1 pairs) + delete s=3 (pairs leave)
+        vb0 = B.version()
+        B.merge_into(spark.createDataFrame([Row(s=1, label="L1x")]), ["s"])
+        B.delete_matching(spark.createDataFrame([Row(s=3)]), ["s"])
+        sync((A.version(), A.version()), (vb0, B.version()))
+        check()
+        # both sides advance in one step — the ΔA⋈ΔB cross term: the
+        # new fact row lands on a station whose dim row changes in the
+        # SAME step, and a fact row moves onto the re-inserted station
+        va0, vb0 = A.version(), B.version()
+        A.merge_into(spark.createDataFrame([Row(id=60, s=0, x=1), Row(id=2, s=3, x=2)]), ["id"])
+        B.merge_into(spark.createDataFrame([Row(s=0, label="L0x"), Row(s=3, label="L3b")]), ["s"])
+        va1, vb1 = A.version(), B.version()
+        sync((va0, va1), (vb0, vb1))
+        check()
+        # replay of the SAME step: txn no-op
+        view = VersionedTable(spark, v_root)
+        v = view.version()
+        sync((va0, va1), (vb0, vb1))
+        assert VersionedTable(spark, v_root).version() == v
+        check()
+        # neither side advanced: no-op without a commit
+        sync((va1, va1), (vb1, vb1))
+        assert VersionedTable(spark, v_root).version() == v
+
+    def test_cdf_ivm_join_rejects_column_collision(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_join_apply
+
+        a_root, b_root = str(tmp_path / "cA"), str(tmp_path / "cB")
+        VersionedTable(spark, a_root).create(
+            spark.createDataFrame([Row(id=1, s=1, x=1)]), cluster_by=["id"]
+        )
+        VersionedTable(spark, b_root).create(
+            spark.createDataFrame([Row(s=1, x=9)]), cluster_by=["s"]
+        )
+        with pytest.raises(ValueError, match="column collision"):
+            cdf_ivm_join_apply(
+                spark, str(tmp_path / "cV"), a_root, b_root, ["s"], "id", "s",
+                (1, 1), (1, 1),
+            )
+
     def test_versioned_upsert_sink_assigns_identity(self, spark, tmp_path):
         """r11: a streaming sink whose target declares an identity
         column — per-batch sources OMIT the column, fresh keys get
