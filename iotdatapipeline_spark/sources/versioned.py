@@ -4079,6 +4079,31 @@ class VersionedTable:
                 if not dry_run:
                     os.remove(path)
                 removed.append(f)
+        # CDF stream spill namespaces (<root>/_cdf_spill/q-*): the
+        # reader reclaims its spills on offset commit, but a query that
+        # died mid-run leaks its directory forever — the same orphan
+        # class as conflict-aborted data files, swept under the same
+        # retention horizon (a LIVE query's spills are younger than any
+        # sane horizon; its reader also regenerates missing spills
+        # deterministically on replan, so this can never corrupt one)
+        spill_root = os.path.join(self.root, "_cdf_spill")
+        for q in sorted(os.listdir(spill_root)) if os.path.isdir(spill_root) else []:
+            qdir = os.path.join(spill_root, q)
+            try:
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(dp, fn))
+                        for dp, _, fns in os.walk(qdir)
+                        for fn in fns
+                    ),
+                    default=os.path.getmtime(qdir),
+                )
+            except OSError:
+                continue
+            if newest < cutoff:
+                if not dry_run:
+                    shutil.rmtree(qdir, ignore_errors=True)
+                removed.append(os.path.join("_cdf_spill", q))
         return removed
 
     def expire_versions(

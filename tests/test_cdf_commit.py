@@ -235,6 +235,29 @@ class TestCommitTimeCDF:
         removed = set(table.vacuum(retention_s=0))
         assert cdf_files <= removed
 
+    def test_vacuum_reclaims_stale_stream_spills(self, spark, table):
+        """A CDF stream query that dies before committing its offsets
+        leaks its spill namespace; vacuum sweeps it under the same
+        retention horizon as data-file orphans (fresh spills survive)."""
+        spill = os.path.join(table.root, "_cdf_spill", "q-deadbeef")
+        os.makedirs(spill)
+        with open(os.path.join(spill, "v2.parquet"), "wb") as fh:
+            fh.write(b"x")
+        old = os.path.join(table.root, "_cdf_spill", "q-old")
+        os.makedirs(old)
+        with open(os.path.join(old, "v1.parquet"), "wb") as fh:
+            fh.write(b"y")
+        past = 1.0
+        os.utime(os.path.join(old, "v1.parquet"), (past, past))
+        os.utime(old, (past, past))
+        dry = table.vacuum(retention_s=3600, dry_run=True)
+        assert os.path.join("_cdf_spill", "q-old") in dry
+        assert os.path.exists(old)  # dry run deletes nothing
+        removed = table.vacuum(retention_s=3600)
+        assert os.path.join("_cdf_spill", "q-old") in removed
+        assert not os.path.exists(old)
+        assert os.path.exists(spill)  # fresh namespace kept
+
     def test_cdf_property_toggle(self, spark, tmp_path):
         """set_cdf(False) makes row-mutating commits derive-mode (no
         change files written); re-enabling takes effect on the next
