@@ -1985,3 +1985,59 @@ def events_versioned_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(op.startswith("merge:") for op in ops):
         raise RuntimeError(f"join view was not incrementally maintained: {ops}")
     return view.snapshot().select("event_id", "station", "v_cents", "grp")
+
+
+@register(
+    "events_merge_insert_condition",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT coalesce(s.station, b.station) AS station,
+           coalesce(s.part, b.part) AS part,
+           coalesce(s.ts_us, b.ts_us) AS ts_us,
+           coalesce(s.v_cents, b.v_cents) AS v_cents,
+           coalesce(s.version_id, b.version_id) AS version_id
+    FROM b FULL JOIN s ON b.station = s.station
+    WHERE b.station IS NOT NULL OR s.v_cents % 2 = 0
+    """,
+)
+def events_merge_insert_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED AND <cond> THEN INSERT (r12 — the last of
+    Delta's clause conditions): the MERGE-upsert's FRESH rows are
+    gated by a source predicate (even v_cents insert, odd drop) while
+    matched rows update unconditionally — the condition must split
+    only the not-matched side. An implementation filtering the whole
+    source drops updates (hash-mismatch on odd-cent matched
+    stations); one filtering nothing inserts the odd fresh rows.
+    Oracle = the full-join set algebra with the insert gate on the
+    source-only side.
+
+    100 TB: the condition is a row-local filter on the insert frame —
+    no extra scan, no shuffle; the merge's touched-file probe and
+    pruning are untouched. Completes the clause matrix: matched
+    update/delete (+condition), not-matched insert (+condition),
+    not-matched-by-source delete (+condition)."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_wnm_"), "tbl")
+    table = VersionedTable(spark, root)
+    table.create(base, n_files=8, cluster_by=["station"])
+    table.merge_into(src, ["station"], when_not_matched_condition="v_cents % 2 = 0")
+    return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")

@@ -2061,6 +2061,7 @@ class VersionedTable:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         when_matched_condition: str | None = None,
+        when_not_matched_condition: str | None = None,
     ) -> int:
         """MERGE: ``when_matched="update"`` replaces matched rows with
         the source row (K1/K2 upsert; ``when_not_matched`` is always
@@ -2096,6 +2097,18 @@ class VersionedTable:
         ... WHERE clauses. Only rows whose condition passes count as
         touched, so a fully-stale batch rewrites nothing. Requires
         ``when_matched="update"``.
+
+        ``when_not_matched_condition`` adds WHEN NOT MATCHED AND
+        <cond> THEN INSERT — Delta's conditioned insert clause, the
+        last of its clause set: a predicate over SOURCE columns
+        (unqualified names — only the source side exists for an
+        unmatched row) that gates which FRESH rows insert; NULL and
+        FALSE drop the row (SQL-style). Matched rows are untouched by
+        it: an update's postimage flows through regardless — the
+        condition splits only the not-matched side, exactly Delta's
+        semantics. Composes with every other clause (a guarded
+        upsert-with-quality-floor is ``when_matched_condition`` +
+        ``when_not_matched_condition`` in one MERGE).
 
         ``strategy`` picks the physical write: ``"cow"``
         (copy-on-write, default) rewrites every file holding a matched
@@ -2157,6 +2170,7 @@ class VersionedTable:
                 not_matched_by_source,
                 nmbs_cond,
                 when_matched_condition,
+                when_not_matched_condition,
             )
         src_keys = source.select(*keys).distinct()
         for _ in range(max_retries):
@@ -2343,6 +2357,27 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            if when_not_matched_condition is not None:
+                # WHEN NOT MATCHED AND <cond> THEN INSERT: the condition
+                # gates FRESH rows only — an update's postimage (a
+                # matched key) flows through untouched (Delta semantics)
+                wnm_pred = F.coalesce(
+                    F.expr(when_not_matched_condition).cast("boolean"), F.lit(False)
+                )
+                if when_matched == "update" and touched_df is not None:
+                    mkeys = (
+                        matched_true_keys
+                        if matched_true_keys is not None
+                        else touched_df.select(*keys)
+                        .distinct()
+                        .join(src_keys, keys, "left_semi")
+                    )
+                    inserted = inserted.join(mkeys, keys, "left_semi").unionByName(
+                        inserted.join(mkeys, keys, "left_anti").filter(wnm_pred)
+                    )
+                else:
+                    # delete-mode (already all-fresh) or no matches at all
+                    inserted = inserted.filter(wnm_pred)
             # identity columns: matched rows inherit their value from
             # the touched target rows, fresh rows get watermark + rank
             # (before generated/alignment so the column exists for both)
@@ -2606,6 +2641,7 @@ class VersionedTable:
         not_matched_by_source: str | None = None,
         nmbs_cond: str | None = None,
         when_matched_condition: str | None = None,
+        when_not_matched_condition: str | None = None,
     ) -> int:
         """Merge-on-read MERGE (``strategy="mor"``): ONE commit that
         (a) writes deletion-vector entries for every matched live row
@@ -2701,6 +2737,25 @@ class VersionedTable:
                     inserted = source.join(matched_keys, keys, "left_anti")
                 else:
                     inserted = source
+            if when_not_matched_condition is not None:
+                # WHEN NOT MATCHED AND <cond> THEN INSERT — fresh rows
+                # only; matched postimages flow through (see COW path)
+                wnm_pred = F.coalesce(
+                    F.expr(when_not_matched_condition).cast("boolean"), F.lit(False)
+                )
+                if when_matched == "update" and live is not None:
+                    mkeys = (
+                        matched_true_keys
+                        if matched_pairs is not None
+                        else live.join(src_keys, keys, "left_semi")
+                        .select(*keys)
+                        .distinct()
+                    )
+                    inserted = inserted.join(mkeys, keys, "left_semi").unionByName(
+                        inserted.join(mkeys, keys, "left_anti").filter(wnm_pred)
+                    )
+                else:
+                    inserted = inserted.filter(wnm_pred)
             # identity columns: matched rows inherit their value from
             # the live candidate rows, fresh rows get watermark + rank
             inserted, new_identity = self._assign_identity(inserted, m, keys, live)

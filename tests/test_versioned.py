@@ -3270,6 +3270,85 @@ class TestMergeWhenMatchedCondition:
         assert got == [(1, 7, "mid"), (2, 3, "keep")]
 
 
+class TestMergeWhenNotMatchedCondition:
+    """WHEN NOT MATCHED AND <cond> THEN INSERT (source-column
+    predicate, unqualified names): gates FRESH rows only — matched
+    postimages flow through regardless; NULL/FALSE drop the row;
+    composes with the matched-condition guard and delete-mode."""
+
+    @pytest.fixture()
+    def gtable3(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "wnm"))
+        rows = [Row(k=i, vid=100 + i, v=f"t{i}") for i in range(8)]
+        t.create(spark.createDataFrame(rows), n_files=2, cluster_by=["k"])
+        return t
+
+    @pytest.mark.parametrize("strategy", ["cow", "mor"])
+    def test_fresh_rows_gated_matched_pass(self, spark, gtable3, strategy):
+        src = spark.createDataFrame(
+            [
+                Row(k=2, vid=1, v="upd"),       # matched: updates even with vid=1
+                Row(k=50, vid=9, v="in"),       # fresh, cond TRUE: inserts
+                Row(k=60, vid=0, v="out"),      # fresh, cond FALSE: dropped
+                Row(k=70, vid=None, v="null"),  # fresh, cond NULL: dropped
+            ],
+            "k bigint, vid int, v string",
+        )
+        v0 = gtable3.version()
+        gtable3.merge_into(
+            src, ["k"], strategy=strategy, when_not_matched_condition="vid >= 5"
+        )
+        got = {r["k"]: (r["vid"], r["v"]) for r in gtable3.snapshot().collect()}
+        assert got[2] == (1, "upd")
+        assert got[50] == (9, "in")
+        assert 60 not in got and 70 not in got
+        assert len(got) == 9
+        # the commit-time feed reflects the gated insert set exactly
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in gtable3.changes(v0, gtable3.version(), ["k"]).collect()
+        }
+        assert ch == {(2, "update_postimage"), (50, "insert")}
+
+    @pytest.mark.parametrize("strategy", ["cow", "mor"])
+    def test_composes_with_matched_condition(self, spark, gtable3, strategy):
+        src = spark.createDataFrame(
+            [
+                Row(k=2, vid=999, v="fresh"),  # matched, guard passes: updates
+                Row(k=3, vid=1, v="stale"),    # matched, guard fails: dropped
+                Row(k=50, vid=9, v="in"),      # fresh, insert cond TRUE
+                Row(k=60, vid=1, v="out"),     # fresh, insert cond FALSE
+            ]
+        )
+        gtable3.merge_into(
+            src,
+            ["k"],
+            strategy=strategy,
+            when_matched_condition="s.vid > t.vid",
+            when_not_matched_condition="vid >= 5",
+        )
+        got = {r["k"]: (r["vid"], r["v"]) for r in gtable3.snapshot().collect()}
+        assert got[2] == (999, "fresh")
+        assert got[3] == (103, "t3")
+        assert got[50] == (9, "in") and 60 not in got
+
+    def test_delete_mode_gates_inserts(self, spark, gtable3):
+        src = spark.createDataFrame(
+            [Row(k=2, vid=0, v="x"), Row(k=50, vid=9, v="in"), Row(k=60, vid=1, v="out")]
+        )
+        gtable3.merge_into(
+            src, ["k"], when_matched="delete", when_not_matched_condition="vid >= 5"
+        )
+        got = {r["k"] for r in gtable3.snapshot().collect()}
+        assert 2 not in got and 50 in got and 60 not in got
+
+    def test_all_fresh_rows_rejected_with_no_match_is_noop(self, spark, gtable3):
+        v = gtable3.version()
+        src = spark.createDataFrame([Row(k=50, vid=0, v="out")])
+        gtable3.merge_into(src, ["k"], when_not_matched_condition="vid >= 5")
+        assert gtable3.version() == v  # nothing touched, nothing committed
+
+
 class TestMergeNotMatchedBySource:
     """WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's third merge
     clause): unmatched TARGET rows are removed — full sync without a
