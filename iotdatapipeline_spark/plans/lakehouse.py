@@ -2041,3 +2041,99 @@ def events_merge_insert_condition(spark: SparkSession, sf_dir: str) -> DataFrame
     table.create(base, n_files=8, cluster_by=["station"])
     table.merge_into(src, ["station"], when_not_matched_condition="v_cents % 2 = 0")
     return table.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_scd2_apply",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0 GROUP BY user_id
+    ),
+    recs AS (
+        SELECT b.*, CAST(1 AS BIGINT) AS scd_start,
+               CASE WHEN b.station IN (SELECT station FROM s) THEN CAST(2 AS BIGINT)
+                    WHEN b.station % 9 = 0 THEN CAST(3 AS BIGINT) END AS scd_end
+        FROM b
+        UNION ALL
+        SELECT s.*, CAST(2 AS BIGINT) AS scd_start,
+               CASE WHEN s.station % 9 = 0 THEN CAST(3 AS BIGINT) END AS scd_end
+        FROM s
+    )
+    SELECT station, part, ts_us, v_cents, version_id, scd_start, scd_end,
+           scd_end IS NULL AS is_current
+    FROM recs
+    """,
+)
+def events_versioned_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 apply as a hard driver gate (r12): a HISTORY table is
+    maintained from the source's change feed through
+    ``cdf_scd2_foreach_batch`` — every state a key ever held becomes a
+    (key, scd_start, scd_end, is_current) record. Source history:
+    create (odd-thirds dim, v1) -> upsert (even-thirds %5, v2) ->
+    delete (stations %9, v3). The sink sees two micro-batches — the v1
+    snapshot, then v2 and v3 TOGETHER (per-commit rows, not netted) —
+    so the intra-batch chain is exercised: a station updated at v2 and
+    deleted at v3 must yield a (2, 3) record that was never current.
+    The oracle rebuilds the full interval algebra from the raw events:
+    base records close at 2 when updated / 3 when deleted / stay open;
+    update records close at 3 when deleted. A netted apply (losing the
+    v2 state of a v3-deleted station), a double-close, or a
+    preimage-leak all hash-fail.
+
+    100 TB: each batch is O(changed rows) — the close-read is
+    stats-pruned to the batch's key bounds and only ``is_current``
+    rows of affected keys are rewritten; closed history is never
+    revisited (streaming/sinks.py cdf_scd2_foreach_batch)."""
+    from iotdatapipeline_spark.streaming.sinks import cdf_scd2_foreach_batch
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    src_upd = _latest_per_station(
+        r.filter((F.col("event_id") % 3 == 0) & (F.col("station") % 5 == 0))
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_scd2_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    src.merge_into(src_upd, ["station"])  # v2
+    src.delete_where("station % 9 = 0")  # v3 (deletion vectors)
+    sink = cdf_scd2_foreach_batch(os.path.join(stem, "hist"), ["station"], txn_app="gate")
+    sink(
+        src.snapshot(1)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long")),
+        0,
+    )
+    sink(
+        src.changes(1, 2, keys=["station"])
+        .withColumn("_commit_version", F.lit(2).cast("long"))
+        .unionByName(
+            src.changes(2, 3, keys=["station"]).withColumn(
+                "_commit_version", F.lit(3).cast("long")
+            )
+        ),
+        1,
+    )
+    hist = VersionedTable(spark, os.path.join(stem, "hist"))
+    cur = hist.snapshot().filter(F.col("is_current")).select(
+        "station", "part", "ts_us", "v_cents", "version_id"
+    )
+    want = src.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+    if not cur.exceptAll(want).isEmpty() or not want.exceptAll(cur).isEmpty():
+        raise RuntimeError("SCD2 current slice diverged from the source snapshot")
+    return hist.snapshot().select(
+        "station", "part", "ts_us", "v_cents", "version_id",
+        "scd_start", "scd_end", "is_current",
+    )

@@ -875,3 +875,123 @@ def cdf_ivm_join_apply(
     if not up_empty:
         vt.merge_into(upserts, [a_key, b_key], txn_app=app, txn_version=packed)
     return vt.version()
+
+
+def cdf_scd2_foreach_batch(
+    target_root: str,
+    keys: Sequence[str],
+    txn_app: str | None = None,
+):
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 — maintain a slowly-
+    changing-dimension HISTORY table from an upstream VersionedTable's
+    change feed. Where :func:`cdf_apply_foreach_batch` keeps a mirror
+    of the source's CURRENT state, this keeps every state a key ever
+    held: one record per (key, version interval), columns
+    ``scd_start`` (the commit version that produced the state),
+    ``scd_end`` (the commit version that replaced it; NULL while
+    live) and ``is_current``. The record identity is
+    ``keys + scd_start`` — immutable once closed, so the table is an
+    append-mostly audit log the mirror can never offer.
+
+    Per micro-batch (feed = data columns + ``_change_type`` +
+    ``_commit_version``; ``update_preimage`` rows are informational
+    and skipped; at most one change per key per commit version — what
+    ``changes()`` and the ``versioned_cdf`` stream both guarantee):
+
+    1. CHAIN the batch's changes per key by ``_commit_version``: each
+       insert/update_postimage opens a record at its version, closed
+       by the key's NEXT change in the batch (``lead`` over a keyed
+       window) or left current; deletes open nothing — they only
+       close their predecessor. A key updated at v2 and deleted at v3
+       inside one batch yields a (v2, v3) record that was never
+       current — intra-batch history is preserved, not netted.
+    2. CLOSE the target's open records for keys seen in the batch:
+       the stored ``is_current`` row gets ``scd_end`` = the key's
+       FIRST batch version. The read is stats-pruned to the batch's
+       key bounds (O(affected files), never O(history)).
+    3. One txn-deduped MERGE on ``keys + scd_start`` applies closed
+       records and new records together — replays no-op at the
+       manifest txn check, so a retried batch can never double-close
+       or fork a key's timeline.
+
+    100 TB: history tables only grow, but every write here is
+    O(batch) — closed records are never revisited, the close-read
+    prunes to current rows of affected keys, and the merge prunes
+    through the table's own file stats. Dimension-table SCD2 (the
+    classic warehouse load) and GDPR-grade "what did we believe at
+    version v" audits both read as ``scd_start <= v AND (scd_end > v
+    OR scd_end IS NULL)`` — a stats-prunable predicate.
+
+    Cites Prensas.py:224,334 (the reference UPDATEs records in place,
+    destroying prior state; this keeps the lineage)."""
+    from pyspark.sql.window import Window
+
+    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
+
+    app = txn_app if txn_app is not None else f"cdf-scd2-{uuid.uuid4().hex[:12]}"
+    ks = list(keys)
+
+    def _key_bounds_pred(frame: DataFrame) -> str | None:
+        b = frame.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in ks],
+            *[F.max(k).alias(f"__hi_{k}") for k in ks],
+            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in ks],
+        ).collect()[0]
+        preds = []
+        for k in ks:
+            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
+                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
+            else:
+                return None
+        return " AND ".join(preds) if preds else None
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        rows = batch_df.filter(F.col("_change_type") != "update_preimage")
+        if rows.isEmpty():
+            return
+        w = Window.partitionBy(*ks).orderBy(F.col("_commit_version"))
+        seq = rows.withColumn(
+            "__next_v", F.lead("_commit_version").over(w)
+        ).localCheckpoint(eager=True)
+        data_cols = [
+            c
+            for c in rows.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        new_recs = seq.filter(F.col("_change_type") != "delete").select(
+            *data_cols,
+            F.col("_commit_version").cast("long").alias("scd_start"),
+            F.col("__next_v").cast("long").alias("scd_end"),
+            F.col("__next_v").isNull().alias("is_current"),
+        )
+        t = VersionedTable(batch_df.sparkSession, target_root)
+        if t.version() == 0:
+            if new_recs.isEmpty():
+                return  # an all-delete batch cannot seed a history
+            try:
+                t.create(
+                    new_recs, cluster_by=ks, txn_app=app, txn_version=batch_id
+                )
+                return
+            except (CommitConflict, ValueError):
+                pass  # lost the create race — fall through and merge
+        first_v = seq.groupBy(*ks).agg(
+            F.min("_commit_version").cast("long").alias("__first_v")
+        )
+        pred = _key_bounds_pred(first_v)
+        cur = (t.scan(pred) if pred else t.snapshot()).filter(
+            F.col("is_current")
+        )
+        closed = (
+            cur.join(first_v, ks, "inner")
+            .withColumn("scd_end", F.col("__first_v"))
+            .withColumn("is_current", F.lit(False))
+            .drop("__first_v")
+        )
+        src = closed.unionByName(new_recs)
+        t.merge_into(src, ks + ["scd_start"], txn_app=app, txn_version=batch_id)
+
+    return apply

@@ -1945,3 +1945,91 @@ class TestCdfApply:
             assert got == want, f"mirror never converged: {got} != {want}"
         finally:
             q.stop()
+
+
+class TestScd2Apply:
+    """cdf_scd2_foreach_batch: SCD Type 2 history from the change feed —
+    intra-batch chains preserved, open records closed exactly once,
+    re-insert after delete starts a new interval, replays no-op."""
+
+    def _feed(self, src, lo, hi):
+        from pyspark.sql import functions as F
+
+        out = None
+        for v in range(lo + 1, hi + 1):
+            c = src.changes(v - 1, v, keys=["k"]).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    def test_history_intervals_and_replay(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_scd2_foreach_batch
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+        )
+        src.create(df, cluster_by=["k"])  # v1
+        src.merge_into(
+            spark.range(3).select(F.col("id").alias("k"), F.lit(999).alias("v")),
+            ["k"],
+        )  # v2: update k in {0,1,2}
+        src.delete_where("k = 1 OR k = 5")  # v3
+        src.merge_into(
+            spark.createDataFrame([(5, 555)], "k long, v long"), ["k"]
+        )  # v4: re-insert k=5
+
+        sink = cdf_scd2_foreach_batch(str(tmp_path / "hist"), ["k"], txn_app="t")
+        b0 = (
+            src.snapshot(1)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(1).cast("long"))
+        )
+        sink(b0, 0)
+        b1 = self._feed(src, 1, 3)  # v2 + v3 chained in ONE batch
+        sink(b1, 1)
+        b2 = self._feed(src, 3, 4)
+        sink(b2, 2)
+        sink(b1, 1)  # replay must no-op at the txn check
+
+        hist = VersionedTable(spark, str(tmp_path / "hist"))
+        rows = {
+            (r["k"], r["v"]): (r["scd_start"], r["scd_end"], r["is_current"])
+            for r in hist.snapshot().collect()
+        }
+        # k=1: updated at 2 then deleted at 3 inside one batch — the v2
+        # state exists as a (2, 3) record that was never current
+        assert rows[(1, 100)] == (1, 2, False)
+        assert rows[(1, 999)] == (2, 3, False)
+        # k=5: deleted then re-inserted — two disjoint intervals
+        assert rows[(5, 500)] == (1, 3, False)
+        assert rows[(5, 555)] == (4, None, True)
+        # untouched key stays a single open record
+        assert rows[(7, 700)] == (1, None, True)
+        # replay added nothing
+        assert len(rows) == 14
+        # the current slice equals the source snapshot
+        cur = hist.snapshot().filter("is_current").select("k", "v")
+        want = src.snapshot().select("k", "v")
+        assert cur.exceptAll(want).isEmpty() and want.exceptAll(cur).isEmpty()
+
+    def test_all_delete_batch_cannot_seed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_scd2_foreach_batch
+
+        sink = cdf_scd2_foreach_batch(str(tmp_path / "hist"), ["k"], txn_app="t")
+        dels = spark.createDataFrame([(1, 1)], "k long, v long").select(
+            "k",
+            "v",
+            F.lit("delete").alias("_change_type"),
+            F.lit(3).cast("long").alias("_commit_version"),
+        )
+        sink(dels, 0)
+        t = VersionedTable(spark, str(tmp_path / "hist"))
+        assert t.version() == 0  # nothing to open a history with
