@@ -1,0 +1,199 @@
+"""Materialized views with incremental refresh — the front door over
+the IVM tiers.
+
+The r11/r12 IVM sinks (``cdf_ivm_foreach_batch``,
+``cdf_ivm_minmax_foreach_batch``) maintain an aggregate table from a
+change feed, but the CALLER has to wire the batches: slice
+``changes()`` ranges, thread ``_commit_version``, pick monotone batch
+ids. :class:`MaterializedView` is the CREATE MATERIALIZED VIEW /
+REFRESH surface every warehouse exposes on top of that machinery:
+
+* ``create()`` seeds the view from the source's current snapshot and
+  persists the view DEFINITION (source root, group keys, aggregate
+  spec) in a sidecar next to the view's log — a fresh process can
+  ``MaterializedView(spark, root).refresh()`` with nothing but the
+  path.
+* ``refresh()`` reads the last APPLIED source version from the view
+  table's own transaction map (the same manifest txn protocol the
+  streaming sinks use — crash-safe, replay-idempotent), pulls ONE
+  netted change batch over ``(applied, current]`` from the source's
+  commit-time feed, and routes it to the right maintenance tier:
+  SUM/COUNT (self-maintainable, pure signed deltas) or MIN/MAX
+  (incremental-where-exact, source-repaired AS OF the refresh version
+  where not). Cost is O(changed rows) + O(affected groups), never
+  O(source) or O(view) — the measured r11/r12 rows in BASELINE.md.
+
+A refresh that finds nothing new is a version-pointer read — no job.
+Two concurrent refreshes serialize through the txn check: the loser's
+merge no-ops. The view is an ordinary :class:`VersionedTable` — time
+travel, CDF, constraints and ``scan`` pruning all apply, so views can
+stack (a second view can follow the first view's change feed).
+
+Cites Prensas.py:300-302 (the reference recomputes its joined probe
+on every 1 s tick — the polling analogue of a view it cannot
+maintain incrementally)."""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+_SPEC_NAME = "_mv_spec.json"
+_TXN_APP = "mv-refresh"
+
+
+class MaterializedView:
+    """A maintained GROUP BY view over one VersionedTable source."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- definition ----------------------------------------------------
+    def _spec_path(self) -> str:
+        return os.path.join(self.root, _SPEC_NAME)
+
+    def spec(self) -> dict:
+        with open(self._spec_path(), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def table(self) -> VersionedTable:
+        return VersionedTable(self.spark, self.root)
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        return self.table().snapshot(version)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        source_root: str,
+        group_by: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        min_cols: Sequence[str] = (),
+        max_cols: Sequence[str] = (),
+        keys: Sequence[str] | None = None,
+    ) -> "MaterializedView":
+        """Define the view and seed it at the source's CURRENT version.
+
+        ``group_by``/aggregate columns must be source columns.
+        ``sum_cols`` selects the SUM/COUNT tier; ``min_cols``/
+        ``max_cols`` the MIN/MAX tier — mixing the two in one view is
+        refused (a MIN/MAX view's repair reads cannot restore a SUM,
+        so a mixed view would need the worst of both tiers; stack two
+        views instead). ``keys`` are the SOURCE's row-identity columns
+        for its change feed (default: the source's cluster_by)."""
+        if (min_cols or max_cols) and sum_cols:
+            raise ValueError(
+                "MaterializedView: sum_cols and min_cols/max_cols are "
+                "separate maintenance tiers — define two views over the "
+                "same source instead of one mixed view"
+            )
+        if not (sum_cols or min_cols or max_cols):
+            raise ValueError("MaterializedView needs an aggregate spec")
+        mv = cls(spark, root)
+        if os.path.exists(mv._spec_path()):
+            raise ValueError(f"materialized view already defined at {root}")
+        src = VersionedTable(spark, source_root)
+        v_src = src.version()
+        if v_src == 0:
+            raise ValueError("source table does not exist; create() it first")
+        spec = {
+            "source_root": source_root,
+            "group_by": list(group_by),
+            "sum_cols": list(sum_cols),
+            "min_cols": list(min_cols),
+            "max_cols": list(max_cols),
+            "keys": list(keys) if keys is not None else None,
+        }
+        os.makedirs(root, exist_ok=True)
+        tmp = mv._spec_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, mv._spec_path())
+        mv._apply_seed(src, v_src, spec)
+        return mv
+
+    # -- maintenance ---------------------------------------------------
+    def _applied_version(self) -> int | None:
+        t = self.table()
+        head = t.version()
+        if head == 0:
+            return None
+        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
+        return None if seen is None else int(seen[0])
+
+    def _sink(self, spec: dict):
+        from iotdatapipeline_spark.streaming.sinks import (
+            cdf_ivm_foreach_batch,
+            cdf_ivm_minmax_foreach_batch,
+        )
+
+        if spec["sum_cols"]:
+            return cdf_ivm_foreach_batch(
+                self.root, spec["group_by"], spec["sum_cols"], txn_app=_TXN_APP
+            )
+        return cdf_ivm_minmax_foreach_batch(
+            self.root,
+            spec["source_root"],
+            spec["group_by"],
+            spec["min_cols"],
+            spec["max_cols"],
+            txn_app=_TXN_APP,
+        )
+
+    def _feed_cols(self, spec: dict) -> list[str]:
+        return list(
+            dict.fromkeys(
+                spec["group_by"]
+                + spec["sum_cols"]
+                + spec["min_cols"]
+                + spec["max_cols"]
+            )
+        )
+
+    def _apply_seed(self, src: VersionedTable, v_src: int, spec: dict) -> None:
+        seed = (
+            src.snapshot(v_src)
+            .select(*self._feed_cols(spec))
+            .withColumns(
+                {
+                    "_change_type": F.lit("insert"),
+                    "_commit_version": F.lit(v_src).cast("long"),
+                }
+            )
+        )
+        self._sink(spec)(seed, v_src)
+
+    def refresh(self) -> int:
+        """Bring the view up to the source's current version; returns
+        the source version the view now reflects. O(changed rows in
+        range) via the commit-time feed; a no-change refresh is a
+        metadata read."""
+        spec = self.spec()
+        src = VersionedTable(self.spark, spec["source_root"])
+        v_src = src.version()
+        applied = self._applied_version()
+        if applied is None:
+            # create() crashed between the spec write and the seed —
+            # seed now, at the source's current version
+            self._apply_seed(src, v_src, spec)
+            return v_src
+        if applied >= v_src:
+            return applied  # nothing new
+        feed = (
+            src.changes(
+                applied, v_src, keys=spec["keys"], include_preimages=True
+            )
+            .select(*self._feed_cols(spec), "_change_type")
+            .withColumn("_commit_version", F.lit(v_src).cast("long"))
+        )
+        self._sink(spec)(feed, v_src)
+        return v_src

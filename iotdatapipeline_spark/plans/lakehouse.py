@@ -2137,3 +2137,82 @@ def events_versioned_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station", "part", "ts_us", "v_cents", "version_id",
         "scd_start", "scd_end", "is_current",
     )
+
+
+@register(
+    "events_versioned_mv_refresh",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    f AS (
+        SELECT part,
+               CASE WHEN station % 4 = 0 THEN v_cents + 5000 ELSE v_cents END AS v_cents
+        FROM b WHERE station % 7 <> 0
+    )
+    SELECT part, CAST(count(*) AS BIGINT) AS cnt,
+           min(v_cents) AS min_v_cents, max(v_cents) AS max_v_cents
+    FROM f GROUP BY part
+    """,
+)
+def events_versioned_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW / REFRESH as a hard driver gate (r12):
+    the MIN/MAX-tier view (per event-type cnt + v_cents extremes) is
+    DEFINED once over the source, seeded at v1, then the source takes
+    a merge (+5000 cents on mod-4 stations — moves maxima) and a
+    keyed delete (mod-7 stations — removes extreme-holding rows, the
+    repair path) and ONE ``refresh()`` call absorbs both commits as a
+    single netted feed batch: the orchestrator itself reads the
+    last-applied version from the view's txn map, computes the range,
+    threads ``_commit_version`` for the AS OF repair reads, and
+    routes the tier. A second refresh must be a metadata no-op. The
+    oracle aggregates the source's final state directly; the gate
+    additionally asserts the view was MAINTAINED (merge commits in
+    its history), not recomputed.
+
+    100 TB: refresh cost is O(changed rows) + O(affected groups) via
+    the commit-time feed — the warehouse REFRESH MATERIALIZED VIEW
+    that re-runs the defining query is exactly what this replaces
+    (iotdatapipeline_spark/matview.py)."""
+    from iotdatapipeline_spark.matview import MaterializedView
+
+    r = _readings(spark, sf_dir)
+    base = (
+        r.filter(F.col("event_id") % 3 != 0)
+        .groupBy("station")
+        .agg(
+            F.max_by("part", F.col("event_id")).alias("part"),
+            F.max_by("v_cents", F.col("event_id")).alias("v_cents"),
+        )
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_mv_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    mv = MaterializedView.create(
+        spark,
+        os.path.join(stem, "view"),
+        os.path.join(stem, "src"),
+        group_by=["part"],
+        min_cols=["v_cents"],
+        max_cols=["v_cents"],
+    )
+    upd = (
+        src.snapshot()
+        .filter(F.col("station") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000))
+    )
+    src.merge_into(upd, ["station"])  # v2
+    dele = src.snapshot().filter(F.col("station") % 7 == 0)
+    src.merge_into(dele, ["station"], when_matched="delete")  # v3
+    if mv.refresh() != 3:
+        raise RuntimeError("refresh did not reach the source head")
+    v_after = mv.table().version()
+    if mv.refresh() != 3 or mv.table().version() != v_after:
+        raise RuntimeError("no-change refresh was not a metadata no-op")
+    ops = [m["op"] for m in mv.table().history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"view was not incrementally maintained: {ops}")
+    return mv.snapshot().select("part", "cnt", "min_v_cents", "max_v_cents")

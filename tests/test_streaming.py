@@ -2033,3 +2033,117 @@ class TestScd2Apply:
         sink(dels, 0)
         t = VersionedTable(spark, str(tmp_path / "hist"))
         assert t.version() == 0  # nothing to open a history with
+
+
+class TestMaterializedView:
+    """MaterializedView: CREATE/REFRESH orchestration over the IVM
+    tiers — spec persisted beside the view log, last-applied source
+    version tracked in the view's txn map, one netted feed batch per
+    refresh."""
+
+    def _source(self, spark, root):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, root)
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+        src.create(df, cluster_by=["k"])
+        return src
+
+    def test_sum_tier_refresh(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        src = self._source(spark, str(tmp_path / "src"))
+        mv = MaterializedView.create(
+            spark,
+            str(tmp_path / "mv"),
+            str(tmp_path / "src"),
+            group_by=["g"],
+            sum_cols=["v"],
+        )
+        # seed reflects v1
+        got = {r["g"]: (r["cnt"], r["sum_v"]) for r in mv.snapshot().collect()}
+        assert got[0] == (25, sum(i * 10 for i in range(0, 100, 4)))
+
+        # two source commits, ONE refresh over the netted range
+        src.merge_into(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+                F.lit(0).alias("v"),
+            ),
+            ["k"],
+        )  # v2: zero out k<10
+        src.delete_where("k >= 90")  # v3
+        assert mv.refresh() == 3
+        want = {
+            r["g"]: (r["cnt"], r["sum_v"])
+            for r in src.snapshot()
+            .groupBy("g")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+        got = {r["g"]: (r["cnt"], r["sum_v"]) for r in mv.snapshot().collect()}
+        assert got == want
+        # no-change refresh: pure metadata, same applied version
+        v = mv.table().version()
+        assert mv.refresh() == 3
+        assert mv.table().version() == v
+
+    def test_minmax_tier_refresh_and_reopen(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        src = self._source(spark, str(tmp_path / "src"))
+        MaterializedView.create(
+            spark,
+            str(tmp_path / "mv"),
+            str(tmp_path / "src"),
+            group_by=["g"],
+            min_cols=["v"],
+            max_cols=["v"],
+        )
+        # delete the row holding g=1's maximum (k=97, v=970) → repair path
+        src.delete_where("k = 97")
+        # a FRESH handle (new process): spec comes from the sidecar
+        mv2 = MaterializedView(spark, str(tmp_path / "mv"))
+        assert mv2.refresh() == 2
+        want = {
+            r["g"]: (r["cnt"], r["min_v"], r["max_v"])
+            for r in src.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: (r["cnt"], r["min_v"], r["max_v"])
+            for r in mv2.snapshot().collect()
+        }
+        assert got == want
+
+    def test_mixed_spec_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        self._source(spark, str(tmp_path / "src"))
+        with _pytest.raises(ValueError, match="tier"):
+            MaterializedView.create(
+                spark,
+                str(tmp_path / "mv"),
+                str(tmp_path / "src"),
+                group_by=["g"],
+                sum_cols=["v"],
+                min_cols=["v"],
+            )
