@@ -617,6 +617,20 @@ def pq_adc_search(
     )
 
 
+def bq_words(vec_col: str) -> Column:
+    """The sign-bit packing EXPRESSION behind :func:`binary_quantize`,
+    exposed so callers that must keep extra columns (the maintained
+    index's change-feed tags) can pack row-locally without a
+    re-attaching join."""
+    return F.expr(
+        f"transform(sequence(0, CAST(ceil(size({vec_col}) / 32.0) AS INT) - 1, 1), j -> "
+        f"aggregate(transform(sequence(0, 31, 1), b -> "
+        f"IF(j * 32 + b < size({vec_col}) AND {vec_col}[j * 32 + b] >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc | x))"
+    )
+
+
 def binary_quantize(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -627,14 +641,7 @@ def binary_quantize(
     and the packed values are identical non-negative integers on any
     engine — the determinism that lets the DuckDB oracle replay the
     quantization bit-for-bit. Output: (id, bq array<bigint>)."""
-    words = F.expr(
-        f"transform(sequence(0, CAST(ceil(size({vec_col}) / 32.0) AS INT) - 1, 1), j -> "
-        f"aggregate(transform(sequence(0, 31, 1), b -> "
-        f"IF(j * 32 + b < size({vec_col}) AND {vec_col}[j * 32 + b] >= 0, "
-        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc | x))"
-    )
-    return df.select(F.col(id_col), words.alias("bq"))
+    return df.select(F.col(id_col), bq_words(vec_col).alias("bq"))
 
 
 def hamming_topk(

@@ -197,3 +197,157 @@ class MaterializedView:
         )
         self._sink(spec)(feed, v_src)
         return v_src
+
+
+class BqVectorIndex:
+    """An incrementally MAINTAINED ANN index: the stored sign-bit
+    (binary-quantization) tier of a vector store, kept in sync with a
+    VersionedTable of embeddings from its change feed.
+
+    The r11 stored-BQ gate pays packing once but must REBUILD when the
+    corpus changes (its cache keys on a dataset fingerprint). Real
+    vector stores don't rebuild — the BQ tier has NO trained state
+    (no codebook, no centroids), so maintenance is exact and row-local:
+    a changed vector's packed words are recomputed from that vector
+    alone, a delete drops its row. ``refresh()`` composes the three
+    existing primitives — ``changes()`` for the O(changed rows) feed,
+    :func:`~iotdatapipeline_spark.analytics.similarity.binary_quantize`
+    for the transform, and ``cdf_apply_foreach_batch`` for the
+    terminal-state/keyed-delete/txn-exactly-once apply — so index
+    maintenance inherits every property the CDC mirror already pinned
+    (replays no-op, deletes are DVs, merges stats-prune).
+
+    PQ/IVF tiers stay rebuild-on-retrain by design: their codebooks
+    ARE trained state — encoding fresh vectors against a frozen
+    codebook is the standard production move, but recall drift under
+    distribution shift makes the retrain policy a modeling decision,
+    not an engine one. The BQ tier has no such caveat.
+
+    100 TB: a 1-row embedding correction never touches the other
+    10^9 index rows — the feed is O(changed), the merge prunes to the
+    files holding the changed ids, and search reads d/32 ints per
+    vector exactly as before."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _spec_path(self) -> str:
+        return os.path.join(self.root, _SPEC_NAME)
+
+    def spec(self) -> dict:
+        with open(self._spec_path(), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def table(self) -> VersionedTable:
+        return VersionedTable(self.spark, self.root)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        source_root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "BqVectorIndex":
+        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+
+        idx = cls(spark, root)
+        if os.path.exists(idx._spec_path()):
+            raise ValueError(f"vector index already defined at {root}")
+        src = VersionedTable(spark, source_root)
+        v_src = src.version()
+        if v_src == 0:
+            raise ValueError("source table does not exist; create() it first")
+        os.makedirs(root, exist_ok=True)
+        spec = {"source_root": source_root, "id_col": id_col, "vec_col": vec_col}
+        tmp = idx._spec_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, idx._spec_path())
+        seed = binary_quantize(
+            src.snapshot(v_src), id_col=id_col, vec_col=vec_col
+        ).withColumns(
+            {
+                "_change_type": F.lit("insert"),
+                "_commit_version": F.lit(v_src).cast("long"),
+            }
+        )
+        idx._apply(seed, v_src)
+        return idx
+
+    def _apply(self, feed: DataFrame, v_src: int) -> None:
+        from iotdatapipeline_spark.streaming.sinks import cdf_apply_foreach_batch
+
+        spec = self.spec()
+        cdf_apply_foreach_batch(
+            self.root, [spec["id_col"]], txn_app=_TXN_APP
+        )(feed, v_src)
+
+    def _applied_version(self) -> int | None:
+        t = self.table()
+        head = t.version()
+        if head == 0:
+            return None
+        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
+        return None if seen is None else int(seen[0])
+
+    def refresh(self) -> int:
+        """Bring the index up to the source's current version —
+        O(changed vectors); a no-change refresh is a metadata read."""
+        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+
+        spec = self.spec()
+        src = VersionedTable(self.spark, spec["source_root"])
+        v_src = src.version()
+        applied = self._applied_version()
+        id_col, vec_col = spec["id_col"], spec["vec_col"]
+        if applied is None:
+            seed = binary_quantize(
+                src.snapshot(v_src), id_col=id_col, vec_col=vec_col
+            ).withColumns(
+                {
+                    "_change_type": F.lit("insert"),
+                    "_commit_version": F.lit(v_src).cast("long"),
+                }
+            )
+            self._apply(seed, v_src)
+            return v_src
+        if applied >= v_src:
+            return applied
+        from iotdatapipeline_spark.analytics.similarity import bq_words
+
+        ch = src.changes(applied, v_src, keys=[id_col])
+        # row-local repack of the changed vectors, feed tags kept
+        ups = ch.filter(F.col("_change_type") != "delete").select(
+            F.col(id_col), bq_words(vec_col).alias("bq"), F.col("_change_type")
+        )
+        dels = ch.filter(F.col("_change_type") == "delete").select(
+            F.col(id_col),
+            F.lit(None).cast("array<bigint>").alias("bq"),
+            F.col("_change_type"),
+        )
+        feed = ups.unionByName(dels).withColumn(
+            "_commit_version", F.lit(v_src).cast("long")
+        )
+        self._apply(feed, v_src)
+        return v_src
+
+    def search(self, queries: DataFrame, *, k: int) -> DataFrame:
+        """Hamming top-k of each query vector (``id_col``, ``vec_col``
+        frame) against the STORED words — the float column is never
+        touched on the corpus side."""
+        from iotdatapipeline_spark.analytics.similarity import (
+            binary_quantize,
+            hamming_topk,
+        )
+
+        spec = self.spec()
+        qbq = binary_quantize(
+            queries, id_col=spec["id_col"], vec_col=spec["vec_col"]
+        ).withColumnRenamed(spec["id_col"], "vec_id")
+        corpus = self.table().snapshot().select(
+            F.col(spec["id_col"]).alias("vec_id"), "bq"
+        )
+        return hamming_topk(corpus, qbq, k=k)

@@ -4070,3 +4070,87 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
     mtop = dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).select("qid", "nid")
     return _recall_vs_exact_int_top3(emb, mtop)
+
+
+@register(
+    "embeddings_bq_index_maintain",
+    """
+    WITH f AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings WHERE vec_id % 9 <> 0
+    ),
+    w AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+                   j -> list_reduce(
+                            list_transform(generate_series(0, 31),
+                                b -> CASE WHEN j * 32 + b + 1 <= len(embedding)
+                                           AND embedding[j * 32 + b + 1] >= 0
+                                          THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                            (x, y) -> x | y)) AS w
+        FROM f
+    ),
+    e AS (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(w)),
+                                     i -> {'wi': i - 1, 'word': w[i]})) AS s
+        FROM w
+    )
+    SELECT vec_id, CAST(s.wi AS BIGINT) AS wi, CAST(s.word AS BIGINT) AS word FROM e
+    """,
+)
+def embeddings_bq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED vector index as a hard driver gate (r12): the stored
+    sign-bit tier (``embeddings_bq_index_topk``'s table) is kept in
+    sync with a mutating embeddings VersionedTable from its change
+    feed — ``BqVectorIndex.create`` seeds at v1, the source then takes
+    a vector-flipping merge (negate every dim of mod-7 ids — every
+    sign bit of those rows changes) and a delete (mod-9 ids), and ONE
+    ``refresh()`` absorbs both commits: changed ids repacked
+    row-locally from the O(changed rows) feed, deleted ids dropped,
+    exactly-once via the index table's txn map (a second refresh must
+    be a metadata no-op). The gate explodes the stored words to
+    (vec_id, wi, word) scalars; the oracle packs the source's FINAL
+    state from scratch — a stale word (missed update), a surviving
+    deleted id, or a double-applied batch all hash-fail.
+
+    100 TB: index maintenance is the operation vector stores are
+    judged on — here a 1-row embedding correction repacks one row and
+    merges into the files holding that id, never touching the other
+    10^9 index rows, because the BQ tier has no trained state to
+    invalidate (iotdatapipeline_spark/matview.py BqVectorIndex;
+    PQ/IVF retrains stay a modeling decision, documented there)."""
+    import os
+    import tempfile
+
+    from iotdatapipeline_spark.matview import BqVectorIndex
+    from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+    stem = tempfile.mkdtemp(prefix="iotdp_bqmaint_")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(emb, cluster_by=["vec_id"])
+    idx = BqVectorIndex.create(
+        spark, os.path.join(stem, "idx"), os.path.join(stem, "src")
+    )
+    upd = (
+        src.snapshot()
+        .filter(F.col("vec_id") % 7 == 0)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+    )
+    src.merge_into(upd, ["vec_id"])  # v2
+    src.delete_where("vec_id % 9 = 0")  # v3
+    if idx.refresh() != 3:
+        raise RuntimeError("index refresh did not reach the source head")
+    v_after = idx.table().version()
+    if idx.refresh() != 3 or idx.table().version() != v_after:
+        raise RuntimeError("no-change refresh was not a metadata no-op")
+    return (
+        idx.table()
+        .snapshot()
+        .select("vec_id", F.posexplode("bq").alias("wi", "word"))
+        .select("vec_id", F.col("wi").cast("long").alias("wi"), "word")
+    )

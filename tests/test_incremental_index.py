@@ -177,3 +177,58 @@ class TestStreamJoinRecovery:
 
         assert got == expected
         assert len(got) > mid  # cross-restart matches actually happened
+
+
+class TestBqVectorIndexMaintain:
+    """BqVectorIndex: the stored sign-bit ANN tier maintained from the
+    source's change feed — refresh == from-scratch repack, replays and
+    no-change refreshes are metadata no-ops."""
+
+    def test_refresh_equals_rebuild(self, spark, tmp_path):
+        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+        from iotdatapipeline_spark.matview import BqVectorIndex
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(emb, cluster_by=["vec_id"])
+        idx = BqVectorIndex.create(
+            spark, str(tmp_path / "idx"), str(tmp_path / "src")
+        )
+        seed_files = len(
+            idx.table()._read_manifest(idx.table().version())["files"]
+        )
+        upd = (
+            src.snapshot()
+            .filter(F.col("vec_id") % 7 == 0)
+            .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        )
+        src.merge_into(upd, ["vec_id"])
+        src.delete_where("vec_id % 9 = 0")
+        assert idx.refresh() == 3
+        v = idx.table().version()
+        assert idx.refresh() == 3 and idx.table().version() == v  # no-op
+        got = idx.table().snapshot().select("vec_id", "bq")
+        want = binary_quantize(src.snapshot())
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        assert seed_files >= 1  # seeded as a real table, not a cache
+
+    def test_fresh_handle_searches_stored_words(self, spark, tmp_path):
+        from iotdatapipeline_spark.matview import BqVectorIndex
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(emb, cluster_by=["vec_id"])
+        BqVectorIndex.create(spark, str(tmp_path / "idx"), str(tmp_path / "src"))
+        # a NEW handle reads the sidecar spec and searches the stored words
+        idx2 = BqVectorIndex(spark, str(tmp_path / "idx"))
+        top = idx2.search(src.snapshot().filter("vec_id < 3"), k=2)
+        rows = top.collect()
+        assert {r["qid"] for r in rows} == {0, 1, 2}
+        assert all(r["rk"] in (1, 2) for r in rows)
+        assert all(r["nid"] != r["qid"] for r in rows)
