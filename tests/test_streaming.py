@@ -2147,3 +2147,78 @@ class TestMaterializedView:
                 sum_cols=["v"],
                 min_cols=["v"],
             )
+
+
+class TestScd2Stream:
+    @pytest.mark.slow
+    def test_end_to_end_stream_scd2(self, spark, tmp_path):
+        """r12: the SCD2 sink over the REAL versioned_cdf stream — the
+        history's current slice must converge to the source snapshot
+        across a merge and a delete, and closed intervals must exist
+        for every replaced state."""
+        import time
+
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import (
+            VersionedTable,
+            cdf_schema_ddl,
+            register_versioned_cdf,
+        )
+        from iotdatapipeline_spark.streaming.sinks import cdf_scd2_foreach_batch
+
+        register_versioned_cdf(spark)
+        src_root = str(tmp_path / "src")
+        src = VersionedTable(spark, src_root)
+        src.create(
+            spark.createDataFrame([Row(k=i, v=i * 10) for i in range(12)]),
+            n_files=2,
+            cluster_by=["k"],
+        )
+        hist_root = str(tmp_path / "hist")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", src_root)
+            .option("keys", "k")
+            .option("schema_ddl", cdf_schema_ddl(src))
+            .load()
+            .writeStream.foreachBatch(cdf_scd2_foreach_batch(hist_root, ["k"]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            src.merge_into(
+                spark.createDataFrame([Row(k=3, v=999), Row(k=42, v=7)]), ["k"]
+            )
+            src.delete_where("k % 5 = 0")
+            hist = VersionedTable(spark, hist_root)
+            want = {(r["k"], r["v"]) for r in src.snapshot().collect()}
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                if hist.version() > 0:
+                    got = {
+                        (r["k"], r["v"])
+                        for r in hist.snapshot()
+                        .filter("is_current")
+                        .collect()
+                    }
+                    if got == want:
+                        break
+                time.sleep(0.5)
+            assert got == want, f"current slice never converged: {got} != {want}"
+            rows = {
+                (r["k"], r["v"]): (r["scd_start"], r["scd_end"], r["is_current"])
+                for r in hist.snapshot().collect()
+            }
+            # k=3's original state was replaced by the merge: closed
+            start, end, cur = rows[(3, 30)]
+            assert not cur and end is not None and start < end
+            assert rows[(3, 999)][2]  # the new state is current
+            # deleted keys' records are closed, not removed
+            for k in (0, 5, 10):
+                start, end, cur = rows[(k, k * 10)]
+                assert not cur and end is not None
+        finally:
+            q.stop()
