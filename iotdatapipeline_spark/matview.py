@@ -351,3 +351,121 @@ class BqVectorIndex:
             F.col(spec["id_col"]).alias("vec_id"), "bq"
         )
         return hamming_topk(corpus, qbq, k=k)
+
+
+class JoinMaterializedView:
+    """A maintained JOIN view ``V = A ⋈ B`` over two VersionedTable
+    sources — the orchestrated form of
+    :func:`~iotdatapipeline_spark.streaming.sinks.cdf_ivm_join_apply`.
+
+    The step function is exact for any (from, to] version pair per
+    side, but the CALLER has to remember where each cursor stands.
+    Here both cursors live in the view's own txn map (the step already
+    packs them as ``to_a·10⁹ + to_b``), so ``refresh()`` recovers
+    (applied_a, applied_b), reads both sources' current versions, and
+    runs ONE differential step — including the ΔA⋈ΔB cross term when
+    both sides moved since the last refresh. Crash-safe and
+    replay-idempotent for the same reason the aggregate tiers are: a
+    re-run of an applied step no-ops at the txn check.
+
+    100 TB: the nightly 'rebuild the joined mart' job this replaces is
+    O(A + B + shuffle) every run; a refresh is O(ΔA ⋈ affected-B +
+    ΔB ⋈ affected-A), with the old-side reads stats-pruned by the
+    other side's delta key bounds (streaming/sinks.py
+    cdf_ivm_join_apply; BASELINE.md 'IVM tier 2')."""
+
+    _PACK = 10**9
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _spec_path(self) -> str:
+        return os.path.join(self.root, _SPEC_NAME)
+
+    def spec(self) -> dict:
+        with open(self._spec_path(), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def table(self) -> VersionedTable:
+        return VersionedTable(self.spark, self.root)
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        return self.table().snapshot(version)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        a_root: str,
+        b_root: str,
+        join_keys: Sequence[str],
+        a_key: str,
+        b_key: str,
+    ) -> "JoinMaterializedView":
+        mv = cls(spark, root)
+        if os.path.exists(mv._spec_path()):
+            raise ValueError(f"materialized view already defined at {root}")
+        va = VersionedTable(spark, a_root).version()
+        vb = VersionedTable(spark, b_root).version()
+        if va == 0 or vb == 0:
+            raise ValueError("both source tables must exist; create() them first")
+        spec = {
+            "a_root": a_root,
+            "b_root": b_root,
+            "join_keys": list(join_keys),
+            "a_key": a_key,
+            "b_key": b_key,
+        }
+        os.makedirs(root, exist_ok=True)
+        tmp = mv._spec_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, mv._spec_path())
+        mv._step((va, va), (vb, vb))
+        return mv
+
+    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_join_apply
+
+        spec = self.spec()
+        return cdf_ivm_join_apply(
+            self.spark,
+            self.root,
+            spec["a_root"],
+            spec["b_root"],
+            spec["join_keys"],
+            spec["a_key"],
+            spec["b_key"],
+            v_a,
+            v_b,
+            txn_app=_TXN_APP,
+        )
+
+    def _applied_pair(self) -> tuple[int, int] | None:
+        t = self.table()
+        head = t.version()
+        if head == 0:
+            return None
+        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
+        if seen is None:
+            return None
+        packed = int(seen[0])
+        return packed // self._PACK, packed % self._PACK
+
+    def refresh(self) -> tuple[int, int]:
+        """Bring the view up to both sources' current versions; returns
+        the (a_version, b_version) pair the view now reflects."""
+        spec = self.spec()
+        now_a = VersionedTable(self.spark, spec["a_root"]).version()
+        now_b = VersionedTable(self.spark, spec["b_root"]).version()
+        applied = self._applied_pair()
+        if applied is None:
+            self._step((now_a, now_a), (now_b, now_b))  # seed at current
+            return now_a, now_b
+        va, vb = applied
+        if (va, vb) == (now_a, now_b):
+            return applied  # nothing new on either side
+        self._step((va, now_a), (vb, now_b))
+        return now_a, now_b

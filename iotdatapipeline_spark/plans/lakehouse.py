@@ -2216,3 +2216,92 @@ def events_versioned_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(op.startswith("merge:") for op in ops):
         raise RuntimeError(f"view was not incrementally maintained: {ops}")
     return mv.snapshot().select("part", "cnt", "min_v_cents", "max_v_cents")
+
+
+@register(
+    "events_versioned_mv_join_refresh",
+    """
+    WITH base AS (
+        SELECT event_id, user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    fact AS (
+        SELECT event_id, station,
+               CASE WHEN event_id % 4 = 0 THEN v_cents + 5000 ELSE v_cents END AS v_cents
+        FROM base WHERE event_id % 7 <> 0
+    ),
+    dim AS (
+        SELECT station,
+               CASE WHEN station % 5 = 0 THEN station % 8 + 100
+                    ELSE station % 8 END AS grp
+        FROM (SELECT DISTINCT station FROM base)
+        WHERE station % 9 <> 0
+    )
+    SELECT f.event_id, f.station, f.v_cents, d.grp
+    FROM fact f JOIN dim d ON d.station = f.station
+    """,
+)
+def events_versioned_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view REFRESH orchestration as a hard driver gate (r12):
+    ``JoinMaterializedView`` recovers BOTH source cursors from the
+    view's packed txn record, so one ``refresh()`` absorbs a fact-side
+    step (update mod-4 events, delete mod-7) AND a dim-side step
+    (payload-refresh mod-5 stations, delete mod-9) that landed
+    TOGETHER since the seed — the differential expansion must include
+    the ΔA⋈ΔB cross term (a mod-4 event of a mod-5 station changed on
+    both sides at once; applying only the one-sided terms double-counts
+    or tears it). The step-function gate (`events_versioned_ivm_join`)
+    advances one side per call and never exercises simultaneous
+    movement. Oracle = the direct join of both final states; the gate
+    also asserts a second refresh is a metadata no-op and the view was
+    maintained, never recomputed.
+
+    100 TB: the orchestrated refresh is what a scheduler calls — no
+    caller-side version bookkeeping to get wrong across crashes
+    (iotdatapipeline_spark/matview.py JoinMaterializedView)."""
+    from iotdatapipeline_spark.matview import JoinMaterializedView
+
+    r = _readings(spark, sf_dir)
+    base = r.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "station", "v_cents"
+    )
+    dim = base.select("station").distinct().withColumn("grp", F.col("station") % 8)
+    stem = tempfile.mkdtemp(prefix="iotdp_mvj_")
+    A = VersionedTable(spark, os.path.join(stem, "fact"))
+    A.create(base, n_files=8, cluster_by=["station"])
+    B = VersionedTable(spark, os.path.join(stem, "dim"))
+    B.create(dim, n_files=2, cluster_by=["station"])
+    mv = JoinMaterializedView.create(
+        spark, os.path.join(stem, "view"),
+        os.path.join(stem, "fact"), os.path.join(stem, "dim"),
+        ["station"], "event_id", "station",
+    )
+    # both sides move before ONE refresh
+    A.merge_into(
+        A.snapshot().filter(F.col("event_id") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000)),
+        ["event_id"],
+    )
+    A.merge_into(
+        A.snapshot().filter(F.col("event_id") % 7 == 0),
+        ["event_id"], when_matched="delete",
+    )
+    B.merge_into(
+        B.snapshot().filter(F.col("station") % 5 == 0)
+        .withColumn("grp", F.col("grp") + F.lit(100)),
+        ["station"],
+    )
+    B.merge_into(
+        B.snapshot().filter(F.col("station") % 9 == 0),
+        ["station"], when_matched="delete",
+    )
+    if mv.refresh() != (A.version(), B.version()):
+        raise RuntimeError("refresh did not reach both source heads")
+    v_after = mv.table().version()
+    if mv.refresh() != (A.version(), B.version()) or mv.table().version() != v_after:
+        raise RuntimeError("no-change refresh was not a metadata no-op")
+    ops = [m["op"] for m in mv.table().history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"join view was not incrementally maintained: {ops}")
+    return mv.snapshot().select("event_id", "station", "v_cents", "grp")

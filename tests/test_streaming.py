@@ -2222,3 +2222,63 @@ class TestScd2Stream:
                 assert not cur and end is not None
         finally:
             q.stop()
+
+
+class TestJoinMaterializedView:
+    """JoinMaterializedView: cursor recovery for the differential
+    delta-join — one refresh absorbs BOTH sides' changes, including
+    the ΔA⋈ΔB cross term."""
+
+    def test_both_sides_one_refresh(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import JoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(60).select(
+                F.col("id").alias("rid"),
+                (F.col("id") % 10).alias("j"),
+                (F.col("id") * 2).alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(10).select(
+                F.col("id").alias("j"), (F.col("id") + 100).alias("y")
+            ),
+            cluster_by=["j"],
+        )
+        mv = JoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            ["j"], "rid", "j",
+        )
+        assert mv.refresh() == (1, 1)  # no-op
+        # BOTH sides move before one refresh: A updates rows of j=3 and
+        # deletes rid%4==0; B refreshes j=3's payload (cross term) and
+        # deletes j=7 (every pair of j=7 leaves)
+        A.merge_into(
+            A.snapshot().filter("j = 3").withColumn("x", F.col("x") + 1000),
+            ["rid"],
+        )
+        A.delete_where("rid % 4 = 0")
+        B.merge_into(
+            B.snapshot().filter("j = 3").withColumn("y", F.col("y") + 7),
+            ["j"],
+        )
+        B.merge_into(B.snapshot().filter("j = 7"), ["j"], when_matched="delete")
+        assert mv.refresh() == (A.version(), B.version())
+        got = mv.snapshot().select("rid", "j", "x", "y")
+        want = A.snapshot().join(B.snapshot(), "j").select("rid", "j", "x", "y")
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        # replay-equivalent: refresh again, nothing moves
+        v = mv.table().version()
+        assert mv.refresh() == (A.version(), B.version())
+        assert mv.table().version() == v
+        # fresh handle recovers both cursors from the sidecar + txn map
+        mv2 = JoinMaterializedView(spark, str(tmp_path / "v"))
+        A.delete_where("rid = 1")
+        assert mv2.refresh() == (A.version(), B.version())
+        assert mv2.snapshot().filter("rid = 1").isEmpty()
