@@ -2282,3 +2282,58 @@ class TestJoinMaterializedView:
         A.delete_where("rid = 1")
         assert mv2.refresh() == (A.version(), B.version())
         assert mv2.snapshot().filter("rid = 1").isEmpty()
+
+
+class TestStackedViews:
+    def test_view_over_view(self, spark, tmp_path):
+        """The matview docstring's stacking claim, pinned: a SUM/COUNT
+        view maintained over ANOTHER view's change feed (views are
+        ordinary VersionedTables with commit-time CDF, so a second
+        tier can follow the first). Source mutations must propagate
+        through both refreshes."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(200).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 40).alias("g"),
+                (F.col("id") % 40 % 5).alias("gg"),
+                F.lit(1).alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        # tier A: per-g counts/sums (40 groups); its table is CDF-on
+        mva = MaterializedView.create(
+            spark, str(tmp_path / "a"), str(tmp_path / "src"),
+            group_by=["g", "gg"], sum_cols=["v"], keys=["k"],
+        )
+        # tier B: per-gg sum of tier A's sums (5 groups), following A's feed
+        mvb = MaterializedView.create(
+            spark, str(tmp_path / "b"), str(tmp_path / "a"),
+            group_by=["gg"], sum_cols=["sum_v"], keys=["g", "gg"],
+        )
+        src.merge_into(
+            spark.range(20).select(
+                F.col("id").alias("k"), (F.col("id") % 40).alias("g"),
+                (F.col("id") % 40 % 5).alias("gg"), F.lit(100).alias("v"),
+            ),
+            ["k"],
+        )
+        src.delete_where("k >= 180")
+        mva.refresh()
+        mvb.refresh()
+        want = {
+            (r["gg"], r["s"])
+            for r in src.snapshot()
+            .groupBy("gg")
+            .agg(F.sum("v").cast("long").alias("s"))
+            .collect()
+        }
+        got = {
+            (r["gg"], r["sum_sum_v"]) for r in mvb.snapshot().collect()
+        }
+        assert got == want
