@@ -80,6 +80,7 @@ class MaterializedView:
         min_cols: Sequence[str] = (),
         max_cols: Sequence[str] = (),
         keys: Sequence[str] | None = None,
+        count_only: bool = False,
     ) -> "MaterializedView":
         """Define the view and seed it at the source's CURRENT version.
 
@@ -88,15 +89,26 @@ class MaterializedView:
         ``max_cols`` the MIN/MAX tier — mixing the two in one view is
         refused (a MIN/MAX view's repair reads cannot restore a SUM,
         so a mixed view would need the worst of both tiers; stack two
-        views instead). ``keys`` are the SOURCE's row-identity columns
+        views instead). ``count_only=True`` keeps just ``cnt`` per
+        group — the SUPPORT table of the classic two-level COUNT
+        DISTINCT construction: stack a count-only view grouped by
+        (g, v) under a count-only view grouped by (g) and the upper
+        ``cnt`` IS the exact per-g distinct count of v, deletes
+        included (a support row leaving tier A emits a delete into
+        tier B's feed). ``keys`` are the SOURCE's row-identity columns
         for its change feed (default: the source's cluster_by)."""
+        if count_only and (sum_cols or min_cols or max_cols):
+            raise ValueError(
+                "MaterializedView: count_only keeps cnt alone — drop the "
+                "aggregate columns or drop the flag"
+            )
         if (min_cols or max_cols) and sum_cols:
             raise ValueError(
                 "MaterializedView: sum_cols and min_cols/max_cols are "
                 "separate maintenance tiers — define two views over the "
                 "same source instead of one mixed view"
             )
-        if not (sum_cols or min_cols or max_cols):
+        if not (sum_cols or min_cols or max_cols or count_only):
             raise ValueError("MaterializedView needs an aggregate spec")
         mv = cls(spark, root)
         if os.path.exists(mv._spec_path()):
@@ -112,6 +124,7 @@ class MaterializedView:
             "min_cols": list(min_cols),
             "max_cols": list(max_cols),
             "keys": list(keys) if keys is not None else None,
+            "count_only": bool(count_only),
         }
         os.makedirs(root, exist_ok=True)
         tmp = mv._spec_path() + ".tmp"
@@ -136,7 +149,7 @@ class MaterializedView:
             cdf_ivm_minmax_foreach_batch,
         )
 
-        if spec["sum_cols"]:
+        if spec["sum_cols"] or spec.get("count_only"):
             return cdf_ivm_foreach_batch(
                 self.root, spec["group_by"], spec["sum_cols"], txn_app=_TXN_APP
             )

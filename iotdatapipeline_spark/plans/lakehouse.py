@@ -2305,3 +2305,80 @@ def events_versioned_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFr
     if not any(op.startswith("merge:") for op in ops):
         raise RuntimeError(f"join view was not incrementally maintained: {ops}")
     return mv.snapshot().select("event_id", "station", "v_cents", "grp")
+
+
+@register(
+    "events_versioned_ivm_distinct",
+    """
+    WITH base AS (
+        SELECT event_id, user_id AS station, event_type AS part
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    f AS (
+        SELECT station,
+               CASE WHEN event_id % 4 = 0 THEN 'retargeted' ELSE part END AS part
+        FROM base WHERE event_id % 7 <> 0
+    )
+    SELECT station, CAST(count(DISTINCT part) AS BIGINT) AS distinct_parts
+    FROM f GROUP BY station
+    """,
+)
+def events_versioned_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COUNT DISTINCT view via the two-level IVM construction
+    (r12): tier A = count-only view grouped by (station, part) — the
+    SUPPORT table; tier B = count-only view grouped by (station)
+    following A's change feed. B's ``cnt`` IS the per-station distinct
+    part count, with full delete support: when the last event of a
+    (station, part) pair leaves, A's support row dies and emits a
+    delete into B's feed — the construction every IVM engine uses
+    because COUNT DISTINCT is not self-maintainable in one level
+    (an arriving duplicate must not increment; only the support table
+    knows). Source takes a part-retargeting merge (mod-4 events — a
+    value MOVING between distinct sets) and a delete (mod-7); one
+    refresh per tier absorbs both commits. Oracle = DuckDB's
+    COUNT(DISTINCT) over the final state; a duplicate-counted arrival,
+    a lost last-support delete, or a tier applied twice all hash-fail.
+
+    100 TB: both tiers are O(changed rows) + O(affected groups) per
+    refresh; the support table is the only state that scales with
+    |distinct pairs| — exactly the memory an exact distinct count
+    costs anywhere (iotdatapipeline_spark/matview.py count_only;
+    the approx alternative at user-id cardinality is the HLL gate
+    ``station_distinct_users_hll``)."""
+    from iotdatapipeline_spark.matview import MaterializedView
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 != 0)
+        .select(
+            "event_id",
+            F.col("user_id").alias("station"),
+            F.col("event_type").alias("part"),
+        )
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_ivmdc_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["event_id"])
+    a = MaterializedView.create(
+        spark, os.path.join(stem, "a"), os.path.join(stem, "src"),
+        group_by=["station", "part"], count_only=True, keys=["event_id"],
+    )
+    b = MaterializedView.create(
+        spark, os.path.join(stem, "b"), os.path.join(stem, "a"),
+        group_by=["station"], count_only=True, keys=["station", "part"],
+    )
+    src.merge_into(
+        src.snapshot()
+        .filter(F.col("event_id") % 4 == 0)
+        .withColumn("part", F.lit("retargeted")),
+        ["event_id"],
+    )  # v2
+    src.delete_where("event_id % 7 = 0")  # v3
+    a.refresh()
+    b.refresh()
+    ops = [m["op"] for m in b.table().history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"distinct view was not incrementally maintained: {ops}")
+    return b.snapshot().select(
+        "station", F.col("cnt").alias("distinct_parts")
+    )

@@ -2337,3 +2337,33 @@ class TestStackedViews:
             (r["gg"], r["sum_sum_v"]) for r in mvb.snapshot().collect()
         }
         assert got == want
+
+
+class TestCountOnlyView:
+    def test_count_only_spec_and_refusal(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(30).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+            ),
+            cluster_by=["k"],
+        )
+        with _pytest.raises(ValueError, match="count_only"):
+            MaterializedView.create(
+                spark, str(tmp_path / "bad"), str(tmp_path / "src"),
+                group_by=["g"], count_only=True, sum_cols=["k"],
+            )
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], count_only=True, keys=["k"],
+        )
+        src.delete_where("k < 6")
+        assert mv.refresh() == 2
+        got = {(r["g"], r["cnt"]) for r in mv.snapshot().collect()}
+        assert got == {(0, 8), (1, 8), (2, 8)}
