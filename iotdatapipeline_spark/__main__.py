@@ -239,6 +239,47 @@ def _cmd_table(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_mv(args: argparse.Namespace) -> int:
+    """The scheduler-facing REFRESH MATERIALIZED VIEW: one verb that
+    works on every maintained-table kind, dispatching on the sidecar
+    spec (join view -> two cursors; vector index -> repack; aggregate
+    view -> tier routing). ``spec`` prints the definition without a
+    Spark session."""
+    import json as _json
+
+    spec_path = os.path.join(args.root, "_mv_spec.json")
+    if not os.path.isfile(spec_path):
+        print(f"no materialized view at {args.root} (missing _mv_spec.json)", file=sys.stderr)
+        return 2
+    with open(spec_path, encoding="utf-8") as fh:
+        spec = _json.load(fh)
+    if args.action == "spec":
+        print(_json.dumps(spec, indent=2))
+        return 0
+
+    from iotdatapipeline_spark.matview import (
+        BqVectorIndex,
+        JoinMaterializedView,
+        MaterializedView,
+    )
+    from iotdatapipeline_spark.session import get_spark
+
+    spark = get_spark("iotdatapipeline-mv")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "a_root" in spec:
+        view = JoinMaterializedView(spark, args.root)
+    elif "vec_col" in spec:
+        view = BqVectorIndex(spark, args.root)
+    else:
+        view = MaterializedView(spark, args.root)
+    if args.action == "refresh":
+        applied = view.refresh()
+        print(f"view at {args.root} now reflects source version {applied}")
+    else:  # show
+        view.table().snapshot().show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m iotdatapipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -289,6 +330,16 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--dry-run", action="store_true", help="vacuum: report what would be removed without deleting")
     tb.add_argument("--rows", type=int, default=20)
     tb.set_defaults(fn=_cmd_table)
+
+    mv = sub.add_parser(
+        "mv",
+        help="materialized-view admin: refresh / show / spec "
+        "(kind auto-detected from the view's _mv_spec.json sidecar)",
+    )
+    mv.add_argument("action", choices=["refresh", "show", "spec"])
+    mv.add_argument("root")
+    mv.add_argument("--rows", type=int, default=20)
+    mv.set_defaults(fn=_cmd_mv)
 
     args = ap.parse_args(argv)
     return args.fn(args)

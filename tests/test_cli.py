@@ -173,3 +173,39 @@ class TestCli:
         VersionedTable(spark, root).create(spark.createDataFrame([Row(k=1, v="a")]))
         assert main(["table", "changes", root]) == 2
         assert "requires --version" in capsys.readouterr().err
+
+
+class TestCliMv:
+    def test_mv_refresh_show_spec(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(40).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+                F.lit(1).alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], sum_cols=["v"], keys=["k"],
+        )
+        src.delete_where("k < 8")
+        rc = main(["mv", "refresh", str(tmp_path / "mv")])
+        assert rc == 0
+        assert "source version 2" in capsys.readouterr().out
+        rc = main(["mv", "show", str(tmp_path / "mv"), "--rows", "10"])
+        assert rc == 0
+        assert "sum_v" in capsys.readouterr().out
+        rc = main(["mv", "spec", str(tmp_path / "mv")])
+        assert rc == 0
+        assert "group_by" in capsys.readouterr().out
+
+    def test_mv_missing_spec_is_friendly(self, tmp_path, capsys):
+        rc = main(["mv", "refresh", str(tmp_path / "nope")])
+        assert rc == 2
+        assert "_mv_spec.json" in capsys.readouterr().err
