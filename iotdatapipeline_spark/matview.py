@@ -47,6 +47,25 @@ from iotdatapipeline_spark.sources.versioned import VersionedTable
 _SPEC_NAME = "_mv_spec.json"
 _TXN_APP = "mv-refresh"
 
+_KMV_M = 1 << 32  # md5-prefix hash space (plans/sketches.py convention)
+
+
+def kmv_estimate(k: int = 64):
+    """Distinct-count estimate Column over a maintained ``kmv`` sketch
+    column (the APPROX-DISTINCT view tier): exact below k kept hashes,
+    else the classic (k−1)·M / h_k — the same read the
+    ``station_distinct_users_hll`` gate value-hashes."""
+    return (
+        F.when(F.size("kmv") < k, F.size("kmv").cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST({(k - 1) * _KMV_M} AS BIGINT) div "
+                f"greatest(element_at(kmv, {k}), CAST(1 AS BIGINT))"
+            )
+        )
+        .cast("long")
+    )
+
 
 class MaterializedView:
     """A maintained GROUP BY view over one VersionedTable source."""
@@ -81,6 +100,8 @@ class MaterializedView:
         max_cols: Sequence[str] = (),
         keys: Sequence[str] | None = None,
         count_only: bool = False,
+        kmv_col: str | None = None,
+        kmv_k: int = 64,
     ) -> "MaterializedView":
         """Define the view and seed it at the source's CURRENT version.
 
@@ -95,20 +116,25 @@ class MaterializedView:
         (g, v) under a count-only view grouped by (g) and the upper
         ``cnt`` IS the exact per-g distinct count of v, deletes
         included (a support row leaving tier A emits a delete into
-        tier B's feed). ``keys`` are the SOURCE's row-identity columns
-        for its change feed (default: the source's cluster_by)."""
-        if count_only and (sum_cols or min_cols or max_cols):
+        tier B's feed). ``kmv_col`` selects the APPROX-DISTINCT tier:
+        a per-group KMV sketch of that column (insert-only — the feed
+        must never carry deletes; see ``cdf_ivm_kmv_foreach_batch``),
+        read back through :func:`kmv_estimate`. ``keys`` are the
+        SOURCE's row-identity columns for its change feed (default:
+        the source's cluster_by)."""
+        tiers = [
+            bool(sum_cols),
+            bool(min_cols or max_cols),
+            bool(count_only),
+            kmv_col is not None,
+        ]
+        if sum(tiers) > 1:
             raise ValueError(
-                "MaterializedView: count_only keeps cnt alone — drop the "
-                "aggregate columns or drop the flag"
+                "MaterializedView: sum_cols / min-max / count_only / kmv_col "
+                "are separate maintenance tiers — define one view per tier "
+                "over the same source instead of one mixed view"
             )
-        if (min_cols or max_cols) and sum_cols:
-            raise ValueError(
-                "MaterializedView: sum_cols and min_cols/max_cols are "
-                "separate maintenance tiers — define two views over the "
-                "same source instead of one mixed view"
-            )
-        if not (sum_cols or min_cols or max_cols or count_only):
+        if not any(tiers):
             raise ValueError("MaterializedView needs an aggregate spec")
         mv = cls(spark, root)
         if os.path.exists(mv._spec_path()):
@@ -125,6 +151,8 @@ class MaterializedView:
             "max_cols": list(max_cols),
             "keys": list(keys) if keys is not None else None,
             "count_only": bool(count_only),
+            "kmv_col": kmv_col,
+            "kmv_k": int(kmv_k),
         }
         os.makedirs(root, exist_ok=True)
         tmp = mv._spec_path() + ".tmp"
@@ -146,9 +174,18 @@ class MaterializedView:
     def _sink(self, spec: dict):
         from iotdatapipeline_spark.streaming.sinks import (
             cdf_ivm_foreach_batch,
+            cdf_ivm_kmv_foreach_batch,
             cdf_ivm_minmax_foreach_batch,
         )
 
+        if spec.get("kmv_col"):
+            return cdf_ivm_kmv_foreach_batch(
+                self.root,
+                spec["group_by"],
+                spec["kmv_col"],
+                k=spec.get("kmv_k", 64),
+                txn_app=_TXN_APP,
+            )
         if spec["sum_cols"] or spec.get("count_only"):
             return cdf_ivm_foreach_batch(
                 self.root, spec["group_by"], spec["sum_cols"], txn_app=_TXN_APP
@@ -169,6 +206,7 @@ class MaterializedView:
                 + spec["sum_cols"]
                 + spec["min_cols"]
                 + spec["max_cols"]
+                + ([spec["kmv_col"]] if spec.get("kmv_col") else [])
             )
         )
 

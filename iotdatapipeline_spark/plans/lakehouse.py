@@ -2382,3 +2382,76 @@ def events_versioned_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     return b.snapshot().select(
         "station", F.col("cnt").alias("distinct_parts")
     )
+
+
+@register(
+    "events_versioned_ivm_kmv",
+    """
+    WITH h AS (
+        SELECT event_type AS part,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT part, hv, row_number() OVER (PARTITION BY part ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT part, hv FROM h)
+    ),
+    stats AS (
+        SELECT part,
+               count(*) FILTER (WHERE rn <= 64) AS n_kept,
+               max(CASE WHEN rn = 64 THEN hv END) AS h_k
+        FROM r GROUP BY part
+    ),
+    tot AS (SELECT event_type AS part, count(*) AS cnt FROM events GROUP BY 1)
+    SELECT s.part,
+           CAST(CASE WHEN s.n_kept < 64 THEN s.n_kept
+                     ELSE (63 * 4294967296) // greatest(s.h_k, 1) END AS BIGINT)
+               AS approx_stations,
+           CAST(t.cnt AS BIGINT) AS cnt
+    FROM stats s JOIN tot t USING (part)
+    """,
+)
+def events_versioned_ivm_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED approx-distinct view (r12): per-event-type KMV
+    sketch of distinct stations kept current from an INSERT-ONLY
+    change feed — the sketch tier next to the exact two-level COUNT
+    DISTINCT gate, for user-id-grade cardinalities where the support
+    table is itself the problem. Source: create with the odd-thirds
+    events (v1, seeds the view), then an append-merge of the
+    even-thirds (v2, fresh keys — pure inserts); one ``refresh()``
+    absorbs it. KMV union is an idempotent monoid
+    (keep_k(A ∪ B) = keep_k(keep_k(A) ∪ keep_k(B))), so the
+    maintained sketch must equal the from-scratch sketch of the FINAL
+    state hash-for-hash — which is exactly what the DuckDB oracle
+    rebuilds (same md5-prefix construction as the r4
+    ``station_distinct_users_hll`` gate). A dropped batch, a
+    double-applied union, or a wrong keep-k boundary all hash-fail on
+    either the estimate or the row count.
+
+    100 TB: per batch the view pays O(batch) hashing plus a set-union
+    on the key-pruned affected groups — 512 B of state per group at
+    any cardinality; deletes raise by design (a sketch cannot
+    subtract; streaming/sinks.py cdf_ivm_kmv_foreach_batch)."""
+    from iotdatapipeline_spark.matview import MaterializedView, kmv_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("part"),
+        F.col("user_id").alias("station"),
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_ivmkmv_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(ev.filter(F.col("event_id") % 3 != 0), n_files=8, cluster_by=["event_id"])
+    mv = MaterializedView.create(
+        spark, os.path.join(stem, "view"), os.path.join(stem, "src"),
+        group_by=["part"], kmv_col="station", keys=["event_id"],
+    )
+    src.merge_into(ev.filter(F.col("event_id") % 3 == 0), ["event_id"])  # v2: pure appends
+    if mv.refresh() != 2:
+        raise RuntimeError("refresh did not reach the source head")
+    ops = [m["op"] for m in mv.table().history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"sketch view was not incrementally maintained: {ops}")
+    return mv.snapshot().select(
+        "part", kmv_estimate(64).alias("approx_stations"), "cnt"
+    )

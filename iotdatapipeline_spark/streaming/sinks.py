@@ -995,3 +995,119 @@ def cdf_scd2_foreach_batch(
         t.merge_into(src, ks + ["scd_start"], txn_app=app, txn_version=batch_id)
 
     return apply
+
+
+def cdf_ivm_kmv_foreach_batch(
+    target_root: str,
+    group_keys: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    txn_app: str | None = None,
+):
+    """IVM, APPROX-DISTINCT tier (r12): maintain a per-group KMV
+    (k-minimum-values) distinct-count sketch of ``value_col`` from an
+    INSERT-ONLY change feed — the sketch twin of the exact two-level
+    COUNT DISTINCT construction, for when |distinct| is user-id-grade
+    and the support table itself would be the problem.
+
+    KMV is the same engine-reproducible construction the
+    ``station_distinct_users_hll`` gate pinned in r4: per value keep
+    the md5-prefix hash over a 2³² space; a group's sketch is the k
+    smallest DISTINCT hashes (512 B at k=64, any cardinality);
+    estimate = (k−1)·M / h_k, ~13% standard error. The sketch union
+    (distinct-union-then-keep-k) is an idempotent, commutative monoid,
+    so maintenance is exact-over-batching: the maintained sketch
+    equals the sketch of the final distinct set NO MATTER how the
+    inserts were batched — which is what lets a DuckDB oracle rebuild
+    it hash-for-hash from the final state.
+
+    INSERT-ONLY by construction: a sketch cannot subtract (the classic
+    Druid/Pinot rollup constraint). Any delete/update row in the feed
+    raises — silently skipping one would leave the estimate
+    permanently high, the divergence exactly-once exists to prevent.
+    View schema: group_keys + ``kmv`` (array<bigint>) + ``cnt`` (rows
+    seen). Per batch: O(batch) hash + per-group set-union against the
+    key-pruned affected groups; replays no-op at the txn check."""
+    from iotdatapipeline_spark.sources.versioned import CommitConflict, VersionedTable
+
+    app = txn_app if txn_app is not None else f"cdf-ivm-kmv-{uuid.uuid4().hex[:12]}"
+    gk = list(group_keys)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        bad = (
+            batch_df.filter(F.col("_change_type") != "insert").limit(1).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"cdf_ivm_kmv_foreach_batch: change type "
+                f"'{bad[0]['_change_type']}' in batch {batch_id} — a distinct "
+                "sketch cannot subtract; this tier is insert-only (append "
+                "sources / rollup feeds)"
+            )
+        hv = F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        deltas = (
+            batch_df.select(*gk, hv.alias("__hv"))
+            .groupBy(*gk)
+            .agg(
+                F.slice(F.array_sort(F.collect_set("__hv")), 1, k).alias("__b_kmv"),
+                F.count(F.lit(1)).cast("long").alias("__b_cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark = batch_df.sparkSession
+        t = VersionedTable(spark, target_root)
+        if t.version() == 0:
+            seed = deltas.select(
+                *gk,
+                F.col("__b_kmv").alias("kmv"),
+                F.col("__b_cnt").alias("cnt"),
+            )
+            if seed.isEmpty():
+                return
+            try:
+                t.create(seed, cluster_by=gk, txn_app=app, txn_version=batch_id)
+                return
+            except (CommitConflict, ValueError):
+                pass  # lost the create race — fall through and merge
+        seen = (t._read_manifest(t.version()).get("txns") or {}).get(app)
+        if seen is not None and int(seen[0]) >= int(batch_id):
+            return
+        b = deltas.agg(
+            *[F.min(kx).alias(f"__lo_{kx}") for kx in gk],
+            *[F.max(kx).alias(f"__hi_{kx}") for kx in gk],
+            *[F.max(F.col(kx).isNull().cast("int")).alias(f"__n_{kx}") for kx in gk],
+        ).collect()[0]
+        preds = []
+        for kx in gk:
+            lo, hi = b[f"__lo_{kx}"], b[f"__hi_{kx}"]
+            if b[f"__n_{kx}"] == 0 and type(lo) is int and type(hi) is int:
+                preds.append(f"{kx} >= {lo} AND {kx} <= {hi}")
+            else:
+                preds = []
+                break
+        cur = (t.scan(" AND ".join(preds)) if preds else t.snapshot()).select(
+            *gk, "kmv", "cnt"
+        )
+        merged = deltas.join(cur, gk, "left").select(
+            *gk,
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce("kmv", F.array().cast("array<bigint>")),
+                            F.col("__b_kmv"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("kmv"),
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__b_cnt")).alias("cnt"),
+        )
+        t.merge_into(merged, gk, txn_app=app, txn_version=batch_id)
+
+    return apply

@@ -2367,3 +2367,75 @@ class TestCountOnlyView:
         assert mv.refresh() == 2
         got = {(r["g"], r["cnt"]) for r in mv.snapshot().collect()}
         assert got == {(0, 8), (1, 8), (2, 8)}
+
+
+class TestKmvView:
+    """Approx-distinct (KMV) view tier: insert-only maintenance whose
+    sketch equals the from-scratch sketch regardless of batching;
+    deletes refuse loudly."""
+
+    def test_batched_union_equals_global(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView, kmv_estimate
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        rows = spark.range(5000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") % 997).alias("u"),
+        )
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(rows.filter("k < 1000"), cluster_by=["k"])
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], kmv_col="u", keys=["k"],
+        )
+        # three append batches, refreshed one at a time
+        for lo, hi in ((1000, 2000), (2000, 3500), (3500, 5000)):
+            src.merge_into(
+                rows.filter((F.col("k") >= lo) & (F.col("k") < hi)), ["k"]
+            )
+            mv.refresh()
+        # the maintained sketch == the sketch built from the final state
+        hv = F.conv(
+            F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        want = (
+            src.snapshot()
+            .select("g", hv.alias("hv"))
+            .groupBy("g")
+            .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, 64).alias("kmv"))
+        )
+        got = mv.snapshot().select("g", "kmv")
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        # and the estimate is within the KMV error envelope of exact
+        est = {r["g"]: r["e"] for r in mv.snapshot().select(
+            "g", kmv_estimate(64).alias("e")).collect()}
+        exact = {r["g"]: r["d"] for r in src.snapshot().groupBy("g").agg(
+            F.countDistinct("u").alias("d")).collect()}
+        for g, d in exact.items():
+            assert abs(est[g] - d) / d < 0.5, (g, est[g], d)
+
+    def test_delete_in_feed_raises(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(50).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("g"),
+                F.col("id").alias("u"),
+            ),
+            cluster_by=["k"],
+        )
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], kmv_col="u", keys=["k"],
+        )
+        src.delete_where("k < 10")
+        with _pytest.raises(ValueError, match="insert-only"):
+            mv.refresh()
