@@ -1111,3 +1111,19 @@ def cdf_ivm_kmv_foreach_batch(
         t.merge_into(merged, gk, txn_app=app, txn_version=batch_id)
 
     return apply
+
+
+def scd2_as_of(history: DataFrame, version: int) -> DataFrame:
+    """The SCD2 read: the dimension AS THE SOURCE STOOD at commit
+    ``version`` — records whose interval covers it
+    (``scd_start <= v AND (scd_end IS NULL OR scd_end > v)``), with
+    the bookkeeping columns dropped. Against a
+    :func:`cdf_scd2_foreach_batch` table this is time travel WITHOUT
+    retaining the source's versions: the history table alone answers
+    "what did we believe when", and the predicate is stats-prunable
+    on ``scd_start`` at 100 TB."""
+    v = int(version)
+    return history.filter(
+        (F.col("scd_start") <= F.lit(v))
+        & (F.col("scd_end").isNull() | (F.col("scd_end") > F.lit(v)))
+    ).drop("scd_start", "scd_end", "is_current")

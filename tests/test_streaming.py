@@ -2439,3 +2439,45 @@ class TestKmvView:
         src.delete_where("k < 10")
         with _pytest.raises(ValueError, match="insert-only"):
             mv.refresh()
+
+
+class TestScd2AsOf:
+    def test_belief_at_each_version(self, spark, tmp_path):
+        """scd2_as_of(history, v) == the source's snapshot(v) for every
+        v — time travel reconstructed from intervals alone."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import (
+            cdf_scd2_foreach_batch,
+            scd2_as_of,
+        )
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+            cluster_by=["k"],
+        )
+        src.merge_into(
+            spark.range(3).select(F.col("id").alias("k"), F.lit(999).alias("v")), ["k"]
+        )
+        src.delete_where("k = 7")
+        sink = cdf_scd2_foreach_batch(str(tmp_path / "hist"), ["k"], txn_app="t")
+        sink(
+            src.snapshot(1)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(1).cast("long")),
+            0,
+        )
+        feed = None
+        for v in (2, 3):
+            c = src.changes(v - 1, v, keys=["k"]).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            feed = c if feed is None else feed.unionByName(c)
+        sink(feed, 1)
+        hist = VersionedTable(spark, str(tmp_path / "hist")).snapshot()
+        for v in (1, 2, 3):
+            got = scd2_as_of(hist, v)
+            want = src.snapshot(v)
+            assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), v
