@@ -2481,3 +2481,52 @@ class TestScd2AsOf:
             got = scd2_as_of(hist, v)
             want = src.snapshot(v)
             assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), v
+
+
+class TestMvRefreshBoundaries:
+    def test_refresh_across_optimize_and_restore(self, spark, tmp_path):
+        """Operational corners: a source OPTIMIZE (layout-only commit)
+        nets to an empty feed and must not disturb the view; a RESTORE
+        boundary forces changes() onto the derivation fallback and the
+        refresh must still converge."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+                F.lit(1).alias("v"),
+            ),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], sum_cols=["v"], keys=["k"],
+        )
+
+        def check():
+            want = {
+                (r["g"], r["cnt"], r["s"])
+                for r in src.snapshot().groupBy("g").agg(
+                    F.count("*").cast("long").alias("cnt"),
+                    F.sum("v").cast("long").alias("s"),
+                ).collect()
+            }
+            got = {
+                (r["g"], r["cnt"], r["sum_v"]) for r in mv.snapshot().collect()
+            }
+            assert got == want
+
+        src.optimize(n_files=2)  # v2: layout only, empty logical feed
+        mv.refresh()
+        check()
+        src.delete_where("k < 20")  # v3
+        mv.refresh()
+        check()
+        src.restore(1)  # v4: back to the full 100 rows
+        mv.refresh()  # range crosses the restore boundary -> derivation
+        check()
