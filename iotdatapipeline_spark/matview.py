@@ -67,14 +67,16 @@ def kmv_estimate(k: int = 64):
     )
 
 
-class MaterializedView:
-    """A maintained GROUP BY view over one VersionedTable source."""
+class _MaintainedTable:
+    """Shared plumbing for every maintained-table kind: the sidecar
+    spec (the persisted DEFINITION) and the applied-cursor read from
+    the table's own txn map (the crash-safe bookkeeping every
+    ``refresh()`` recovers its range from)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
 
-    # -- definition ----------------------------------------------------
     def _spec_path(self) -> str:
         return os.path.join(self.root, _SPEC_NAME)
 
@@ -82,11 +84,32 @@ class MaterializedView:
         with open(self._spec_path(), encoding="utf-8") as fh:
             return json.load(fh)
 
+    def _write_spec(self, spec: dict) -> None:
+        if os.path.exists(self._spec_path()):
+            raise ValueError(f"materialized view already defined at {self.root}")
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._spec_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, self._spec_path())
+
     def table(self) -> VersionedTable:
         return VersionedTable(self.spark, self.root)
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         return self.table().snapshot(version)
+
+    def _applied_txn(self) -> int | None:
+        t = self.table()
+        head = t.version()
+        if head == 0:
+            return None
+        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
+        return None if seen is None else int(seen[0])
+
+
+class MaterializedView(_MaintainedTable):
+    """A maintained GROUP BY view over one VersionedTable source."""
 
     @classmethod
     def create(
@@ -137,40 +160,27 @@ class MaterializedView:
         if not any(tiers):
             raise ValueError("MaterializedView needs an aggregate spec")
         mv = cls(spark, root)
-        if os.path.exists(mv._spec_path()):
-            raise ValueError(f"materialized view already defined at {root}")
         src = VersionedTable(spark, source_root)
         v_src = src.version()
         if v_src == 0:
             raise ValueError("source table does not exist; create() it first")
-        spec = {
-            "source_root": source_root,
-            "group_by": list(group_by),
-            "sum_cols": list(sum_cols),
-            "min_cols": list(min_cols),
-            "max_cols": list(max_cols),
-            "keys": list(keys) if keys is not None else None,
-            "count_only": bool(count_only),
-            "kmv_col": kmv_col,
-            "kmv_k": int(kmv_k),
-        }
-        os.makedirs(root, exist_ok=True)
-        tmp = mv._spec_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(spec, fh)
-        os.replace(tmp, mv._spec_path())
-        mv._apply_seed(src, v_src, spec)
+        mv._write_spec(
+            {
+                "source_root": source_root,
+                "group_by": list(group_by),
+                "sum_cols": list(sum_cols),
+                "min_cols": list(min_cols),
+                "max_cols": list(max_cols),
+                "keys": list(keys) if keys is not None else None,
+                "count_only": bool(count_only),
+                "kmv_col": kmv_col,
+                "kmv_k": int(kmv_k),
+            }
+        )
+        mv._apply_seed(src, v_src, mv.spec())
         return mv
 
     # -- maintenance ---------------------------------------------------
-    def _applied_version(self) -> int | None:
-        t = self.table()
-        head = t.version()
-        if head == 0:
-            return None
-        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
-        return None if seen is None else int(seen[0])
-
     def _sink(self, spec: dict):
         from iotdatapipeline_spark.streaming.sinks import (
             cdf_ivm_foreach_batch,
@@ -231,7 +241,7 @@ class MaterializedView:
         spec = self.spec()
         src = VersionedTable(self.spark, spec["source_root"])
         v_src = src.version()
-        applied = self._applied_version()
+        applied = self._applied_txn()
         if applied is None:
             # create() crashed between the spec write and the seed —
             # seed now, at the source's current version
@@ -250,7 +260,7 @@ class MaterializedView:
         return v_src
 
 
-class BqVectorIndex:
+class BqVectorIndex(_MaintainedTable):
     """An incrementally MAINTAINED ANN index: the stored sign-bit
     (binary-quantization) tier of a vector store, kept in sync with a
     VersionedTable of embeddings from its change feed.
@@ -279,20 +289,6 @@ class BqVectorIndex:
     files holding the changed ids, and search reads d/32 ints per
     vector exactly as before."""
 
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-
-    def _spec_path(self) -> str:
-        return os.path.join(self.root, _SPEC_NAME)
-
-    def spec(self) -> dict:
-        with open(self._spec_path(), encoding="utf-8") as fh:
-            return json.load(fh)
-
-    def table(self) -> VersionedTable:
-        return VersionedTable(self.spark, self.root)
-
     @classmethod
     def create(
         cls,
@@ -305,18 +301,13 @@ class BqVectorIndex:
         from iotdatapipeline_spark.analytics.similarity import binary_quantize
 
         idx = cls(spark, root)
-        if os.path.exists(idx._spec_path()):
-            raise ValueError(f"vector index already defined at {root}")
         src = VersionedTable(spark, source_root)
         v_src = src.version()
         if v_src == 0:
             raise ValueError("source table does not exist; create() it first")
-        os.makedirs(root, exist_ok=True)
-        spec = {"source_root": source_root, "id_col": id_col, "vec_col": vec_col}
-        tmp = idx._spec_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(spec, fh)
-        os.replace(tmp, idx._spec_path())
+        idx._write_spec(
+            {"source_root": source_root, "id_col": id_col, "vec_col": vec_col}
+        )
         seed = binary_quantize(
             src.snapshot(v_src), id_col=id_col, vec_col=vec_col
         ).withColumns(
@@ -336,14 +327,6 @@ class BqVectorIndex:
             self.root, [spec["id_col"]], txn_app=_TXN_APP
         )(feed, v_src)
 
-    def _applied_version(self) -> int | None:
-        t = self.table()
-        head = t.version()
-        if head == 0:
-            return None
-        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
-        return None if seen is None else int(seen[0])
-
     def refresh(self) -> int:
         """Bring the index up to the source's current version —
         O(changed vectors); a no-change refresh is a metadata read."""
@@ -352,7 +335,7 @@ class BqVectorIndex:
         spec = self.spec()
         src = VersionedTable(self.spark, spec["source_root"])
         v_src = src.version()
-        applied = self._applied_version()
+        applied = self._applied_txn()
         id_col, vec_col = spec["id_col"], spec["vec_col"]
         if applied is None:
             seed = binary_quantize(
@@ -404,7 +387,7 @@ class BqVectorIndex:
         return hamming_topk(corpus, qbq, k=k)
 
 
-class JoinMaterializedView:
+class JoinMaterializedView(_MaintainedTable):
     """A maintained JOIN view ``V = A ⋈ B`` over two VersionedTable
     sources — the orchestrated form of
     :func:`~iotdatapipeline_spark.streaming.sinks.cdf_ivm_join_apply`.
@@ -427,23 +410,6 @@ class JoinMaterializedView:
 
     _PACK = 10**9
 
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-
-    def _spec_path(self) -> str:
-        return os.path.join(self.root, _SPEC_NAME)
-
-    def spec(self) -> dict:
-        with open(self._spec_path(), encoding="utf-8") as fh:
-            return json.load(fh)
-
-    def table(self) -> VersionedTable:
-        return VersionedTable(self.spark, self.root)
-
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        return self.table().snapshot(version)
-
     @classmethod
     def create(
         cls,
@@ -456,24 +422,19 @@ class JoinMaterializedView:
         b_key: str,
     ) -> "JoinMaterializedView":
         mv = cls(spark, root)
-        if os.path.exists(mv._spec_path()):
-            raise ValueError(f"materialized view already defined at {root}")
         va = VersionedTable(spark, a_root).version()
         vb = VersionedTable(spark, b_root).version()
         if va == 0 or vb == 0:
             raise ValueError("both source tables must exist; create() them first")
-        spec = {
-            "a_root": a_root,
-            "b_root": b_root,
-            "join_keys": list(join_keys),
-            "a_key": a_key,
-            "b_key": b_key,
-        }
-        os.makedirs(root, exist_ok=True)
-        tmp = mv._spec_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(spec, fh)
-        os.replace(tmp, mv._spec_path())
+        mv._write_spec(
+            {
+                "a_root": a_root,
+                "b_root": b_root,
+                "join_keys": list(join_keys),
+                "a_key": a_key,
+                "b_key": b_key,
+            }
+        )
         mv._step((va, va), (vb, vb))
         return mv
 
@@ -495,14 +456,9 @@ class JoinMaterializedView:
         )
 
     def _applied_pair(self) -> tuple[int, int] | None:
-        t = self.table()
-        head = t.version()
-        if head == 0:
+        packed = self._applied_txn()
+        if packed is None:
             return None
-        seen = (t._read_manifest(head).get("txns") or {}).get(_TXN_APP)
-        if seen is None:
-            return None
-        packed = int(seen[0])
         return packed // self._PACK, packed % self._PACK
 
     def refresh(self) -> tuple[int, int]:
