@@ -274,7 +274,13 @@ def _cmd_mv(args: argparse.Namespace) -> int:
         view = MaterializedView(spark, args.root)
     if args.action == "refresh":
         applied = view.refresh()
-        print(f"view at {args.root} now reflects source version {applied}")
+        if isinstance(applied, tuple):  # join view: one cursor per source
+            print(
+                f"view at {args.root} now reflects source versions "
+                f"a={applied[0]}, b={applied[1]}"
+            )
+        else:
+            print(f"view at {args.root} now reflects source version {applied}")
     else:  # show
         view.table().snapshot().show(args.rows, truncate=False)
     return 0

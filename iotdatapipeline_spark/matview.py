@@ -256,7 +256,16 @@ class MaterializedView(_MaintainedTable):
             .select(*self._feed_cols(spec), "_change_type")
             .withColumn("_commit_version", F.lit(v_src).cast("long"))
         )
+        before = self.table().version()
         self._sink(spec)(feed, v_src)
+        if self.table().version() == before:
+            # the range netted to ZERO changes (source optimize /
+            # layout-only commits): the sink commits nothing, so stamp
+            # the cursor with a metadata-only txn commit — otherwise
+            # every later refresh re-pays changes() over the same
+            # no-op range plus an unpruned view scan (empty deltas
+            # yield no pruning predicate)
+            self.table().record_txn(_TXN_APP, v_src)
         return v_src
 
 
@@ -424,6 +433,11 @@ class JoinMaterializedView(_MaintainedTable):
         mv = cls(spark, root)
         va = VersionedTable(spark, a_root).version()
         vb = VersionedTable(spark, b_root).version()
+        if vb >= cls._PACK:  # packed cursor: b must fit below the radix
+            raise ValueError(
+                f"JoinMaterializedView: source b at version {vb} exceeds the "
+                f"packed-cursor radix {cls._PACK}"
+            )
         if va == 0 or vb == 0:
             raise ValueError("both source tables must exist; create() them first")
         mv._write_spec(

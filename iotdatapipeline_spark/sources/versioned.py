@@ -3256,6 +3256,49 @@ class VersionedTable:
             f"set_cdf on {self.root} gave up after {max_retries} conflicts"
         )
 
+    def record_txn(
+        self, txn_app: str, txn_version: int, max_retries: int = 5
+    ) -> int:
+        """Advance ``txn_app``'s cursor in the txn map with a
+        METADATA-ONLY commit — files, stats, DVs and schema all carried
+        by reference (op ``"txn"``, one manifest write). The maintained-
+        table consumers use this when a source range nets to ZERO
+        changes (layout-only commits, self-cancelling churn): without a
+        stamp the applied cursor never passes the no-op range and every
+        later refresh re-pays ``changes()`` over it; with one, a
+        refresh that finds nothing new stays a version-pointer read.
+        No-op (no commit) when the app's cursor already stands at or
+        past ``txn_version``. Returns the committed (or unchanged)
+        version."""
+        for _ in range(max_retries):
+            base = self.version()
+            if base == 0:
+                raise ValueError("record_txn target does not exist; create() it first")
+            m = self._read_manifest(base)
+            seen = (m.get("txns") or {}).get(txn_app)
+            if seen is not None and int(seen[0]) >= int(txn_version):
+                return base  # cursor already there
+            try:
+                self._try_commit(
+                    base,
+                    list(m["files"]),
+                    "txn",
+                    m.get("cluster_by") or None,
+                    txn_app,
+                    int(txn_version),
+                    schema_json=m.get("schema"),
+                    stats=None if m.get("stats_file") else (m.get("stats") or None),
+                    stats_file_ref=m.get("stats_file"),
+                    dvs={f: list(v) for f, v in (m.get("dvs") or {}).items()},
+                    cdf={"mode": "none"},
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"record_txn on {self.root} gave up after {max_retries} conflicts"
+        )
+
     def drop_identity(self, name: str, max_retries: int = 5) -> int:
         """Remove an identity declaration (the column and its values
         stay; writers stop assigning and sources may carry it again)."""

@@ -362,9 +362,27 @@ def cdf_apply_foreach_batch(
                 return
             except (CommitConflict, ValueError):
                 pass  # another applier created the mirror first — merge
+        ups_empty = ups.isEmpty()
         if not dels.isEmpty():
-            t.delete_matching(dels, keys)
-        if not ups.isEmpty():
+            # a DELETE-ONLY batch must still record its txn on its
+            # final commit (the IVM sinks' live_empty convention):
+            # without the stamp the applied cursor never advances, so
+            # every later refresh re-derives the same range and
+            # re-runs the delete — correct (re-deleting absent keys
+            # commits nothing) but O(range) instead of a metadata read
+            before = t.version()
+            t.delete_matching(
+                dels,
+                keys,
+                txn_app=app if ups_empty else None,
+                txn_version=batch_id if ups_empty else None,
+            )
+            if ups_empty and t.version() == before:
+                # every delete missed (keys already absent — a replayed
+                # range): the DV commit no-oped, so stamp the cursor
+                # with a metadata-only commit instead
+                t.record_txn(app, batch_id)
+        if not ups_empty:
             t.merge_into(ups, keys, txn_app=app, txn_version=batch_id)
 
     return apply
@@ -754,6 +772,11 @@ def cdf_ivm_join_apply(
     va0, va1 = v_a
     vb0, vb1 = v_b
     app = txn_app if txn_app is not None else "cdf-ivm-join"
+    if not 0 <= int(vb1) < 10**9:  # b must fit below the packing radix
+        raise ValueError(
+            f"cdf_ivm_join_apply: source b version {vb1} exceeds the "
+            "packed-cursor radix 10^9"
+        )
     packed = int(va1) * 10**9 + int(vb1)
 
     a_cols = A.snapshot(va1).columns

@@ -1822,6 +1822,36 @@ class TestCdfApply:
         assert m.version() == v
         assert {r["k"]: r["v"] for r in m.snapshot().collect()} == got
 
+    def test_delete_only_batch_records_txn(self, spark, tmp_path):
+        """r13 (ADVICE): a DELETE-ONLY batch must stamp its txn on the
+        delete commit (merge_into is skipped when ups is empty), so the
+        applied cursor advances and a consumer like BqVectorIndex
+        doesn't re-derive + re-run the delete on every later refresh."""
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_apply_foreach_batch
+
+        mirror = str(tmp_path / "mirror_dels")
+        sink = cdf_apply_foreach_batch(mirror, ["k"], txn_app="rep")
+        ddl = "k bigint, v string, _change_type string, _commit_version bigint"
+        sink(
+            spark.createDataFrame(
+                [(k, f"a{k}", "insert", 1) for k in range(6)], ddl
+            ),
+            0,
+        )
+        m = VersionedTable(spark, mirror)
+        dels = [(2, "x", "delete", 2), (4, "x", "delete", 2)]
+        sink(spark.createDataFrame(dels, ddl), 1)
+        assert sorted(r["k"] for r in m.snapshot().collect()) == [0, 1, 3, 5]
+        # the delete commit carries the (app, batch) stamp...
+        seen = (m._read_manifest(m.version()).get("txns") or {}).get("rep")
+        assert seen is not None and int(seen[0]) == 1
+        # ...so a replay of the batch commits NOTHING (clean no-op,
+        # not merely a value-level no-op re-running the delete scan)
+        v = m.version()
+        sink(spark.createDataFrame(dels, ddl), 1)
+        assert m.version() == v
+
     @pytest.mark.slow
     def test_end_to_end_stream_ivm(self, spark, tmp_path):
         """r11: the IVM sink over the REAL versioned_cdf stream (with
@@ -2530,3 +2560,39 @@ class TestMvRefreshBoundaries:
         src.restore(1)  # v4: back to the full 100 rows
         mv.refresh()  # range crosses the restore boundary -> derivation
         check()
+
+    def test_empty_feed_advances_cursor(self, spark, tmp_path):
+        """r13 (ADVICE): a refresh over a range that nets to ZERO
+        changes (layout-only source commits) must still advance the
+        applied cursor — via a metadata-only txn stamp — so the next
+        refresh is a version-pointer read instead of re-paying
+        changes() + an unpruned view scan over the same no-op range."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(60).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+                F.lit(1).alias("v"),
+            ),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], sum_cols=["v"], keys=["k"],
+        )
+        assert mv._applied_txn() == 1
+        src.optimize(n_files=2)  # v2: layout only — empty logical feed
+        assert mv.refresh() == 2
+        # the cursor moved past the no-op range (the r13 fix): the
+        # stamp is a metadata-only "txn" commit on the view table
+        assert mv._applied_txn() == 2
+        assert mv.table()._read_manifest(mv.table().version())["op"] == "txn"
+        # and the NEXT refresh is now a pure pointer read — no commit
+        v = mv.table().version()
+        assert mv.refresh() == 2
+        assert mv.table().version() == v

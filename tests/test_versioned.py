@@ -3945,3 +3945,34 @@ class TestConcurrentWriters:
             (r["k"], r["v"]) for r in a.changes(1, a.version(), ["k"]).collect()
         }
         assert ch == {(k, v) for k, v in expected.items() if v >= 1000}
+
+
+class TestRecordTxn:
+    """record_txn (r13): the metadata-only cursor stamp the maintained-
+    table consumers use when a source range nets to zero changes."""
+
+    def test_stamp_and_idempotence(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rt"))
+        t.create(
+            spark.createDataFrame([Row(k=i, v=i) for i in range(10)]),
+            cluster_by=["k"],
+        )
+        v = t.record_txn("app-x", 7)
+        assert v == 2
+        m = t._read_manifest(2)
+        assert m["op"] == "txn"
+        assert (m.get("txns") or {}).get("app-x") == [7, 2]
+        # data plane untouched: same files, same rows
+        assert m["files"] == t._read_manifest(1)["files"]
+        assert t.snapshot().count() == 10
+        # stamping at-or-below the recorded cursor is a no-op
+        assert t.record_txn("app-x", 7) == 2
+        assert t.record_txn("app-x", 3) == 2
+        assert t.version() == 2
+        # a later cursor commits again
+        assert t.record_txn("app-x", 9) == 3
+
+    def test_missing_table_refused(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rt2"))
+        with pytest.raises(ValueError, match="create"):
+            t.record_txn("a", 1)

@@ -10,7 +10,8 @@ holding affected keys' CURRENT records — never the accumulated history
 size, which grows monotonically (each batch ADDS closed records that
 are never revisited). At the end the current slice must equal the
 source snapshot, and the history row count must equal
-seed + 2x(total changed rows) (one close + one open per change).
+seed + total changed rows (each change OPENS one new record; the
+close rewrites the predecessor in place rather than adding a row).
 
 Usage: python tools/bench_scd2.py [--tiles 10]
 """
