@@ -24,8 +24,17 @@ REFRESH surface every warehouse exposes on top of that machinery:
   O(source) or O(view) — the measured r11/r12 rows in BASELINE.md.
 
 A refresh that finds nothing new is a version-pointer read — no job.
-Two concurrent refreshes serialize through the txn check: the loser's
-merge no-ops. The view is an ordinary :class:`VersionedTable` — time
+Concurrency (r13, stated precisely): replays of an APPLIED refresh
+no-op at the txn check, and a crash between a refresh's dead-group
+delete commit and its live merge commit is recoverable (the delete is
+stamped ``app#del``; the replay detects it and re-runs only the
+merge). Two refreshes running the SAME step concurrently converge —
+the loser's merge no-ops at the commit-time txn check, and a loser
+that computed against the winner's committed state backs off at the
+re-checks instead of raising — but the intended deployment is ONE
+refresher per view (the ``mv`` CLI / scheduler convention): the sinks
+make a lost race safe, not a throughput feature.
+The view is an ordinary :class:`VersionedTable` — time
 travel, CDF, constraints and ``scan`` pruning all apply, so views can
 stack (a second view can follow the first view's change feed).
 

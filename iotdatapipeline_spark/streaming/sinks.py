@@ -486,6 +486,7 @@ def cdf_ivm_foreach_batch(
         cur = cur_src.select(*gk, "cnt", *[f"sum_{c}" for c in sum_cols])
         merged = deltas.join(cur, gk, "left").select(
             *gk,
+            F.col("cnt").isNotNull().alias("__had_cur"),
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__d_cnt")).alias("cnt"),
             *[
                 (F.coalesce(F.col(f"sum_{c}"), F.lit(0)) + F.col(f"__d_{c}")).alias(
@@ -498,14 +499,35 @@ def cdf_ivm_foreach_batch(
         # sanity probe + dead/live splits + both writes below would
         # otherwise each re-run the key-pruned view scan and join
         merged = merged.localCheckpoint(eager=True)
+
+        def _applied_now() -> bool:
+            s = (t._read_manifest(t.version()).get("txns") or {}).get(app)
+            return s is not None and int(s[0]) >= int(batch_id)
+
+        # crash recovery (r13): the batch applies as TWO commits —
+        # dead-group delete (stamped app#del) then live merge (stamped
+        # app). A crash between them leaves #del recorded without the
+        # final stamp; on replay the deleted groups read no current
+        # row, so their recomputed totals are the EXPECTED negatives —
+        # drop them and re-run only the merge.
+        dseen = (t._read_manifest(t.version()).get("txns") or {}).get(app + "#del")
+        del_applied = dseen is not None and int(dseen[0]) >= int(batch_id)
+        if del_applied:
+            merged = merged.filter(F.col("__had_cur") | (F.col("cnt") >= 0))
         # cnt < 0 is IMPOSSIBLE under a correct feed: it means a sign
         # error, a feed wired without preimages (include_preimages
         # dropped), or a skipped batch. Silently deleting the group
         # would mask exactly the divergence exactly-once exists to
         # prevent — fail loudly instead (r11 advice); only cnt == 0
-        # (all rows of the group deleted) removes the group.
+        # (all rows of the group deleted) removes the group. But
+        # before declaring divergence, re-check the txn map: a
+        # CONCURRENT refresh that committed this batch while we were
+        # computing makes our arithmetic stale, not wrong — the loser
+        # backs off quietly (r13 advice).
         neg = merged.filter(F.col("cnt") < 0).limit(1).collect()
         if neg:
+            if _applied_now():
+                return
             raise ValueError(
                 f"cdf_ivm_foreach_batch: negative maintained count for group "
                 f"{ {k: neg[0][k] for k in gk} } in batch {batch_id} — the change "
@@ -513,17 +535,21 @@ def cdf_ivm_foreach_batch(
                 "view has diverged from the source"
             )
         dead = merged.filter(F.col("cnt") == 0).select(*gk)
-        live = merged.filter(F.col("cnt") > 0)
+        live = merged.filter(F.col("cnt") > 0).drop("__had_cur")
         live_empty = live.isEmpty()
-        if not dead.isEmpty():
-            # a DELETE-ONLY batch must still record its txn, or a
-            # replay would re-subtract (and trip the negative guard):
-            # the batch's FINAL commit carries the stamp
+        if not del_applied and not dead.isEmpty():
+            # last-moment replay re-check: the merge's commit path is
+            # txn-guarded on its own, the delete commit is not
+            if _applied_now():
+                return
+            # a DELETE-ONLY batch's final commit IS the delete — it
+            # carries the app stamp; otherwise stamp app#del so a
+            # crash before the merge is recoverable (above)
             t.delete_matching(
                 dead,
                 gk,
-                txn_app=app if live_empty else None,
-                txn_version=batch_id if live_empty else None,
+                txn_app=app if live_empty else app + "#del",
+                txn_version=batch_id,
             )
         if not live_empty:
             t.merge_into(live, gk, txn_app=app, txn_version=batch_id)
@@ -672,6 +698,7 @@ def cdf_ivm_minmax_foreach_batch(
         rep = rep | (F.col("cnt").isNull() & has_del)
         merged = j.select(
             *gk,
+            F.col("cnt").isNotNull().alias("__had_cur"),
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__d_cnt")).alias("cnt"),
             rep.alias("__rep"),
             *[
@@ -683,19 +710,34 @@ def cdf_ivm_minmax_foreach_batch(
                 for c in mxc
             ],
         ).localCheckpoint(eager=True)
+
+        def _applied_now() -> bool:
+            s = (t._read_manifest(t.version()).get("txns") or {}).get(app)
+            return s is not None and int(s[0]) >= int(batch_id)
+
+        # crash recovery + concurrent-loser backoff: same two-commit
+        # protocol as the SUM/COUNT tier (see cdf_ivm_foreach_batch)
+        dseen = (t._read_manifest(t.version()).get("txns") or {}).get(app + "#del")
+        del_applied = dseen is not None and int(dseen[0]) >= int(batch_id)
+        if del_applied:
+            merged = merged.filter(F.col("__had_cur") | (F.col("cnt") >= 0))
         neg = merged.filter(F.col("cnt") < 0).limit(1).collect()
         if neg:
+            if _applied_now():
+                return
             raise ValueError(
                 f"cdf_ivm_minmax_foreach_batch: negative maintained count for "
                 f"group { {k: neg[0][k] for k in gk} } in batch {batch_id} — the "
                 "change feed is missing update preimages or a batch was skipped"
             )
         need = merged.filter(F.col("__rep") & (F.col("cnt") > 0)).select(*gk)
-        live = merged.filter(F.col("cnt") > 0).drop("__rep")
+        live = merged.filter(F.col("cnt") > 0).drop("__rep", "__had_cur")
         n_need = need.count()
         if n_need:
             fixed = repair_agg(need).localCheckpoint(eager=True)
             if fixed.count() != n_need:
+                if _applied_now():
+                    return  # stale arithmetic from a lost refresh race
                 raise ValueError(
                     "cdf_ivm_minmax_foreach_batch: repair read found no rows "
                     "for a group whose maintained count is positive — the "
@@ -709,14 +751,17 @@ def cdf_ivm_minmax_foreach_batch(
             )
         dead = merged.filter(F.col("cnt") == 0).select(*gk)
         live_empty = live.isEmpty()
-        if not dead.isEmpty():
-            # delete-only batches stamp their txn on the delete commit
+        if not del_applied and not dead.isEmpty():
+            if _applied_now():
+                return  # a concurrent refresh won while we computed
+            # delete-only batches stamp their txn on the delete commit;
+            # otherwise stamp app#del for crash recovery
             # (see the SUM/COUNT tier)
             t.delete_matching(
                 dead,
                 gk,
-                txn_app=app if live_empty else None,
-                txn_version=batch_id if live_empty else None,
+                txn_app=app if live_empty else app + "#del",
+                txn_version=batch_id,
             )
         if not live_empty:
             t.merge_into(live, gk, txn_app=app, txn_version=batch_id)

@@ -2596,3 +2596,146 @@ class TestMvRefreshBoundaries:
         v = mv.table().version()
         assert mv.refresh() == 2
         assert mv.table().version() == v
+
+
+class TestIvmTwoCommitWindow:
+    """r13 (ADVICE): the IVM tiers apply a batch as TWO commits —
+    dead-group delete, then live merge. Pins: (a) a crash between them
+    is recoverable on replay via the app#del stamp; (b) a refresh that
+    loses a same-batch race backs off quietly instead of raising the
+    spurious negative-count divergence error."""
+
+    _DDL = "g bigint, x bigint, _change_type string"
+
+    def _seed(self, spark, view_root):
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+        sink = cdf_ivm_foreach_batch(view_root, ["g"], ["x"], txn_app="ivm")
+        rows = [(g, 10 * g + i, "insert") for g in range(3) for i in range(2)]
+        sink(spark.createDataFrame(rows, self._DDL), 0)
+        return sink
+
+    def _batch1(self, spark):
+        # g=0 fully deleted (dead), g=1 updated (live)
+        rows = [
+            (0, 0, "delete"),
+            (0, 1, "delete"),
+            (1, 10, "update_preimage"),
+            (1, 99, "update_postimage"),
+        ]
+        return spark.createDataFrame(rows, self._DDL)
+
+    def test_crash_between_delete_and_merge_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        view_root = str(tmp_path / "v1")
+        sink = self._seed(spark, view_root)
+        orig = VersionedTable.merge_into
+        state = {"fired": False}
+
+        def hooked(self, *a, **kw):
+            if not state["fired"] and self.root == view_root:
+                state["fired"] = True
+                raise RuntimeError("injected crash before the live merge")
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "merge_into", hooked)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sink(self._batch1(spark), 1)
+        t = VersionedTable(spark, view_root)
+        txns = t._read_manifest(t.version()).get("txns") or {}
+        assert int(txns["ivm#del"][0]) == 1  # delete committed + stamped
+        assert int(txns["ivm"][0]) == 0  # final stamp NOT yet advanced
+        # replay: must NOT raise the negative-count error — the #del
+        # stamp tells it the dead groups are already gone
+        sink(self._batch1(spark), 1)
+        got = {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()}
+        assert got == {1: (2, 99 + 11), 2: (2, 20 + 21)}
+        txns = t._read_manifest(t.version()).get("txns") or {}
+        assert int(txns["ivm"][0]) == 1
+        # and a full replay of the applied batch is a clean no-op
+        v = t.version()
+        sink(self._batch1(spark), 1)
+        assert t.version() == v
+
+    def test_lost_race_backs_off_instead_of_raising(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_foreach_batch
+
+        view_root = str(tmp_path / "v2")
+        loser = self._seed(spark, view_root)
+        winner = cdf_ivm_foreach_batch(view_root, ["g"], ["x"], txn_app="ivm")
+        batch = self._batch1(spark)
+        orig_scan = VersionedTable.scan
+        state = {"fired": False}
+
+        def hooked(self, *a, **kw):
+            # while the loser reads the view's current groups, the
+            # winner applies the WHOLE batch — the loser's arithmetic
+            # is then against post-winner state (doubled deltas /
+            # missing dead groups)
+            if not state["fired"] and self.root == view_root:
+                state["fired"] = True
+                winner(batch, 1)
+            return orig_scan(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "scan", hooked)
+        loser(batch, 1)  # must back off quietly, not raise
+        assert state["fired"]
+        t = VersionedTable(spark, view_root)
+        got = {r["g"]: (r["cnt"], r["sum_x"]) for r in t.snapshot().collect()}
+        assert got == {1: (2, 99 + 11), 2: (2, 20 + 21)}
+
+    def test_minmax_crash_between_delete_and_merge_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pyspark.sql import Row
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+        from iotdatapipeline_spark.streaming.sinks import (
+            cdf_ivm_minmax_foreach_batch,
+        )
+
+        src_root, view_root = str(tmp_path / "src"), str(tmp_path / "v3")
+        src = VersionedTable(spark, src_root)
+        src.create(
+            spark.createDataFrame(
+                [Row(k=g * 10 + i, g=g, x=10 * g + i) for g in range(3) for i in range(2)]
+            ),
+            cluster_by=["k"],
+        )
+        sink = cdf_ivm_minmax_foreach_batch(
+            view_root, src_root, ["g"], min_cols=["x"], txn_app="mm"
+        )
+        ddl = "g bigint, x bigint, _change_type string, _commit_version bigint"
+        seed = [(g, 10 * g + i, "insert", 1) for g in range(3) for i in range(2)]
+        sink(spark.createDataFrame(seed, ddl), 0)
+        # source moves to v2: g=0 rows deleted, g=1's min (x=10) deleted
+        src.delete_where("g = 0 OR x = 10")
+        batch = [
+            (0, 0, "delete", 2),
+            (0, 1, "delete", 2),
+            (1, 10, "delete", 2),
+        ]
+        orig = VersionedTable.merge_into
+        state = {"fired": False}
+
+        def hooked(self, *a, **kw):
+            if not state["fired"] and self.root == view_root:
+                state["fired"] = True
+                raise RuntimeError("injected crash before the live merge")
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "merge_into", hooked)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sink(spark.createDataFrame(batch, ddl), 1)
+        t = VersionedTable(spark, view_root)
+        txns = t._read_manifest(t.version()).get("txns") or {}
+        assert int(txns["mm#del"][0]) == 1
+        sink(spark.createDataFrame(batch, ddl), 1)  # replay converges
+        got = {r["g"]: (r["cnt"], r["min_x"]) for r in t.snapshot().collect()}
+        assert got == {1: (1, 11), 2: (2, 20)}
