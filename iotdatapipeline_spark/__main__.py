@@ -258,6 +258,7 @@ def _cmd_mv(args: argparse.Namespace) -> int:
         return 0
 
     from iotdatapipeline_spark.matview import (
+        AggJoinMaterializedView,
         BqVectorIndex,
         JoinMaterializedView,
         MaterializedView,
@@ -266,7 +267,9 @@ def _cmd_mv(args: argparse.Namespace) -> int:
 
     spark = get_spark("iotdatapipeline-mv")
     spark.sparkContext.setLogLevel("ERROR")
-    if "a_root" in spec:
+    if "a_root" in spec and "group_by" in spec:
+        view = AggJoinMaterializedView(spark, args.root)
+    elif "a_root" in spec:
         view = JoinMaterializedView(spark, args.root)
     elif "vec_col" in spec:
         view = BqVectorIndex(spark, args.root)

@@ -405,7 +405,108 @@ class BqVectorIndex(_MaintainedTable):
         return hamming_topk(corpus, qbq, k=k)
 
 
-class JoinMaterializedView(_MaintainedTable):
+class _TwoSourceView(_MaintainedTable):
+    """Shared cursor plumbing for views maintained over TWO sources:
+    both applied versions live in the view's own txn map packed as
+    ``to_a·10⁹ + to_b`` (monotone when steps apply in order), and
+    ``refresh()`` recovers the pair, reads both heads, and runs ONE
+    differential step — subclasses define :meth:`_step`."""
+
+    _PACK = 10**9
+
+    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+        raise NotImplementedError
+
+    def _applied_pair(self) -> tuple[int, int] | None:
+        packed = self._applied_txn()
+        if packed is None:
+            return None
+        return packed // self._PACK, packed % self._PACK
+
+    def refresh(self) -> tuple[int, int]:
+        """Bring the view up to both sources' current versions; returns
+        the (a_version, b_version) pair the view now reflects."""
+        spec = self.spec()
+        now_a = VersionedTable(self.spark, spec["a_root"]).version()
+        now_b = VersionedTable(self.spark, spec["b_root"]).version()
+        applied = self._applied_pair()
+        if applied is None:
+            self._step((now_a, now_a), (now_b, now_b))  # seed at current
+            return now_a, now_b
+        va, vb = applied
+        if (va, vb) == (now_a, now_b):
+            return applied  # nothing new on either side
+        self._step((va, now_a), (vb, now_b))
+        return now_a, now_b
+
+
+class AggJoinMaterializedView(_TwoSourceView):
+    """A maintained AGGREGATE-OVER-JOIN view
+    ``V = SELECT g, COUNT(*), SUM(x)... FROM A ⋈ B GROUP BY g`` over
+    two VersionedTable sources — the front door of
+    :func:`~iotdatapipeline_spark.streaming.sinks.cdf_ivm_agg_join_apply`
+    (IVM tier 3, r13). The join is NEVER materialized: each refresh
+    folds the bilinear delta expansion straight into the per-group
+    signed merge, so the stored state is O(groups) and the step cost
+    is O(Δ ⋈ affected), where the stacked
+    :class:`JoinMaterializedView`-under-aggregate form pays
+    O(|A⋈B|) intermediate storage and write amplification. Cursor
+    bookkeeping matches the join view: both sources' applied versions
+    live in the view's own txn map, packed ``to_a·10⁹ + to_b``."""
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        a_root: str,
+        b_root: str,
+        join_keys: Sequence[str],
+        group_by: Sequence[str],
+        sum_cols: Sequence[str],
+        a_key: str,
+        b_key: str,
+    ) -> "AggJoinMaterializedView":
+        mv = cls(spark, root)
+        va = VersionedTable(spark, a_root).version()
+        vb = VersionedTable(spark, b_root).version()
+        if va == 0 or vb == 0:
+            raise ValueError("both source tables must exist; create() them first")
+        mv._write_spec(
+            {
+                "a_root": a_root,
+                "b_root": b_root,
+                "join_keys": list(join_keys),
+                "group_by": list(group_by),
+                "sum_cols": list(sum_cols),
+                "a_key": a_key,
+                "b_key": b_key,
+            }
+        )
+        mv._step((va, va), (vb, vb))
+        return mv
+
+    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+        from iotdatapipeline_spark.streaming.sinks import cdf_ivm_agg_join_apply
+
+        spec = self.spec()
+        return cdf_ivm_agg_join_apply(
+            self.spark,
+            self.root,
+            spec["a_root"],
+            spec["b_root"],
+            spec["join_keys"],
+            spec["group_by"],
+            spec["sum_cols"],
+            spec["a_key"],
+            spec["b_key"],
+            v_a,
+            v_b,
+            txn_app=_TXN_APP,
+        )
+
+
+class JoinMaterializedView(_TwoSourceView):
     """A maintained JOIN view ``V = A ⋈ B`` over two VersionedTable
     sources — the orchestrated form of
     :func:`~iotdatapipeline_spark.streaming.sinks.cdf_ivm_join_apply`.
@@ -425,8 +526,6 @@ class JoinMaterializedView(_MaintainedTable):
     ΔB ⋈ affected-A), with the old-side reads stats-pruned by the
     other side's delta key bounds (streaming/sinks.py
     cdf_ivm_join_apply; BASELINE.md 'IVM tier 2')."""
-
-    _PACK = 10**9
 
     @classmethod
     def create(
@@ -477,25 +576,3 @@ class JoinMaterializedView(_MaintainedTable):
             v_b,
             txn_app=_TXN_APP,
         )
-
-    def _applied_pair(self) -> tuple[int, int] | None:
-        packed = self._applied_txn()
-        if packed is None:
-            return None
-        return packed // self._PACK, packed % self._PACK
-
-    def refresh(self) -> tuple[int, int]:
-        """Bring the view up to both sources' current versions; returns
-        the (a_version, b_version) pair the view now reflects."""
-        spec = self.spec()
-        now_a = VersionedTable(self.spark, spec["a_root"]).version()
-        now_b = VersionedTable(self.spark, spec["b_root"]).version()
-        applied = self._applied_pair()
-        if applied is None:
-            self._step((now_a, now_a), (now_b, now_b))  # seed at current
-            return now_a, now_b
-        va, vb = applied
-        if (va, vb) == (now_a, now_b):
-            return applied  # nothing new on either side
-        self._step((va, now_a), (vb, now_b))
-        return now_a, now_b

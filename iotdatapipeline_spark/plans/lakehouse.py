@@ -1988,6 +1988,131 @@ def events_versioned_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_versioned_ivm_agg_join",
+    """
+    WITH af AS (
+        SELECT event_id, user_id AS station,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    au AS (
+        SELECT event_id, station,
+               CASE WHEN event_id % 4 = 0 THEN v_cents + 5000
+                    ELSE v_cents END AS v_cents
+        FROM af
+    ),
+    a3 AS (SELECT * FROM au WHERE event_id % 7 <> 0),
+    a_final AS (
+        SELECT event_id, station,
+               CASE WHEN event_id % 11 = 0 THEN v_cents + 70000
+                    ELSE v_cents END AS v_cents
+        FROM a3
+    ),
+    b0 AS (SELECT DISTINCT station, station % 8 AS grp FROM af),
+    bu AS (
+        SELECT station,
+               CASE WHEN station % 5 = 0 THEN grp + 100 ELSE grp END AS grp
+        FROM b0
+    ),
+    b_final AS (SELECT * FROM bu WHERE station % 9 <> 0)
+    SELECT b.grp,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(a.v_cents) AS BIGINT) AS sum_v_cents
+    FROM a_final a JOIN b_final b ON a.station = b.station
+    GROUP BY b.grp
+    """,
+)
+def events_versioned_ivm_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM TIER 3 (r13): a maintained AGGREGATE-OVER-JOIN view —
+    ``SELECT grp, COUNT(*), SUM(v_cents) FROM fact ⋈ dim GROUP BY
+    grp`` — kept exact through ``AggJoinMaterializedView`` WITHOUT
+    ever materializing the join, while the FACT takes an update
+    (+5000 on mod-4 events) and a delete (mod-7 events), and then
+    BOTH sides move before one refresh (fact +70000 on mod-11; dim
+    regroups mod-5 stations and deletes mod-9 stations) — so the
+    final step exercises all three bilinear terms including ΔA⋈ΔB.
+    The oracle aggregates the joined FINAL states directly — a missed
+    cross term, a wrong-version old-side read, or a group whose rows
+    moved between buckets without both signed legs hash-mismatches.
+    The view's history must show incremental merges, never a
+    recompute, and the stored state is the AGGREGATE only (one row
+    per group — asserted), where the stacked
+    JoinMaterializedView-under-aggregate form would store every
+    joined row.
+
+    100 TB: the delta rule δ(γ(A⋈B)) = γ(ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    ΔA⋈ΔB) folds the expansion straight into the signed per-group
+    merge — per step the joined fact is touched O(Δ ⋈ affected)
+    through stats-pruned AS-OF scans, the view O(affected groups);
+    the O(|A⋈B|) intermediate mart (often the biggest table in the
+    house) is never written. Cites Prensas.py:300-302 (the reference
+    recomputes its joined probe per tick)."""
+    from iotdatapipeline_spark.matview import AggJoinMaterializedView
+
+    r = _readings(spark, sf_dir)
+    base = r.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "station", "v_cents"
+    )
+    dim = base.select("station").distinct().withColumn(
+        "grp", F.col("station") % 8
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_ivmaj_")
+    a_root, b_root = os.path.join(stem, "fact"), os.path.join(stem, "dim")
+    v_root = os.path.join(stem, "view")
+    A = VersionedTable(spark, a_root)
+    A.create(base, n_files=8, cluster_by=["station"])
+    B = VersionedTable(spark, b_root)
+    B.create(dim, n_files=2, cluster_by=["station"])
+    mv = AggJoinMaterializedView.create(
+        spark, v_root, a_root, b_root,
+        join_keys=["station"], group_by=["grp"], sum_cols=["v_cents"],
+        a_key="event_id", b_key="station",
+    )
+    # fact-side step alone
+    A.merge_into(
+        A.snapshot()
+        .filter(F.col("event_id") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000)),
+        ["event_id"],
+    )
+    A.merge_into(
+        A.snapshot().filter(F.col("event_id") % 7 == 0),
+        ["event_id"],
+        when_matched="delete",
+    )
+    assert mv.refresh() == (A.version(), 1)
+    # BOTH sides move before the next refresh: the ΔA⋈ΔB cross term
+    A.merge_into(
+        A.snapshot()
+        .filter(F.col("event_id") % 11 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(70000)),
+        ["event_id"],
+    )
+    B.merge_into(
+        B.snapshot()
+        .filter(F.col("station") % 5 == 0)
+        .withColumn("grp", F.col("grp") + F.lit(100)),
+        ["station"],
+    )
+    B.merge_into(
+        B.snapshot().filter(F.col("station") % 9 == 0),
+        ["station"],
+        when_matched="delete",
+    )
+    assert mv.refresh() == (A.version(), B.version())
+    view = VersionedTable(spark, v_root)
+    ops = [m["op"] for m in view.history()]
+    if not any(op.startswith("merge:") for op in ops):
+        raise RuntimeError(f"agg-join view was not incrementally maintained: {ops}")
+    # the stored state is the AGGREGATE, not the join: one row per grp
+    n_rows = view.snapshot().count()
+    n_grps = view.snapshot().select("grp").distinct().count()
+    if n_rows != n_grps:
+        raise RuntimeError(f"view stores {n_rows} rows for {n_grps} groups")
+    return view.snapshot().select("grp", "cnt", "sum_v_cents")
+
+
+@register(
     "events_merge_insert_condition",
     """
     WITH b AS (

@@ -205,6 +205,37 @@ class TestCliMv:
         assert rc == 0
         assert "group_by" in capsys.readouterr().out
 
+    def test_mv_refresh_agg_join_dispatch(self, spark, tmp_path, capsys):
+        """r13: the mv verb dispatches specs with a_root + group_by to
+        the aggregate-over-join kind and prints both cursors."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import AggJoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(30).select(
+                F.col("id").alias("rid"), (F.col("id") % 3).alias("j"),
+                F.lit(1).alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(3).select(F.col("id").alias("j"), (F.col("id") % 2).alias("g")),
+            cluster_by=["j"],
+        )
+        AggJoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            join_keys=["j"], group_by=["g"], sum_cols=["x"],
+            a_key="rid", b_key="j",
+        )
+        A.delete_where("rid < 6")
+        rc = main(["mv", "refresh", str(tmp_path / "v")])
+        assert rc == 0
+        assert "versions a=2, b=1" in capsys.readouterr().out
+
     def test_mv_missing_spec_is_friendly(self, tmp_path, capsys):
         rc = main(["mv", "refresh", str(tmp_path / "nope")])
         assert rc == 2

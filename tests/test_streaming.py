@@ -2314,6 +2314,158 @@ class TestJoinMaterializedView:
         assert mv2.snapshot().filter("rid = 1").isEmpty()
 
 
+class TestAggJoinMaterializedView:
+    """AggJoinMaterializedView (IVM tier 3, r13): aggregate-over-join
+    maintained without materializing the join — cursor recovery,
+    replay no-op, group-movement correctness, O(groups) stored state."""
+
+    def _setup(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import AggJoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(120).select(
+                F.col("id").alias("rid"),
+                (F.col("id") % 10).alias("j"),
+                (F.col("id") * 3).alias("x"),
+            ),
+            n_files=4,
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(10).select(
+                F.col("id").alias("j"), (F.col("id") % 4).alias("g")
+            ),
+            cluster_by=["j"],
+        )
+        mv = AggJoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            join_keys=["j"], group_by=["g"], sum_cols=["x"],
+            a_key="rid", b_key="j",
+        )
+        return A, B, mv
+
+    def _want(self, A, B):
+        from pyspark.sql import functions as F
+
+        return {
+            (r["g"], r["cnt"], r["sum_x"])
+            for r in A.snapshot()
+            .join(B.snapshot(), "j")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("x").cast("long").alias("sum_x"),
+            )
+            .collect()
+        }
+
+    def test_maintain_without_join_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import AggJoinMaterializedView
+
+        A, B, mv = self._setup(spark, tmp_path)
+        assert self._want(A, B) == {
+            (r["g"], r["cnt"], r["sum_x"]) for r in mv.snapshot().collect()
+        }
+        # both sides move before ONE refresh: fact update + delete,
+        # dim GROUP MOVE (j=3: g 3→1) + dim delete (j=7: every row of
+        # the pair leaves its group)
+        A.merge_into(
+            A.snapshot().filter("rid % 5 = 0").withColumn(
+                "x", F.col("x") + 1000
+            ),
+            ["rid"],
+        )
+        A.delete_where("rid % 4 = 0")
+        B.merge_into(
+            B.snapshot().filter("j = 3").withColumn("g", F.lit(1)), ["j"]
+        )
+        B.merge_into(B.snapshot().filter("j = 7"), ["j"], when_matched="delete")
+        assert mv.refresh() == (A.version(), B.version())
+        assert self._want(A, B) == {
+            (r["g"], r["cnt"], r["sum_x"]) for r in mv.snapshot().collect()
+        }
+        # stored state is O(groups), and maintained incrementally
+        assert mv.snapshot().count() <= 4
+        ops = [m["op"] for m in mv.table().history()]
+        assert any(op.startswith("merge:") for op in ops)
+        # replay-equivalent refresh: nothing moves
+        v = mv.table().version()
+        assert mv.refresh() == (A.version(), B.version())
+        assert mv.table().version() == v
+        # fresh handle recovers both cursors from the sidecar + txn map
+        mv2 = AggJoinMaterializedView(spark, str(tmp_path / "v"))
+        A.delete_where("rid = 1")
+        assert mv2.refresh() == (A.version(), B.version())
+        assert self._want(A, B) == {
+            (r["g"], r["cnt"], r["sum_x"]) for r in mv2.snapshot().collect()
+        }
+
+    def test_group_emptied_by_dim_delete(self, spark, tmp_path):
+        from iotdatapipeline_spark.matview import AggJoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        from pyspark.sql import functions as F
+
+        A.create(
+            spark.range(40).select(
+                F.col("id").alias("rid"), (F.col("id") % 4).alias("j"),
+                F.lit(1).alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        # each j is its own group: deleting a dim row EMPTIES a group
+        B.create(
+            spark.range(4).select(F.col("id").alias("j"), F.col("id").alias("g")),
+            cluster_by=["j"],
+        )
+        mv = AggJoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            join_keys=["j"], group_by=["g"], sum_cols=["x"],
+            a_key="rid", b_key="j",
+        )
+        B.merge_into(B.snapshot().filter("j = 2"), ["j"], when_matched="delete")
+        mv.refresh()
+        got = {(r["g"], r["cnt"]) for r in mv.snapshot().collect()}
+        assert got == {(0, 10), (1, 10), (3, 10)}  # group 2 removed
+
+    def test_column_collision_refused(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import AggJoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(10).select(
+                F.col("id").alias("rid"), (F.col("id") % 2).alias("j"),
+                F.col("id").alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(2).select(F.col("id").alias("j"), F.col("id").alias("x")),
+            cluster_by=["j"],
+        )
+        with _pytest.raises(ValueError, match="collision"):
+            AggJoinMaterializedView.create(
+                spark, str(tmp_path / "v"), str(tmp_path / "a"),
+                str(tmp_path / "b"),
+                join_keys=["j"], group_by=["x"], sum_cols=[],
+                a_key="rid", b_key="j",
+            )
+
+
 class TestStackedViews:
     def test_view_over_view(self, spark, tmp_path):
         """The matview docstring's stacking claim, pinned: a SUM/COUNT
