@@ -275,8 +275,24 @@ def _cmd_mv(args: argparse.Namespace) -> int:
         view = BqVectorIndex(spark, args.root)
     else:
         view = MaterializedView(spark, args.root)
-    if args.action == "refresh":
-        applied = view.refresh()
+    if args.action in ("refresh", "reseed"):
+        from iotdatapipeline_spark.matview import (
+            ViewHistoryExpired,
+            ViewSourceSchemaError,
+        )
+
+        if args.action == "reseed" and not hasattr(view, "reseed"):
+            print(
+                f"view at {args.root} is a two-source view: no in-place "
+                "reseed — drop and re-create it",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            applied = view.refresh() if args.action == "refresh" else view.reseed()
+        except (ViewHistoryExpired, ViewSourceSchemaError) as e:
+            print(str(e), file=sys.stderr)
+            return 2
         if isinstance(applied, tuple):  # join view: one cursor per source
             print(
                 f"view at {args.root} now reflects source versions "
@@ -345,7 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         help="materialized-view admin: refresh / show / spec "
         "(kind auto-detected from the view's _mv_spec.json sidecar)",
     )
-    mv.add_argument("action", choices=["refresh", "show", "spec"])
+    mv.add_argument("action", choices=["refresh", "reseed", "show", "spec"])
     mv.add_argument("root")
     mv.add_argument("--rows", type=int, default=20)
     mv.set_defaults(fn=_cmd_mv)

@@ -59,6 +59,29 @@ _TXN_APP = "mv-refresh"
 _KMV_M = 1 << 32  # md5-prefix hash space (plans/sketches.py convention)
 
 
+class ViewSourceSchemaError(ValueError):
+    """The source's CURRENT schema no longer carries a column the view
+    DEFINITION depends on (a fed group/aggregate column, or an
+    explicit feed key, was renamed or dropped). Raised by ``refresh()``
+    BEFORE any feed read, naming the view and the missing columns —
+    the lifecycle contract (r13): additive source evolution
+    (add_column, widen of unfed columns) refreshes cleanly; breaking
+    evolution of a fed column refuses with this typed error instead of
+    a raw AnalysisException mid-plan. Recover by renaming the column
+    back, or by dropping and re-creating the view against the new
+    schema."""
+
+
+class ViewHistoryExpired(RuntimeError):
+    """The source's retained history no longer reaches the view's
+    applied cursor (``expire_versions()`` advanced past it), so an
+    incremental refresh cannot read its change range. Raised by
+    ``refresh()`` with the cursor and the earliest readable source
+    version; recover with ``reseed()`` — a full recompute at the
+    source's current version that re-anchors the cursor (O(source),
+    the one non-incremental step) — or retain more history."""
+
+
 def kmv_estimate(k: int = 64):
     """Distinct-count estimate Column over a maintained ``kmv`` sketch
     column (the APPROX-DISTINCT view tier): exact below k kept hashes,
@@ -242,29 +265,101 @@ class MaterializedView(_MaintainedTable):
         )
         self._sink(spec)(seed, v_src)
 
+    def _check_source_schema(
+        self, src: VersionedTable, v_src: int, spec: dict
+    ) -> None:
+        """Refuse BEFORE any feed read when the source no longer
+        carries a column the definition depends on (r13 lifecycle
+        pin). Additive evolution — add_column, widen of unfed columns
+        — passes untouched; a renamed/dropped fed column or explicit
+        feed key raises the typed error instead of surfacing a raw
+        AnalysisException mid-plan."""
+        have = set(src.snapshot(v_src).columns)
+        needed = self._feed_cols(spec) + list(spec.get("keys") or [])
+        missing = sorted({c for c in needed if c not in have})
+        if missing:
+            raise ViewSourceSchemaError(
+                f"materialized view at {self.root}: source "
+                f"{spec['source_root']} (version {v_src}) no longer has "
+                f"column(s) {missing} the view definition feeds on — the "
+                "source renamed or dropped them. Rename the column back, "
+                "or drop and re-create the view against the new schema."
+            )
+
+    def _adapt_widened_types(
+        self, src: VersionedTable, v_src: int, spec: dict
+    ) -> None:
+        """When the source WIDENED a fed column (``widen_column``),
+        widen the view's corresponding column in kind before the feed
+        merges — otherwise the merge's type reconciliation refuses the
+        now-wider source (r13 lifecycle pin: additive source evolution
+        refreshes cleanly). Applies to group keys (stored under their
+        own name) and MIN/MAX value columns; SUM/COUNT aggregates
+        already live in long."""
+        t = self.table()
+        if t.version() == 0:
+            return
+        src_types = {
+            f.name: f.dataType.simpleString()
+            for f in src.snapshot(v_src).schema.fields
+        }
+        view_types = {
+            f.name: f.dataType.simpleString()
+            for f in t.snapshot().schema.fields
+        }
+        pairs = [(g, g) for g in spec["group_by"]]
+        pairs += [(c, f"min_{c}") for c in spec.get("min_cols") or []]
+        pairs += [(c, f"max_{c}") for c in spec.get("max_cols") or []]
+        for s_col, v_col in pairs:
+            st, vt_ = src_types.get(s_col), view_types.get(v_col)
+            if (
+                st
+                and vt_
+                and st != vt_
+                and st in VersionedTable._WIDENINGS.get(vt_, ())
+            ):
+                t.widen_column(v_col, st)
+
     def refresh(self) -> int:
         """Bring the view up to the source's current version; returns
         the source version the view now reflects. O(changed rows in
         range) via the commit-time feed; a no-change refresh is a
-        metadata read."""
+        metadata read. Raises :class:`ViewSourceSchemaError` when the
+        source dropped/renamed a fed column, and
+        :class:`ViewHistoryExpired` when ``expire_versions()`` on the
+        source advanced past the view's applied cursor."""
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
+
         spec = self.spec()
         src = VersionedTable(self.spark, spec["source_root"])
         v_src = src.version()
         applied = self._applied_txn()
+        if applied is not None and applied >= v_src:
+            return applied  # nothing new
+        self._check_source_schema(src, v_src, spec)
+        self._adapt_widened_types(src, v_src, spec)
         if applied is None:
             # create() crashed between the spec write and the seed —
             # seed now, at the source's current version
             self._apply_seed(src, v_src, spec)
             return v_src
-        if applied >= v_src:
-            return applied  # nothing new
-        feed = (
-            src.changes(
-                applied, v_src, keys=spec["keys"], include_preimages=True
+        try:
+            feed = (
+                src.changes(
+                    applied, v_src, keys=spec["keys"], include_preimages=True
+                )
+                .select(*self._feed_cols(spec), "_change_type")
+                .withColumn("_commit_version", F.lit(v_src).cast("long"))
             )
-            .select(*self._feed_cols(spec), "_change_type")
-            .withColumn("_commit_version", F.lit(v_src).cast("long"))
-        )
+        except VersionExpired as e:
+            raise ViewHistoryExpired(
+                f"materialized view at {self.root}: source history needed "
+                f"for an incremental refresh has expired (applied cursor "
+                f"{applied}, earliest readable source version "
+                f"{src.earliest_version()}). Run reseed() to recompute the "
+                "view at the source's current version, or retain more "
+                "source history (expire_versions keep_last/retention)."
+            ) from e
         before = self.table().version()
         self._sink(spec)(feed, v_src)
         if self.table().version() == before:
@@ -275,6 +370,34 @@ class MaterializedView(_MaintainedTable):
             # no-op range plus an unpruned view scan (empty deltas
             # yield no pruning predicate)
             self.table().record_txn(_TXN_APP, v_src)
+        return v_src
+
+    def reseed(self) -> int:
+        """Full recompute at the source's CURRENT version — the
+        documented recovery from :class:`ViewHistoryExpired` (and the
+        general escape hatch when incremental maintenance is no longer
+        possible). O(source) + O(view), the one non-incremental step:
+        (1) empty the view (keyed DV delete of every current group —
+        idempotent, so a crashed reseed re-runs from here), (2) replay
+        the seed feed at the current version; its merge re-anchors the
+        applied cursor, after which ``refresh()`` is incremental
+        again. No-op when the cursor already stands at the source's
+        current version (a reseed must never leave the view EMPTIED
+        behind an already-applied cursor). Returns the source version
+        the view now reflects."""
+        spec = self.spec()
+        src = VersionedTable(self.spark, spec["source_root"])
+        v_src = src.version()
+        applied = self._applied_txn()
+        if applied is not None and applied >= v_src:
+            return applied  # already current — nothing to rebuild
+        self._check_source_schema(src, v_src, spec)
+        self._adapt_widened_types(src, v_src, spec)
+        t = self.table()
+        if t.version() > 0:
+            gk = spec["group_by"]
+            t.delete_matching(t.snapshot().select(*gk), gk)
+        self._apply_seed(src, v_src, spec)
         return v_src
 
 
@@ -316,8 +439,6 @@ class BqVectorIndex(_MaintainedTable):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "BqVectorIndex":
-        from iotdatapipeline_spark.analytics.similarity import binary_quantize
-
         idx = cls(spark, root)
         src = VersionedTable(spark, source_root)
         v_src = src.version()
@@ -326,15 +447,7 @@ class BqVectorIndex(_MaintainedTable):
         idx._write_spec(
             {"source_root": source_root, "id_col": id_col, "vec_col": vec_col}
         )
-        seed = binary_quantize(
-            src.snapshot(v_src), id_col=id_col, vec_col=vec_col
-        ).withColumns(
-            {
-                "_change_type": F.lit("insert"),
-                "_commit_version": F.lit(v_src).cast("long"),
-            }
-        )
-        idx._apply(seed, v_src)
+        idx._apply(idx._seed_feed(src, v_src, idx.spec()), v_src)
         return idx
 
     def _apply(self, feed: DataFrame, v_src: int) -> None:
@@ -345,35 +458,69 @@ class BqVectorIndex(_MaintainedTable):
             self.root, [spec["id_col"]], txn_app=_TXN_APP
         )(feed, v_src)
 
+    def _seed_feed(self, src: VersionedTable, v_src: int, spec: dict) -> DataFrame:
+        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+
+        return binary_quantize(
+            src.snapshot(v_src), id_col=spec["id_col"], vec_col=spec["vec_col"]
+        ).withColumns(
+            {
+                "_change_type": F.lit("insert"),
+                "_commit_version": F.lit(v_src).cast("long"),
+            }
+        )
+
+    def _check_source_schema(
+        self, src: VersionedTable, v_src: int, spec: dict
+    ) -> None:
+        have = set(src.snapshot(v_src).columns)
+        missing = sorted(
+            {c for c in (spec["id_col"], spec["vec_col"]) if c not in have}
+        )
+        if missing:
+            raise ViewSourceSchemaError(
+                f"vector index at {self.root}: source {spec['source_root']} "
+                f"(version {v_src}) no longer has column(s) {missing} the "
+                "index feeds on — the source renamed or dropped them. "
+                "Rename the column back, or drop and re-create the index."
+            )
+
     def refresh(self) -> int:
         """Bring the index up to the source's current version —
-        O(changed vectors); a no-change refresh is a metadata read."""
-        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+        O(changed vectors); a no-change refresh is a metadata read.
+        Raises :class:`ViewSourceSchemaError` /
+        :class:`ViewHistoryExpired` under the same lifecycle contract
+        as :class:`MaterializedView`."""
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
 
         spec = self.spec()
         src = VersionedTable(self.spark, spec["source_root"])
         v_src = src.version()
         applied = self._applied_txn()
-        id_col, vec_col = spec["id_col"], spec["vec_col"]
-        if applied is None:
-            seed = binary_quantize(
-                src.snapshot(v_src), id_col=id_col, vec_col=vec_col
-            ).withColumns(
-                {
-                    "_change_type": F.lit("insert"),
-                    "_commit_version": F.lit(v_src).cast("long"),
-                }
-            )
-            self._apply(seed, v_src)
-            return v_src
-        if applied >= v_src:
+        id_col = spec["id_col"]
+        if applied is not None and applied >= v_src:
             return applied
+        self._check_source_schema(src, v_src, spec)
+        if applied is None:
+            self._apply(self._seed_feed(src, v_src, spec), v_src)
+            return v_src
         from iotdatapipeline_spark.analytics.similarity import bq_words
 
-        ch = src.changes(applied, v_src, keys=[id_col])
+        try:
+            ch = src.changes(applied, v_src, keys=[id_col])
+        except VersionExpired as e:
+            raise ViewHistoryExpired(
+                f"vector index at {self.root}: source history needed for "
+                f"an incremental refresh has expired (applied cursor "
+                f"{applied}, earliest readable source version "
+                f"{src.earliest_version()}). Run reseed() to repack at the "
+                "source's current version, or retain more source history."
+            ) from e
         # row-local repack of the changed vectors, feed tags kept
         ups = ch.filter(F.col("_change_type") != "delete").select(
-            F.col(id_col), bq_words(vec_col).alias("bq"), F.col("_change_type")
+            F.col(id_col),
+            bq_words(spec["vec_col"]).alias("bq"),
+            F.col("_change_type"),
         )
         dels = ch.filter(F.col("_change_type") == "delete").select(
             F.col(id_col),
@@ -384,6 +531,28 @@ class BqVectorIndex(_MaintainedTable):
             "_commit_version", F.lit(v_src).cast("long")
         )
         self._apply(feed, v_src)
+        return v_src
+
+    def reseed(self) -> int:
+        """Full repack at the source's CURRENT version — the recovery
+        from :class:`ViewHistoryExpired`: empty the index (keyed DV
+        delete — idempotent, crash-safe to re-run), then replay the
+        seed feed; its merge re-anchors the applied cursor. No-op when
+        the cursor is already current. O(source) — the one
+        non-incremental step."""
+        spec = self.spec()
+        src = VersionedTable(self.spark, spec["source_root"])
+        v_src = src.version()
+        applied = self._applied_txn()
+        if applied is not None and applied >= v_src:
+            return applied
+        self._check_source_schema(src, v_src, spec)
+        t = self.table()
+        if t.version() > 0:
+            t.delete_matching(
+                t.snapshot().select(spec["id_col"]), [spec["id_col"]]
+            )
+        self._apply(self._seed_feed(src, v_src, spec), v_src)
         return v_src
 
     def search(self, queries: DataFrame, *, k: int) -> DataFrame:
@@ -425,7 +594,11 @@ class _TwoSourceView(_MaintainedTable):
 
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both sources' current versions; returns
-        the (a_version, b_version) pair the view now reflects."""
+        the (a_version, b_version) pair the view now reflects. Raises
+        :class:`ViewHistoryExpired` when either source's retained
+        history no longer reaches its applied cursor."""
+        from iotdatapipeline_spark.sources.versioned import VersionExpired
+
         spec = self.spec()
         now_a = VersionedTable(self.spark, spec["a_root"]).version()
         now_b = VersionedTable(self.spark, spec["b_root"]).version()
@@ -436,7 +609,16 @@ class _TwoSourceView(_MaintainedTable):
         va, vb = applied
         if (va, vb) == (now_a, now_b):
             return applied  # nothing new on either side
-        self._step((va, now_a), (vb, now_b))
+        try:
+            self._step((va, now_a), (vb, now_b))
+        except VersionExpired as e:
+            raise ViewHistoryExpired(
+                f"view at {self.root}: source history needed for an "
+                f"incremental step has expired (applied cursors a={va}, "
+                f"b={vb}). Two-source views have no in-place reseed — "
+                "drop and re-create the view, or retain more source "
+                "history (expire_versions keep_last/retention)."
+            ) from e
         return now_a, now_b
 
 

@@ -240,3 +240,78 @@ class TestCliMv:
         rc = main(["mv", "refresh", str(tmp_path / "nope")])
         assert rc == 2
         assert "_mv_spec.json" in capsys.readouterr().err
+
+    def test_mv_expired_history_surfaces_and_reseed_recovers(
+        self, spark, tmp_path, capsys
+    ):
+        """r13: `mv refresh` against expired source history exits 2
+        with the reseed guidance; `mv reseed` recovers."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(
+            spark.range(40).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+                F.lit(1).alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], sum_cols=["v"], keys=["k"],
+        )
+        src.delete_where("k < 8")
+        src.delete_where("k >= 36")
+        src.expire_versions(keep_last=1)
+        rc = main(["mv", "refresh", str(tmp_path / "mv")])
+        assert rc == 2
+        assert "reseed" in capsys.readouterr().err
+        rc = main(["mv", "reseed", str(tmp_path / "mv")])
+        assert rc == 0
+        assert f"source version {src.version()}" in capsys.readouterr().out
+        got = {
+            (r["g"], r["cnt"], r["sum_v"])
+            for r in MaterializedView(spark, str(tmp_path / "mv"))
+            .snapshot()
+            .collect()
+        }
+        want = {
+            (r["g"], r["cnt"], r["s"])
+            for r in src.snapshot().groupBy("g").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("s"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_mv_reseed_on_two_source_view_is_friendly(
+        self, spark, tmp_path, capsys
+    ):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import JoinMaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(6).select(
+                F.col("id").alias("rid"), (F.col("id") % 2).alias("j"),
+                F.col("id").alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(2).select(F.col("id").alias("j"), F.col("id").alias("y")),
+            cluster_by=["j"],
+        )
+        JoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            join_keys=["j"], a_key="rid", b_key="j",
+        )
+        rc = main(["mv", "reseed", str(tmp_path / "v")])
+        assert rc == 2
+        assert "two-source" in capsys.readouterr().err

@@ -232,3 +232,42 @@ class TestBqVectorIndexMaintain:
         assert {r["qid"] for r in rows} == {0, 1, 2}
         assert all(r["rk"] in (1, 2) for r in rows)
         assert all(r["nid"] != r["qid"] for r in rows)
+
+    def test_expired_history_raises_and_reseed_recovers(self, spark, tmp_path):
+        """r13 lifecycle pin: expire_versions() past the index's
+        applied cursor raises the typed ViewHistoryExpired; reseed()
+        repacks at the current version and re-anchors the cursor."""
+        import pytest as _pytest
+
+        from iotdatapipeline_spark.analytics.similarity import binary_quantize
+        from iotdatapipeline_spark.matview import BqVectorIndex, ViewHistoryExpired
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.create(emb, cluster_by=["vec_id"])
+        idx = BqVectorIndex.create(
+            spark, str(tmp_path / "idx"), str(tmp_path / "src")
+        )
+        src.delete_where("vec_id % 9 = 0")
+        src.merge_into(
+            src.snapshot()
+            .filter(F.col("vec_id") % 7 == 0)
+            .withColumn("embedding", F.transform("embedding", lambda x: -x)),
+            ["vec_id"],
+        )
+        src.expire_versions(keep_last=1)
+        with _pytest.raises(ViewHistoryExpired, match="reseed"):
+            idx.refresh()
+        assert idx.reseed() == src.version()
+        got = idx.table().snapshot().select("vec_id", "bq")
+        want = binary_quantize(src.snapshot())
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        # cursor re-anchored: incremental again
+        src.delete_where("vec_id % 11 = 0")
+        assert idx.refresh() == src.version()
+        got = idx.table().snapshot().select("vec_id", "bq")
+        want = binary_quantize(src.snapshot())
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

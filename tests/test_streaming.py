@@ -2891,3 +2891,216 @@ class TestIvmTwoCommitWindow:
         sink(spark.createDataFrame(batch, ddl), 1)  # replay converges
         got = {r["g"]: (r["cnt"], r["min_x"]) for r in t.snapshot().collect()}
         assert got == {1: (1, 11), 2: (2, 20)}
+
+
+class TestMvLifecycle:
+    """r13 lifecycle pins: maintained views under source schema change
+    and under expire_versions() past the applied cursor — the first
+    things a long-lived deployment hits. Contract: additive evolution
+    (add_column, widen — fed or unfed) refreshes cleanly (the view
+    widens its own columns in kind); rename/drop of a fed column or
+    explicit feed key raises the TYPED ViewSourceSchemaError before
+    any feed read; expired history raises ViewHistoryExpired and
+    reseed() recovers."""
+
+    def _src(self, spark, root, int_types=True):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, root)
+        g = (F.col("id") % 4).cast("int") if int_types else (F.col("id") % 4)
+        v = F.lit(1).cast("int") if int_types else F.lit(1)
+        src.create(
+            spark.range(80).select(F.col("id").alias("k"), g.alias("g"), v.alias("v")),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        return src
+
+    def _mv(self, spark, tmp_path, src_name="src", **kw):
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        return MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / src_name),
+            group_by=["g"], keys=["k"], **kw,
+        )
+
+    def _assert_sum_matches(self, src, mv):
+        from pyspark.sql import functions as F
+
+        want = {
+            (r["g"], r["cnt"], r["s"])
+            for r in src.snapshot().groupBy("g").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("s"),
+            ).collect()
+        }
+        got = {(r["g"], r["cnt"], r["sum_v"]) for r in mv.snapshot().collect()}
+        assert got == want
+
+    def test_additive_changes_refresh_cleanly(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, sum_cols=["v"])
+        src.add_column("note", "string")          # unfed add
+        src.widen_column("v", "bigint")           # FED sum col widen
+        src.merge_into(
+            spark.range(4).select(
+                F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("g"),
+                F.lit(2 ** 40).alias("v"), F.lit("x").alias("note"),
+            ),
+            ["k"],
+        )
+        assert mv.refresh() == src.version()
+        self._assert_sum_matches(src, mv)
+
+    def test_widened_group_key_adapts_view(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, sum_cols=["v"])
+        src.widen_column("g", "bigint")
+        src.merge_into(
+            spark.range(4).select(
+                F.col("id").alias("k"), F.lit(5_000_000_000).alias("g"),
+                F.lit(3).cast("int").alias("v"),
+            ),
+            ["k"],
+        )
+        assert mv.refresh() == src.version()
+        # the view widened its OWN group column in kind
+        assert dict(mv.snapshot().dtypes)["g"] == "bigint"
+        self._assert_sum_matches(src, mv)
+
+    def test_widened_minmax_value_adapts_view(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, min_cols=["v"], max_cols=["v"])
+        src.widen_column("v", "bigint")
+        src.merge_into(
+            spark.range(2).select(
+                F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("g"),
+                F.lit(2 ** 40).alias("v"),
+            ),
+            ["k"],
+        )
+        assert mv.refresh() == src.version()
+        types = dict(mv.snapshot().dtypes)
+        assert types["min_v"] == "bigint" and types["max_v"] == "bigint"
+        want = {
+            (r["g"], r["mn"], r["mx"])
+            for r in src.snapshot().groupBy("g").agg(
+                F.min("v").alias("mn"), F.max("v").alias("mx")
+            ).collect()
+        }
+        got = {
+            (r["g"], r["min_v"], r["max_v"]) for r in mv.snapshot().collect()
+        }
+        assert got == want
+
+    def test_rename_or_drop_of_fed_column_raises_typed(self, spark, tmp_path):
+        from iotdatapipeline_spark.matview import ViewSourceSchemaError
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, sum_cols=["v"])
+        src.rename_column("v", "val")
+        with pytest.raises(ViewSourceSchemaError, match=r"\['v'\]"):
+            mv.refresh()
+        src.rename_column("val", "v")  # rename back: the documented fix
+        src.delete_where("k < 8")
+        assert mv.refresh() == src.version()
+        self._assert_sum_matches(src, mv)
+        src.drop_column("v")
+        with pytest.raises(ViewSourceSchemaError, match="no longer has"):
+            mv.refresh()
+
+    def test_rename_of_explicit_key_raises_typed(self, spark, tmp_path):
+        from iotdatapipeline_spark.matview import ViewSourceSchemaError
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, sum_cols=["v"])
+        src.rename_column("k", "kk")
+        with pytest.raises(ViewSourceSchemaError, match=r"\['k'\]"):
+            mv.refresh()
+
+    def test_rename_of_default_key_adapts(self, spark, tmp_path):
+        """With keys=None the feed keys come from the source's OWN
+        cluster_by at read time, which rename_column keeps current —
+        so a key rename adapts instead of erroring."""
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "mv"), str(tmp_path / "src"),
+            group_by=["g"], sum_cols=["v"],
+        )
+        src.rename_column("k", "kk")
+        src.delete_where("kk < 8")
+        assert mv.refresh() == src.version()
+        self._assert_sum_matches(src, mv)
+
+    def test_expire_past_cursor_raises_and_reseed_recovers(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import ViewHistoryExpired
+
+        src = self._src(spark, str(tmp_path / "src"))
+        mv = self._mv(spark, tmp_path, sum_cols=["v"])
+        src.merge_into(
+            spark.range(8).select(
+                F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("g"),
+                F.lit(50).cast("int").alias("v"),
+            ),
+            ["k"],
+        )
+        src.delete_where("k >= 70")
+        src.expire_versions(keep_last=1)  # cursor (v1) now unreadable
+        with pytest.raises(ViewHistoryExpired, match="reseed"):
+            mv.refresh()
+        assert mv.reseed() == src.version()
+        self._assert_sum_matches(src, mv)
+        # the cursor is re-anchored: maintenance is incremental again
+        src.delete_where("k < 4")
+        assert mv.refresh() == src.version()
+        self._assert_sum_matches(src, mv)
+        # reseed when already current is a no-op, never an emptier
+        v = mv.table().version()
+        assert mv.reseed() == src.version()
+        assert mv.table().version() == v
+        assert not mv.snapshot().isEmpty()
+
+    def test_two_source_view_expired_history_raises_typed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import (
+            AggJoinMaterializedView,
+            ViewHistoryExpired,
+        )
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "a"))
+        A.create(
+            spark.range(40).select(
+                F.col("id").alias("rid"), (F.col("id") % 4).alias("j"),
+                F.lit(1).alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "b"))
+        B.create(
+            spark.range(4).select(F.col("id").alias("j"), (F.col("id") % 2).alias("g")),
+            cluster_by=["j"],
+        )
+        mv = AggJoinMaterializedView.create(
+            spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
+            join_keys=["j"], group_by=["g"], sum_cols=["x"],
+            a_key="rid", b_key="j",
+        )
+        A.delete_where("rid < 5")
+        A.delete_where("rid >= 35")
+        A.expire_versions(keep_last=1)
+        with pytest.raises(ViewHistoryExpired, match="re-create"):
+            mv.refresh()
