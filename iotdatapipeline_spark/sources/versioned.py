@@ -1941,6 +1941,7 @@ class VersionedTable:
         new_files: Sequence[str] = (),
         new_file_stats: dict | None = None,
         dv_delta: dict[str, list[str]] | None = None,
+        added_probe=None,
         max_attempts: int = 3,
     ) -> int | None:
         """Delta-style LOGICAL conflict resolution for a merge that
@@ -2014,11 +2015,19 @@ class VersionedTable:
             if added:
                 if nmbs_on:
                     return None
-                maybe = self._candidates_by_key_bounds(
-                    {**head_m, "files": added}, src_keys, keys
-                )
-                if maybe:
-                    return None
+                if added_probe is not None:
+                    # caller-supplied conflict test for this write's
+                    # read scope (the DV deletes pass a predicate-range
+                    # probe); True = an added file may hold rows this
+                    # write should have seen
+                    if added_probe(head_m, added):
+                        return None
+                else:
+                    maybe = self._candidates_by_key_bounds(
+                        {**head_m, "files": added}, src_keys, keys
+                    )
+                    if maybe:
+                        return None
             files_set = (head_files - touched) | set(new_files)
             stats = {
                 f: s for f, s in self._stats_of(head_m).items() if f in files_set
@@ -3779,7 +3788,9 @@ class VersionedTable:
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
             try:
-                return self._commit_dv_delete(base, m, candidates, hits, cdf_rows=doomed)
+                return self._commit_dv_delete(
+                    base, m, candidates, hits, cdf_rows=doomed, ranges=ranges
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"delete_where on {self.root} gave up after {max_retries} conflicts")
@@ -3841,6 +3852,8 @@ class VersionedTable:
                     cdf_rows=doomed,
                     txn_app=txn_app,
                     txn_version=txn_version,
+                    src_keys=src_keys,
+                    keys=keys,
                 )
             except CommitConflict:
                 continue
@@ -3942,6 +3955,9 @@ class VersionedTable:
         cdf_rows: DataFrame | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        src_keys: DataFrame | None = None,
+        keys: Sequence[str] | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> int:
         """Write ``hits`` (file, pos) as DV parquet, attach each DV to
         the candidate files its name-range stats cover, and commit a
@@ -3955,7 +3971,21 @@ class VersionedTable:
         ``cdf_rows`` — the doomed rows as full images — become the
         commit's change files (``_change_type='delete'``), written only
         when something actually matched; a caller not supplying them
-        leaves the commit derive-mode (changes() falls back)."""
+        leaves the commit derive-mode (changes() falls back).
+
+        LOGICAL conflict rebase (r13): when the commit loses its race
+        but the intervening commits are provably disjoint from this
+        delete's read set — every candidate file carried unchanged
+        (same DV list), table metadata untouched, and no ADDED file
+        can hold a row this delete should have seen (``ranges`` bounds
+        for delete_where, ``src_keys``/``keys`` stats+bloom probe for
+        delete_matching) — the already-written DV and change files
+        re-commit against the new head as ``delete:rebase``, metadata
+        only. At 100 TB that is a keyed delete losing a race to a
+        1-row streaming upsert re-linking its finished DV parquet
+        instead of re-running the O(candidates) probe join. Anything
+        unprovable raises to the caller's full retry."""
+        m_dvs = m.get("dvs") or {}
         new_dvs = self._build_dvs(m, candidates, hits)
         if new_dvs is None:
             return base  # nothing matched
@@ -3967,20 +3997,55 @@ class VersionedTable:
             cdf_rec = (
                 {"mode": "files", "files": names} if names else {"mode": "none"}
             )
-        self._try_commit(
-            base,
-            list(m["files"]),
-            "delete",
-            m.get("cluster_by") or None,
-            txn_app,
-            txn_version,
-            schema_json=m.get("schema"),
-            stats=None if m.get("stats_file") else (m.get("stats") or None),
-            stats_file_ref=m.get("stats_file"),
-            dvs=new_dvs,
-            cdf=cdf_rec,
-        )
-        return base + 1
+        try:
+            self._try_commit(
+                base,
+                list(m["files"]),
+                "delete",
+                m.get("cluster_by") or None,
+                txn_app,
+                txn_version,
+                schema_json=m.get("schema"),
+                stats=None if m.get("stats_file") else (m.get("stats") or None),
+                stats_file_ref=m.get("stats_file"),
+                dvs=new_dvs,
+                cdf=cdf_rec,
+            )
+            return base + 1
+        except CommitConflict:
+            if ranges is not None:
+                rng = ranges
+
+                def probe(head_m: dict, added: list[str]) -> bool:
+                    return bool(self._keep_files({**head_m, "files": added}, rng))
+
+                sk, ks = None, []
+            elif src_keys is not None:
+                probe, sk, ks = None, src_keys, list(keys or [])
+            else:
+                raise  # no read-scope info: caller retries fully
+            rb = self._rebase_merge_commit(
+                base,
+                candidates,
+                sk,
+                ks,
+                nmbs_on=False,
+                txn_app=txn_app,
+                txn_version=txn_version,
+                op="delete",
+                cluster_by=m.get("cluster_by") or None,
+                committed_schema=m.get("schema"),
+                new_identity=None,
+                cdf_rec=cdf_rec,
+                dv_delta={
+                    f: [d for d in v if d not in (m_dvs.get(f) or [])]
+                    for f, v in new_dvs.items()
+                },
+                added_probe=probe,
+            )
+            if rb is not None:
+                return rb
+            raise
 
     def optimize(
         self,
@@ -4038,10 +4103,11 @@ class VersionedTable:
                 untouched = [f for f in m["files"] if f not in selected]
                 scoped = self._read_data(m, sorted(selected))  # DV-subtracted
                 files = self._write_files_mapped(scoped, m, n_files, cluster_by)
+                file_stats = self._collect_stats_mapped(files, cluster_by, m)
                 stats = {
                     f: s for f, s in self._stats_of(m).items() if f not in selected
                 }
-                stats.update(self._collect_stats_mapped(files, cluster_by, m))
+                stats.update(file_stats)
                 m_dvs = m.get("dvs") or {}
                 dvs = {f: list(m_dvs[f]) for f in untouched if f in m_dvs}
                 try:
@@ -4057,6 +4123,34 @@ class VersionedTable:
                     )
                     return base + 1
                 except CommitConflict:
+                    # layout-only rebase (r13): an optimize that lost
+                    # its race re-links its finished files when every
+                    # SELECTED file is carried unchanged in the head
+                    # (same DV list — a new DV on a selected file
+                    # would be resurrected by our rewrite) and table
+                    # metadata is untouched. ADDED files are never a
+                    # conflict: compaction is best-effort layout, the
+                    # added file simply stays uncompacted.
+                    rb = self._rebase_merge_commit(
+                        base,
+                        sorted(selected),
+                        None,
+                        [],
+                        nmbs_on=False,
+                        txn_app=None,
+                        txn_version=None,
+                        op="optimize:where",
+                        cluster_by=cluster_by,
+                        committed_schema=m.get("schema"),
+                        new_identity=None,
+                        cdf_rec={"mode": "none"},
+                        touched=selected,
+                        new_files=files,
+                        new_file_stats=file_stats,
+                        added_probe=lambda head_m, added: False,
+                    )
+                    if rb is not None:
+                        return rb
                     continue
             snap = self.snapshot(base)
             if zorder_by:
@@ -4068,19 +4162,48 @@ class VersionedTable:
             else:
                 files = self._write_files(snap, n_files, cluster_by)
                 stat_cols = cluster_by
+            file_stats = self._collect_stats(files, stat_cols)
             try:
                 # a full rewrite lands every row under its LOGICAL name:
                 # the column mapping and its retired-name debt reset
                 self._try_commit(
                     base, files, "optimize", cluster_by,
                     schema_json=m.get("schema"),
-                    stats=self._collect_stats(files, stat_cols),
+                    stats=file_stats,
                     col_map={},
                     retired=[],
                     cdf={"mode": "none"},
                 )
                 return base + 1
             except CommitConflict:
+                # full-table rebase: every base file is in the read set
+                # (any rewrite/DV change conflicts), but a commit that
+                # only ADDED files (a pure insert) or touched metadata
+                # the check allows is disjoint — re-link the finished
+                # layout, added files stay uncompacted. Guard: the
+                # rebase inherits the head's column mapping, so only a
+                # mapping-free table (reset == inherit) may take it.
+                if not (m.get("col_map") or m.get("retired_cols")):
+                    rb = self._rebase_merge_commit(
+                        base,
+                        list(m["files"]),
+                        None,
+                        [],
+                        nmbs_on=False,
+                        txn_app=None,
+                        txn_version=None,
+                        op="optimize",
+                        cluster_by=cluster_by,
+                        committed_schema=m.get("schema"),
+                        new_identity=None,
+                        cdf_rec={"mode": "none"},
+                        touched=set(m["files"]),
+                        new_files=files,
+                        new_file_stats=file_stats,
+                        added_probe=lambda head_m, added: False,
+                    )
+                    if rb is not None:
+                        return rb
                 continue
         raise CommitConflict(f"optimize on {self.root} gave up after {max_retries} conflicts")
 

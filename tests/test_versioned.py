@@ -3976,3 +3976,143 @@ class TestRecordTxn:
         t = VersionedTable(spark, str(tmp_path / "rt2"))
         with pytest.raises(ValueError, match="create"):
             t.record_txn("a", 1)
+
+
+class TestDvDeleteAndOptimizeRebase:
+    """r13 verdict #4: logical-conflict rebase extended beyond merge.
+    A delete_where/delete_matching that loses its commit race to a
+    PROVABLY DISJOINT writer re-commits its finished DV + change files
+    against the new head (op 'delete:rebase', zero re-written files);
+    an intersecting writer still forces the full retry. optimize picks
+    up the same machinery: layout is best-effort, so purely-ADDED
+    files never conflict ('optimize:rebase' / 'optimize:where:rebase'),
+    while a rewrite of an in-scope file forces the retry."""
+
+    _inject = staticmethod(TestConcurrentWriters._inject_before_commit)
+    _count = staticmethod(TestConcurrentWriters._count_writes)
+
+    def _fresh(self, spark, tmp_path, name):
+        root = str(tmp_path / name)
+        t = VersionedTable(spark, root)
+        t.create(
+            spark.createDataFrame([Row(k=i, v=i * 10) for i in range(100)]),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        return t
+
+    def test_delete_where_rebases_on_disjoint_upsert(self, spark, tmp_path):
+        a = self._fresh(spark, tmp_path, "dwr")
+        b = VersionedTable(spark, a.root)
+        # control: writes a non-conflicted delete_where performs
+        control = self._fresh(spark, tmp_path, "dwr_ctl")
+        ctl = self._count(control)
+        control.delete_where("k >= 80")
+        baseline_writes = ctl["n"]
+        # race: B rewrites the file holding k=2 (stats far from k>=80)
+        calls = self._count(a)
+        self._inject(
+            a, lambda: b.merge_into(spark.createDataFrame([Row(k=2, v=9)]), ["k"])
+        )
+        a.delete_where("k >= 80")
+        assert a._read_manifest(a.version())["op"] == "delete:rebase"
+        assert calls["n"] == baseline_writes  # DV+cdf written ONCE
+        got = {r["k"]: r["v"] for r in a.snapshot().collect()}
+        assert got[2] == 9 and max(got) == 79 and len(got) == 80
+
+    def test_delete_where_retries_on_intersecting_insert(self, spark, tmp_path):
+        a = self._fresh(spark, tmp_path, "dwi")
+        b = VersionedTable(spark, a.root)
+        calls = self._count(a)
+        # B INSERTS k=200 — inside the delete's predicate scope, so the
+        # finished DV set is stale (k=200 must die too): full retry
+        self._inject(
+            a,
+            lambda: b.merge_into(spark.createDataFrame([Row(k=200, v=1)]), ["k"]),
+        )
+        a.delete_where("k >= 80")
+        assert a._read_manifest(a.version())["op"] == "delete"
+        assert calls["n"] > 2  # re-ran, not re-linked
+        got = {r["k"] for r in a.snapshot().collect()}
+        assert 200 not in got and max(got) == 79
+
+    def test_delete_matching_rebases_on_disjoint_upsert(self, spark, tmp_path):
+        a = self._fresh(spark, tmp_path, "dmr")
+        b = VersionedTable(spark, a.root)
+        calls = self._count(a)
+        self._inject(
+            a, lambda: b.merge_into(spark.createDataFrame([Row(k=2, v=9)]), ["k"])
+        )
+        dels = spark.createDataFrame([Row(k=95), Row(k=97)])
+        a.delete_matching(dels, ["k"], txn_app="t", txn_version=1)
+        m = a._read_manifest(a.version())
+        assert m["op"] == "delete:rebase"
+        assert (m.get("txns") or {}).get("t") == [1, a.version()]
+        got = {r["k"]: r["v"] for r in a.snapshot().collect()}
+        assert 95 not in got and 97 not in got and got[2] == 9
+        assert calls["n"] == 2  # DV + cdf files written once
+
+    def test_scoped_optimize_rebases_on_added_file(self, spark, tmp_path):
+        a = self._fresh(spark, tmp_path, "sor")
+        b = VersionedTable(spark, a.root)
+        # B APPENDS a brand-new key (pure insert): layout is
+        # best-effort, the added file simply stays uncompacted
+        self._inject(
+            a,
+            lambda: b.merge_into(spark.createDataFrame([Row(k=500, v=5)]), ["k"]),
+        )
+        a.optimize(n_files=1, where="k < 50")
+        assert a._read_manifest(a.version())["op"] == "optimize:where:rebase"
+        got = {r["k"]: r["v"] for r in a.snapshot().collect()}
+        assert len(got) == 101 and got[500] == 5
+
+    def test_scoped_optimize_retries_on_selected_file_rewrite(
+        self, spark, tmp_path
+    ):
+        a = self._fresh(spark, tmp_path, "sow")
+        b = VersionedTable(spark, a.root)
+        # B rewrites a file INSIDE the optimize scope: retry required
+        self._inject(
+            a, lambda: b.merge_into(spark.createDataFrame([Row(k=2, v=9)]), ["k"])
+        )
+        a.optimize(n_files=1, where="k < 50")
+        assert a._read_manifest(a.version())["op"] == "optimize:where"
+        got = {r["k"]: r["v"] for r in a.snapshot().collect()}
+        assert got[2] == 9 and len(got) == 100
+
+    def test_full_optimize_rebases_on_pure_insert(self, spark, tmp_path):
+        a = self._fresh(spark, tmp_path, "for")
+        b = VersionedTable(spark, a.root)
+        self._inject(
+            a,
+            lambda: b.merge_into(spark.createDataFrame([Row(k=500, v=5)]), ["k"]),
+        )
+        a.optimize(n_files=2)
+        assert a._read_manifest(a.version())["op"] == "optimize:rebase"
+        got = {r["k"]: r["v"] for r in a.snapshot().collect()}
+        assert len(got) == 101 and got[500] == 5
+        # and a DV delete against the rebased layout still works
+        a.delete_where("k = 500")
+        assert 500 not in {r["k"] for r in a.snapshot().collect()}
+
+    def test_full_optimize_skips_rebase_under_column_mapping(
+        self, spark, tmp_path
+    ):
+        """A full optimize RESETS column-mapping debt; the rebase
+        inherits the head's mapping instead, so a mapped table must
+        take the full retry (which re-runs and resets correctly)."""
+        a = self._fresh(spark, tmp_path, "fom")
+        a.rename_column("v", "val")  # creates col_map debt
+        b = VersionedTable(spark, a.root)
+        self._inject(
+            a,
+            lambda: b.merge_into(
+                spark.createDataFrame([Row(k=500, val=5)]), ["k"]
+            ),
+        )
+        a.optimize(n_files=2)
+        m = a._read_manifest(a.version())
+        assert m["op"] == "optimize"  # retried, not rebased
+        assert not (m.get("col_map") or {})  # debt reset by the rewrite
+        got = {r["k"]: r["val"] for r in a.snapshot().collect()}
+        assert len(got) == 101 and got[500] == 5
