@@ -1804,6 +1804,161 @@ def events_merge_concurrent_rebase(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_delete_concurrent_rebase",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(event_type, event_id) AS part,
+               max_by(epoch_us(ts), event_id) AS ts_us,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents,
+               CAST(max(event_id) AS BIGINT) AS version_id
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    m AS (SELECT (max(station) * 4) // 5 AS thr FROM b)
+    SELECT station, part, ts_us,
+           CASE WHEN station % 7 = 0 AND station < (SELECT thr FROM m) // 2
+                THEN v_cents + 1234 ELSE v_cents END AS v_cents,
+           version_id
+    FROM b WHERE station < (SELECT thr FROM m)
+    """,
+)
+def events_delete_concurrent_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV DELETE REBASE (r13): writer A's ``delete_where`` on the top
+    station band loses its commit race — deterministically injected —
+    to writer B's upsert of LOW stations (a COW rewrite of files whose
+    stats ranges are provably disjoint from A's predicate). A's
+    conflict path validates its read set (candidate files carried
+    unchanged, B's added files outside the predicate ranges) and
+    REBASES: its finished DV and change files re-commit against the
+    new head as ``delete:rebase`` — metadata only, zero re-written
+    files. The gate asserts the rebase op landed (a silently
+    re-running implementation fails the assert, not the hash) and
+    hash-checks the final snapshot against both writers' set algebra.
+
+    100 TB: a retention delete sweeping a cold band races the live
+    stream's 1-row upserts constantly; re-linking finished DV parquet
+    versus re-running the O(candidate files) probe join is the
+    difference between the sweep converging and starving."""
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0))
+    smax = base.agg(F.max("station")).collect()[0][0]
+    thr = (int(smax) * 4) // 5
+    src_b = (
+        base.filter((F.col("station") % 7 == 0) & (F.col("station") < thr // 2))
+        .withColumn("v_cents", F.col("v_cents") + F.lit(1234))
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="iotdp_dcr_"), "tbl")
+    a = VersionedTable(spark, root)
+    a.create(base, n_files=8, cluster_by=["station"])
+    b = VersionedTable(spark, root)
+    orig = type(a)._try_commit
+    state = {"fired": False}
+
+    def hooked(self, *args, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            b.merge_into(src_b, ["station"])
+        return orig(self, *args, **kw)
+
+    a._try_commit = hooked.__get__(a)
+    a.delete_where(f"station >= {thr}")
+    last = a.history()[-1]
+    if last["op"] != "delete:rebase":
+        raise RuntimeError(f"expected a rebased delete, got {last['op']!r}")
+    return a.snapshot().select("station", "part", "ts_us", "v_cents", "version_id")
+
+
+@register(
+    "events_versioned_mv_reseed",
+    """
+    WITH b AS (
+        SELECT user_id AS station,
+               max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v_cents
+        FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+    ),
+    s AS (
+        SELECT station,
+               CASE WHEN station % 4 = 0 THEN v_cents + 5000 ELSE v_cents END AS v_cents
+        FROM b
+    ),
+    f1 AS (SELECT * FROM s WHERE station % 7 <> 0),
+    f2 AS (
+        SELECT station,
+               CASE WHEN station % 6 = 0 THEN v_cents + 11 ELSE v_cents END AS v_cents
+        FROM f1
+    )
+    SELECT station % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(v_cents) AS BIGINT) AS sum_v_cents
+    FROM f2 GROUP BY station % 8
+    """,
+)
+def events_versioned_mv_reseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV LIFECYCLE UNDER EXPIRED HISTORY (r13): the source takes an
+    update and a delete, then ``expire_versions(keep_last=1)`` drops
+    the history the view's applied cursor needs. ``refresh()`` must
+    raise the TYPED ``ViewHistoryExpired`` (asserted — a raw
+    VersionExpired or a silent wrong answer fails the gate), and
+    ``reseed()`` must recompute the view at the source's current
+    version AND re-anchor the cursor so the NEXT source commit
+    refreshes incrementally again (asserted via the view history's
+    final op being a merge, not another recompute). The oracle
+    aggregates the source's final state — a reseed that loses a group
+    or double-counts hash-mismatches.
+
+    100 TB: log retention and view maintenance are owned by different
+    teams; the first time retention outruns a paused view's cursor is
+    an operational certainty, and the difference between a typed
+    'reseed me' error and a stack trace from deep inside a feed read
+    is the difference between a runbook and an incident."""
+    from iotdatapipeline_spark.matview import MaterializedView, ViewHistoryExpired
+
+    r = _readings(spark, sf_dir)
+    base = _latest_per_station(r.filter(F.col("event_id") % 3 != 0)).select(
+        "station", (F.col("station") % 8).alias("bucket"), "v_cents"
+    )
+    stem = tempfile.mkdtemp(prefix="iotdp_mvrs_")
+    src = VersionedTable(spark, os.path.join(stem, "src"))
+    src.create(base, n_files=8, cluster_by=["station"])
+    mv = MaterializedView.create(
+        spark, os.path.join(stem, "mv"), os.path.join(stem, "src"),
+        group_by=["bucket"], sum_cols=["v_cents"], keys=["station"],
+    )
+    src.merge_into(
+        src.snapshot()
+        .filter(F.col("station") % 4 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(5000)),
+        ["station"],
+    )  # v2
+    src.merge_into(
+        src.snapshot().filter(F.col("station") % 7 == 0),
+        ["station"],
+        when_matched="delete",
+    )  # v3
+    src.expire_versions(keep_last=1)
+    try:
+        mv.refresh()
+        raise RuntimeError("refresh over expired history did not raise")
+    except ViewHistoryExpired:
+        pass
+    if mv.reseed() != src.version():
+        raise RuntimeError("reseed did not land on the source head")
+    # the cursor is re-anchored: the next commit refreshes INCREMENTALLY
+    src.merge_into(
+        src.snapshot()
+        .filter(F.col("station") % 6 == 0)
+        .withColumn("v_cents", F.col("v_cents") + F.lit(11)),
+        ["station"],
+    )  # v4
+    if mv.refresh() != src.version():
+        raise RuntimeError("post-reseed refresh did not reach the head")
+    ops = [m["op"] for m in mv.table().history()]
+    if not ops[-1].startswith("merge:"):
+        raise RuntimeError(f"post-reseed refresh was not incremental: {ops}")
+    return mv.snapshot().select("bucket", "cnt", "sum_v_cents")
+
+
+@register(
     "events_versioned_ivm_minmax",
     """
     WITH b AS (
