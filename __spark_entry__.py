@@ -39,26 +39,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retests went green in CORRECTNESS_r03, so round 4 carries only the
 #: queries whose plans were restructured this round.
 _RETEST = [
-    # r12: commit-time CDF — every mutating commit now writes change
-    # files and changes() nets them (snapshot-diff only as fallback),
-    # the COW conditioned-merge touched set moved to key level, the
-    # IVM sink fails loudly on negative counts, and top1's packed
-    # order went through the new range-checked packed_order helper —
-    # fresh rows on every query riding those paths
-    # (brand-new r12 gates events_versioned_cdf_commitfiles and
-    # events_merge_concurrent_rebase rank ahead automatically as
-    # never-covered)
-    "events_versioned_changes",
-    "events_versioned_cdf_stream",
-    "events_versioned_cdf_apply",
+    # r13: the IVM tiers' two-commit protocol hardened (app#del crash
+    # stamp, loser backoff) and their group-bounds pruning folded into
+    # one shared helper; the CDC apply stamps delete-only batches; the
+    # DV delete and optimize commit paths grew the logical-conflict
+    # rebase; MV refresh advances its cursor over empty feeds and
+    # checks source schema — fresh rows on every query riding those
+    # paths (brand-new r13 gates events_versioned_ivm_agg_join,
+    # events_delete_concurrent_rebase and events_versioned_mv_reseed
+    # rank ahead automatically as never-covered)
     "events_versioned_ivm",
-    "events_merge_upsert_cow",
-    "events_merge_guarded_update",
-    "events_merge_sync_delete",
+    "events_versioned_ivm_minmax",
+    "events_versioned_ivm_join",
+    "events_versioned_ivm_distinct",
+    "events_versioned_ivm_kmv",
+    "events_versioned_mv_refresh",
+    "events_versioned_mv_join_refresh",
+    "events_versioned_cdf_apply",
+    "events_versioned_scd2_apply",
+    "embeddings_bq_index_maintain",
+    "events_versioned_dv_delete",
     "events_versioned_dv_upsert",
-    "top1_active_record",
-    # (r11 retest entries retired — every one got its fresh green
-    # driver row in CORRECTNESS_r11 on the restructured code)
+    "limpieza_update_set",
+    # (r12 retest entries retired — every one got its fresh green
+    # driver row in CORRECTNESS_r12 on the restructured code)
 ]
 
 #: Never-covered queries — the last 28 of the 174-query registry without

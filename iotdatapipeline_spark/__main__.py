@@ -281,13 +281,6 @@ def _cmd_mv(args: argparse.Namespace) -> int:
             ViewSourceSchemaError,
         )
 
-        if args.action == "reseed" and not hasattr(view, "reseed"):
-            print(
-                f"view at {args.root} is a two-source view: no in-place "
-                "reseed — drop and re-create it",
-                file=sys.stderr,
-            )
-            return 2
         try:
             applied = view.refresh() if args.action == "refresh" else view.reseed()
         except (ViewHistoryExpired, ViewSourceSchemaError) as e:

@@ -583,7 +583,14 @@ class _TwoSourceView(_MaintainedTable):
 
     _PACK = 10**9
 
-    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+    def _step(
+        self, v_a: tuple[int, int], v_b: tuple[int, int], force_seed: bool = False
+    ) -> int:
+        raise NotImplementedError
+
+    def _row_identity(self, spec: dict) -> list[str]:
+        """The view table's row-identity columns (what ``reseed()``
+        empties by)."""
         raise NotImplementedError
 
     def _applied_pair(self) -> tuple[int, int] | None:
@@ -591,6 +598,28 @@ class _TwoSourceView(_MaintainedTable):
         if packed is None:
             return None
         return packed // self._PACK, packed % self._PACK
+
+    def reseed(self) -> tuple[int, int]:
+        """Full rebuild at both sources' CURRENT versions — the
+        recovery from :class:`ViewHistoryExpired`: empty the view
+        (keyed DV delete — idempotent, crash-safe to re-run), then
+        replay the seed step; its txn-stamped merge re-anchors the
+        packed cursor, after which ``refresh()`` is incremental again.
+        No-op when the cursor is already current. O(A ⋈ B) — the one
+        non-incremental step."""
+        spec = self.spec()
+        now_a = VersionedTable(self.spark, spec["a_root"]).version()
+        now_b = VersionedTable(self.spark, spec["b_root"]).version()
+        applied = self._applied_txn()
+        packed = now_a * self._PACK + now_b
+        if applied is not None and applied >= packed:
+            return self._applied_pair()  # already current
+        t = self.table()
+        if t.version() > 0:
+            ident = self._row_identity(spec)
+            t.delete_matching(t.snapshot().select(*ident), ident)
+        self._step((now_a, now_a), (now_b, now_b), force_seed=True)
+        return now_a, now_b
 
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both sources' current versions; returns
@@ -615,9 +644,9 @@ class _TwoSourceView(_MaintainedTable):
             raise ViewHistoryExpired(
                 f"view at {self.root}: source history needed for an "
                 f"incremental step has expired (applied cursors a={va}, "
-                f"b={vb}). Two-source views have no in-place reseed — "
-                "drop and re-create the view, or retain more source "
-                "history (expire_versions keep_last/retention)."
+                f"b={vb}). Run reseed() to rebuild at both sources' "
+                "current versions, or retain more source history "
+                "(expire_versions keep_last/retention)."
             ) from e
         return now_a, now_b
 
@@ -668,7 +697,9 @@ class AggJoinMaterializedView(_TwoSourceView):
         mv._step((va, va), (vb, vb))
         return mv
 
-    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+    def _step(
+        self, v_a: tuple[int, int], v_b: tuple[int, int], force_seed: bool = False
+    ) -> int:
         from iotdatapipeline_spark.streaming.sinks import cdf_ivm_agg_join_apply
 
         spec = self.spec()
@@ -685,7 +716,11 @@ class AggJoinMaterializedView(_TwoSourceView):
             v_a,
             v_b,
             txn_app=_TXN_APP,
+            force_seed=force_seed,
         )
+
+    def _row_identity(self, spec: dict) -> list[str]:
+        return list(spec["group_by"])
 
 
 class JoinMaterializedView(_TwoSourceView):
@@ -742,7 +777,9 @@ class JoinMaterializedView(_TwoSourceView):
         mv._step((va, va), (vb, vb))
         return mv
 
-    def _step(self, v_a: tuple[int, int], v_b: tuple[int, int]) -> int:
+    def _step(
+        self, v_a: tuple[int, int], v_b: tuple[int, int], force_seed: bool = False
+    ) -> int:
         from iotdatapipeline_spark.streaming.sinks import cdf_ivm_join_apply
 
         spec = self.spec()
@@ -757,4 +794,8 @@ class JoinMaterializedView(_TwoSourceView):
             v_a,
             v_b,
             txn_app=_TXN_APP,
+            force_seed=force_seed,
         )
+
+    def _row_identity(self, spec: dict) -> list[str]:
+        return [spec["a_key"], spec["b_key"]]

@@ -388,6 +388,26 @@ def cdf_apply_foreach_batch(
     return apply
 
 
+def _int_bounds_pred(frame: DataFrame, cols: Sequence[str]) -> str | None:
+    """Integer ``[lo, hi]`` conjunction over ``cols`` for ``scan()``
+    file pruning — ``None`` (no pruning, still exact) when any column
+    is NULL-bearing or non-integer. One 1-row aggregate job."""
+    cs = list(cols)
+    b = frame.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cs],
+        *[F.max(c).alias(f"__hi_{c}") for c in cs],
+        *[F.max(F.col(c).isNull().cast("int")).alias(f"__n_{c}") for c in cs],
+    ).collect()[0]
+    preds = []
+    for c in cs:
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        if b[f"__n_{c}"] == 0 and type(lo) is int and type(hi) is int:
+            preds.append(f"{c} >= {lo} AND {c} <= {hi}")
+        else:
+            return None
+    return " AND ".join(preds) if preds else None
+
+
 def cdf_ivm_foreach_batch(
     target_root: str,
     group_keys: Sequence[str],
@@ -465,24 +485,8 @@ def cdf_ivm_foreach_batch(
         # O(affected range), never O(view). Non-integer or NULL group
         # keys fall back to the full snapshot (still correct, just
         # unpruned — the predicate path must never lose a group).
-        b = deltas.agg(
-            *[F.min(k).alias(f"__lo_{k}") for k in gk],
-            *[F.max(k).alias(f"__hi_{k}") for k in gk],
-            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in gk],
-        ).collect()[0]
-        preds = []
-        for k in gk:
-            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
-            if (
-                b[f"__n_{k}"] == 0
-                and type(lo) is int
-                and type(hi) is int
-            ):
-                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
-            else:
-                preds = []
-                break
-        cur_src = t.scan(" AND ".join(preds)) if preds else t.snapshot()
+        pred = _int_bounds_pred(deltas, gk)
+        cur_src = t.scan(pred) if pred else t.snapshot()
         cur = cur_src.select(*gk, "cnt", *[f"sum_{c}" for c in sum_cols])
         merged = deltas.join(cur, gk, "left").select(
             *gk,
@@ -599,23 +603,6 @@ def cdf_ivm_minmax_foreach_batch(
     if not mnc and not mxc:
         raise ValueError("cdf_ivm_minmax_foreach_batch needs min_cols or max_cols")
 
-    def _bounds_pred(frame: DataFrame) -> str | None:
-        """Integer [lo, hi] conjunction over the group keys for scan()
-        file pruning — None (no pruning, still exact) otherwise."""
-        b = frame.agg(
-            *[F.min(k).alias(f"__lo_{k}") for k in gk],
-            *[F.max(k).alias(f"__hi_{k}") for k in gk],
-            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in gk],
-        ).collect()[0]
-        preds = []
-        for k in gk:
-            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
-            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
-                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
-            else:
-                return None
-        return " AND ".join(preds) if preds else None
-
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
@@ -646,7 +633,7 @@ def cdf_ivm_minmax_foreach_batch(
         deltas = b.groupBy(*gk).agg(*aggs).localCheckpoint(eager=True)
 
         def repair_agg(groups: DataFrame) -> DataFrame:
-            pred = _bounds_pred(groups)
+            pred = _int_bounds_pred(groups, gk)
             base = src.scan(pred, version=ver) if pred else src.snapshot(ver)
             rows = base.join(groups, gk, "left_semi")
             return rows.groupBy(*gk).agg(
@@ -670,7 +657,7 @@ def cdf_ivm_minmax_foreach_batch(
         seen = (t._read_manifest(t.version()).get("txns") or {}).get(app)
         if seen is not None and int(seen[0]) >= int(batch_id):
             return
-        pred = _bounds_pred(deltas)
+        pred = _int_bounds_pred(deltas, gk)
         view_cols = (
             ["cnt"] + [f"min_{c}" for c in mnc] + [f"max_{c}" for c in mxc]
         )
@@ -780,6 +767,7 @@ def cdf_ivm_join_apply(
     v_a: tuple[int, int],
     v_b: tuple[int, int],
     txn_app: str | None = None,
+    force_seed: bool = False,
 ) -> int:
     """IVM TIER 2, join views (r12): one maintenance step for
     ``V = A ⋈ B`` on ``join_keys`` — the differential delta-join.
@@ -801,6 +789,10 @@ def cdf_ivm_join_apply(
 
     A missing view is seeded with the full join at the TO versions
     (the one non-incremental step every IVM engine pays once).
+    ``force_seed=True`` replays that seed against an EXISTING (emptied)
+    view — the two-source ``reseed()`` recovery from expired history:
+    one txn-stamped merge of the full join at the TO versions, which
+    re-anchors the packed cursor.
     Exactly-once: the applied (to_a, to_b) pair is packed into the txn
     version (``to_a·10⁹ + to_b`` — monotone when steps are applied in
     order), so replaying a step is a no-op. Column names of A and B
@@ -833,33 +825,23 @@ def cdf_ivm_join_apply(
         )
     out_cols = a_cols + [c for c in b_cols if c not in jk]
 
-    def _bounds_pred(frame: DataFrame) -> str | None:
-        b = frame.agg(
-            *[F.min(k).alias(f"__lo_{k}") for k in jk],
-            *[F.max(k).alias(f"__hi_{k}") for k in jk],
-            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in jk],
-        ).collect()[0]
-        preds = []
-        for k in jk:
-            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
-            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
-                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
-            else:
-                return None
-        return " AND ".join(preds) if preds else None
-
-    if vt.version() == 0:
+    if vt.version() == 0 or force_seed:
         seed = A.snapshot(va1).join(B.snapshot(vb1), jk).select(*out_cols)
-        if seed.isEmpty():
-            return 0
-        from iotdatapipeline_spark.sources.versioned import CommitConflict
+        if vt.version() == 0:
+            if seed.isEmpty():
+                return 0
+            from iotdatapipeline_spark.sources.versioned import CommitConflict
 
-        try:
-            return vt.create(
-                seed, cluster_by=[a_key, b_key], txn_app=app, txn_version=packed
-            )
-        except (CommitConflict, ValueError):
-            pass  # lost the create race — fall through and apply
+            try:
+                return vt.create(
+                    seed, cluster_by=[a_key, b_key], txn_app=app, txn_version=packed
+                )
+            except (CommitConflict, ValueError):
+                pass  # lost the create race — fall through and merge
+        # reseed: the caller emptied the view, so the merge re-inserts
+        # every pair and stamps the cursor at the TO versions
+        vt.merge_into(seed, [a_key, b_key], txn_app=app, txn_version=packed)
+        return vt.version()
     seen = (vt._read_manifest(vt.version()).get("txns") or {}).get(app)
     if seen is not None and int(seen[0]) >= packed:
         return int(seen[1])  # already applied
@@ -884,13 +866,13 @@ def cdf_ivm_join_apply(
         )
     terms = []
     if da is not None:
-        pred = _bounds_pred(da.select(*jk))
+        pred = _int_bounds_pred(da.select(*jk), jk)
         b_old = B.scan(pred, version=vb0) if pred else B.snapshot(vb0)
         terms.append(
             da.join(b_old, jk).select(*out_cols, F.col("__sa").alias("__net"))
         )
     if db is not None:
-        pred = _bounds_pred(db.select(*jk))
+        pred = _int_bounds_pred(db.select(*jk), jk)
         a_old = A.scan(pred, version=va0) if pred else A.snapshot(va0)
         terms.append(
             a_old.join(db, jk).select(*out_cols, F.col("__sb").alias("__net"))
@@ -945,26 +927,6 @@ def cdf_ivm_join_apply(
     return vt.version()
 
 
-def _int_bounds_pred(frame: DataFrame, cols: Sequence[str]) -> str | None:
-    """Integer ``[lo, hi]`` conjunction over ``cols`` for ``scan()``
-    file pruning — ``None`` (no pruning, still exact) when any column
-    is NULL-bearing or non-integer. One 1-row aggregate job."""
-    cs = list(cols)
-    b = frame.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in cs],
-        *[F.max(c).alias(f"__hi_{c}") for c in cs],
-        *[F.max(F.col(c).isNull().cast("int")).alias(f"__n_{c}") for c in cs],
-    ).collect()[0]
-    preds = []
-    for c in cs:
-        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
-        if b[f"__n_{c}"] == 0 and type(lo) is int and type(hi) is int:
-            preds.append(f"{c} >= {lo} AND {c} <= {hi}")
-        else:
-            return None
-    return " AND ".join(preds) if preds else None
-
-
 def cdf_ivm_agg_join_apply(
     spark: SparkSession,
     view_root: str,
@@ -978,6 +940,7 @@ def cdf_ivm_agg_join_apply(
     v_a: tuple[int, int],
     v_b: tuple[int, int],
     txn_app: str | None = None,
+    force_seed: bool = False,
 ) -> int:
     """IVM TIER 3 (r13): maintain
     ``SELECT group_by, COUNT(*), SUM(sum_col)... FROM A ⋈ B GROUP BY
@@ -1012,6 +975,8 @@ def cdf_ivm_agg_join_apply(
     with the aggregate of the full join at the TO versions (the one
     non-incremental step every IVM engine pays once); the join is
     streamed through the aggregation even then — never stored.
+    ``force_seed=True`` replays the seed against an EXISTING (emptied)
+    view — the ``reseed()`` recovery from expired history.
 
     Returns the view's committed version. Cites Prensas.py:300-302
     (the reference recomputes its joined per-tick probe; this
@@ -1053,7 +1018,7 @@ def cdf_ivm_agg_join_apply(
     out_cols = list(dict.fromkeys(gb + sc))
     sink = cdf_ivm_foreach_batch(view_root, gb, sc, txn_app=app)
 
-    if vt.version() == 0:
+    if vt.version() == 0 or force_seed:
         # seed: aggregate the full join at the TO versions — streamed
         # through the sink's delta aggregation, never stored
         seed = (
@@ -1182,21 +1147,6 @@ def cdf_scd2_foreach_batch(
     app = txn_app if txn_app is not None else f"cdf-scd2-{uuid.uuid4().hex[:12]}"
     ks = list(keys)
 
-    def _key_bounds_pred(frame: DataFrame) -> str | None:
-        b = frame.agg(
-            *[F.min(k).alias(f"__lo_{k}") for k in ks],
-            *[F.max(k).alias(f"__hi_{k}") for k in ks],
-            *[F.max(F.col(k).isNull().cast("int")).alias(f"__n_{k}") for k in ks],
-        ).collect()[0]
-        preds = []
-        for k in ks:
-            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
-            if b[f"__n_{k}"] == 0 and type(lo) is int and type(hi) is int:
-                preds.append(f"{k} >= {lo} AND {k} <= {hi}")
-            else:
-                return None
-        return " AND ".join(preds) if preds else None
-
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
@@ -1232,7 +1182,7 @@ def cdf_scd2_foreach_batch(
         first_v = seq.groupBy(*ks).agg(
             F.min("_commit_version").cast("long").alias("__first_v")
         )
-        pred = _key_bounds_pred(first_v)
+        pred = _int_bounds_pred(first_v, ks)
         cur = (t.scan(pred) if pred else t.snapshot()).filter(
             F.col("is_current")
         )
@@ -1327,20 +1277,8 @@ def cdf_ivm_kmv_foreach_batch(
         seen = (t._read_manifest(t.version()).get("txns") or {}).get(app)
         if seen is not None and int(seen[0]) >= int(batch_id):
             return
-        b = deltas.agg(
-            *[F.min(kx).alias(f"__lo_{kx}") for kx in gk],
-            *[F.max(kx).alias(f"__hi_{kx}") for kx in gk],
-            *[F.max(F.col(kx).isNull().cast("int")).alias(f"__n_{kx}") for kx in gk],
-        ).collect()[0]
-        preds = []
-        for kx in gk:
-            lo, hi = b[f"__lo_{kx}"], b[f"__hi_{kx}"]
-            if b[f"__n_{kx}"] == 0 and type(lo) is int and type(hi) is int:
-                preds.append(f"{kx} >= {lo} AND {kx} <= {hi}")
-            else:
-                preds = []
-                break
-        cur = (t.scan(" AND ".join(preds)) if preds else t.snapshot()).select(
+        pred = _int_bounds_pred(deltas, gk)
+        cur = (t.scan(pred) if pred else t.snapshot()).select(
             *gk, "kmv", "cnt"
         )
         merged = deltas.join(cur, gk, "left").select(

@@ -287,9 +287,9 @@ class TestCliMv:
         }
         assert got == want
 
-    def test_mv_reseed_on_two_source_view_is_friendly(
-        self, spark, tmp_path, capsys
-    ):
+    def test_mv_reseed_on_two_source_view(self, spark, tmp_path, capsys):
+        """r13: two-source views reseed in place too — the CLI prints
+        both re-anchored cursors."""
         from pyspark.sql import functions as F
 
         from iotdatapipeline_spark.matview import JoinMaterializedView
@@ -308,10 +308,18 @@ class TestCliMv:
             spark.range(2).select(F.col("id").alias("j"), F.col("id").alias("y")),
             cluster_by=["j"],
         )
-        JoinMaterializedView.create(
+        mv = JoinMaterializedView.create(
             spark, str(tmp_path / "v"), str(tmp_path / "a"), str(tmp_path / "b"),
             join_keys=["j"], a_key="rid", b_key="j",
         )
-        rc = main(["mv", "reseed", str(tmp_path / "v")])
+        A.delete_where("rid = 0")
+        A.delete_where("rid = 5")
+        A.expire_versions(keep_last=1)
+        rc = main(["mv", "refresh", str(tmp_path / "v")])
         assert rc == 2
-        assert "two-source" in capsys.readouterr().err
+        assert "reseed" in capsys.readouterr().err
+        rc = main(["mv", "reseed", str(tmp_path / "v")])
+        assert rc == 0
+        assert f"a={A.version()}, b={B.version()}" in capsys.readouterr().out
+        got = {r["rid"] for r in mv.snapshot().collect()}
+        assert got == {1, 2, 3, 4}

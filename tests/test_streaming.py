@@ -3102,5 +3102,28 @@ class TestMvLifecycle:
         A.delete_where("rid < 5")
         A.delete_where("rid >= 35")
         A.expire_versions(keep_last=1)
-        with pytest.raises(ViewHistoryExpired, match="re-create"):
+        with pytest.raises(ViewHistoryExpired, match="reseed"):
             mv.refresh()
+        # r13: two-source views reseed in place too — cursor re-anchored
+        assert mv.reseed() == (A.version(), B.version())
+        want = {
+            (r["g"], r["cnt"], r["sum_x"])
+            for r in A.snapshot()
+            .join(B.snapshot(), "j")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("x").cast("long").alias("sum_x"),
+            )
+            .collect()
+        }
+        got = {(r["g"], r["cnt"], r["sum_x"]) for r in mv.snapshot().collect()}
+        assert got == want
+        # and maintenance is incremental again
+        A.delete_where("rid = 20")
+        assert mv.refresh() == (A.version(), B.version())
+        assert mv.snapshot().agg(F.sum("cnt")).collect()[0][0] == A.snapshot().count()
+        # reseed when current is a no-op, never an emptier
+        v = mv.table().version()
+        assert mv.reseed() == (A.version(), B.version())
+        assert mv.table().version() == v and not mv.snapshot().isEmpty()
