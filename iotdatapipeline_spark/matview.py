@@ -599,6 +599,46 @@ class _TwoSourceView(_MaintainedTable):
             return None
         return packed // self._PACK, packed % self._PACK
 
+    def _fed_cols(self, spec: dict) -> list[str]:
+        """Columns the definition feeds on beyond the join keys —
+        subclasses refine (the agg kind adds its group/sum columns)."""
+        return []
+
+    def _check_source_schema(self, spec: dict, va: int, vb: int) -> None:
+        """The two-source twin of the single-source lifecycle check:
+        join keys and per-side row keys must exist on their sides, and
+        every fed column somewhere across the union — else the typed
+        error, BEFORE any feed read (r13)."""
+        a_cols = set(
+            VersionedTable(self.spark, spec["a_root"]).snapshot(va).columns
+        )
+        b_cols = set(
+            VersionedTable(self.spark, spec["b_root"]).snapshot(vb).columns
+        )
+        missing = sorted(
+            {
+                c
+                for c in spec["join_keys"]
+                if c not in a_cols or c not in b_cols  # join on BOTH sides
+            }
+            | {
+                c
+                for c in self._fed_cols(spec)
+                if c not in a_cols and c not in b_cols
+            }
+        )
+        if spec["a_key"] not in a_cols:
+            missing.append(f"{spec['a_key']} (a-side key)")
+        if spec["b_key"] not in b_cols:
+            missing.append(f"{spec['b_key']} (b-side key)")
+        if missing:
+            raise ViewSourceSchemaError(
+                f"view at {self.root}: sources no longer carry column(s) "
+                f"{missing} the view definition feeds on — a source renamed "
+                "or dropped them. Rename back, or drop and re-create the "
+                "view against the new schemas."
+            )
+
     def reseed(self) -> tuple[int, int]:
         """Full rebuild at both sources' CURRENT versions — the
         recovery from :class:`ViewHistoryExpired`: empty the view
@@ -614,6 +654,7 @@ class _TwoSourceView(_MaintainedTable):
         packed = now_a * self._PACK + now_b
         if applied is not None and applied >= packed:
             return self._applied_pair()  # already current
+        self._check_source_schema(spec, now_a, now_b)
         t = self.table()
         if t.version() > 0:
             ident = self._row_identity(spec)
@@ -632,12 +673,13 @@ class _TwoSourceView(_MaintainedTable):
         now_a = VersionedTable(self.spark, spec["a_root"]).version()
         now_b = VersionedTable(self.spark, spec["b_root"]).version()
         applied = self._applied_pair()
+        if applied is not None and applied == (now_a, now_b):
+            return applied  # nothing new on either side
+        self._check_source_schema(spec, now_a, now_b)
         if applied is None:
             self._step((now_a, now_a), (now_b, now_b))  # seed at current
             return now_a, now_b
         va, vb = applied
-        if (va, vb) == (now_a, now_b):
-            return applied  # nothing new on either side
         try:
             self._step((va, now_a), (vb, now_b))
         except VersionExpired as e:
@@ -721,6 +763,9 @@ class AggJoinMaterializedView(_TwoSourceView):
 
     def _row_identity(self, spec: dict) -> list[str]:
         return list(spec["group_by"])
+
+    def _fed_cols(self, spec: dict) -> list[str]:
+        return list(spec["group_by"]) + list(spec["sum_cols"])
 
 
 class JoinMaterializedView(_TwoSourceView):

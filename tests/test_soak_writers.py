@@ -236,3 +236,79 @@ class TestMultiWriterSoak:
         serial_restore_then_merge = {**base, 2: 222}
         serial_merge_then_restore = dict(base)
         assert got in (serial_restore_then_merge, serial_merge_then_restore)
+
+
+class TestRefresherSoak:
+    """r13: maintained-view refreshers racing the source writer AND
+    each other — the matview concurrency contract under a real
+    schedule fuzz instead of one injected race. Two refresher threads
+    hammer refresh() on the SAME view while the main thread commits
+    source bands; every refresh must either apply, no-op, or back off
+    quietly (never the spurious divergence raise), and the final
+    refreshed view must equal the direct aggregate."""
+
+    def test_concurrent_refreshers_converge(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+
+        root = str(tmp_path / "rsrc")
+        src = VersionedTable(spark, root)
+        src.create(
+            spark.range(4000).select(
+                F.col("id").alias("k"), (F.col("id") % 16).alias("g"),
+                F.lit(1).alias("v"),
+            ),
+            n_files=4,
+            cluster_by=["k"],
+        )
+        mv = MaterializedView.create(
+            spark, str(tmp_path / "rmv"), root,
+            group_by=["g"], sum_cols=["v"], keys=["k"],
+        )
+        stop = threading.Event()
+        errors: list[BaseException] = []
+
+        def refresher(i: int) -> None:
+            h = MaterializedView(spark, str(tmp_path / "rmv"))
+            try:
+                while not stop.is_set():
+                    h.refresh()
+            except BaseException as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=refresher, args=(i,)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        rng = random.Random(1313)
+        try:
+            for band in range(8):
+                lo = rng.randrange(0, 3500)
+                src.merge_into(
+                    spark.range(lo, lo + 200).select(
+                        F.col("id").alias("k"), (F.col("id") % 16).alias("g"),
+                        F.lit(10 + band).alias("v"),
+                    ),
+                    ["k"],
+                    max_retries=RETRIES,
+                )
+                src.delete_where(
+                    f"k >= {lo} AND k <= {lo + 20}", max_retries=RETRIES
+                )
+        finally:
+            stop.set()
+            for th in threads:
+                th.join(timeout=300)
+        assert not errors, f"refresher failed: {errors[0]!r}"
+        mv.refresh()  # final catch-up after the writers stopped
+        want = {
+            (r["g"], r["cnt"], r["s"])
+            for r in src.snapshot().groupBy("g").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("s"),
+            ).collect()
+        }
+        got = {(r["g"], r["cnt"], r["sum_v"]) for r in mv.snapshot().collect()}
+        assert got == want

@@ -3127,3 +3127,68 @@ class TestMvLifecycle:
         v = mv.table().version()
         assert mv.reseed() == (A.version(), B.version())
         assert mv.table().version() == v and not mv.snapshot().isEmpty()
+
+    def test_two_source_view_schema_change_pins(self, spark, tmp_path):
+        """r13: the two-source kinds get the same lifecycle contract —
+        rename/drop of a fed column, a join key, or a side's row key
+        raises the typed error before any feed read; additive changes
+        refresh cleanly."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import (
+            AggJoinMaterializedView,
+            ViewSourceSchemaError,
+        )
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        A = VersionedTable(spark, str(tmp_path / "sa"))
+        A.create(
+            spark.range(30).select(
+                F.col("id").alias("rid"), (F.col("id") % 3).alias("j"),
+                F.lit(1).alias("x"),
+            ),
+            cluster_by=["rid"],
+        )
+        B = VersionedTable(spark, str(tmp_path / "sb"))
+        B.create(
+            spark.range(3).select(F.col("id").alias("j"), (F.col("id") % 2).alias("g")),
+            cluster_by=["j"],
+        )
+        mv = AggJoinMaterializedView.create(
+            spark, str(tmp_path / "sv"), str(tmp_path / "sa"), str(tmp_path / "sb"),
+            join_keys=["j"], group_by=["g"], sum_cols=["x"],
+            a_key="rid", b_key="j",
+        )
+        A.add_column("note", "string")  # additive: refreshes cleanly
+        A.delete_where("rid = 0")
+        assert mv.refresh() == (A.version(), B.version())
+        # rename of the fed group column (b-side) → typed error
+        B.rename_column("g", "bucket")
+        B.merge_into(
+            B.snapshot().filter("j = 1").withColumn("bucket", F.lit(7)), ["j"]
+        )
+        with pytest.raises(ViewSourceSchemaError, match=r"\['g'\]"):
+            mv.refresh()
+        B.rename_column("bucket", "g")  # the documented fix
+        assert mv.refresh() == (A.version(), B.version())
+        # rename of a join key → typed error naming it
+        A.rename_column("j", "jj")
+        A.delete_where("rid = 1")
+        with pytest.raises(ViewSourceSchemaError, match=r"'j'"):
+            mv.refresh()
+        A.rename_column("jj", "j")
+        # rename of a side's ROW key → typed error naming the side
+        A.rename_column("rid", "row_id")
+        with pytest.raises(ViewSourceSchemaError, match="a-side key"):
+            mv.refresh()
+        A.rename_column("row_id", "rid")
+        assert mv.refresh() == (A.version(), B.version())
+        want = {
+            (r["g"], r["cnt"], r["sum_x"])
+            for r in A.snapshot().join(B.snapshot(), "j").groupBy("g").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("x").cast("long").alias("sum_x"),
+            ).collect()
+        }
+        got = {(r["g"], r["cnt"], r["sum_x"]) for r in mv.snapshot().collect()}
+        assert got == want
