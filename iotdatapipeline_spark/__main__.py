@@ -240,12 +240,49 @@ def _cmd_table(args: argparse.Namespace) -> int:
 
 
 def _cmd_mv(args: argparse.Namespace) -> int:
-    """The scheduler-facing REFRESH MATERIALIZED VIEW: one verb that
-    works on every maintained-table kind, dispatching on the sidecar
-    spec (join view -> two cursors; vector index -> repack; aggregate
-    view -> tier routing). ``spec`` prints the definition without a
-    Spark session."""
+    """The scheduler-facing CREATE/REFRESH MATERIALIZED VIEW: one verb
+    that works on every maintained-table kind, dispatching on the
+    sidecar spec (join view -> two cursors; vector index -> repack;
+    aggregate view -> tier routing). ``spec`` prints the definition
+    without a Spark session; ``create`` defines + seeds a
+    single-source aggregate view (two-source kinds are created from
+    Python — their arg surface doesn't flatten well into flags)."""
     import json as _json
+
+    if args.action == "create":
+        if not args.source:
+            print("mv create requires --source", file=sys.stderr)
+            return 2
+        if not args.group_by:
+            print("mv create requires --group-by", file=sys.stderr)
+            return 2
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.session import get_spark
+
+        split = lambda v: [c for c in (v or "").split(",") if c]  # noqa: E731
+        spark = get_spark("iotdatapipeline-mv")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            mv = MaterializedView.create(
+                spark,
+                args.root,
+                args.source,
+                group_by=split(args.group_by),
+                sum_cols=split(args.sum),
+                min_cols=split(args.min),
+                max_cols=split(args.max),
+                keys=split(args.keys) or None,
+                count_only=args.count_only,
+                kmv_col=args.kmv or None,
+            )
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(
+            f"view at {args.root} created over {args.source}, seeded at "
+            f"source version {mv._applied_txn()}"
+        )
+        return 0
 
     spec_path = os.path.join(args.root, "_mv_spec.json")
     if not os.path.isfile(spec_path):
@@ -354,9 +391,17 @@ def main(argv: list[str] | None = None) -> int:
         help="materialized-view admin: refresh / show / spec "
         "(kind auto-detected from the view's _mv_spec.json sidecar)",
     )
-    mv.add_argument("action", choices=["refresh", "reseed", "show", "spec"])
+    mv.add_argument("action", choices=["create", "refresh", "reseed", "show", "spec"])
     mv.add_argument("root")
     mv.add_argument("--rows", type=int, default=20)
+    mv.add_argument("--source", help="create: source VersionedTable root")
+    mv.add_argument("--group-by", help="create: comma-separated group columns")
+    mv.add_argument("--sum", help="create: comma-separated SUM columns")
+    mv.add_argument("--min", help="create: comma-separated MIN columns")
+    mv.add_argument("--max", help="create: comma-separated MAX columns")
+    mv.add_argument("--keys", help="create: source row-identity columns (default: its cluster_by)")
+    mv.add_argument("--count-only", action="store_true", help="create: COUNT-only tier")
+    mv.add_argument("--kmv", help="create: approx-distinct (KMV) column")
     mv.set_defaults(fn=_cmd_mv)
 
     args = ap.parse_args(argv)

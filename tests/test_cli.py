@@ -236,6 +236,52 @@ class TestCliMv:
         assert rc == 0
         assert "versions a=2, b=1" in capsys.readouterr().out
 
+    def test_mv_create_verb(self, spark, tmp_path, capsys):
+        """r13: `mv create` defines + seeds a single-source aggregate
+        view end-to-end from flags; the created view refreshes."""
+        from pyspark.sql import functions as F
+
+        from iotdatapipeline_spark.matview import MaterializedView
+        from iotdatapipeline_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "csrc"))
+        src.create(
+            spark.range(60).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+                F.lit(2).alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        rc = main([
+            "mv", "create", str(tmp_path / "cmv"),
+            "--source", str(tmp_path / "csrc"),
+            "--group-by", "g", "--sum", "v", "--keys", "k",
+        ])
+        assert rc == 0
+        assert "seeded at source version 1" in capsys.readouterr().out
+        src.delete_where("k < 9")
+        rc = main(["mv", "refresh", str(tmp_path / "cmv")])
+        assert rc == 0
+        got = {
+            (r["g"], r["cnt"], r["sum_v"])
+            for r in MaterializedView(spark, str(tmp_path / "cmv"))
+            .snapshot()
+            .collect()
+        }
+        assert got == {(0, 17, 34), (1, 17, 34), (2, 17, 34)}
+        # missing required flags exit 2 with guidance
+        rc = main(["mv", "create", str(tmp_path / "cmv2")])
+        assert rc == 2
+        assert "--source" in capsys.readouterr().err
+        # mixed-tier spec errors surface as exit 2, not a traceback
+        rc = main([
+            "mv", "create", str(tmp_path / "cmv3"),
+            "--source", str(tmp_path / "csrc"),
+            "--group-by", "g", "--sum", "v", "--min", "v",
+        ])
+        assert rc == 2
+        assert "tier" in capsys.readouterr().err
+
     def test_mv_missing_spec_is_friendly(self, tmp_path, capsys):
         rc = main(["mv", "refresh", str(tmp_path / "nope")])
         assert rc == 2
