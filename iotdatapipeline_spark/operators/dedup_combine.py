@@ -77,9 +77,21 @@ def dedup_combine(
                 F.max(order_col).alias("__omax"),
                 F.max_by(F.col(cycle_time_col), F.col(order_col)).alias("__cyc"),
             )
-            ex2 = exploded_alternatives(s1, F.col(raw_part_col), out="part").filter(
-                F.col("part").isNotNull() & (F.col("part") != "")
-            )
+            # Expression-level expansion here, NOT exploded_alternatives'
+            # plan-level two-branch dispatch (r13, guide §2.4): the union's
+            # complementary branch filters push BELOW the stage-1 aggregate,
+            # so the source was scanned and partially aggregated TWICE (one
+            # full extra pass just to prove the space-branch empty). On the
+            # already-compacted stage-1 output (~distinct keys×parts rows,
+            # thousands not millions at any scale) the interpreted HOF fold
+            # costs microseconds total — strictly cheaper than a duplicated
+            # codegen subtree over the full input. Row-for-row equivalent
+            # (pinned by TestExplodedAlternatives + the fast==slow pin).
+            from iotdatapipeline_spark.functions.partnum import expand_alternatives
+
+            ex2 = s1.withColumn(
+                "part", F.explode(expand_alternatives(F.col(raw_part_col)))
+            ).filter(F.col("part").isNotNull() & (F.col("part") != ""))
             return ex2.groupBy(*keys, "part").agg(
                 F.sum("__ct").alias("counter_total"),
                 F.sum("__n").alias("n_readings"),
