@@ -37,8 +37,13 @@ def n_words(text: Column) -> Column:
 
 
 def n_tokens(text: Column) -> Column:
-    """BPE-ish token count via regexp extraction."""
-    return F.array_size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    """BPE-ish token count via regexp matching.
+
+    ``regexp_count`` walks the same non-overlapping left-to-right match
+    sequence as ``regexp_extract_all`` but never materializes the array
+    of match strings (guide §1.2 per-task work) — same value, no
+    per-match allocation on the widest column."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX)).cast("long")
 
 
 def shingles_of_words(ws: Column, n: int) -> Column:
@@ -152,9 +157,9 @@ def redact(text: Column) -> Column:
 
 def redaction_counts(text: Column) -> tuple[Column, Column]:
     """(n_emails, n_long_numbers) found in ``text``."""
-    n_email = F.array_size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0))).cast("long")
+    n_email = F.regexp_count(text, F.lit(EMAIL_REGEX)).cast("long")
     no_email = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
-    n_num = F.array_size(F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_REGEX), F.lit(0))).cast("long")
+    n_num = F.regexp_count(no_email, F.lit(LONG_NUMBER_REGEX)).cast("long")
     return n_email, n_num
 
 
