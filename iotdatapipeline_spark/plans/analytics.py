@@ -1658,18 +1658,49 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000.0 * (F.array_size(arr) - F.array_size(F.array_distinct(arr))) / F.array_size(arr)
         ).cast("long")
 
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda x: F.array_size(F.filter(ws, lambda y: y == x)),
-        )
+    # Top-word frequency as the longest equal-run of the SORTED words
+    # array (r13, guide §1.2 per-task work): the previous
+    # distinct×filter form compared every distinct word against the
+    # whole array — O(distinct·words) interpreted comparisons per doc
+    # (~150k for a 500-word doc). Sorting groups equal words
+    # contiguously, so one linear fold tracking (prev, run, best)
+    # computes the SAME maximum count in O(words·log words). Measured
+    # 1.036 → 0.60 s at sf0.1; values identical (exceptAll = 0, oracle
+    # parity exact).
+    sorted_ws = F.array_sort(ws)
+    top_freq = F.aggregate(
+        sorted_ws,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    d = d.withColumn("__g2", ngrams(2)).withColumn("__g3", ngrams(3))
+    # Materialize the distinct-word count once: three consumers
+    # (n_distinct_words, dup_word, and previously top_freq) each
+    # re-evaluated array_distinct inside this interpreted projection
+    # (CollapseProject only inlines cheap expressions, so a separate
+    # withColumn survives as its own Project).
+    d = (
+        d.withColumn("__nd", F.array_size(F.array_distinct(ws)))
+        .withColumn("__g2", ngrams(2))
+        .withColumn("__g3", ngrams(3))
+    )
+    nd = F.col("__nd")
     return d.select(
         "doc_id",
         nw.cast("long").alias("n_words"),
-        F.array_size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
-        dup_ratio(ws).alias("dup_word_x1000"),
+        nd.cast("long").alias("n_distinct_words"),
+        F.floor(1000.0 * (nw - nd) / nw).cast("long").alias("dup_word_x1000"),
         F.floor(1000.0 * top_freq / nw).cast("long").alias("top_word_x1000"),
         dup_ratio(F.col("__g2")).alias("dup_2gram_x1000"),
         dup_ratio(F.col("__g3")).alias("dup_3gram_x1000"),
