@@ -1747,13 +1747,20 @@ def docs_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    corpus = exploded_shingles(
-        docs.filter(F.col("doc_id") % 50 != 0), "doc_id", "text", n=4
-    ).distinct()
+    # Probe the broadcast BEFORE any shuffle (r13, guide §2.3): the
+    # previous form ran `.distinct()` over the full corpus shingle
+    # stream — a corpus-wide shuffle of the widest intermediate — and
+    # only then probed the eval set. The broadcast hash probe is
+    # map-side and drops every unshared shingle (~99%+ of the corpus;
+    # at 100 TB essentially everything), so dedup afterwards via
+    # count_distinct touches only the shared survivors. Same result:
+    # count(distinct shingle) per doc over the join == the count of
+    # distinct shared 4-grams.
+    corpus = exploded_shingles(docs.filter(F.col("doc_id") % 50 != 0), "doc_id", "text", n=4)
     return (
         corpus.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_4grams"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared_4grams"))
     )
 
 
