@@ -2006,45 +2006,60 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly refines that key to (doc, chunk) so AQE keeps it
     local; the final hash-groupBy is the same one-shuffle shape as
     exact dedup, over ~docs×len/8 chunk rows."""
+    # Row-local chunking (r13, guide §2.4 remove shuffles outright):
+    # the previous form posexploded every WORD, shuffled the full word
+    # stream by doc_id for a running-sum window, and reassembled each
+    # chunk with collect_list + array_sort — two corpus-wide exchanges
+    # whose payload was every word of every document. Chunk boundaries
+    # are a pure function of the words array, so compute them per row:
+    # boundary positions via one filtered index sequence (one md5 per
+    # word, same as before), [start, end] spans from the boundary list,
+    # chunks as slice+join projections, then explode CHUNKS (≈ words/8
+    # rows) into the single hash-groupBy shuffle that was always
+    # needed. Word count per chunk rides the span arithmetic instead
+    # of re-splitting the chunk string.
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        "word",
-        F.when(
-            F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long") % 8 == 0,
-            1,
-        )
-        .otherwise(0)
-        .alias("bnd"),
+    ws = F.col("__ws")
+    n = F.array_size(ws)
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws")).withColumn(
+        "__bpos",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.substring(F.md5(F.element_at(ws, i)), 1, 8), 16, 10).cast("long")
+            % 8
+            == 0,
+        ),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    bpos = F.col("__bpos")
+    d = d.withColumn(
+        "__s",
+        F.concat(
+            F.array(F.lit(1)), F.transform(F.filter(bpos, lambda p: p < n), lambda p: p + 1)
+        ),
+    ).withColumn(
+        "__e",
+        F.when(F.array_contains(bpos, n), bpos).otherwise(F.concat(bpos, F.array(n))),
     )
-    c = w.withColumn("chunk_id", F.coalesce(F.sum("bnd").over(win), F.lit(0)))
-    chunks = (
-        c.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("chunk")
-        )
+    spans = F.arrays_zip(F.col("__s"), F.col("__e"))
+    chunk_structs = F.transform(
+        spans,
+        lambda z: F.struct(
+            F.array_join(F.slice(ws, z["__s"], z["__e"] - z["__s"] + F.lit(1)), " ").alias("chunk"),
+            (z["__e"] - z["__s"] + F.lit(1)).cast("long").alias("nw"),
+        ),
+    )
+    chunks = d.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", F.col("c.chunk").alias("chunk"), F.col("c.nw").alias("nw")
     )
     return (
-        chunks.groupBy(F.md5(F.col("chunk")).alias("chunk_hash"))
+        # coalesce never fires (chunks are joins of non-null words) —
+        # it restores the non-nullable chunk_hash the collect_list
+        # formulation declared, keeping the published schema identical
+        chunks.groupBy(F.md5(F.coalesce(F.col("chunk"), F.lit(""))).alias("chunk_hash"))
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.min(F.array_size(F.split(F.col("chunk"), " "))).cast("long").alias("chunk_words"),
+            F.min("nw").alias("chunk_words"),
         )
         .filter(F.col("n_docs") > 1)
     )
