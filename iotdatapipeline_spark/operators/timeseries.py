@@ -74,11 +74,25 @@ def resample_ffill(
 
     Returns ``key, out_ts, value_col``.
 
-    Shape: per-bucket "last reading" is a row_number()=1 window that
-    Spark executes with WindowGroupLimit (one surviving row per cell
-    per map task BEFORE the shuffle); the spine is generated from a
-    1-row bounds broadcast crossed with the distinct keys; fill is a
-    second window on the same key partitioning.
+    Shape (r13): every shuffle stays on the OBSERVATIONS, never on the
+    grid.  The previous shape generated the full key×bucket spine
+    (|keys|·|span| rows), shuffled it through a left join against the
+    observations, and ran the fill window over it — the grid paid the
+    exchange.  Now the per-bucket "last reading" (a row_number()=1
+    window Spark executes with WindowGroupLimit: one surviving row per
+    cell per map task BEFORE the shuffle) feeds ONE per-key window
+    computing the running non-null fill value and the neighbour
+    buckets, and the grid rows are GENERATED from each observation row
+    by exploding ``sequence(bucket, next_bucket − step)`` with the
+    fill value already attached — a pure projection.  Leading cells
+    (before a key's first observation) come from the same row via the
+    1-row global-bounds broadcast and stay NULL.  At 100 TB the
+    shuffled bytes track the sensor-reading count, not
+    keys × calendar span.
+
+    A bucket whose top-1 reading has a NULL value carries the previous
+    non-null value forward (it resets nothing) — same semantics as the
+    ignore-nulls fill over the joined spine.
     """
     ev = df.withColumn("_b", F.date_trunc(trunc_unit, F.col(ts_col)))
     order = [F.desc(c) for c in tiebreak_cols]
@@ -86,32 +100,38 @@ def resample_ffill(
     obs = (
         ev.withColumn("_rn", F.row_number().over(w_rn))
         .filter(F.col("_rn") == 1)
-        .select(F.col(key).alias("_obs_key"), F.col("_b"), value_col)
+        .select(key, "_b", value_col)
     )
     bounds = ev.agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("_h0"),
         F.date_trunc(trunc_unit, F.max(ts_col)).alias("_h1"),
     )
-    spine = (
-        ev.select(key)
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            key,
-            F.explode(F.expr(f"sequence(_h0, _h1, interval {step})")).alias(out_ts),
-        )
+    wk = Window.partitionBy(key).orderBy("_b")
+    run = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = obs.select(
+        key,
+        "_b",
+        F.lag("_b").over(wk).alias("_pb"),
+        F.lead("_b").over(wk).alias("_nb"),
+        F.last(value_col, ignorenulls=True).over(run).alias("_fv"),
+    ).crossJoin(F.broadcast(bounds))
+    empty = F.expr("CAST(array() AS array<timestamp>)")
+    cells = F.concat(
+        F.when(
+            F.col("_pb").isNull() & (F.col("_h0") < F.col("_b")),
+            F.expr(f"sequence(_h0, _b - interval {step}, interval {step})"),
+        ).otherwise(empty),
+        F.expr(f"sequence(_b, coalesce(_nb - interval {step}, _h1), interval {step})"),
     )
-    joined = spine.join(
-        obs,
-        (spine[key] == obs["_obs_key"]) & (spine[out_ts] == obs["_b"]),
-        "left",
-    ).select(key, out_ts, value_col)
-    w_fill = (
-        Window.partitionBy(key)
-        .orderBy(out_ts)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return seg.select(key, "_b", "_fv", F.explode(cells).alias(out_ts)).select(
+        key,
+        out_ts,
+        # cells before the key's first observed bucket have nothing to
+        # carry; every cell at-or-after its source bucket fills with
+        # the running non-null value (for the bucket itself that IS the
+        # observation when non-null)
+        F.when(F.col(out_ts) >= F.col("_b"), F.col("_fv")).alias(value_col),
     )
-    return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w_fill))
 
 
 def resample_interpolate(
@@ -138,22 +158,28 @@ def resample_interpolate(
 
     Returns ``key, out_ts, value_col``.
 
-    Shape (r8): every shuffle stays on the OBSERVATIONS, never on the
-    grid.  The previous shape generated the full key×bucket spine
-    (|keys|·|span| rows), shuffled it through a left join against the
-    observations, and ran two ignore-nulls window passes over it —
-    at sf0.1 that is ~9 M shuffled+sorted rows to fill a 60 k-row
-    observation set (3.9 s, 6.2× DuckDB, honest-protocol r8 bench).
-    Now each observation carries its successor via one lead() window
-    over the per-key obs stream, and the grid rows are GENERATED by
-    exploding sequence(obs, next_obs − step) with the interpolation
-    formula as a plain projection — whole-stage codegen, zero shuffle
-    past the (small) obs table.  Leading/trailing null spans come from
-    a per-key min/max of the observed buckets crossed with the 1-row
-    global bounds.  A k-bucket gap is k generated rows from one
-    segment row; nothing is quadratic in gap length, and at 100 TB
-    the shuffled bytes track the sensor-reading count, not
-    keys × calendar span.
+    Shape (r8, reworked r13): every shuffle stays on the
+    OBSERVATIONS, never on the grid (the pre-r8 shape shuffled the
+    full |keys|·|span| spine through a join and two window passes —
+    ~9 M rows to fill a 60 k-row observation set at sf0.1).  The r8
+    form still paid the observation subtree TWICE: a Union whose edge
+    branch re-ran the per-bucket top-1 window just to recover each
+    key's first/last observed bucket, plus a distinct-keys scan —
+    4 scans of the input and 5 exchanges in the executed plan.  Now
+    ONE stream of per-(key, bucket) top-1 rows (null values KEPT so
+    every key anchors its span) flows through a single per-key window
+    that attaches, to each row: the neighbouring stream buckets
+    (lag/lead), the last non-null value/bucket at-or-before
+    (ignore-nulls running frame), and the first non-null value/bucket
+    strictly-after (ignore-nulls forward frame).  Each row then
+    GENERATES its grid cells — leading span from the 1-row global
+    bounds broadcast when it is the key's first row, its own bucket,
+    and the gap up to the next stream bucket (or the trailing span to
+    the global end when it is the last) — with the interpolation
+    formula as a plain projection: 2 scans, 2 exchanges, no join, no
+    Union.  A k-bucket gap is k generated rows from one segment row;
+    nothing is quadratic in gap length, and at 100 TB the shuffled
+    bytes track the sensor-reading count, not keys × calendar span.
 
     A bucket whose top-1 reading has a NULL value is treated as
     UNOBSERVED (interpolated across, never a boundary) — same
@@ -163,77 +189,68 @@ def resample_interpolate(
     ev = df.withColumn("_b", F.date_trunc(trunc_unit, F.col(ts_col)))
     order = [F.desc(c) for c in tiebreak_cols]
     w_rn = Window.partitionBy(key, "_b").orderBy(*order)
+    v = F.col(value_col)
     obs = (
         ev.withColumn("_rn", F.row_number().over(w_rn))
         .filter(F.col("_rn") == 1)
         .select(key, "_b", value_col)
-        .filter(F.col(value_col).isNotNull())
     )
     bounds = ev.agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("_h0"),
         F.date_trunc(trunc_unit, F.max(ts_col)).alias("_h1"),
     )
-    # one segment per observation: [this bucket, next bucket) — the
-    # last observation emits just its own bucket
-    w_lead = Window.partitionBy(key).orderBy("_b")
-    seg = obs.withColumn("_nb", F.lead("_b").over(w_lead)).withColumn(
-        "_nv", F.lead(value_col).over(w_lead)
+    wk = Window.partitionBy(key).orderBy("_b")
+    run = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fut = wk.rowsBetween(1, Window.unboundedFollowing)
+    # bucket timestamp of a non-null observation — the ignore-nulls
+    # scans over THIS column give the interpolation anchors (a null
+    # top-1 contributes neither a value nor an anchor)
+    nn_b = F.when(v.isNotNull(), F.col("_b"))
+    seg = obs.select(
+        key,
+        "_b",
+        value_col,
+        F.lag("_b").over(wk).alias("_pb"),
+        F.lead("_b").over(wk).alias("_nb"),
+        F.last(value_col, ignorenulls=True).over(run).alias("_pv"),
+        F.last(nn_b, ignorenulls=True).over(run).alias("_pt"),
+        F.first(value_col, ignorenulls=True).over(fut).alias("_nv"),
+        F.first(nn_b, ignorenulls=True).over(fut).alias("_nt"),
+    ).crossJoin(F.broadcast(bounds))
+    empty = F.expr("CAST(array() AS array<timestamp>)")
+    cells = F.concat(
+        F.when(
+            F.col("_pb").isNull() & (F.col("_h0") < F.col("_b")),
+            F.expr(f"sequence(_h0, _b - interval {step}, interval {step})"),
+        ).otherwise(empty),
+        F.expr(f"sequence(_b, coalesce(_nb - interval {step}, _h1), interval {step})"),
     )
-    grid = F.when(
-        F.col("_nb").isNotNull(),
-        F.expr(f"sequence(_b, _nb - interval {step}, interval {step})"),
-    ).otherwise(F.array(F.col("_b")))
     e = F.unix_timestamp(F.col(out_ts))
-    pt = F.unix_timestamp(F.col("_b"))
-    nt = F.unix_timestamp(F.col("_nb"))
-    interp = F.col(value_col) + F.floor(
-        (F.col("_nv") - F.col(value_col)).cast("double")
+    pt = F.unix_timestamp(F.col("_pt"))
+    nt = F.unix_timestamp(F.col("_nt"))
+    interp = F.col("_pv") + F.floor(
+        (F.col("_nv") - F.col("_pv")).cast("double")
         * (e - pt).cast("double")
         / (nt - pt).cast("double")
     ).cast("long")
-    body = seg.select(
-        key, value_col, "_nv", "_b", "_nb", F.explode(grid).alias(out_ts)
+    return seg.select(
+        key, value_col, "_b", "_nb", "_pv", "_pt", "_nv", "_nt",
+        F.explode(cells).alias(out_ts),
     ).select(
         key,
         out_ts,
-        F.when(F.col(out_ts) == F.col("_b"), F.col(value_col))
-        .otherwise(interp)
+        # leading cells (before the key's first stream bucket) and
+        # trailing cells (after its last) stay NULL — no
+        # extrapolation; an observed non-null bucket keeps its value
+        # verbatim; everything else interpolates between the non-null
+        # anchors when both exist
+        F.when(F.col(out_ts) < F.col("_b"), F.lit(None))
+        .when((F.col(out_ts) == F.col("_b")) & v.isNotNull(), v)
+        .when(F.col("_nb").isNull() & (F.col(out_ts) > F.col("_b")), F.lit(None))
+        .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), interp)
         .cast("long")
         .alias(value_col),
     )
-    # leading/trailing NULL spans (and keys with no non-null
-    # observation at all): generated from per-key span bounds, never
-    # from a full spine
-    span = obs.groupBy(key).agg(F.min("_b").alias("_fb"), F.max("_b").alias("_lb"))
-    empty = F.expr("CAST(array() AS array<timestamp>)")
-    edges = (
-        ev.select(key)
-        .distinct()
-        .join(span, key, "left")
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            key,
-            F.explode(
-                F.concat(
-                    F.when(
-                        F.col("_fb").isNull(),
-                        F.expr(f"sequence(_h0, _h1, interval {step})"),
-                    )
-                    .when(
-                        F.col("_fb") > F.col("_h0"),
-                        F.expr(f"sequence(_h0, _fb - interval {step}, interval {step})"),
-                    )
-                    .otherwise(empty),
-                    F.when(
-                        F.col("_fb").isNotNull() & (F.col("_lb") < F.col("_h1")),
-                        F.expr(f"sequence(_lb + interval {step}, _h1, interval {step})"),
-                    ).otherwise(empty),
-                )
-            ).alias(out_ts),
-            F.lit(None).cast("long").alias(value_col),
-        )
-    )
-    return body.unionByName(edges)
 
 
 def ordered_funnel(
