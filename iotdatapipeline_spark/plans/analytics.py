@@ -1287,20 +1287,21 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_word_rarity). Downstream selection is top-k / threshold on
     ``dsir_weight`` exactly as in the paper's resampling step.
 
-    Scale shape — the model is TINY, so stop shuffling the corpus:
-    pass 1 explodes the (integer) bucket stream into a 256-key
-    hash aggregate (map-side-combined to ≤256 rows per task) and
-    COLLECTS the 256 Laplace scores to the driver — bounded at 256
-    rows regardless of corpus size, the same bounded-scalar pattern
-    as the BPE merge loop. Pass 2 then scores every document with a
-    PURE ROW-LOCAL expression — transform the gram array to buckets,
-    fold through a 256-literal score array — zero shuffle, zero join,
-    zero explode. Profiling at x10 (tools/bench_dsir_ab.py) showed
-    the old join shape spent its time in the string explode (0.6 s)
-    and the doc_id shuffle of 2.7 M gram rows (1.2 s), NOT in md5
-    (0.08 s): the per-doc aggregate never needed to leave the row.
-    This is also why hashed-ngram DSIR runs at 100 TB: the only
-    cluster-wide data movement is 256 partial counts per task."""
+    Scale shape — the model is TINY, so the corpus never shuffles
+    against it: pass 1 explodes the (integer) bucket stream into a
+    256-key hash aggregate (map-side-combined to ≤256 rows per task)
+    whose 256 Laplace scores fold into a one-row broadcast array —
+    bounded at 256 entries regardless of corpus size, the same
+    bounded-scalar pattern as the BPE merge loop. Pass 2 scores by
+    exploding gram indices (whole-stage codegen) and probing the
+    broadcast array per gram — no join, no gram shuffle: the per-doc
+    groupBy partial-aggregates map-side (explode is row-local), so
+    the only exchanges are 256 partial counts per task and one
+    (doc_id, count, sum) row per document. An exchange-free variant
+    folding the gram sequence through F.aggregate was measured SLOWER
+    (0.72 vs 0.58 s sf0.1, 0.99 vs 0.61 s x10): higher-order
+    functions evaluate interpreted (CodegenFallback), and that tax
+    scales with grams while the partial-agg exchange does not."""
     docs = load_table(spark, sf_dir, "documents").withColumn("__ws", words(F.col("text")))
 
     def bucket(g):
@@ -1331,9 +1332,8 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the ≤256 scores into ONE row holding a bucket→score map and
     # broadcast it under every document row (cross join with a 1-row
     # build side). This keeps the whole query LAZY — no driver-side
-    # model collect at plan-build time — while the per-doc scoring
-    # stays row-local: zero shuffle of the corpus, zero explode on the
-    # scoring pass, one 256-entry broadcast.
+    # model collect at plan-build time — and the gram stream never
+    # shuffles against it: one 256-entry broadcast.
     # dense ARRAY, not a map: Spark's GetMapValue is a LINEAR scan of
     # the entries (no hash index), so a 256-entry map lookup per gram
     # costs ~128 comparisons; element_at on an array is O(1)
@@ -1351,23 +1351,35 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
-    # pass 2: row-local scoring — fold the gram indices through the
-    # score map. __ws is a materialized column, so slice() inside the
-    # lambda is O(gram), not the O(words²) embedded-split hazard (see
-    # shingles_of_words docstring). Every bucket a document hashes to
-    # exists in the map (same corpus built it).
-    return docs.crossJoin(model).select(
-        "doc_id",
-        cnt.cast("long").alias("n_grams"),
-        F.aggregate(
-            F.sequence(F.lit(1), cnt),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.element_at(
+    # pass 2 (r13): score by exploding gram INDICES again — the same
+    # whole-stage-codegen slice/array_join/md5 projection as pass 1 —
+    # probing the broadcast model array per gram, then re-aggregate
+    # per doc. The previous form folded the gram sequence through
+    # F.aggregate to keep pass 2 exchange-free, but higher-order
+    # functions evaluate INTERPRETED (CodegenFallback): the fold cost
+    # grams × (slice+join+md5) in interpreted mode, while the groupBy
+    # here partial-aggregates map-side (explode is row-local, so each
+    # task emits exactly one partial row per doc — the exchange
+    # carries (doc_id, count, sum), never gram rows). Measured
+    # interleaved ABBA, noop sink: 0.721 → 0.583 s at sf0.1,
+    # 0.985 → 0.613 s at x10; rows identical (exceptAll 0 both ways).
+    # Every bucket a document hashes to exists in the map (same corpus
+    # built it).
+    return (
+        docs.crossJoin(model)
+        .select("doc_id", "m", "__ws", F.explode(F.sequence(F.lit(1), cnt)).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at(
                 F.col("m"),
-                (bucket(F.array_join(F.slice("__ws", i, 2), " ")) + 1).cast("int"),
-            ),
-        ).alias("dsir_weight"),
+                (bucket(F.array_join(F.slice("__ws", F.col("i"), 2), " ")) + 1).cast("int"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("s").cast("long").alias("dsir_weight"),
+        )
     )
 
 

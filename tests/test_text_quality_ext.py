@@ -345,15 +345,21 @@ class TestDsirWeights:
         assert len(rows) == n_docs
         assert all(r["dsir_weight"] > 0 and r["n_grams"] > 0 for r in rows)
 
-    def test_model_is_broadcast_and_scoring_is_row_local(self, spark, sf_small):
-        """r8 shape: the 256-score model folds to ONE row and broadcasts
-        under every document (nested-loop join with a 1-row build
-        side); the scoring pass itself must shuffle NOTHING — the only
-        exchanges in the plan belong to the 256-key distribution
-        aggregate, never to a doc_id repartitioning of the corpus."""
+    def test_model_is_broadcast_and_grams_never_shuffle(self, spark, sf_small):
+        """r8 shape, scoring reworked r13: the 256-score model folds to
+        ONE row and broadcasts under every document (nested-loop join
+        with a 1-row build side) — the gram stream never joins or
+        shuffles against it. The per-doc aggregate MAY exchange, but
+        only map-side-combined partials (one (doc_id, count, sum) row
+        per doc per task), never gram rows: the doc_id exchange must
+        sit above a partial hash aggregate."""
         plan = _plan(QUERIES["docs_dsir_weights"](spark, sf_small))
         assert "BroadcastNestedLoopJoin" in plan
-        assert "hashpartitioning(doc_id" not in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        # partial (map-side) aggregation below the doc_id exchange —
+        # the shuffle carries per-doc partials, not the gram stream
+        if "hashpartitioning(doc_id" in plan:
+            assert "partial_sum" in plan, plan
 
 
 class TestQualityClassifier:
