@@ -1017,10 +1017,15 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every engine computes the identical integer — no float
     percentile boundary to disagree on.
 
-    Scale shape: one row_number pass over the station partition (the
-    exchange every per-station operator shares), cut-point extraction
-    is a filter + groupBy on |stations| rows, and the clamp rejoins
-    on station — a broadcast.  The window never buffers beyond its
+    Scale shape (r13): one row_number pass over the station partition
+    (the exchange every per-station operator shares); the cut points
+    are UNORDERED WINDOW AGGREGATES over that same partitioning —
+    min(value where rn = cut rank) over (partition by station) — so
+    extraction costs no aggregate-and-rejoin round trip (the previous
+    groupBy + broadcast-join form re-executed the whole rank subtree
+    for each consumer: 2 scans and two rank windows in the executed
+    plan).  The closing groupBy refines the same partitioning.  One
+    scan, one exchange; the window never buffers beyond its
     partition; no all-pairs, no second sort."""
     ev = _readings(spark, sf_dir)
     w_rank = Window.partitionBy("station").orderBy("v_cents", "event_id")
@@ -1033,17 +1038,16 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.greatest(F.lit(1), F.expr("(n * 5 + 99) div 100"))
     hi = F.expr("(n * 95 + 99) div 100")
-    cuts = (
-        r.groupBy("station")
-        .agg(
-            F.min(F.when(F.col("rn") == lo, F.col("v_cents"))).alias("p05"),
-            F.min(F.when(F.col("rn") == hi, F.col("v_cents"))).alias("p95"),
-        )
+    r = r.select(
+        "station",
+        "v_cents",
+        "n",
+        F.min(F.when(F.col("rn") == lo, F.col("v_cents"))).over(w_all).alias("p05"),
+        F.min(F.when(F.col("rn") == hi, F.col("v_cents"))).over(w_all).alias("p95"),
     )
     clamped = F.least(F.greatest(F.col("v_cents"), F.col("p05")), F.col("p95"))
     return (
-        r.join(F.broadcast(cuts), "station")
-        .groupBy("station")
+        r.groupBy("station")
         .agg(
             F.min("n").cast("long").alias("n"),
             F.min("p05").cast("long").alias("p05_cents"),
@@ -1107,13 +1111,17 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the flag is the cross-multiplied integer inequality
     6745·dev > 35000·MAD — no division, no float, engine-identical.
 
-    Scale shape: two window passes over the same station partitioning
-    (value sort, then deviation sort) with |stations|-row broadcast
-    joins carrying the median and MAD back — the unavoidable two
-    sorts of an exact-median plan; at 100 TB each pass partitions by
-    station exactly like every other per-station operator.  Stations
-    with MAD = 0 (a majority-constant signal) are excluded rather
-    than flagging every nonmedian reading."""
+    Scale shape (r13): two sorts over ONE station exchange — the
+    unavoidable pair of an exact-median plan (value sort, then
+    deviation sort) — with the median and MAD extracted as UNORDERED
+    WINDOW AGGREGATES over the same partitioning instead of
+    groupBy + broadcast-join round trips (the join form re-executed
+    the rank subtrees per consumer: 4 scans and four windows in the
+    executed plan; now 1 scan, 1 exchange, no joins).  At 100 TB the
+    single pass partitions by station exactly like every other
+    per-station operator.  Stations with MAD = 0 (a
+    majority-constant signal) are excluded rather than flagging
+    every nonmedian reading."""
     ev = _readings(spark, sf_dir)
     w_rank = Window.partitionBy("station").orderBy("v_cents", "event_id")
     w_all = Window.partitionBy("station")
@@ -1125,31 +1133,27 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    med = (
-        r.groupBy("station")
-        .agg(F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v_cents"))).alias("med"))
+    r = r.withColumn(
+        "med",
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v_cents"))).over(w_all),
     )
     w_drank = Window.partitionBy("station").orderBy(F.abs(F.col("v_cents") - F.col("med")), "event_id")
-    d = (
-        r.join(F.broadcast(med), "station")
-        .select(
-            "station",
-            "ts",
-            "event_id",
-            "v_cents",
-            "med",
-            F.abs(F.col("v_cents") - F.col("med")).alias("dev"),
-            F.row_number().over(w_drank).alias("drn"),
-            F.col("n"),
-        )
+    d = r.select(
+        "station",
+        "ts",
+        "event_id",
+        "v_cents",
+        "med",
+        F.abs(F.col("v_cents") - F.col("med")).alias("dev"),
+        F.row_number().over(w_drank).alias("drn"),
+        F.col("n"),
     )
-    mad = (
-        d.groupBy("station")
-        .agg(F.min(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad"))
+    d = d.withColumn(
+        "mad",
+        F.min(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).over(w_all),
     )
     return (
-        d.join(F.broadcast(mad), "station")
-        .filter((F.col("mad") > 0) & (6745 * F.col("dev") > 35000 * F.col("mad")))
+        d.filter((F.col("mad") > 0) & (6745 * F.col("dev") > 35000 * F.col("mad")))
         .select(
             "station",
             "ts",
