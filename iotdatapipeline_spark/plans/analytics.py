@@ -3328,15 +3328,26 @@ def docs_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     didn't already keep; high-novelty documents carry the corpus's
     marginal information.
 
-    Scale shape: one distinct-shingle fan-out, a min-aggregate on the
-    shingle key (the 'first writer' index — incremental pipelines
-    maintain it exactly like the LSH band index), a hash join back on
-    the same key, and a per-doc aggregate. Integer division for the
-    score — no float boundary."""
+    Scale shape (r13): one distinct-shingle fan-out, then the 'first
+    writer' per shingle as an UNORDERED WINDOW MIN over the shingle
+    partitioning — the previous groupBy + self-join form re-executed
+    the whole explode+distinct subtree for each join side (2 scans /
+    5 exchanges in the executed plan; now 1 scan / 3 exchanges, no
+    join), and a per-doc aggregate (map-side partials — explode is
+    row-local). Measured 0.396 → 0.298 s at sf0.1; at x10 the OLD
+    form is still faster (0.98 vs 1.13 s) because its firsts index
+    still fits a broadcast there — but the index grows with the
+    corpus, so past the broadcast cap the join degrades to a
+    sort-merge over BOTH re-exploded sides, strictly worse than this
+    form's single sort (tools/bench_novelty_ab.py records both
+    scales). Incremental pipelines maintain the first-writer index
+    exactly like the LSH band index. Integer division for the score —
+    no float boundary."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(firsts, "shingle")
+    j = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
     return (
         j.groupBy("doc_id")
         .agg(
