@@ -1547,19 +1547,25 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer tuple (tf DESC, df ASC, term) so order is bit-stable across
     engines; the smoothed log-idf score is emitted (floored at 1e-3)
     rather than ranked on, keeping float math out of the decision path.
-    Two shuffles (doc-term tf, term df) + a broadcast of the 1-row
-    corpus count; df re-joins tf on term — all hash joins on
-    high-cardinality keys."""
+    Shape (r13): tf is one row per (doc, term), so the document
+    frequency is a plain WINDOW COUNT over the term partitioning of
+    the tf table — the previous groupBy(term) + join-back form
+    re-executed the whole explode for each consumer and re-shuffled
+    both join sides by term (3 scans / 5 exchanges; now 2 scans /
+    3 exchanges / no term join, measured 0.440 → 0.331 s sf0.1; x10
+    is a wash, 0.801 vs 0.806 s — the window's term sort ≈ the join
+    form's second explode there, and the window form still wins on
+    scans moved. Rows identical, exceptAll 0 both ways at both
+    scales). The 1-row corpus count rides a broadcast."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(
