@@ -269,32 +269,38 @@ def ordered_funnel(
 
     Returns ``user_col, t1..t{len(stages)}``.
 
-    Shape: each hop is fact ⋈ prior-stage frame on the user key plus
-    a half-open time predicate, then a min-reduction — every hop
-    shuffles only on the user key, and all hops reuse that one
-    partitioning.
+    Shape (r13, guide §2.4 remove shuffles outright): every hop is a
+    whole-partition MIN over the user key — ``t1`` is the min stage-1
+    time, ``t{i}`` the min stage-``i`` time satisfying ``t{i-1}``'s
+    window — so all hops are unordered window aggregates over ONE
+    user-keyed partitioning, chained in sequence (each hop's predicate
+    reads the previous hop's window output). The previous form built
+    each hop as fact ⋈ prior-frame + groupBy and then LEFT-joined every
+    hop back together: each join side re-executed the whole prior
+    subtree, costing 7 scans / 6 joins / 6 exchanges for 3 stages. Now:
+    1 scan, 1 exchange, 0 joins; the final per-user reduction reuses
+    the window's partitioning (no second shuffle).
     """
     ev = df.select(user_col, type_col, ts_col)
-    prior = (
-        ev.filter(F.col(type_col) == stages[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t1"))
+    w = Window.partitionBy(user_col)
+    cur = ev.withColumn(
+        "t1", F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).over(w)
     )
-    result = prior
     for i, stage in enumerate(stages[1:], start=2):
         tcol, out = f"t{i - 1}", f"t{i}"
-        e = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
-        nxt = (
-            e.join(result.select(user_col, tcol), user_col)
-            .filter(
-                (F.col(ts_col) >= F.col(tcol))
-                & (F.col(ts_col) < F.col(tcol) + F.expr(window_expr))
-            )
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(out))
+        qual = F.when(
+            (F.col(type_col) == stage)
+            & (F.col(ts_col) >= F.col(tcol))
+            & (F.col(ts_col) < F.col(tcol) + F.expr(window_expr)),
+            F.col(ts_col),
         )
-        result = result.join(nxt, user_col, "left")
-    return result.select(user_col, *[f"t{i}" for i in range(1, len(stages) + 1)])
+        cur = cur.withColumn(out, F.min(qual).over(w))
+    tcols = [f"t{i}" for i in range(1, len(stages) + 1)]
+    return (
+        cur.filter(F.col("t1").isNotNull())
+        .groupBy(user_col)
+        .agg(*[F.min(c).alias(c) for c in tcols])
+    )
 
 
 def merge_islands(

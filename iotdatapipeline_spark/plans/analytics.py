@@ -1233,14 +1233,27 @@ def docs_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of log-probs so the DuckDB oracle hash-matches exactly
     (libm log rounding differs across engines; integer DF does not).
 
-    Scale shape: distinct (doc, word) → word-keyed DF aggregate →
-    hash join back on the high-cardinality word key → per-doc
-    aggregate. Same two-shuffle profile as TF-IDF; no n², no Python."""
+    Scale shape (r13, guide §2.4 — same rework as docs_tfidf_top_terms):
+    the document-frequency table is a WINDOW COUNT over the distinct
+    (doc, word) stream, not a separate aggregate joined back. In the
+    join form the optimizer did reuse the distinct exchange
+    (ReusedExchange), but the vocabulary-sized count table had to be
+    BROADCAST back onto the stream — a shape that breaks when the
+    vocabulary outgrows the broadcast cap and degrades to a sort-merge
+    join re-shuffling BOTH sides by word. `count(*) over (partition by
+    w)` attaches DF in the one word-keyed pass the join form would pay
+    anyway at that point, with no join and no broadcast build: 1 BHJ +
+    vocab broadcast → 0 joins (3 exchanges either way); no n², no
+    Python. Measured (ABBA median-of-8, noop sink): 0.368 → 0.333 s at
+    sf0.1; at x10 the join form still wins 0.670 vs 0.719 s (its vocab
+    still fits the broadcast there) — kept anyway, same call as
+    docs_novelty_scores: the window shape is the one that survives
+    corpus growth (tools/bench_behavioral_ab.py)."""
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).distinct()
-    df_tbl = dw.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("w"))
     return (
-        dw.join(df_tbl, "w")
+        dw.withColumn("doc_freq", doc_freq)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_words"),

@@ -94,17 +94,24 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day,
-    counted distinct on each day-offset they come back.  The
-    first-seen frame is a user-keyed aggregate joined back to the
-    fact on the same key — one partitioning serves both the cohort
-    assignment and the join; the distinct-count re-keys to (cohort,
-    offset), whose cardinality is offsets² — tiny at any scale."""
+    counted distinct on each day-offset they come back.
+
+    The first-seen day is an unordered window MIN over the user
+    partition (r13, guide §2.4): the previous form aggregated
+    first-seen into a separate frame and joined it back onto a second
+    scan of the fact — 2 scans / 3 exchanges / 1 join, and at corpus
+    scale the first-seen frame outgrows the broadcast cap so the join
+    degrades to a sort-merge that shuffles the fact AGAIN. Now the
+    fact is shuffled once by user, d0 rides every row out of that one
+    window pass (1 scan / 2 exchanges / 0 joins); the distinct-count
+    re-keys to (cohort, offset), whose cardinality is offsets² — tiny
+    at any scale."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    d0 = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        ev.join(first, "user_id")
+        ev.withColumn("d0", d0)
         .groupBy(
             F.col("d0").alias("cohort_day"),
             F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_offset"),

@@ -52,6 +52,23 @@ class TestFunnel:
         plan = _plan(QUERIES["events_funnel_stages"](spark, sf_small))
         assert "CartesianProduct" not in plan, plan
 
+    def test_single_exchange_no_joins(self, spark, sf_small):
+        # r13: every hop is an unordered window MIN chained over ONE
+        # user-keyed partitioning — the join-per-hop form paid 7 scans
+        # and 6 joins for 3 stages
+        plan = _plan(QUERIES["events_funnel_stages"](spark, sf_small))
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Window") == 3, plan
+
+    def test_cohort_no_join_single_fact_pass(self, spark, sf_small):
+        # r13: first-seen day is a window MIN over the user partition,
+        # not an aggregate joined back onto a second scan
+        plan = _plan(QUERIES["events_cohort_retention"](spark, sf_small))
+        assert "Join" not in plan, plan
+        assert plan.count("FileScan") == 1, plan
+        assert plan.count("Window") == 1, plan
+
 
 class TestCohort:
     def test_day_zero_counts_every_user_once(self, spark, sf_small):

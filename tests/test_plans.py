@@ -143,9 +143,12 @@ class TestPlanShapes:
         df = QUERIES["docs_word_rarity"](spark, sf_small)
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
-        # DF aggregate + per-doc aggregate (plus the distinct) — the
-        # corpus join must be a hash join on the word key
         assert "BroadcastNestedLoopJoin" not in plan, plan
+        # r13: document frequency is a window count over the distinct
+        # (doc, word) stream — no join (the join form had to broadcast
+        # the vocabulary-sized count table back onto the stream)
+        assert "Join" not in plan, plan
+        assert plan.count("Window") == 1, plan
 
     def test_exact_dedup_is_single_aggregate(self, spark, sf_small):
         plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
