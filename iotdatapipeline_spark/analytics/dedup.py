@@ -217,15 +217,38 @@ def jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs. Pairs are bounded by
     ``block_col`` (same-block only) — at scale this must be an LSH
     bucket or metadata key, never unblocked. Output: doc1, doc2,
-    inter, jaccard_x1000 (floor of 1000·|∩|/|∪| — exact integer)."""
+    inter, jaccard_x1000 (floor of 1000·|∩|/|∪| — exact integer).
+
+    Shape (r13, guide §2.4): intersection sizes come from grouping the
+    shingle stream ONCE per (shingle[, block]) into a sorted id set and
+    expanding ordered pairs within each bucket — the same
+    exchange-reuse rationale as ``lsh_candidate_pairs`` above: the
+    naive self-join on the shingle key executes the whole upstream
+    explode→distinct pipeline once PER SIDE (Spark does not share the
+    exchange across a self-join's sides), tripling the scans once the
+    per-doc size aggregate is counted. Pair volume is identical to the
+    join's output (k docs sharing a shingle → C(k,2) rows either way);
+    a pathological stop-shingle buckets O(k) ids in one row — bound it
+    upstream with shingle-frequency filtering if the corpus has one
+    (the fixture's 3-gram shingles do not). Measured (ABBA
+    median-of-6, noop sink, tools/bench_jaccard_ab.py): x10
+    6.863 → 4.751 s (the corpus-scaled subtree dominates); at sf0.1
+    the self-join form still wins 0.824 vs 1.018 s (collect_set
+    object-agg fixed cost) — decision taken at data scale."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    join_cond = [F.col(f"a.shingle") == F.col(f"b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    if block_col is not None:
-        join_cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    keys = ["shingle"] + ([block_col] if block_col is not None else [])
+    buckets = (
+        shingles.groupBy(*keys)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lefts = buckets.select(F.posexplode("ids").alias("i", "doc1"), F.col("ids"))
     inter = (
-        shingles.alias("a")
-        .join(shingles.alias("b"), join_cond)
-        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        lefts.select(
+            "doc1",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc2"),
+        )
+        .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n").alias("n1"))
@@ -241,5 +264,11 @@ def jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard_x1000") >= min_jaccard_x1000).select(
-        "doc1", "doc2", "inter", "jaccard_x1000"
+        # never-firing when(): the bucket expansion proves doc1/doc2
+        # non-null, but the pinned schema (from the pre-r13 join form)
+        # carries them nullable
+        F.when(F.col("doc1").isNotNull(), F.col("doc1")).alias("doc1"),
+        F.when(F.col("doc2").isNotNull(), F.col("doc2")).alias("doc2"),
+        "inter",
+        "jaccard_x1000",
     )

@@ -555,19 +555,33 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-shaped EXISTS + NOT EXISTS over the same fact: the
     supplier who is the ONLY one with returned items on a
     multi-supplier finalized order.  Both correlated existence tests
-    decorrelate into one groupBy over lineitem producing
-    (n_supp, n_r_supp) per order — the pair of self-joins the SQL
-    form implies becomes a single shuffle plus an orderkey-aligned
-    join."""
+    decorrelate into per-order distinct-supplier counts.
+
+    Shape (r13, guide §2.4 — the funnel/cohort lever): the counts are
+    WINDOW aggregates (``size(collect_set(..)) over (partition by
+    l_orderkey)``) on the one orderkey partitioning, not a separate
+    groupBy frame joined back — the join form re-executed the
+    lineitem scan per side and shuffled BOTH sides by orderkey (the
+    per-order frame is order-cardinality, far past any broadcast cap
+    at scale). Measured (ABBA median-of-6, noop sink,
+    tools/bench_q21_ab.py): 1.278 → 0.597 s sf0.1, 3.241 → 1.577 s
+    x10 — 2.1× at both scales; exceptAll 0 both ways, oracle exact at
+    3 SFs."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    w = Window.partitionBy("l_orderkey")
+    lw = li.select("l_orderkey", "l_suppkey", "l_returnflag").withColumns(
+        {
+            "n_supp": F.size(F.collect_set("l_suppkey").over(w)),
+            "n_r_supp": F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ),
+        }
     )
-    flagged = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-    lr = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    lr = lw.filter(
+        (F.col("l_returnflag") == "R") & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+    ).select("l_orderkey", "l_suppkey")
     o_f = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -576,7 +590,6 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         lr.join(o_f, lr["l_orderkey"] == o_f["o_orderkey"])
-        .join(flagged, lr["l_orderkey"] == flagged["okey"])
         .join(F.broadcast(s), lr["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -150,6 +150,26 @@ class TestPlanShapes:
         assert "Join" not in plan, plan
         assert plan.count("Window") == 1, plan
 
+    def test_inverted_index_no_join_single_window(self, spark, sf_small):
+        # r13: doc_freq and the head-20 postings come out of ONE
+        # groupBy riding the row_number window's term partitioning —
+        # the join form computed doc_freq as a separate aggregate
+        # whose join side re-executed the distinct subtree
+        plan = _plan(QUERIES["docs_inverted_index"](spark, sf_small))
+        assert "Join" not in plan, plan
+        assert plan.count("Window") == 1, plan
+        assert plan.count("FileScan") == 1, plan
+
+    def test_jaccard_pairs_no_shingle_self_join(self, spark, sf_small):
+        # r13: intersection counts come from bucket-grouping the
+        # shingle stream once (collect_set + in-array pair expansion),
+        # not a self-join whose sides re-execute the explode+distinct
+        # subtree; the two remaining joins attach the per-doc sizes
+        plan = _plan(QUERIES["docs_jaccard_pairs"](spark, sf_small))
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("Join") == 2, plan
+        assert "ObjectHashAggregate" in plan, plan
+
     def test_exact_dedup_is_single_aggregate(self, spark, sf_small):
         plan = _plan(QUERIES["docs_exact_dedup"](spark, sf_small))
         assert plan.count("Exchange") == 1, plan

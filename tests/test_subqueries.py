@@ -86,6 +86,15 @@ class TestPlanShapes:
         pushed_li = [s for s in plan.splitlines() if "PushedFilters" in s and "l_quantity" in s]
         assert pushed_li, plan  # quantity hull [1,30] reached the lineitem scan
 
+    def test_q21_existence_counts_are_one_window_one_lineitem_scan(self, spark, sf_small):
+        # r13: n_supp / n_r_supp are distinct-count window aggregates
+        # sharing one partitionBy(l_orderkey) spec — the agg+join form
+        # scanned lineitem twice and shuffled both sides by orderkey
+        plan = _plan(QUERIES["q21_sole_blame_supplier"](spark, sf_small))
+        assert plan.count("Window") == 1, plan
+        assert plan.count("FileScan") == 3, plan  # lineitem + orders + supplier
+        assert plan.count("Join") == 2, plan  # orders filter + supplier dim
+
     def test_q22_threshold_is_broadcast_not_driver_roundtrip(self, spark, sf_small):
         # scalar threshold joins in as a 1-row broadcast (nested-loop
         # cross) — no collect() on the driver, anti join for NOT EXISTS
