@@ -59,11 +59,11 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per hop: t2 = first click in [t1, t1+48h), t3 = first
     purchase in [t2, t2+48h); NULL where the hop never converts.
 
-    Each hop is the SAME shape: fact ⋈ prior-stage frame on the user
-    key with a half-open time predicate, then a min-reduction — an
-    as-of-style probe expressed as join + groupBy, so every hop is
-    one user-keyed shuffle and all hops chain on that one
-    partitioning (no re-key between stages).  Per-user output rows
+    Each hop is a chained unordered window MIN over ONE user-keyed
+    partitioning (hop *i*'s predicate reads hop *i−1*'s window
+    output), so the whole funnel is a single fact shuffle with zero
+    joins — see ``ordered_funnel``'s r13 docstring; the plan-pin test
+    asserts 0 joins / 1 exchange / 3 windows.  Per-user output rows
     make the oracle hash sensitive to every stage timestamp, not just
     the three funnel counts.
 
