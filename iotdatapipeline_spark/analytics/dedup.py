@@ -91,7 +91,9 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
 )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, k: int = 8, extra_aggs: tuple = ()
+) -> DataFrame:
     """k-permutation MinHash from ONE md5 per shingle: base hash
     x = int(md5[:8 hex]) mod P, then k independent affine permutations
     h_i(s) = (A_i·x + B_i) mod P (the classic construction, same shape
@@ -106,7 +108,12 @@ def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFram
     (a naive a + i·b from one digest correlates the minima and was
     measured to blow candidate pairs up 15×). The base hash is
     materialized in a projection before the aggregate so md5 runs
-    once, not once per h_i."""
+    once, not once per h_i.
+
+    ``extra_aggs``: additional aggregate expressions folded into the
+    SAME per-id groupBy (r14, guide §2.4 — e.g. ``count(*)`` gives the
+    shingle-set size without a second corpus-wide shuffle of the
+    exploded stream). They may reference only ``id_col``/``__x``."""
     if k > len(MINHASH_COEFFS):
         raise ValueError(f"k <= {len(MINHASH_COEFFS)} fixed coefficient pairs available")
     x = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long") % MINHASH_P
@@ -115,18 +122,26 @@ def minhash_signatures(shingles: DataFrame, id_col: str, k: int = 8) -> DataFram
         F.min((a * F.col("__x") + b) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
     ]
-    return pre.groupBy(id_col).agg(*aggs)
+    return pre.groupBy(id_col).agg(*aggs, *extra_aggs)
 
 
 def lsh_band_long(
-    signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Band a MinHash signature and return the long-format LSH index:
     one row per (id, band_id, band_hash). This IS the structure a
     persisted near-dup index stores (partitioned/bucketed by
     (band_id, band_hash)) — ``lsh_candidate_pairs`` derives same-set
     pairs from it, ``lsh_probe_candidates`` joins a new batch against
-    it without touching corpus×corpus."""
+    it without touching corpus×corpus.
+
+    ``carry_cols``: extra per-id payload columns carried through the
+    band explode (r14) so downstream pair expansion can emit them
+    without re-joining the signature frame per side."""
     n_bands = k // rows_per_band
     bands = [
         F.md5(
@@ -136,9 +151,10 @@ def lsh_band_long(
         ).alias(f"b{b}")
         for b in range(n_bands)
     ]
-    banded = signatures.select(F.col(id_col), *bands)
+    banded = signatures.select(F.col(id_col), *[F.col(c) for c in carry_cols], *bands)
     return banded.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
     )
 
@@ -175,6 +191,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Band the signature (b = k/rows_per_band bands), hash each band,
     group ids per (band_id, band_hash) bucket, and expand pairs WITHIN
@@ -190,8 +207,45 @@ def lsh_candidate_pairs(
     bucket (mass-duplicated content) is quadratic in ITS size only —
     cap it with ``max_bucket`` at scale (dropped buckets are guaranteed
     over-threshold duplicates; route them to exact dedup instead).
+
+    ``carry_cols`` (r14, guide §2.4): per-id payload columns (e.g. the
+    signature components, set sizes) ride the bucket structs and come
+    out as ``<c>_1``/``<c>_2`` on each pair — consumers that need
+    per-side attributes (estimator audits) avoid re-joining the
+    signature frame once per side, which re-executes the whole
+    upstream shingle pipeline per join side. Carried values must be
+    deterministic per id (they are deduped with a per-pair max).
     """
-    long = lsh_band_long(signatures, id_col, k=k, rows_per_band=rows_per_band)
+    long = lsh_band_long(signatures, id_col, k=k, rows_per_band=rows_per_band, carry_cols=carry_cols)
+    if carry_cols:
+        member = F.struct(F.col(id_col), *[F.col(c) for c in carry_cols])
+        buckets = (
+            long.groupBy("band_id", "band_hash")
+            .agg(F.array_sort(F.collect_set(member)).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        if max_bucket is not None:
+            buckets = buckets.filter(F.size("ms") <= max_bucket)
+        # ids are unique per bucket, so the struct sort (id first) gives
+        # the same strict doc1 < doc2 ordering as the ids-only path
+        lefts = buckets.select(F.posexplode("ms").alias("i", "m1"), F.col("ms"))
+        pairs = lefts.select(
+            "m1",
+            F.explode(F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))).alias("m2"),
+        )
+        flat = pairs.select(
+            F.col(f"m1.{id_col}").alias("doc1"),
+            F.col(f"m2.{id_col}").alias("doc2"),
+            *[F.col(f"m1.{c}").alias(f"{c}_1") for c in carry_cols],
+            *[F.col(f"m2.{c}").alias(f"{c}_2") for c in carry_cols],
+        )
+        # cross-band dedupe; groupBy (not distinct) so the output is
+        # partitioned by (doc1, doc2) and a downstream join on the pair
+        # key reuses this exchange
+        return flat.groupBy("doc1", "doc2").agg(
+            *[F.max(f"{c}_1").alias(f"{c}_1") for c in carry_cols],
+            *[F.max(f"{c}_2").alias(f"{c}_2") for c in carry_cols],
+        )
     buckets = (
         long.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))

@@ -473,48 +473,57 @@ def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     k and the banding scheme, completing the approximation-audit trio
     with ``embeddings_ivf_recall`` and ``embeddings_neardup_recall``.
 
-    Scale shape: signatures and sizes join candidate PAIRS (LSH-bounded,
-    never n²); the exact intersection re-joins shingles only for those
-    pairs (doc1's shingles ⋈ doc2's on the shingle key, a sort-merge
-    join on the high-cardinality shingle — correct at volume). Spark
-    re-executes the shingle pipeline for each consuming branch (no
-    cross-branch exchange reuse — visible as multiple scans in the
-    plan); as an offline estimator audit that is acceptable at sample
-    scale, and at 100 TB you materialize the shingle set and the
-    signature table once and point every branch at the parquet."""
+    Scale shape (r14, guide §2.4 duplicated subtrees): the r13 form
+    re-executed the shingle→signature pipeline once per consuming
+    branch (signatures ×3 for the candidate generation and the two
+    per-side estimate joins, sizes ×2 — 23 exchanges / 8 scans in
+    PLANS.md). Now ONE per-doc aggregate computes the signature AND
+    the set size (``extra_aggs``), and the candidate expansion carries
+    (h0..h7, n) through the band buckets (``carry_cols``), so the
+    estimate, both set sizes, and the pair key all come out of the
+    bucket pair expansion — no signature or size re-join. The exact
+    intersection still joins shingles only for candidate pairs
+    (LSH-bounded, never n²); its two shingle references share the
+    distinct's exchange with the signature branch (identical subtrees
+    → ReusedExchange), so the corpus is scanned once per execution —
+    nothing is persisted across actions."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_set(docs, "doc_id", "text", n=3, distinct=True)
-    sigs = minhash_signatures(sh, "doc_id", k=8)
-    cand = lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2)
-    m1 = sigs.select(F.col("doc_id").alias("doc1"), *[F.col(f"h{i}").alias(f"h{i}_1") for i in range(8)])
-    m2 = sigs.select(F.col("doc_id").alias("doc2"), *[F.col(f"h{i}").alias(f"h{i}_2") for i in range(8)])
+    # never-firing isnotnull filters: the inner joins below infer them
+    # on the s1/s2 branches anyway; stating them on sh makes all three
+    # consuming subtrees byte-identical so ReusedExchange shares ONE
+    # scan+explode+distinct across the whole plan
+    sh = shingle_set(docs, "doc_id", "text", n=3, distinct=True).filter(
+        F.col("doc_id").isNotNull() & F.col("shingle").isNotNull()
+    )
+    sigsize = minhash_signatures(
+        sh, "doc_id", k=8, extra_aggs=(F.count(F.lit(1)).alias("n"),)
+    )
+    carried = tuple(f"h{i}" for i in range(8)) + ("n",)
+    cand = lsh_candidate_pairs(sigsize, "doc_id", k=8, rows_per_band=2, carry_cols=carried)
     matches = sum(
         F.when(F.col(f"h{i}_1") == F.col(f"h{i}_2"), 1).otherwise(0) for i in range(8)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
     inter = (
-        cand.join(s1, "doc1")
+        cand.select("doc1", "doc2")
+        .join(s1, "doc1")
         .join(s2, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
-    out = (
-        cand.join(m1, "doc1")
-        .join(m2, "doc2")
-        .join(z1, "doc1")
-        .join(z2, "doc2")
-        .join(inter, ["doc1", "doc2"], "left")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+    out = cand.join(inter, ["doc1", "doc2"], "left").withColumn(
+        "inter", F.coalesce(F.col("inter"), F.lit(0))
     )
     return out.select(
-        "doc1",
-        "doc2",
+        # never-firing coalesce: bucket members are never null, but the
+        # struct field inherits the parquet column's nullable flag while
+        # the pinned schema (from the pre-r14 collect_set-of-primitives
+        # path) carries doc1/doc2 non-nullable
+        F.coalesce(F.col("doc1"), F.lit(0)).alias("doc1"),
+        F.coalesce(F.col("doc2"), F.lit(0)).alias("doc2"),
         F.floor(1000.0 * matches / 8).cast("long").alias("est_x1000"),
-        F.floor(1000.0 * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        F.floor(1000.0 * F.col("inter") / (F.col("n_1") + F.col("n_2") - F.col("inter")))
         .cast("long")
         .alias("jaccard_x1000"),
     )
