@@ -131,6 +131,7 @@ def lsh_band_long(
     k: int = 8,
     rows_per_band: int = 2,
     carry_cols: tuple[str, ...] = (),
+    with_prefix: bool = False,
 ) -> DataFrame:
     """Band a MinHash signature and return the long-format LSH index:
     one row per (id, band_id, band_hash). This IS the structure a
@@ -141,7 +142,14 @@ def lsh_band_long(
 
     ``carry_cols``: extra per-id payload columns carried through the
     band explode (r14) so downstream pair expansion can emit them
-    without re-joining the signature frame per side."""
+    without re-joining the signature frame per side.
+
+    ``with_prefix`` (r14): additionally emit ``__prefix`` — the band
+    hashes of the EARLIER bands (``[b0..b{band_id-1}]``, empty for band
+    0). Two ids in one bucket co-occur in an earlier band iff their
+    prefixes match at some position, which is what lets
+    ``lsh_candidate_pairs(first_band_dedup=True)`` drop its cross-band
+    distinct shuffle."""
     n_bands = k // rows_per_band
     bands = [
         F.md5(
@@ -152,11 +160,15 @@ def lsh_band_long(
         for b in range(n_bands)
     ]
     banded = signatures.select(F.col(id_col), *[F.col(c) for c in carry_cols], *bands)
-    return banded.select(
+    long = banded.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
+        *([F.array(*[F.col(f"b{b}") for b in range(n_bands)]).alias("__bands")] if with_prefix else []),
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias("band_id", "band_hash"),
     )
+    if with_prefix:
+        long = long.withColumn("__prefix", F.slice("__bands", 1, F.col("band_id"))).drop("__bands")
+    return long
 
 
 def lsh_probe_candidates(
@@ -192,6 +204,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket: int | None = None,
     carry_cols: tuple[str, ...] = (),
+    first_band_dedup: bool = False,
 ) -> DataFrame:
     """Band the signature (b = k/rows_per_band bands), hash each band,
     group ids per (band_id, band_hash) bucket, and expand pairs WITHIN
@@ -215,8 +228,63 @@ def lsh_candidate_pairs(
     signature frame once per side, which re-executes the whole
     upstream shingle pipeline per join side. Carried values must be
     deterministic per id (they are deduped with a per-pair max).
+
+    ``first_band_dedup`` (r14, guide §2.4): a pair that matches in
+    several bands is emitted by several buckets, which is why the
+    default shape ends in a pair-keyed dedup shuffle (distinct /
+    groupBy). Instead, carry each id's EARLIER band hashes through the
+    bucket (``lsh_band_long(with_prefix=True)``) and emit a pair only
+    from the FIRST band where its members' hashes agree — exactly one
+    emission per distinct pair, so the plan ends at the bucket
+    expansion: 3 shuffles → 2, and the (candidate-pair-volume) dedup
+    exchange is gone. Equivalence is exact: membership tests compare
+    the same md5 band hashes the buckets group on.
+
+    Measured trade (tools/bench_lsh_pairs_ab.py, r14): the prefix adds
+    ~1.5 md5 strings per band row (~2× the bytes of the bucket
+    exchange), while the distinct it removes shuffles only candidate
+    PAIRS — so on the bench corpus (low duplicate rate, tiny candidate
+    set) the default wins (x10 ABBA 1.448 vs 1.629 s; sf0.1 flat) and
+    the declared queries keep it. The first-band form is for corpora
+    whose candidate volume rivals the band-long stream (mass-duplicated
+    content), where the removed shuffle is the dominant term.
     """
-    long = lsh_band_long(signatures, id_col, k=k, rows_per_band=rows_per_band, carry_cols=carry_cols)
+    long = lsh_band_long(
+        signatures,
+        id_col,
+        k=k,
+        rows_per_band=rows_per_band,
+        carry_cols=carry_cols,
+        with_prefix=first_band_dedup,
+    )
+    if first_band_dedup:
+        member = F.struct(
+            F.col(id_col), *[F.col(c) for c in carry_cols], F.col("__prefix")
+        )
+        buckets = (
+            long.groupBy("band_id", "band_hash")
+            .agg(F.array_sort(F.collect_set(member)).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        if max_bucket is not None:
+            buckets = buckets.filter(F.size("ms") <= max_bucket)
+        lefts = buckets.select(F.posexplode("ms").alias("i", "m1"), F.col("ms"))
+        pairs = lefts.select(
+            "m1",
+            F.explode(F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))).alias("m2"),
+        )
+        # keep the pair only where no earlier band already bucketed it
+        # (both prefixes have length band_id, so the zip is aligned)
+        zipped = F.arrays_zip(
+            F.col("m1.__prefix").alias("p1"), F.col("m2.__prefix").alias("p2")
+        )
+        first_here = ~F.exists(zipped, lambda x: x["p1"] == x["p2"])
+        return pairs.filter(first_here).select(
+            F.col(f"m1.{id_col}").alias("doc1"),
+            F.col(f"m2.{id_col}").alias("doc2"),
+            *[F.col(f"m1.{c}").alias(f"{c}_1") for c in carry_cols],
+            *[F.col(f"m2.{c}").alias(f"{c}_2") for c in carry_cols],
+        )
     if carry_cols:
         member = F.struct(F.col(id_col), *[F.col(c) for c in carry_cols])
         buckets = (
@@ -262,16 +330,63 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def _salted_pair_counts(
+    shingles: DataFrame, id_col: str, keys: list[str], m: int
+) -> DataFrame:
+    """Per-(doc1, doc2) co-occurrence counts via salted two-stage
+    bucket expansion (guide §2.5 — deterministic salt, never rand()):
+    see ``jaccard_pairs``. Emits each shared key exactly once per pair:
+    same-salt from the sorted sub-array, cross-salt from the single
+    (salt1 < salt2) block row."""
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)).cast("int")
+    sb = (
+        shingles.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+    )
+    w_lefts = sb.filter(F.size("ids") > 1).select(
+        F.posexplode("ids").alias("i", "doc1"), F.col("ids")
+    )
+    within = w_lefts.select(
+        "doc1",
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc2"),
+    )
+    a = sb.select(*keys, F.col("__salt").alias("s1"), F.col("ids").alias("ids1"))
+    b = sb.select(*keys, F.col("__salt").alias("s2"), F.col("ids").alias("ids2"))
+    blocks = (
+        a.join(b, keys)
+        .filter(F.col("s1") < F.col("s2"))
+        # a hot shingle owns m(m-1)/2 block rows on ONE task after the
+        # join's key partitioning; re-key by (keys, s1, s2) so the
+        # quadratic per-block expansion spreads across the cluster
+        .repartition(*keys, "s1", "s2")
+    )
+    cross = (
+        blocks.select(F.explode("ids1").alias("da"), "ids2")
+        .select("da", F.explode("ids2").alias("db"))
+        .select(F.least("da", "db").alias("doc1"), F.greatest("da", "db").alias("doc2"))
+    )
+    return within.unionByName(cross).groupBy("doc1", "doc2").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str,
     block_col: str | None = None,
     min_jaccard_x1000: int = 100,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs. Pairs are bounded by
     ``block_col`` (same-block only) — at scale this must be an LSH
     bucket or metadata key, never unblocked. Output: doc1, doc2,
     inter, jaccard_x1000 (floor of 1000·|∩|/|∪| — exact integer).
+
+    Precondition: ``shingles`` must be distinct per (id, shingle
+    [, block]) — ``shingle_set(distinct=True)`` output. Duplicate rows
+    would desynchronize the set-semantics bucket intersection from the
+    ``count(*)`` sizes and understate jaccard.
 
     Shape (r13, guide §2.4): intersection sizes come from grouping the
     shingle stream ONCE per (shingle[, block]) into a sorted id set and
@@ -281,30 +396,47 @@ def jaccard_pairs(
     explode→distinct pipeline once PER SIDE (Spark does not share the
     exchange across a self-join's sides), tripling the scans once the
     per-doc size aggregate is counted. Pair volume is identical to the
-    join's output (k docs sharing a shingle → C(k,2) rows either way);
-    a pathological stop-shingle buckets O(k) ids in one row — bound it
-    upstream with shingle-frequency filtering if the corpus has one
-    (the fixture's 3-gram shingles do not). Measured (ABBA
-    median-of-6, noop sink, tools/bench_jaccard_ab.py): x10
-    6.863 → 4.751 s (the corpus-scaled subtree dominates); at sf0.1
-    the self-join form still wins 0.824 vs 1.018 s (collect_set
-    object-agg fixed cost) — decision taken at data scale."""
+    join's output (k docs sharing a shingle → C(k,2) rows either way).
+    Measured (ABBA median-of-6, noop sink, tools/bench_jaccard_ab.py):
+    x10 6.863 → 4.751 s (the corpus-scaled subtree dominates); at
+    sf0.1 the self-join form still wins 0.824 vs 1.018 s (collect_set
+    object-agg fixed cost) — decision taken at data scale.
+
+    Skew guard (r14, guide §2.5): with the plain shape a pathological
+    stop-shingle collects O(k) ids into ONE bucket row and expands its
+    C(k,2) pairs in ONE task. ``salt_buckets=m`` switches to a
+    result-identical two-stage expansion: ids aggregate per (shingle,
+    salt) with salt = hash(id) mod m, so no bucket row holds more than
+    ~k/m ids; same-salt pairs expand in-array as before, cross-salt
+    pairs come from salt-block pairs (a round-robin repartition spreads
+    a hot shingle's m·(m−1)/2 block rows across tasks before the
+    quadratic expansion), bounding per-task work and per-row memory at
+    ~(k/m)². Every co-occurrence is emitted exactly once (same-salt
+    in-array, cross-salt from the single (salt₁<salt₂) block), so
+    counts are unchanged — verified by exceptAll in
+    tests/test_properties.py. Costs one extra shuffle of the salted
+    buckets plus a per-side re-execution of the upstream pipeline for
+    the block join; default None keeps the single-aggregate plan for
+    corpora without a hot shingle (the fixture's 3-grams)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     keys = ["shingle"] + ([block_col] if block_col is not None else [])
-    buckets = (
-        shingles.groupBy(*keys)
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    lefts = buckets.select(F.posexplode("ids").alias("i", "doc1"), F.col("ids"))
-    inter = (
-        lefts.select(
-            "doc1",
-            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc2"),
+    if salt_buckets is not None:
+        inter = _salted_pair_counts(shingles, id_col, keys, salt_buckets)
+    else:
+        buckets = (
+            shingles.groupBy(*keys)
+            .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+            .filter(F.size("ids") > 1)
         )
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        lefts = buckets.select(F.posexplode("ids").alias("i", "doc1"), F.col("ids"))
+        inter = (
+            lefts.select(
+                "doc1",
+                F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc2"),
+            )
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n").alias("n2"))
     out = (

@@ -90,6 +90,16 @@ def asof_join(
         return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
 
     unified = unified.withColumn(_BKT, bucket)
+    # r14 (guide §2.4 duplicated subtrees, §5 localCheckpoint): the
+    # bucketed path reads `unified` three times (per-bucket latest,
+    # spine, final window pass); lazily truncating the lineage here
+    # computes the union ONCE per action and the consumers read the
+    # materialized partitions instead of re-deriving it (the narrow
+    # consumers column-prune, so the lazy form re-scans less than 3×,
+    # but the x10 ABBA still reads 2.155 → 1.775 s —
+    # tools/bench_asof_ckpt_ab.py). eager=False: no job at plan build,
+    # nothing cached across actions beyond this DataFrame's lifetime.
+    unified = unified.localCheckpoint(eager=False)
 
     # Latest build values per (key, bucket) — one row per group, tiny.
     per_bucket = (

@@ -408,7 +408,16 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=8) + LSH (4 bands × 2 rows) candidate duplicate
-    pairs over word-3-gram shingles."""
+    pairs over word-3-gram shingles.
+
+    r14 counter-measurement: ``first_band_dedup=True`` (emit each pair
+    from its first matching band, dropping the cross-band distinct —
+    3 shuffles → 2) was measured SLOWER at both scales (x10 ABBA 1.448
+    → 1.629 s, sf0.1 flat; tools/bench_lsh_pairs_ab.py): the distinct
+    only shuffles the tiny LSH-bounded candidate set while the band-
+    hash prefix carry ~doubles the bytes of the big bucket exchange.
+    Kept on the r13 shape; see lsh_candidate_pairs for when the
+    first-band form wins."""
     docs = load_table(spark, sf_dir, "documents")
     # distinct=False: MinHash's min-agg is multiplicity-insensitive, so
     # the dedup shuffle of the exploded shingles would be pure overhead

@@ -212,6 +212,68 @@ class TestLshGuarantees:
             assert shares_band, (d1, d2)
 
 
+class TestSaltedJaccard:
+    def test_salted_expansion_matches_plain_with_hot_shingle(self, spark):
+        """r14 skew guard: jaccard_pairs(salt_buckets=m) must be
+        row-identical to the plain single-bucket expansion, including
+        on a corpus with a pathological stop-shingle shared by every
+        doc (the case the salt exists for) — exceptAll both ways."""
+        import random
+
+        from iotdatapipeline_spark.analytics.dedup import jaccard_pairs, shingle_set
+
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(25)]
+        # "the stop stop" 3-gram in every doc = one bucket with all ids
+        texts = [
+            "the stop stop " + " ".join(rng.choices(vocab, k=rng.randint(6, 20)))
+            for _ in range(30)
+        ]
+        texts += [texts[0], texts[3]]  # near-exact pairs with high jaccard
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        sh = shingle_set(docs, "doc_id", "text", n=3, distinct=True)
+        plain = jaccard_pairs(sh, "doc_id", min_jaccard_x1000=0)
+        salted = jaccard_pairs(sh, "doc_id", min_jaccard_x1000=0, salt_buckets=4)
+        assert salted.schema == plain.schema
+        assert plain.count() > 0
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+class TestFirstBandDedup:
+    def test_first_band_emission_matches_distinct(self, spark):
+        """r14: lsh_candidate_pairs(first_band_dedup=True) must emit
+        exactly the distinct pair set of the default cross-band
+        distinct shape — duplicates planted so pairs co-occur in
+        several bands."""
+        import random
+
+        from iotdatapipeline_spark.analytics.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_set,
+        )
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choices(vocab, k=rng.randint(5, 25))) for _ in range(80)]
+        # exact duplicates co-occur in all 4 bands: the worst case for
+        # multi-band emission
+        texts += [texts[0], texts[0], texts[1], texts[2] + " tail tail tail"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        sh = shingle_set(docs, "doc_id", "text", n=3, distinct=False)
+        sigs = minhash_signatures(sh, "doc_id", k=8)
+        old = lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2)
+        new = lsh_candidate_pairs(sigs, "doc_id", k=8, rows_per_band=2, first_band_dedup=True)
+        assert old.count() > 0
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+
+
 class TestJoinOperatorProperties:
     """asof_join / band_range_join vs pure-Python oracles on random
     inputs — one Spark round-trip per example, tiny frames."""
