@@ -150,15 +150,16 @@ class TestPlanShapes:
         assert "Join" not in plan, plan
         assert plan.count("Window") == 1, plan
 
-    def test_inverted_index_no_join_single_window(self, spark, sf_small):
-        # r13: doc_freq and the head-20 postings come out of ONE
-        # groupBy riding the row_number window's term partitioning —
-        # the join form computed doc_freq as a separate aggregate
-        # whose join side re-executed the distinct subtree
+    def test_inverted_index_broadcast_dfreq_join(self, spark, sf_small):
+        # r14 (VERDICT item 6 flip-point re-measurement): the window
+        # form that r13 shipped measured slower than the join form at
+        # sf0.1, x10 AND x40 (tools/bench_inverted_ab.py), so doc_freq
+        # is a map-combined groupBy(term) aggregate broadcast onto the
+        # head-20 frame again — never a cartesian / nested-loop shape
         plan = _plan(QUERIES["docs_inverted_index"](spark, sf_small))
-        assert "Join" not in plan, plan
-        assert plan.count("Window") == 1, plan
-        assert plan.count("FileScan") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") == 1, plan
 
     def test_jaccard_pairs_no_shingle_self_join(self, spark, sf_small):
         # r13: intersection counts come from bucket-grouping the

@@ -93,8 +93,9 @@ def main():
     only = sys.argv[3:] or list(PAIRS)
     spark = get_spark("behavioral-ab")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    _small = "/testdata/" in sf_dir
+    spark.conf.set("spark.sql.shuffle.partitions", "8" if _small else os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false" if _small else "true")  # r14: bench profile only at bench SF
     for name in only:
         new = QUERIES[name](spark, sf_dir)
         old = PAIRS[name](spark, sf_dir)

@@ -35,8 +35,9 @@ def old_inverted(spark, sf_dir):
 sf_dir = sys.argv[1]
 spark = get_spark("inverted-ab")
 spark.sparkContext.setLogLevel("ERROR")
-spark.conf.set("spark.sql.shuffle.partitions", "8")
-spark.conf.set("spark.sql.adaptive.enabled", "false")
+_small = "/testdata/" in sf_dir
+spark.conf.set("spark.sql.shuffle.partitions", "8" if _small else os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.conf.set("spark.sql.adaptive.enabled", "false" if _small else "true")  # r14: bench profile only at bench SF
 old_df = old_inverted(spark, sf_dir)
 new_df = QUERIES["docs_inverted_index"](spark, sf_dir)
 if "--plans" in sys.argv:

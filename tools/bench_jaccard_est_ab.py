@@ -64,8 +64,9 @@ sf_dir = sys.argv[1]
 reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 6
 spark = get_spark("jaccard-est-ab")
 spark.sparkContext.setLogLevel("ERROR")
-spark.conf.set("spark.sql.shuffle.partitions", "8")
-spark.conf.set("spark.sql.adaptive.enabled", "false")
+_small = "/testdata/" in sf_dir
+spark.conf.set("spark.sql.shuffle.partitions", "8" if _small else os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.conf.set("spark.sql.adaptive.enabled", "false" if _small else "true")  # r14: bench profile only at bench SF
 old_df = old_estimate(spark, sf_dir)
 new_df = QUERIES["docs_minhash_jaccard_estimate"](spark, sf_dir)
 if "--plans" in sys.argv:
