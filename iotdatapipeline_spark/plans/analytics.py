@@ -652,12 +652,26 @@ def docs_neardup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")) >= 800)
         .select("doc1", "doc2")
     )
-    edges = (
-        verified.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-        .unionAll(verified.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
-        .unionAll(verified.select(F.col("doc1").alias("src"), F.col("doc1").alias("dst")))
-        .unionAll(verified.select(F.col("doc2").alias("src"), F.col("doc2").alias("dst")))
-    )
+    # r14 (guide §2.4 duplicated subtrees): the edge list used to be a
+    # 4-way unionAll of projections of `verified` — four references to
+    # the whole LSH→verify pipeline, ×2 again via l1/l2, for an
+    # analyzed plan of 115 exchanges / 40 scans (58 exch / 38 reused at
+    # the bench profile). One row-local explode of the 4 (src, dst)
+    # structs emits the same multiset from ONE reference: plan 58→22
+    # exchanges; ABBA 1.948→1.263 s sf0.1, 18.17→9.40 s x10 (1.9×).
+    # A localCheckpoint'ed `verified` (1 reference) measured SLOWER
+    # than this shape at both scales (tools/bench_neardup_ab.py) —
+    # exchange reuse already shares the two remaining references.
+    edges = verified.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+                F.struct(F.col("doc2").alias("src"), F.col("doc1").alias("dst")),
+                F.struct(F.col("doc1").alias("src"), F.col("doc1").alias("dst")),
+                F.struct(F.col("doc2").alias("src"), F.col("doc2").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     l1 = edges.groupBy(F.col("src").alias("doc_id")).agg(F.min("dst").alias("lbl"))
     l2 = (
         edges.join(l1.select(F.col("doc_id").alias("dst"), "lbl"), "dst")

@@ -310,11 +310,13 @@ def parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = ed.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     e3 = ed.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    verts = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
-    )
+    # r14 (guide §2.4 duplicated subtrees): the 3-way unionAll of tri
+    # projections re-ran the two wedge joins once per corner (6 BHJ in
+    # the plan); one row-local explode of [a, b, c] emits the same
+    # multiset from ONE tri reference (2 BHJ). ABBA 0.221→0.147 s
+    # sf0.1, 8.40→4.05 s x10 (2.1×); exceptAll 0 (/tmp-era harness
+    # promoted to tools/bench_triangle_ab.py).
+    verts = tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
     return verts.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     ).select(F.col("part").alias("l_partkey"), "n_triangles")
