@@ -1148,12 +1148,22 @@ def embeddings_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id1", "id2")
             .distinct()  # a pair sharing several probed buckets scores identically in each
         )
-        hits = truth.join(blocked, ["id1", "id2"], "left_semi")
+        # r14 (guide §2.4): n_true/n_blocked/n_hit used to be three
+        # separate aggregates (+ a semi-join), referencing the O(n²)
+        # truth subtree twice per probe and blocked twice — one
+        # full-outer join with presence flags yields all three counts
+        # from ONE reference each (both sets are distinct, so counts
+        # are set sizes either way). ABBA 47.1 → 25.6 s sf0.1;
+        # exceptAll 0 (tools/bench_neardup_recall_ab.py).
+        t = truth.withColumn("t", F.lit(1))
+        b = blocked.withColumn("b", F.lit(1))
+        j = t.join(b, ["id1", "id2"], "full_outer")
         rows.append(
-            truth.agg(F.count(F.lit(1)).alias("n_true"))
-            .crossJoin(blocked.agg(F.count(F.lit(1)).alias("n_blocked")))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-            .select(
+            j.agg(
+                F.count("t").alias("n_true"),
+                F.count("b").alias("n_blocked"),
+                F.count(F.when((F.col("t") == 1) & (F.col("b") == 1), 1)).alias("n_hit"),
+            ).select(
                 F.lit(n_probe).cast("int").alias("n_probe"),
                 "n_true",
                 "n_blocked",
@@ -3161,7 +3171,25 @@ def _semantic_neardup_sql(n_cents: int = 8) -> str:
 
 def _semantic_neardup_plan(spark: SparkSession, sf_dir: str, n_cents: int) -> DataFrame:
     """Shared Spark plan for the SemDeDup gates (see
-    docs_semantic_neardup's docstring for semantics)."""
+    docs_semantic_neardup's docstring for semantics).
+
+    Shape (r14, guide §2.4): the lexical verify used to derive `inter`
+    from an inner pairs⋈shingles⋈shingles aggregate and then LEFT-join
+    it BACK onto `pairs` plus two sizes joins — the IVF+cosine pair
+    subtree appeared twice and the shingle set four times (20
+    exchanges / 16 scans analyzed). Now the shingle sides LEFT-join so
+    every pair row survives the single aggregate (`inter` = matched
+    b-rows, `n1` = the group's own a-side row count — sh is distinct
+    per doc, so that IS |sh(id1)|), leaving one sizes join for n2:
+    pairs referenced once, 4 joins → 3, 19 → 13 bench-profile
+    exchanges. Measured (tools/bench_semantic_ab.py, ABBA, exceptAll 0
+    both gates at both scales): sf0.1 2.638→2.244 s (8-cent) /
+    2.352→2.241 s (64); x10 23.45→21.76 s for the at-scale 64-bucket
+    gate; the 8-bucket gate's x10 medians (181.9 vs 195.8 s) overlap
+    rep-for-rep (168–216 both arms) — that gate's declared operating
+    envelope is small-N (its own docstring: quadratic at fixed bucket
+    count; `_scaled` is the at-scale knob), where the one-pass form
+    wins."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     cents = emb.filter(F.col("vec_id") < n_cents).select(
@@ -3174,20 +3202,25 @@ def _semantic_neardup_plan(spark: SparkSession, sf_dir: str, n_cents: int) -> Da
 
     sh = shingle_set(docs, "doc_id", "text", 3, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(sh.alias("a"), F.col("a.doc_id") == F.col("id1"))
-        .join(sh.alias("b"), (F.col("b.doc_id") == F.col("id2")) & (F.col("b.shingle") == F.col("a.shingle")))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id2b"), F.col("shingle").alias("sh_b"))
+    g = (
+        pairs.join(a, "id1", "left")
+        .join(b, (F.col("id2") == F.col("id2b")) & (F.col("sh_b") == F.col("sh_a")), "left")
+        .drop("id2b")
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.max("cos_x1e6").alias("cos_x1e6"),
+            F.count("sh_b").alias("inter"),
+            F.count("sh_a").alias("n1"),
+        )
     )
     jx = F.coalesce(
         F.floor(F.lit(1000.0) * F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))),
         F.lit(0),
     ).cast("long")
     return (
-        pairs.join(inter, ["id1", "id2"], "left")
-        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        g.join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
         .select(
             "id1",
             "id2",
